@@ -1,0 +1,526 @@
+"""Relational core: Q01-Q18 of the declared query surface (SURVEY §2.12).
+
+Pure DataFrame/SQL plans — zero custom execution code. Small dimensions
+are broadcast explicitly; everything else is left to Catalyst + AQE
+(which at 100 TB picks sort-merge joins shuffled on the join keys, with
+skew splitting). Money columns in the testdata are exact 2-decimal
+doubles, so DECIMAL(18,2) sums are exact and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..tables import load_table
+from .base import Registry, TS_FMT_DUCK, TS_FMT_SPARK
+
+REG = Registry()
+
+
+def _dec(c: str | F.Column) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _fmt(c: str | F.Column) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+# ---------------------------------------------------------------- Q01
+@REG.add(
+    "q01",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_returnflag LIKE 'R%' AND l_quantity > 30
+    ORDER BY l_orderkey, l_linenumber, l_quantity
+    """,
+    doc="Scan + projection + predicate (OP-PROJ, OP-FILT-1); pushed to parquet.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").like("R%") & (F.col("l_quantity") > 30))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------- Q02
+@REG.add(
+    "q02",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word LIKE 's%'
+    GROUP BY word
+    ORDER BY word, cnt
+    """,
+    doc="Split + explode + count (OP-EXPL-1, OP-AGG-CNT).",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").startswith("s"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word", "cnt")
+    )
+
+
+# ---------------------------------------------------------------- Q03
+@REG.add(
+    "q03",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL AND props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type, cnt
+    """,
+    doc="Null/completeness predicate (OP-FILT-2), mirrors epss_handler.py:134-142.",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("props").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type", "cnt")
+    )
+
+
+# ---------------------------------------------------------------- Q04
+@REG.add(
+    "q04",
+    """
+    SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket, cnt
+    """,
+    doc="JSON scalar extraction + modulo bucketing (§2.8 json/regex class).",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket", "cnt")
+    )
+
+
+# ---------------------------------------------------------------- Q05
+@REG.add(
+    "q05",
+    """
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           CAST(COALESCE(ROUND(l.sum_price_d, 4), 0) AS DOUBLE) AS sum_price,
+           o.o_orderstatus
+    FROM orders o
+    FULL OUTER JOIN (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price_d
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    ORDER BY o_orderkey, sum_price, o_orderstatus
+    """,
+    doc="OP-MERGE rewrite: full-outer join + coalesce = keyed upsert-merge "
+    "(mongodb_handler.py:154-175 semantics as a relational plan).",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("sum_price_d")
+    )
+    return (
+        orders.join(li_agg, orders.o_orderkey == li_agg.l_orderkey, "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "l_orderkey").alias("o_orderkey"),
+            F.coalesce(F.round("sum_price_d", 4), F.lit(0))
+            .cast("double")
+            .alias("sum_price"),
+            "o_orderstatus",
+        )
+        .orderBy("o_orderkey", "sum_price", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------- Q06
+@REG.add(
+    "q06",
+    f"""
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY o_orderkey, o_orderdate, revenue
+    """,
+    doc="TPC-H Q3 shape: 3-way join + group agg (OP-JOIN-ENRICH, sort-merge at scale).",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey", _fmt("o_orderdate").alias("o_orderdate"), "revenue"
+        )
+        .orderBy("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+# ---------------------------------------------------------------- Q07
+@REG.add(
+    "q07",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY n_name, revenue
+    """,
+    doc="Star join with broadcast dimensions (OP-JOIN-ENRICH broadcast path).",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("n_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------- Q08
+@REG.add(
+    "q08",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+    ORDER BY o_orderkey, o_orderstatus
+    """,
+    doc="Left-semi join (OP-JOIN-SEMI, the include-list probe of cveorg_handler.py:76).",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------- Q09
+@REG.add(
+    "q09",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    ORDER BY c_custkey, c_name
+    """,
+    doc="Left-anti join (OP-JOIN-ANTI, the exclude-set probe of "
+    "cveorg_handler.py:60-74): customers with no 'P'-status order.",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------- Q10
+@REG.add(
+    "q10",
+    """
+    SELECT e1.user_id AS user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 5 MINUTE
+     AND e1.event_id <> e2.event_id
+    GROUP BY e1.user_id
+    ORDER BY user_id, cnt
+    """,
+    tags=("id-set",),
+    doc="Range/theta self-join: equi on user_id + interval band predicate.",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.select(
+        F.col("user_id"), F.col("ts").alias("ts1"), F.col("event_id").alias("id1")
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"),
+        F.col("event_id").alias("id2"),
+    )
+    joined = e1.join(
+        e2,
+        (e1.user_id == e2.user_id2)
+        & (e2.ts2 >= e1.ts1)
+        & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 5 MINUTES"))
+        & (e1.id1 != e2.id2),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("user_id", "cnt")
+    )
+
+
+# ---------------------------------------------------------------- Q11
+@REG.add(
+    "q11",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus, sum_qty, sum_price, avg_disc, count_order
+    """,
+    doc="TPC-H Q1 shape: partial+final aggregation; exact decimal sums.",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_price", "avg_disc", "count_order"
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q12
+@REG.add(
+    "q12",
+    f"""
+    SELECT o_orderstatus,
+           strftime(min(o_orderdate), '{TS_FMT_DUCK}') AS min_date,
+           strftime(max(o_orderdate), '{TS_FMT_DUCK}') AS max_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus, min_date, max_date
+    """,
+    doc="Min/max over timestamps (OP-AGG-MIN, cveorg_handler.py:126-127).",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            _fmt(F.min("o_orderdate")).alias("min_date"),
+            _fmt(F.max("o_orderdate")).alias("max_date"),
+        )
+        .orderBy("o_orderstatus", "min_date", "max_date")
+    )
+
+
+# ---------------------------------------------------------------- Q13
+@REG.add(
+    "q13",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, n_users
+    """,
+    doc="Exact distinct aggregation (expand+two-phase under Catalyst).",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type", "n_users")
+    )
+
+
+# ---------------------------------------------------------------- Q14
+@REG.add(
+    "q14",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS n_name,
+           COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY n_name, o_orderpriority, cnt
+    """,
+    doc="ROLLUP grouping sets over a 3-way join.",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        orders, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "cnt",
+        )
+        .orderBy("n_name", "o_orderpriority", "cnt")
+    )
+
+
+# ---------------------------------------------------------------- Q15
+@REG.add(
+    "q15",
+    f"""
+    SELECT user_id, event_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_id, event_type, ts
+    """,
+    doc="Latest-record-per-key (OP-LATEST): the last-writer-wins upsert as a window.",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", _fmt("ts").alias("ts"))
+        .orderBy("user_id", "event_id", "event_type", "ts")
+    )
+
+
+# ---------------------------------------------------------------- Q16
+@REG.add(
+    "q16",
+    """
+    SELECT user_id, event_id,
+           lag(value) OVER w AS lag_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id, lag_value, run_sum
+    """,
+    doc="Analytic window: lag + running frame sum (exact decimal accumulation).",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w).alias("lag_value"),
+            F.sum(_dec("value"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("run_sum"),
+        )
+        .orderBy("user_id", "event_id", "lag_value", "run_sum")
+    )
+
+
+# ---------------------------------------------------------------- Q17
+@REG.add(
+    "q17",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Top-k: Catalyst TakeOrderedAndProject — no full sort at scale.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- Q18
+@REG.add(
+    "q18",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer
+    ORDER BY custkey
+    """,
+    doc="Set ops: INTERSECT (left-semi under the hood).",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.select(F.col("o_custkey").alias("custkey"))
+        .intersect(cust.select(F.col("c_custkey").alias("custkey")))
+        .orderBy("custkey")
+    )

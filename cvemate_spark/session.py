@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Local-mode settings that still reflect the cluster design:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized to cores locally (on a real cluster this is
+  set to ~2-3x total executor cores, or left to AQE's coalescing)
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+- `nanosAsLong` because the driver's `events` table stores parquet
+  TIMESTAMP(NANOS) which Spark's vectorized reader refuses; the loader
+  in tables.py converts the long back to a microsecond timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "cvemate_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = str(cpus or DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

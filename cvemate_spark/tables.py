@@ -1,0 +1,71 @@
+"""Loaders for the driver test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+The `events` table stores parquet TIMESTAMP(NANOS) which Spark's
+parquet reader rejects; we read it with
+`spark.sql.legacy.parquet.nanosAsLong` and convert the long back to a
+microsecond TimestampType via `timestamp_micros(ns div 1000)` —
+truncation, which matches DuckDB's nanos→micros behavior exactly
+(verified against `epoch_ns` on the driver parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Set runtime SQL confs the engine depends on.
+
+    These are dynamic SQL confs, safe to set on a session the driver
+    created. UTC keeps timestamp formatting aligned with the
+    (UTC-naive) DuckDB oracle; nanosAsLong makes the events parquet
+    readable at all.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session; proceed with its value
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view (for spark.sql)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Local oracle harness — mimics the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle SQL on
+the same parquet tables, then compares row count, column names, and
+values (columns sorted by name, rows sorted, exact match; floats also
+reported as max-abs-diff so near-misses are visible).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame, id_set: bool) -> list[str]:
+    problems: list[str] = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_df), normalize(duck_df)
+    if id_set:
+        if set(map(tuple, s.values.tolist())) != set(map(tuple, d.values.tolist())):
+            problems.append("id-set mismatch")
+        return problems
+    for c in s.columns:
+        sv, dv = s[c].values, d[c].values
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+            sv2 = pd.to_numeric(s[c], errors="coerce").values.astype(float)
+            dv2 = pd.to_numeric(d[c], errors="coerce").values.astype(float)
+            both_nan = np.isnan(sv2) & np.isnan(dv2)
+            exact = (sv2 == dv2) | both_nan
+            if not exact.all():
+                diff = np.nanmax(np.abs(np.where(exact, 0.0, sv2 - dv2)))
+                n_bad = int((~exact).sum())
+                problems.append(f"col {c}: {n_bad} float mismatches, maxdiff={diff:.3e}")
+        else:
+            if not (sv == dv).all():
+                n_bad = int((sv != dv).sum())
+                idx = np.argwhere(sv != dv).flatten()[:3]
+                ex = [(sv[i], dv[i]) for i in idx]
+                problems.append(f"col {c}: {n_bad} mismatches, e.g. {ex}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    from cvemate_spark.queries import REGISTRY
+    from cvemate_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    con = duck_connect(sf_dir)
+
+    names = only or sorted(REGISTRY.specs)
+    n_ok = n_bad = n_skip = 0
+    for name in names:
+        spec = REGISTRY.specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"[FAIL] {name}: spark error\n{traceback.format_exc()}")
+            n_bad += 1
+            continue
+        if spec.oracle is None:
+            print(f"[SKIP-ORACLE] {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_skip += 1
+            continue
+        try:
+            ddf = con.execute(spec.oracle).df()
+        except Exception:
+            print(f"[FAIL] {name}: duckdb error\n{traceback.format_exc()}")
+            n_bad += 1
+            continue
+        problems = compare(name, sdf, ddf, id_set="id-set" in spec.tags)
+        if problems:
+            print(f"[MISMATCH] {name}: " + "; ".join(problems))
+            n_bad += 1
+        else:
+            print(f"[OK] {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_skip} no-oracle")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
