@@ -1,0 +1,86 @@
+"""Portable text primitives: tokenize, hash, shingle, fingerprint.
+
+Every primitive here exists in TWO forms generated from one Python
+definition: a Spark SQL expression (used via F.expr inside DataFrame
+plans — stays in whole-stage codegen, no Python UDFs) and a DuckDB SQL
+fragment (used in oracle queries). Keeping both generators side by
+side guarantees the engines compute bit-identical values.
+
+The string hash is a 31-ary polynomial fold over characters modulo a
+large prime — expressible as a lambda fold in both engines, verified
+identical (`aggregate(...)` in Spark, `list_reduce(...)` in DuckDB).
+At 100 TB this matters: hashing stays JVM-side inside codegen instead
+of round-tripping rows through Python.
+"""
+
+from __future__ import annotations
+
+import random
+
+PRIME = 1_000_000_007
+
+# MinHash seeds: k independent (a, b) pairs for h' = (a*h + b) mod PRIME.
+# a <= 1e6 keeps a*h < 1e15, safely inside int64.
+_rng = random.Random(42)
+MINHASH_K = 12
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+MINHASH_SEEDS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1_000_000), _rng.randrange(0, PRIME)) for _ in range(MINHASH_K)
+]
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks for the banding self-join
+
+
+# ------------------------------------------------------------ hashes
+def spark_str_hash(col_expr: str) -> str:
+    """Polynomial fold hash of a string column, Spark SQL expression."""
+    return (
+        f"aggregate(transform(split({col_expr}, ''), c -> bigint(ascii(c))), "
+        f"0L, (a, b) -> (a * 31 + b) % {PRIME})"
+    )
+
+
+def duck_str_hash(col_expr: str) -> str:
+    """Same hash as a DuckDB SQL expression (verified value-identical)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({col_expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {PRIME})"
+    )
+
+
+# ------------------------------------------------------------ minhash
+def spark_minhash(hash_col: str, i: int) -> str:
+    a, b = MINHASH_SEEDS[i]
+    return f"min(({a}L * {hash_col} + {b}L) % {PRIME})"
+
+
+def duck_minhash(hash_col: str, i: int) -> str:
+    a, b = MINHASH_SEEDS[i]
+    return f"min((CAST({a} AS BIGINT) * {hash_col} + {b}) % {PRIME})"
+
+
+def band_signature_exprs(engine: str) -> list[str]:
+    """Concatenate each band's minhash rows into one signature string."""
+    rows = MINHASH_K // MINHASH_BANDS
+    sep = " || '-' || " if engine == "duck" else None
+    out = []
+    for band in range(MINHASH_BANDS):
+        cols = [f"mh{band * rows + r}" for r in range(rows)]
+        if engine == "duck":
+            out.append(sep.join(f"CAST({c} AS VARCHAR)" for c in cols))
+        else:
+            out.append("concat_ws('-', " + ", ".join(cols) + ")")
+    return out
+
+
+# ------------------------------------------------------------ tokens
+SPARK_TOKENS = "split(text, ' ')"
+DUCK_TOKENS = "string_split(text, ' ')"
+
+STOPWORDS = ("the", "a")
+
+
+def stopword_in_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)

@@ -1,0 +1,341 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first design for 100 TB:
+
+- **MinHash+LSH** (`minhash_pairs`): shingle → k minhashes → band
+  signatures → candidate pairs via an equi-join on (band, signature)
+  → exact-Jaccard verify restricted to candidates. Every stage is a
+  DataFrame transform; the only shuffles are the per-doc signature
+  aggregation and the band self-join, both keyed well (band signatures
+  are high-cardinality, so the join has no hot keys). Candidate count
+  scales with true near-dup density, not n².
+
+- **SimHash** (`simhash_pairs`): 32-bit signature per doc from token
+  hash bit votes; banding on 8-bit chunks turns the O(n^2) hamming
+  search into 4 equi-joins; verify with bit_count(xor) <= max_hamming.
+
+- **n-gram Jaccard** (`ngram_jaccard_pairs`): exact pairwise Jaccard,
+  but only over pairs sharing at least one shingle (join on shingle),
+  which is the scalable form of "all pairs" — disjoint docs never meet.
+
+All hashes are the portable polynomial fold (functions/text.py), so
+every operator has a bit-identical DuckDB oracle generated from the
+same seed table. No Python UDFs anywhere — full whole-stage codegen.
+
+Reference parity: the reference's only dedup is keyed-upsert collapse
+(SURVEY §2.5 OP-DEDUP); these operators are the §Phase-4 LLM-pipeline
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_SEEDS,
+    PRIME,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    band_signature_exprs,
+    duck_str_hash,
+    spark_str_hash,
+)
+
+SHINGLE_N = 3
+
+
+# ------------------------------------------------------------ shingles
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    shingle = F.concat(
+        F.col("tok"),
+        F.lit(" "),
+        F.lead("tok", 1).over(w),
+        F.lit(" "),
+        F.lead("tok", 2).over(w),
+    )
+    return (
+        toks.select(F.col(id_col), shingle.alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def _duck_shingles_cte() -> str:
+    return f"""
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE shingle IS NOT NULL
+    )"""
+
+
+# ------------------------------------------------------------ minhash
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """k minhashes per doc: (doc_id, mh0..mh{k-1})."""
+    hashed = shingles.withColumn("h", F.expr(spark_str_hash("shingle")))
+    aggs = [
+        F.expr(f"min(({a}L * h + {b}L) % {PRIME})").alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard >= threshold.
+
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
+    """
+    shingles = doc_shingles(docs)
+    sigs = minhash_signatures(shingles)
+    band_exprs = band_signature_exprs("spark")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias("band", "sig"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("d1"), F.col("band").alias("b1"), F.col("sig").alias("s1")
+    )
+    right = banded.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("b2"), F.col("sig").alias("s2")
+    )
+    candidates = (
+        left.join(
+            right,
+            (F.col("b1") == F.col("b2"))
+            & (F.col("s1") == F.col("s2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verify_jaccard(candidates, shingles, jaccard_threshold)
+
+
+def _verify_jaccard(
+    candidates: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shingles.select(F.col("doc_id").alias("d1"), F.col("shingle"))
+    s2 = shingles.select(F.col("doc_id").alias("d2x"), F.col("shingle").alias("shingle2"))
+    common = (
+        candidates.join(s1, "d1")
+        .join(
+            s2,
+            (F.col("d2") == F.col("d2x")) & (F.col("shingle") == F.col("shingle2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_pairs_oracle(jaccard_threshold: float = 0.3) -> str:
+    """DuckDB SQL computing exactly minhash_pairs() (same seeds/hash)."""
+    mh_cols = ", ".join(
+        f"min((CAST({a} AS BIGINT) * h + {b}) % {PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, {expr} AS sig FROM sigs"
+        for band, expr in enumerate(band_signature_exprs("duck"))
+    )
+    return f"""
+    WITH {_duck_shingles_cte()},
+    hashed AS (SELECT doc_id, {duck_str_hash('shingle')} AS h FROM shingles),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.d1, c.d2, count(*) AS c
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.d1
+        JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    )
+    SELECT common.d1, common.d2,
+           ROUND(common.c * 1.0 / (sa.n + sb.n - common.c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.d1
+    JOIN sizes sb ON sb.doc_id = common.d2
+    WHERE common.c * 1.0 / (sa.n + sb.n - common.c) >= {jaccard_threshold}
+    ORDER BY d1, d2, jaccard
+    """
+
+
+# ------------------------------------------------------------ simhash
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit simhash per doc from token-hash bit votes: (doc_id, simhash)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.expr(spark_str_hash("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(2 * ((h >> {b}) & 1) - 1)").alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1L ELSE 0L END << {b})" for b in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs by simhash: banding on 8-bit chunks + hamming verify.
+
+    Returns (d1, d2, hamming) with d1 < d2. A pair with hamming <= 6
+    over 32 bits must agree on at least one of the four 8-bit chunks
+    (pigeonhole for hamming <= 3; chunk banding is the standard recall
+    trade-off beyond that), so candidates come from 4 equi-joins
+    instead of a cross join.
+    """
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {8 * c}) & 255")
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    left = chunks.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("h1"),
+        "chunk_idx",
+        "chunk",
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("h2"),
+        F.col("chunk_idx").alias("ci2"),
+        F.col("chunk").alias("c2"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("chunk_idx") == F.col("ci2"))
+            & (F.col("chunk") == F.col("c2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(h1 ^ h2)")
+    return (
+        cand.select("d1", "d2", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_oracle(max_hamming: int = 1) -> str:
+    votes = ", ".join(
+        f"SUM(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {b})"
+        for b in range(SIMHASH_BITS)
+    )
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk FROM sigs"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {duck_str_hash('tok')} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sim} AS simhash FROM votes),
+    chunks AS ({chunk_union}),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+               l.simhash AS h1, r.simhash AS h2
+        FROM chunks l JOIN chunks r
+          ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+         AND l.doc_id < r.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+    ORDER BY d1, d2, hamming
+    """
+
+
+# --------------------------------------------------- ngram jaccard
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    The shingle join materializes only co-occurring pairs — the
+    scalable exact form (disjoint docs never meet in the shuffle).
+    """
+    shingles = doc_shingles(docs)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("sh2"))
+    common = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+    return f"""
+    WITH {_duck_shingles_cte()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT common.d1, common.d2,
+           ROUND(common.c * 1.0 / (sa.n + sb.n - common.c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.d1
+    JOIN sizes sb ON sb.doc_id = common.d2
+    WHERE common.c * 1.0 / (sa.n + sb.n - common.c) >= {threshold}
+    ORDER BY d1, d2, jaccard
+    """

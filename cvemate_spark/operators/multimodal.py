@@ -1,0 +1,106 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (the 100 TB training-data shape):
+- media rides in an opaque `payload: binary` column next to typed
+  metadata (`media_type`, `n_bytes`, `digest`); parquet stores the
+  bytes page-compressed and Spark never interprets them until an
+  explicit decode stage;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  `mapInPandas` stages — bytes stay in Arrow buffers end to end, one
+  Python roundtrip per *batch*, not per row;
+- the actual codec calls are STUBBED here (no image/audio libs in this
+  container): `decode_image` raises NotImplementedError unless handed
+  the deterministic fake codec used by the tests. The Spark-side
+  plumbing — schema, batch iteration, partitioning — is real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
+META_SCHEMA = "doc_id long, media_type string, n_bytes long, digest string"
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, digest string, "
+    "width int, height int, n_frames int"
+)
+
+
+def attach_payload(docs: DataFrame, media_type: str = "text") -> DataFrame:
+    """Wrap a text column as an opaque binary payload column."""
+    return docs.select(
+        "doc_id",
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Byte-level metadata via mapInPandas (Arrow-batched, no decode)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=META_SCHEMA)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic fake codec for tests: 'decodes' byte length into
+    a (width, height, n_frames) tuple."""
+    n = len(payload)
+    return {"width": n % 640, "height": n % 480, "n_frames": 1 + n % 8}
+
+
+def decode_image(payload: bytes, codec: Callable[[bytes], dict] | None = None) -> dict:
+    """Decode an image/video payload to typed features.
+
+    STUB: real decoding needs an image library that is not in this
+    container. Pass `codec=fake_decode` (tests) or a real codec; with
+    no codec this raises, making the stub boundary explicit.
+    """
+    if codec is None:
+        raise NotImplementedError(
+            "no image/audio codec available in this environment; "
+            "pass codec= (e.g. multimodal.fake_decode) explicitly"
+        )
+    return codec(payload)
+
+
+def extract_features(
+    media: DataFrame, codec: Callable[[bytes], dict] = fake_decode
+) -> DataFrame:
+    """Decode-stage plumbing: metadata + per-payload decoded features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(lambda b: decode_image(bytes(b), codec))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "width": feats.map(lambda d: d["width"]).astype("int32"),
+                    "height": feats.map(lambda d: d["height"]).astype("int32"),
+                    "n_frames": feats.map(lambda d: d["n_frames"]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,133 @@
+"""Embedding similarity search: brute-force cosine top-k, IVF probe, near-dup.
+
+Spark-first design for 100 TB:
+
+- the query vector rides along as a broadcast one-row DataFrame
+  (crossJoin(broadcast(q))) — never a driver-side collect in the plan;
+- dot products are `aggregate(zip_with(...))` lambda folds — JVM-side,
+  codegen'd, no Python UDF, and sequential so the DuckDB oracle
+  (list_reduce with the same fold order) is bit-identical;
+- brute-force top-k is orderBy(limit(k)) = Catalyst
+  TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+  driver — the correct distributed top-k, no global sort;
+- the IVF variant (`ivf_topk`) is the scale path: vectors are
+  pre-assigned to coarse centroids (one broadcast join + argmax), the
+  query probes the nearest `n_probe` cells, and only those cells are
+  scanned. At 100 TB the assignment is a write-time partition key, so
+  a probe prunes partitions instead of filtering rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)"
+    " / (sqrt(aggregate(transform({a}, x -> double(x) * double(x)), 0D, (s, v) -> s + v))"
+    " * sqrt(aggregate(transform({b}, x -> double(x) * double(x)), 0D, (s, v) -> s + v)))"
+)
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, v) -> s + v)"
+    )
+
+
+def duck_cosine(a: str, b: str) -> str:
+    """DuckDB cosine with the same sequential fold as COS_SPARK."""
+    return f"({_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
+
+
+def cosine_col(a: str, b: str) -> F.Column:
+    return F.expr(COS_SPARK.format(a=a, b=b))
+
+
+def brute_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Cosine top-k against one query vector; returns (vec_id) ranked."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_col("embedding", "q_emb").alias("cos")
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids, probe nearest cells, scan only those.
+
+    Deterministic "training": centroids are the vectors whose id is a
+    multiple of `centroid_stride` (a seeded-sample stand-in for k-means;
+    the plumbing — broadcast assign, cell pruning, in-cell top-k — is
+    the production shape).
+    """
+    cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    # assign every vector to its nearest centroid (broadcast argmax)
+    w = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine_col("embedding", "cent_emb").alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cent_cos")
+    )
+    # the query probes its n_probe nearest centroids
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", cosine_col("cent_emb", "q_emb").alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    # in-cell scan + global top-k merge
+    return (
+        assigned.join(F.broadcast(probed), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def neardup_pairs_topk(embeddings: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k most-similar distinct pairs (embedding near-dup candidates).
+
+    Brute-force pair scan here; the LSH-bucketed variant for scale is
+    `dedup.minhash_pairs`-shaped (bucket on sign bits, join in-bucket).
+    """
+    a = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        "d1", "d2", cosine_col("e1", "e2").alias("cos")
+    )
+    return (
+        pairs.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        .limit(k)
+        .select("d1", "d2")
+    )

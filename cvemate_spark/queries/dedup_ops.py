@@ -1,0 +1,49 @@
+"""Dedup query surface: MinHash+LSH, SimHash, n-gram Jaccard (Phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup
+from ..tables import load_table
+from .base import Registry
+
+REG = Registry()
+
+
+@REG.add(
+    "dedup_minhash",
+    dedup.minhash_pairs_oracle(jaccard_threshold=0.3),
+    doc="MinHash+LSH near-dup pairs (12 hashes, 4 bands x 3 rows) verified by "
+    "exact Jaccard >= 0.3. Candidate generation is an equi-join on band "
+    "signatures — no cross join anywhere.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs, jaccard_threshold=0.3).orderBy(
+        "d1", "d2", "jaccard"
+    )
+
+
+@REG.add(
+    "dedup_simhash",
+    dedup.simhash_pairs_oracle(max_hamming=1),
+    doc="SimHash near-dup pairs: 32-bit bit-vote signatures, 8-bit chunk "
+    "banding, hamming <= 1 verify via bit_count(xor).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=1).orderBy("d1", "d2", "hamming")
+
+
+@REG.add(
+    "dedup_ngram_jaccard",
+    dedup.ngram_jaccard_pairs_oracle(threshold=0.3),
+    doc="Exact 3-gram Jaccard over co-occurring pairs (join on shingle), "
+    "threshold 0.3 — the verify-side ground truth for the LSH variants.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.3).orderBy(
+        "d1", "d2", "jaccard"
+    )

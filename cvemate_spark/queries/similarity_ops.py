@@ -1,0 +1,94 @@
+"""Similarity-search query surface: Q26 + ANN/near-dup extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    brute_topk,
+    duck_cosine,
+    ivf_topk,
+    neardup_pairs_topk,
+)
+from ..tables import load_table
+from .base import Registry
+
+REG = Registry()
+
+_COS_Q = duck_cosine("e.embedding", "q.q_emb")
+
+
+@REG.add(
+    "q26",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id
+    FROM embeddings e, q
+    ORDER BY {_COS_Q} DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("id-set",),
+    doc="Similarity search: cosine top-10 against the vec_id=0 query vector; "
+    "broadcast query, fold-based dot product, TakeOrderedAndProject top-k.",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_topk(emb, query_vec_id=0, k=10)
+
+
+@REG.add(
+    "ann_ivf",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine("e.embedding", "c.cent_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT cent_id FROM cents c, q
+        ORDER BY {duck_cosine("c.cent_emb", "q.q_emb")} DESC, cent_id ASC
+        LIMIT 3
+    )
+    SELECT e.vec_id
+    FROM assigned e JOIN probed p ON e.cent_id = p.cent_id, q
+    ORDER BY {_COS_Q} DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("id-set",),
+    doc="IVF-style ANN: deterministic coarse centroids (vec_id % 50 == 0), "
+    "probe the 3 nearest cells, top-10 within — the partition-pruning scale "
+    "path for similarity search.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, centroid_stride=50, n_probe=3)
+
+
+@REG.add(
+    "emb_neardup",
+    f"""
+    SELECT d1, d2 FROM (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               {duck_cosine("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    ORDER BY cos DESC, d1 ASC, d2 ASC
+    LIMIT 20
+    """,
+    tags=("id-set",),
+    doc="Embedding-cosine near-dup: top-20 most-similar distinct pairs "
+    "(brute-force at test scale; LSH-bucketed variant is the 100 TB path).",
+)
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_topk(emb, k=20)

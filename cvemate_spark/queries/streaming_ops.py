@@ -1,0 +1,71 @@
+"""Streaming query surface S1-S3: availableNow runs vs batch oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import jobs
+from .base import Registry
+
+REG = Registry()
+
+
+@REG.add(
+    "s1_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type, cnt
+    """,
+    doc="S1: streaming tumbling-window counts (withWatermark + window, "
+    "availableNow) == the batch date_trunc rewrite.",
+)
+def s1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.tumbling_counts(spark, sf_dir).orderBy(
+        "win_start", "event_type", "cnt"
+    )
+
+
+@REG.add(
+    "s2_sliding",
+    """
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+               event_type
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type, cnt
+    """,
+    doc="S2: sliding window (1h every 15min) == batch explode into the 4 "
+    "slide buckets each event belongs to (epoch-aligned, like Spark's window).",
+)
+def s2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.sliding_counts(spark, sf_dir).orderBy(
+        "win_start", "event_type", "cnt"
+    )
+
+
+@REG.add(
+    "s3_merge_replay",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S3 (ST-3): out-of-order replay through foreachBatch keyed MERGE "
+    "(keep-latest, atomic swap target) converges to the batch Q20 result — "
+    "late data last-writer-wins, no drops.",
+)
+def s3_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.replay_merge(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis queries: Q24/Q25 + the LLM-pipeline text operators.
+
+All of these run over the `documents` table and stay entirely inside
+whole-stage codegen (built-in functions + lambda folds; no Python in
+the hot path). At 100 TB each is a single scan + narrow shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import duck_str_hash, spark_str_hash, stopword_in_list_sql
+from ..tables import load_table
+from .base import Registry
+
+REG = Registry()
+
+_STOPS = stopword_in_list_sql()
+
+
+# ---------------------------------------------------------------- Q24
+@REG.add(
+    "q24",
+    f"""
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term NOT IN ({_STOPS})
+    GROUP BY term
+    ORDER BY cnt DESC, term ASC
+    LIMIT 20
+    """,
+    doc="UDTF-shaped text analysis: tokenize + stopword filter + top-20 terms "
+    "(deterministic tie-break on term).",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(~F.col("term").isin(*["the", "a"]))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q25
+@REG.add(
+    "q25",
+    """
+    SELECT md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS fp,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp, cnt
+    """,
+    doc="Exact-duplicate detection by content hash (hash-groupBy dedup). The "
+    "driver corpus has no full-text duplicates, so the canonical form is the "
+    "16-token prefix (documented deviation from full-text md5; the full-text "
+    "variant is the `dedup_exact` query).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16))
+    return (
+        docs.select(F.md5(prefix.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy("fp", "cnt")
+    )
+
+
+# ------------------------------------------------------ dedup_exact
+@REG.add(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM documents
+    GROUP BY digest
+    ORDER BY digest, keep_doc_id, n_dropped
+    """,
+    doc="Exact dedup, full text: one representative (min doc_id) per content "
+    "hash. At scale: hash-shuffle on digest, map-side partial agg.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("digest", "keep_doc_id", "n_dropped")
+    )
+
+
+# ------------------------------------------------------ t_langid
+@REG.add(
+    "t_langid",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                         t -> t IN ({_STOPS}))) * 10
+                     > len(string_split(text, ' ')) THEN 'en'
+                ELSE 'other' END AS pred_lang
+    FROM documents
+    ORDER BY doc_id, lang, pred_lang
+    """,
+    doc="Language-ID heuristic: function-word density (the n-gram-heuristic "
+    "shape; the synthetic corpus shares one vocabulary so the rule is a "
+    "stopword-ratio threshold). Pure codegen expression.",
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    pred = F.when(n_stop * 10 > F.size(toks), "en").otherwise("other")
+    return docs.select("doc_id", "lang", pred.alias("pred_lang")).orderBy(
+        "doc_id", "lang", "pred_lang"
+    )
+
+
+# ------------------------------------------------------ t_quality
+@REG.add(
+    "t_quality",
+    f"""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(LEAST(n_tok / 100.0, 1.0) * 0.5
+                 + (n_distinct * 1.0 / n_tok) * 0.3
+                 + (1.0 - n_stop * 1.0 / n_tok) * 0.2, 4) AS quality
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOPS}))) AS n_stop
+        FROM documents
+    )
+    ORDER BY doc_id, n_tok, quality
+    """,
+    doc="Quality scoring: length saturation + lexical diversity + stopword "
+    "penalty, the classic pretraining-filter shape, as one scan.",
+)
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tok") / 100.0, F.lit(1.0)) * 0.5
+        + (F.col("n_distinct") * 1.0 / F.col("n_tok")) * 0.3
+        + (1.0 - F.col("n_stop") * 1.0 / F.col("n_tok")) * 0.2,
+        4,
+    )
+    return base.select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok"), quality.alias("quality")
+    ).orderBy("doc_id", "n_tok", "quality")
+
+
+# ------------------------------------------------------ t_tokens
+@REG.add(
+    "t_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re
+    FROM documents
+    ORDER BY doc_id, n_ws, n_re
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex token count "
+    "(regexp stays JVM-side; no Python tokenizer in the scan).",
+)
+def t_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_re"),
+    ).orderBy("doc_id", "n_ws", "n_re")
+
+
+# ------------------------------------------------------ t_fingerprint
+@REG.add(
+    "t_fingerprint",
+    f"""
+    SELECT doc_id, {duck_str_hash('text')} AS fp
+    FROM documents
+    ORDER BY doc_id, fp
+    """,
+    doc="Document fingerprinting: rolling polynomial hash of the full text, "
+    "computed by an identical lambda fold in both engines.",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(spark_str_hash("text")).alias("fp")
+    ).orderBy("doc_id", "fp")

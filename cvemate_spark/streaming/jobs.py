@@ -1,0 +1,157 @@
+"""Structured Streaming jobs: S1 tumbling, S2 sliding, S3 foreachBatch MERGE.
+
+The reference is a cron-looped micro-batch pipeline (SURVEY §2.10);
+these jobs are its Structured-Streaming form, run hermetically with
+`availableNow` triggers so every test run processes the whole input
+and terminates. Streams read the driver's events parquet as a file
+source; watermarks + window aggregations cover ST-1/ST-2, and the
+S3 job proves ST-3 (late/out-of-order data) by replaying unordered
+chunks through a foreachBatch keyed MERGE that converges to the same
+table as the batch keep-latest query (Q20).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..operators.merge import keep_latest_merge, read_target, write_atomic
+from ..tables import _ensure_session_confs
+
+SCRATCH = "/root/repo/.scratch"
+
+# events parquet schema as the nanosAsLong reader sees it
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    The file source requires a directory, so the single parquet file
+    is staged (copied once) into a scratch dir keyed by sf_dir.
+    """
+    _ensure_session_confs(spark)
+    stage = f"{SCRATCH}/events_src_{abs(hash(sf_dir)) % 10**8}"
+    staged = f"{stage}/events.parquet"
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", staged)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: 1-hour tumbling window counts per event_type.
+
+    Watermarked for the production append-mode path; the hermetic test
+    run uses complete mode so the tail window is emitted too, making
+    the availableNow result equal the batch date_trunc rewrite.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _run_to_memory(agg, "s1_sink")
+    return spark.table("s1_sink").select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: 1-hour window sliding every 15 minutes, per event_type."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _run_to_memory(agg, "s2_sink")
+    return spark.table("s2_sink").select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFrame:
+    """S3: replay events in unordered chunks through a foreachBatch MERGE.
+
+    The input is split into chunk files (by event_id % n_chunks, so
+    chunks interleave in time = out-of-order arrival); a file-source
+    stream feeds them one file per micro-batch into a keyed
+    keep-latest MERGE against a parquet target with atomic swap.
+    The merge is commutative, so any batch order converges to Q20.
+    """
+    _ensure_session_confs(spark)
+    run_dir = f"{SCRATCH}/s3"
+    in_dir, target, ckpt = f"{run_dir}/in", f"{run_dir}/target", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw (ts as long)
+    for i in range(n_chunks):
+        chunk_dir = f"{run_dir}/chunk{i}"
+        ev.filter(F.col("event_id") % n_chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+        for j, part in enumerate(sorted(glob.glob(f"{chunk_dir}/part-*.parquet"))):
+            shutil.copy(part, f"{in_dir}/chunk{i}_{j}.parquet")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        current = read_target(batch.sparkSession, target)
+        merged = keep_latest_merge(
+            current,
+            batch,
+            keys=["user_id", "event_type"],
+            order_by=[F.desc("ts"), F.desc("event_id")],
+        )
+        write_atomic(merged, target)
+
+    q = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
