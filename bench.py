@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01": sec, ...}, "sf": "..."}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side collect). The session mirrors the cluster design: AQE on,
+shuffle partitions ~ cores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cvemate_spark.queries import REGISTRY
+from cvemate_spark.session import get_spark
+
+# Headline set: one per operator class (SURVEY §2).
+HEADLINE = [
+    "q01",   # scan + filter pushdown
+    "q05",   # upsert-merge rewrite (full outer join)
+    "q06",   # 3-way join + agg (TPC-H Q3 shape)
+    "q07",   # broadcast star join
+    "q10",   # range/theta self-join
+    "q11",   # TPC-H Q1 aggregation
+    "q13",   # distinct agg
+    "q15",   # window keep-latest
+    "q17",   # top-k
+    "q19",   # scoring ladder
+    "q24",   # text tokenize + top terms
+    "q27",   # sessionization
+    "dedup_minhash",   # MinHash LSH pipeline
+    "dedup_exact",     # hash dedup
+    "q26",             # cosine top-k
+    "emb_neardup",     # pair similarity search
+    "mm_meta",         # Arrow mapInPandas plumbing
+    "s1_tumbling",     # structured streaming tumbling agg
+    "s3_merge_replay", # foreachBatch keyed MERGE
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", cpus=cpus)
+
+    # warm the JVM + file listing with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.specs[name]
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,7 +30,7 @@ extension surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window as W
+
 
 from ..functions.text import (
     MINHASH_BANDS,
@@ -49,39 +49,41 @@ SHINGLE_N = 3
 
 # ------------------------------------------------------------ shingles
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Row-local construction: the shingle array is built with a
+    `transform(sequence(...))` over the token array and deduped with
+    `array_distinct` BEFORE exploding — zero shuffles, unlike the
+    posexplode + window(lead) formulation, which shuffles the whole
+    token stream per doc. At 100 TB this stage is embarrassingly
+    parallel map work.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    shingle = F.concat(
-        F.col("tok"),
-        F.lit(" "),
-        F.lead("tok", 1).over(w),
-        F.lit(" "),
-        F.lead("tok", 2).over(w),
-    )
-    return (
-        toks.select(F.col(id_col), shingle.alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    arr = F.when(n >= 3, sh).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
 
 def _duck_shingles_cte() -> str:
-    return f"""
-    toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
-        FROM documents
-    ),
+    # mirrors doc_shingles: row-local 3-gram build + per-doc dedup
+    # (duck range(a, b) is end-exclusive and empty when b <= a)
+    return """
     shingles AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ) WHERE shingle IS NOT NULL
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     )"""
 
 
@@ -101,7 +103,9 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
 
     Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
     """
-    shingles = doc_shingles(docs)
+    # the shingle relation feeds signatures, sizes and both verify sides —
+    # persist it instead of recomputing the scan 4x
+    shingles = doc_shingles(docs).persist()
     sigs = minhash_signatures(shingles)
     band_exprs = band_signature_exprs("spark")
     banded = sigs.select(
@@ -301,7 +305,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
     The shingle join materializes only co-occurring pairs — the
     scalable exact form (disjoint docs never meet in the shuffle).
     """
-    shingles = doc_shingles(docs)
+    shingles = doc_shingles(docs).persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
     b = shingles.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("sh2"))

@@ -115,19 +115,77 @@ def ivf_topk(
     )
 
 
-def neardup_pairs_topk(embeddings: DataFrame, k: int = 20) -> DataFrame:
+def neardup_pairs_topk(
+    embeddings: DataFrame, k: int = 20, n_blocks: int = 16
+) -> DataFrame:
     """Top-k most-similar distinct pairs (embedding near-dup candidates).
 
-    Brute-force pair scan here; the LSH-bucketed variant for scale is
-    `dedup.minhash_pairs`-shaped (bucket on sign bits, join in-bucket).
+    Blocked pairwise kernel — the shape that survives 100 TB:
+    vectors are hashed into `n_blocks` blocks; every block *pair*
+    (b1 <= b2) becomes one group whose members arrive via
+    `applyInPandas`, where a float64 BLAS matmul scores the whole
+    block-cross at once and emits only that group's local top-k.
+    The global answer is the k-row merge of per-group candidates
+    (TakeOrderedAndProject), so driver traffic is O(groups * k), and
+    compute is n^2/2 dot products done as dense GEMM, not 2M
+    interpreted expression folds. Each vector is replicated n_blocks
+    times — the standard replication/compute trade of block joins.
     """
-    a = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
-    b = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
-    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
-        "d1", "d2", cosine_col("e1", "e2").alias("cos")
+    import numpy as np
+    import pandas as pd
+
+    nb = n_blocks
+
+    def pair_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1] if b1 != b2 else left
+        lm = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
+        rm = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        cos = lm @ rm.T
+        lid = left["vec_id"].to_numpy()
+        rid = right["vec_id"].to_numpy()
+        ii, jj = np.meshgrid(np.arange(len(lid)), np.arange(len(rid)), indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        li, rj, c = lid[ii], rid[jj], cos.ravel()
+        if b1 == b2:
+            keep = li < rj  # dedup within one block
+            li, rj, c = li[keep], rj[keep], c[keep]
+        # canonicalize (cross-block groups exist only for b1 < b2, so both
+        # id orderings occur and must map to (min, max))
+        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+        if len(c) > k:
+            top = np.argpartition(-c, k)[:k]
+            d1, d2, c = d1[top], d2[top], c[top]
+        return pd.DataFrame({"d1": d1, "d2": d2, "cos": c})
+
+    # replicate each vector to every block pair it participates in
+    with_block = embeddings.select(
+        "vec_id", "embedding", (F.col("vec_id") % nb).alias("b")
+    )
+    lefts = with_block.select(
+        "vec_id",
+        "embedding",
+        F.col("b").alias("b1"),
+        F.explode(F.expr(f"sequence(b, {nb - 1})")).alias("b2"),
+        F.lit(0).alias("side"),
+    )
+    rights = with_block.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.expr("sequence(0, b)")).alias("b1"),
+        F.col("b").alias("b2"),
+        F.lit(1).alias("side"),
+    ).filter(F.col("b1") != F.col("b2"))
+    candidates = (
+        lefts.unionByName(rights)
+        .groupBy("b1", "b2")
+        .applyInPandas(pair_groups, schema="d1 long, d2 long, cos double")
     )
     return (
-        pairs.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        candidates.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
     )
