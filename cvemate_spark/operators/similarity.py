@@ -140,6 +140,10 @@ def neardup_pairs_topk(
         b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
         left = pdf[pdf["side"] == 0]
         right = pdf[pdf["side"] == 1] if b1 != b2 else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
+                {"d1": "int64", "d2": "int64", "cos": "float64"}
+            )
         lm = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
         rm = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
         lm /= np.linalg.norm(lm, axis=1, keepdims=True)

@@ -1,0 +1,118 @@
+"""OP-MERGE law tests (SURVEY §5.3-5.4).
+
+These encode the reference's upsert semantics
+(handlers/mongodb_handler.py:154-175): idempotence, per-source
+isolation, created_at immutability, last-writer-wins, and
+batch-order convergence for disjoint sources.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Row, functions as F
+
+from cvemate_spark.operators.merge import keep_latest_merge, merge_upsert
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+T2 = "2024-01-03 00:00:00"
+
+
+def _batch(spark, src: str, rows: dict[str, str]):
+    return spark.createDataFrame(
+        [Row(id=k, **{src: v}) for k, v in rows.items()]
+    )
+
+
+def _as_map(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_insert_then_update_then_idempotent(spark):
+    b1 = _batch(spark, "nvd", {"CVE-1": "n1", "CVE-2": "n2"})
+    t1 = merge_upsert(None, b1, now=T0)
+    b2 = _batch(spark, "nvd", {"CVE-2": "n2x", "CVE-3": "n3"})
+    t2 = merge_upsert(t1, b2, now=T1)
+    m = _as_map(t2)
+    assert m["CVE-1"]["nvd"] == "n1"
+    assert m["CVE-2"]["nvd"] == "n2x"  # last writer wins
+    assert m["CVE-3"]["nvd"] == "n3"  # upsert-insert
+    # idempotence: same batch again changes nothing but updated_at
+    t3 = merge_upsert(t2, b2, now=T2)
+    m3 = _as_map(t3)
+    assert {k: v["nvd"] for k, v in m3.items()} == {
+        k: v["nvd"] for k, v in m.items()
+    }
+
+
+def test_per_source_isolation_and_created_at(spark):
+    nvd = _batch(spark, "nvd", {"CVE-1": "n1"})
+    t = merge_upsert(None, nvd, now=T0)
+    epss = _batch(spark, "epss", {"CVE-1": "e1", "CVE-9": "e9"})
+    t = merge_upsert(t, epss, now=T1)
+    m = _as_map(t)
+    # merging epss never nulls nvd ($set touches only its column)
+    assert m["CVE-1"]["nvd"] == "n1" and m["CVE-1"]["epss"] == "e1"
+    assert m["CVE-9"]["nvd"] is None and m["CVE-9"]["epss"] == "e9"
+    # created_at immutable after first insert; updated_at last-writer
+    assert str(m["CVE-1"]["created_at"]) == T0
+    assert str(m["CVE-1"]["updated_at"]) == T1
+    assert str(m["CVE-9"]["created_at"]) == T1
+    # a non-matching later merge leaves updated_at alone
+    t2 = merge_upsert(t, _batch(spark, "kev", {"CVE-9": "k9"}), now=T2)
+    m2 = _as_map(t2)
+    assert str(m2["CVE-1"]["updated_at"]) == T1
+    assert str(m2["CVE-9"]["updated_at"]) == T2
+
+
+def test_disjoint_source_batches_commute(spark):
+    batches = {
+        "nvd": _batch(spark, "nvd", {"CVE-1": "n1", "CVE-2": "n2"}),
+        "epss": _batch(spark, "epss", {"CVE-2": "e2", "CVE-3": "e3"}),
+        "kev": _batch(spark, "kev", {"CVE-1": "k1", "CVE-3": "k3"}),
+    }
+    results = []
+    for perm in itertools.permutations(batches):
+        t = None
+        for name in perm:
+            t = merge_upsert(t, batches[name], now=T0)
+        rows = sorted(
+            (
+                r["id"],
+                r.asDict().get("nvd"),
+                r.asDict().get("epss"),
+                r.asDict().get("kev"),
+            )
+            for r in t.collect()
+        )
+        results.append(rows)
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_keep_latest_merge_commutes(spark):
+    rows = [
+        Row(k="a", ts=1, v="x1"),
+        Row(k="a", ts=3, v="x3"),
+        Row(k="a", ts=2, v="x2"),
+        Row(k="b", ts=5, v="y5"),
+        Row(k="b", ts=4, v="y4"),
+    ]
+    full = spark.createDataFrame(rows)
+    chunks = [full.filter(F.col("ts") % 2 == i) for i in (0, 1)]
+    direct = keep_latest_merge(None, full, ["k"], [F.desc("ts")])
+    replay1 = keep_latest_merge(
+        keep_latest_merge(None, chunks[0], ["k"], [F.desc("ts")]),
+        chunks[1],
+        ["k"],
+        [F.desc("ts")],
+    )
+    replay2 = keep_latest_merge(
+        keep_latest_merge(None, chunks[1], ["k"], [F.desc("ts")]),
+        chunks[0],
+        ["k"],
+        [F.desc("ts")],
+    )
+    want = {("a", 3, "x3"), ("b", 5, "y5")}
+    for df in (direct, replay1, replay2):
+        assert {tuple(r) for r in df.collect()} == want

@@ -1,0 +1,116 @@
+"""Source-normalizer tests over the CveMate-shaped fixtures (SRC-1..10)."""
+
+from __future__ import annotations
+
+from cvemate_spark.sources import formats
+from cvemate_spark.sources.archive import unzip_to_landing
+from cvemate_spark.sources.cwe_xml import read_cwe_xml
+
+
+def test_nvd_normalize(spark, fixture_dir):
+    raw = formats.read_nvd_json(spark, str(fixture_dir / "nvd_page.json"))
+    out = formats.normalize_nvd(raw)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert rows[0]["id"].startswith("CVE-2024-")
+    assert "nvd" in out.columns and out.schema["nvd"].dataType.typeName() == "struct"
+
+
+def test_epss_read_and_normalize(spark, fixture_dir):
+    path = str(fixture_dir / "epss.csv.gz")
+    raw = formats.read_epss_csv(spark, path)
+    assert dict(raw.dtypes)["epss"] == "string"  # cast-at-use semantics
+    out = formats.normalize_epss(raw).collect()
+    ids = {r["id"] for r in out}
+    assert "CVE-2024-00998" not in ids  # empty epss dropped (OP-FILT-2)
+    assert "CVE-2024-00999" in ids  # id absent from nvd still flows (upsert path)
+    assert len(out) == 25
+    meta = formats.read_epss_metadata(spark, path).first()
+    assert meta["model_version"] == "v2025.03.14"
+    assert meta["score_date"] == "2025-08-12T00:00:00Z"
+
+
+def test_exploitdb_normalize(spark, fixture_dir):
+    raw = spark.read.csv(str(fixture_dir / "files_exploits.csv"), header=True)
+    out = formats.normalize_exploitdb(raw).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["exploitdb"])
+    # codes exploded + only CVE codes kept; exploit 3 (no CVE) vanished
+    assert set(by_id) == {"CVE-2024-00007", "CVE-2024-00009"}
+    assert len(by_id["CVE-2024-00009"]) == 2  # two exploits share one CVE
+    assert "codes" not in out[0]["exploitdb"].asDict()  # OP-PROJ drop
+
+
+def test_kev_normalize(spark, fixture_dir):
+    out = formats.normalize_kev(spark, str(fixture_dir / "kev.json")).collect()
+    assert {r["id"] for r in out} == {"CVE-2024-00001", "CVE-2024-00005"}
+    assert out[0]["kev"]["vulnerabilityName"].startswith("vuln")
+    assert (
+        formats.kev_release_date(spark, str(fixture_dir / "kev.json"))
+        == "2024-01-01T12:00:00Z"
+    )
+
+
+def test_metasploit_normalize(spark, fixture_dir):
+    out = formats.normalize_metasploit(
+        spark, str(fixture_dir / "modules_metadata.json")
+    ).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == ["CVE-2024-00003", "CVE-2024-00003", "CVE-2024-00011"]
+    keys = {r["metasploit"]["key"] for r in out}
+    assert keys == {"exploit/linux/a", "exploit/windows/b"}
+
+
+def test_debian_normalize(spark, fixture_dir):
+    out = formats.normalize_debian(spark, str(fixture_dir / "debian.json")).collect()
+    pairs = sorted((r["id"], r["debian"]["package"]) for r in out)
+    assert pairs == [
+        ("CVE-2024-00002", "pkg1"),
+        ("CVE-2024-00002", "pkg2"),
+        ("CVE-2024-00004", "pkg1"),
+    ]
+
+
+def test_cveorg_delta(spark, fixture_dir):
+    out = formats.normalize_cveorg_delta(
+        spark, str(fixture_dir / "deltaLog.json")
+    )
+    rows = out.collect()
+    assert len(rows) == 4  # new + updated across both entries
+    # OP-AGG-MIN: oldest fetchTime drives the reload-vs-delta decision
+    oldest = out.agg({"fetch_time": "min"}).first()[0]
+    assert str(oldest).startswith("2024-01-02")
+
+
+def test_cveorg_zip_landing(spark, fixture_dir, tmp_path):
+    landing = tmp_path / "landing"
+    extracted = unzip_to_landing(str(fixture_dir / "cves.zip"), str(landing))
+    assert len(extracted) == 2  # readme.txt filtered out
+    df = formats.read_cveorg_landing(spark, str(landing))
+    rows = df.collect()
+    assert {r["file_id"] for r in rows} == {"CVE-2024-00030", "CVE-2024-00031"}
+    assert {r["cveMetadata"]["cveId"] for r in rows} == {
+        "CVE-2024-00030",
+        "CVE-2024-00031",
+    }
+
+
+def test_cwe_xml(spark, fixture_dir):
+    out = read_cwe_xml(spark, str(fixture_dir / "cwec.xml")).collect()
+    by_id = {r["ID"]: r for r in out}
+    assert set(by_id) == {"79", "89"}
+    # recursive text flatten: parsed xhtml children contribute text only,
+    # exactly like the reference's get_element_text (cwe_handler.py:43-52)
+    assert by_id["79"]["Description"] == "Improper neutralization of input"
+    assert [tuple(rw) for rw in by_id["79"]["Related_Weaknesses"]] == [
+        ("20", "ChildOf")
+    ]
+    assert by_id["89"]["Related_Weaknesses"] == []
+
+
+def test_xhtml_rewrite_regex():
+    # literal markup in flattened text is rewritten (cwe_handler.py:54-57)
+    from cvemate_spark.sources.cwe_xml import _xhtml_to_html
+
+    assert _xhtml_to_html("a <xhtml:p>b</xhtml:p> <xhtml:br/>") == "a <p>b</p> <br />"

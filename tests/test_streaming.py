@@ -1,0 +1,40 @@
+"""Streaming equivalence tests (SURVEY §5.5): availableNow ≡ batch rewrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cvemate_spark.queries import REGISTRY
+from cvemate_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_s1_tumbling_equals_batch(spark):
+    stream = jobs.tumbling_counts(spark, SF)
+    # batch rewrite: date_trunc('hour') counts
+    from cvemate_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    expect = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert _rows(stream) == _rows(expect)
+
+
+def test_s3_replay_order_invariant(spark):
+    """3-chunk replay == 2-chunk replay == batch Q20 (commutative merge)."""
+    two = _rows(jobs.replay_merge(spark, SF, n_chunks=2))
+    three = _rows(jobs.replay_merge(spark, SF, n_chunks=3))
+    batch = _rows(REGISTRY.specs["q20"].builder(spark, SF))
+    assert two == three == batch
