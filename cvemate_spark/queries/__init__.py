@@ -11,7 +11,16 @@ def build_registry() -> Registry:
     reg = Registry()
     reg.merge(relational.REG)
     reg.merge(cvemate_ops.REG)
-    for mod_name in ("text_ops", "similarity_ops", "dedup_ops", "streaming_ops", "multimodal_ops"):
+    for mod_name in (
+        "text_ops",
+        "similarity_ops",
+        "dedup_ops",
+        "streaming_ops",
+        "multimodal_ops",
+        "engine_ops",
+        "source_ops",
+        "pipeline_ops",
+    ):
         try:
             mod = __import__(f"{__name__}.{mod_name}", fromlist=["REG"])
         except ImportError:

@@ -1,0 +1,211 @@
+"""Engine-surface operators beyond the reference (SURVEY §2 '(absent)' rows).
+
+The reference has no as-of join, cube, approximate distinct, rank
+family, or custom UDAF — SURVEY §2 declares them as engine surface the
+Spark build exposes natively. Each gets a gated query here.
+
+Scale notes per operator are inline; the common theme: every plan is a
+single shuffle keyed on the natural partition key, with the as-of join
+deliberately built as union+window (one shuffle on user_id) instead of
+a range join (quadratic per key at 100 TB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..tables import load_table
+from .base import Registry, TS_FMT_DUCK, TS_FMT_SPARK
+
+REG = Registry()
+
+EPOCH = "1970-01-01 00:00:00"
+
+
+# ------------------------------------------------------------ as-of join
+@REG.add(
+    "e_asof",
+    f"""
+    SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts,
+           coalesce(strftime(max(c.ts), '{TS_FMT_DUCK}'), '{EPOCH}') AS click_ts
+    FROM events e LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY e.event_id, e.user_id, ts, click_ts
+    """,
+    doc="As-of join: for each error event, the latest click at-or-before "
+    "it, per user. Built as union + last(ignorenulls) window — ONE "
+    "shuffle on user_id, linear per key; the naive range join (the "
+    "oracle's formulation) is quadratic per key and only viable for "
+    "DuckDB at sf0.01.",
+)
+def e_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    merged = clicks.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("asof_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+            F.coalesce(
+                F.date_format("asof_ts", TS_FMT_SPARK), F.lit(EPOCH)
+            ).alias("click_ts"),
+        )
+        .orderBy("event_id", "user_id", "ts", "click_ts")
+    )
+
+
+# ------------------------------------------------------------ cube
+@REG.add(
+    "e_cube",
+    """
+    SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS n_name,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY CUBE(n_name, o_orderpriority)
+    ORDER BY n_name, o_orderpriority, cnt
+    """,
+    doc="CUBE over (nation, orderpriority) with GROUPING() disambiguation "
+    "— Catalyst expands to grouping sets in one aggregate (partial+final); "
+    "nation is a broadcast dim.",
+)
+def e_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).join(orders, orders["o_custkey"] == cust["c_custkey"])
+    agg = j.cube("n_name", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.grouping("n_name").alias("g1"),
+        F.grouping("o_orderpriority").alias("g2"),
+    )
+    return agg.select(
+        F.when(F.col("g1") == 1, "ALL").otherwise(F.col("n_name")).alias("n_name"),
+        F.when(F.col("g2") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "cnt",
+    ).orderBy("n_name", "o_orderpriority", "cnt")
+
+
+# ------------------------------------------------------------ approx distinct
+@REG.add(
+    "e_hll",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, exact_users, within_10pct
+    """,
+    doc="HyperLogLog approx_count_distinct(rsd=0.02) checked against the "
+    "exact distinct: the gate asserts the sketch lands within 10%. At "
+    "100 TB the sketch is the only viable distinct (fixed-size partials, "
+    "no shuffle of the full key set).",
+)
+def e_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("apx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("apx") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("within_10pct"),
+    ).orderBy("event_type", "exact_users", "within_10pct")
+
+
+# ------------------------------------------------------------ rank family
+@REG.add(
+    "e_ranks",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 4) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ORDER BY o_orderkey, o_orderstatus, drank, quartile, prank
+    """,
+    doc="Rank family (dense_rank / ntile / percent_rank) over a total "
+    "per-partition order — deterministic ntile because the ordering key "
+    "is unique (price, key).",
+)
+def e_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+    ).orderBy("o_orderkey", "o_orderstatus", "drank", "quartile", "prank")
+
+
+# ------------------------------------------------------------ grouped-agg UDAF
+@REG.add(
+    "e_udaf_rms",
+    """
+    SELECT event_type, ROUND(sqrt(avg(value * value)), 4) AS rms_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, rms_value
+    """,
+    doc="Custom UDAF surface (SURVEY §2.11): grouped-agg pandas_udf "
+    "(Arrow-batched, partial per partition is NOT possible for a "
+    "black-box UDAF, so groups shuffle whole — the documented trade vs "
+    "built-in aggregates; oracle is the pure-SQL rewrite).",
+)
+def e_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        return float(np.sqrt(np.mean(a * a)))
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(rms(F.col("value")).alias("raw_rms"))
+        .select("event_type", F.round("raw_rms", 4).alias("rms_value"))
+        .orderBy("event_type", "rms_value")
+    )

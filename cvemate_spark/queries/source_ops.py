@@ -1,0 +1,222 @@
+"""SRC-* source formats under the oracle gate (SURVEY §2.1).
+
+Each query (1) derives a CveMate-shaped landing file deterministically
+from the driver parquet (sources/landing.py — the stand-in for the
+reference's HTTP fetchers), (2) reads it back through the engine's
+real SRC-* reader, and (3) aggregates to a small deterministic output
+whose DuckDB oracle recomputes the same values straight from the
+parquet views. This puts every source reader — gz CSV with comment
+line, JSON catalog, map-typed JSON (1 and 2 levels), zip-of-JSON with
+filename ids, delta log, XML-via-mapInPandas — inside the correctness
+gate, not just the unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import landing
+from ..sources.archive import unzip_to_landing
+from ..sources.cwe_xml import read_cwe_xml
+from ..sources.formats import (
+    normalize_cveorg_delta,
+    normalize_debian,
+    normalize_epss,
+    normalize_kev,
+    normalize_metasploit,
+    read_cveorg_landing,
+    read_epss_csv,
+    read_epss_metadata,
+)
+from .base import Registry
+
+REG = Registry()
+
+
+# ------------------------------------------------------------ SRC-6
+@REG.add(
+    "src_epss",
+    f"""
+    SELECT '{landing.EPSS_MODEL_VERSION}' AS model_version,
+           '{landing.EPSS_SCORE_DATE}' AS score_date,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(avg(CAST('0.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+                          AS DOUBLE)), 4) AS avg_epss
+    FROM (SELECT event_id FROM events ORDER BY event_id LIMIT {landing.EPSS_LIMIT})
+    WHERE event_id % 97 <> 0
+    ORDER BY model_version, score_date, n_rows, avg_epss
+    """,
+    doc="SRC-6/SRC-10: gzipped CSV with '#' metadata comment line "
+    "(EPSS shape: epss_handler.py:72-151) — comment-skip read, regex "
+    "metadata extract, completeness filter (OP-FILT-2), cast-at-use.",
+)
+def src_epss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = landing.gen_epss_csv(sf_dir)
+    norm = normalize_epss(read_epss_csv(spark, path))
+    meta = read_epss_metadata(spark, path)
+    agg = norm.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.col("epss.epss_score").cast("double")), 4).alias("avg_epss"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(meta))
+        .select("model_version", "score_date", "n_rows", "avg_epss")
+        .orderBy("model_version", "score_date", "n_rows", "avg_epss")
+    )
+
+
+# ------------------------------------------------------------ SRC-7
+@REG.add(
+    "src_kev",
+    f"""
+    SELECT o_orderstatus AS vendor, CAST(count(*) AS BIGINT) AS n_rows,
+           max(o_orderpriority) AS max_product
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT {landing.KEV_LIMIT})
+    GROUP BY o_orderstatus
+    ORDER BY vendor, n_rows, max_product
+    """,
+    doc="SRC-7: JSON catalog {catalogVersion, dateReleased, "
+    "vulnerabilities[]} (KEV shape: cisa_handler.py:47-67) — multiline "
+    "read + array explode (OP-EXPL-2), keyed by cveID.",
+)
+def src_kev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kev = normalize_kev(spark, landing.gen_kev_json(sf_dir))
+    return (
+        kev.groupBy(F.col("kev.vendorProject").alias("vendor"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("kev.product").alias("max_product"),
+        )
+        .orderBy("vendor", "n_rows", "max_product")
+    )
+
+
+# ------------------------------------------------------------ SRC-8 (1-level)
+@REG.add(
+    "src_metasploit",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR))
+                AS BIGINT) AS n_ids,
+           CAST(sum(o_orderkey % 600) AS BIGINT) AS sum_rank
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT {landing.MSF_LIMIT})
+    ORDER BY n_rows, n_ids, sum_rank
+    """,
+    doc="SRC-8: map-typed module JSON, one-level unnest (Metasploit "
+    "shape: metasploit_handler.py:61-77) — from_json MapType + explode, "
+    "references explode, CVE prefix filter (OP-FILT-1).",
+)
+def src_metasploit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msf = normalize_metasploit(spark, landing.gen_metasploit_json(sf_dir))
+    return msf.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.sum("metasploit.data.rank").alias("sum_rank"),
+    ).orderBy("n_rows", "n_ids", "sum_rank")
+
+
+# ------------------------------------------------------------ SRC-8 (2-level)
+@REG.add(
+    "src_debian",
+    f"""
+    SELECT n_name AS package, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT {landing.DEBIAN_LIMIT}) c
+    JOIN nation ON c.c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY package, n_rows, n_segments
+    """,
+    doc="SRC-8: dict-of-dicts JSON, two-level map unnest (Debian shape: "
+    "debian_handler.py:52-71) — from_json nested MapType + double "
+    "explode (OP-EXPL-3).",
+)
+def src_debian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deb = normalize_debian(spark, landing.gen_debian_json(sf_dir))
+    return (
+        deb.groupBy(F.col("debian.package").alias("package"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("debian.description").alias("n_segments"),
+        )
+        .orderBy("package", "n_rows", "n_segments")
+    )
+
+
+# ------------------------------------------------------------ SRC-3/10
+@REG.add(
+    "src_cveorg_zip",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_id_match,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {landing.ZIP_LIMIT})
+    ORDER BY n_files, n_id_match, sum_chars
+    """,
+    doc="SRC-3/SRC-10: zip of per-CVE JSON files (CVE.org dump shape: "
+    "cveorg_handler.py:57-86) — unzip to landing, CVE*.json name filter "
+    "(OP-FILT-3), id from filename via input_file_name + regexp_extract.",
+)
+def src_cveorg_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zip_path = landing.gen_cveorg_zip(sf_dir)
+    extract_dir = zip_path + ".extracted"
+    if not os.path.isdir(extract_dir):
+        unzip_to_landing(zip_path, extract_dir)
+    df = read_cveorg_landing(spark, extract_dir)
+    return df.agg(
+        F.count("*").alias("n_files"),
+        F.sum((F.col("file_id") == F.col("cveId")).cast("long")).alias("n_id_match"),
+        F.sum("nChars").alias("sum_chars"),
+    ).orderBy("n_files", "n_id_match", "sum_chars")
+
+
+# ------------------------------------------------------------ SRC-4
+@REG.add(
+    "src_delta_log",
+    f"""
+    SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_changed,
+           min('CVE-2024-' || CAST(event_id AS VARCHAR)) AS min_id,
+           max('CVE-2024-' || CAST(event_id AS VARCHAR)) AS max_id
+    FROM (SELECT event_id FROM events ORDER BY event_id LIMIT {landing.DELTA_LIMIT})
+    ORDER BY n_changed, min_id, max_id
+    """,
+    doc="SRC-4: deltaLog.json incremental scan (cveorg_handler.py:119-156) "
+    "— explode new[]+updated[] union, watermark predicate on fetchTime "
+    "(OP-FILT-4) excludes the stale record.",
+)
+def src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    delta = normalize_cveorg_delta(spark, landing.gen_delta_log(sf_dir))
+    recent = delta.filter(
+        F.col("fetch_time") > F.lit(landing.DELTA_WATERMARK).cast("timestamp")
+    )
+    return recent.agg(
+        F.countDistinct("id").alias("n_changed"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    ).orderBy("n_changed", "min_id", "max_id")
+
+
+# ------------------------------------------------------------ SRC-9
+@REG.add(
+    "src_cwe_xml",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS id, n_name AS name,
+           'In region ' || CAST(n_regionkey AS VARCHAR) || ' weakness'
+               AS description,
+           'R' || CAST(n_regionkey AS VARCHAR) AS parent
+    FROM nation
+    ORDER BY id, name, description, parent
+    """,
+    doc="SRC-9: CWE catalog XML via mapInPandas ElementTree UDTF "
+    "(cwe_handler.py:60-102) — namespace strip, recursive text flatten, "
+    "Related_Weaknesses array.",
+)
+def src_cwe_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cwe = read_cwe_xml(spark, landing.gen_cwe_xml(sf_dir))
+    return cwe.select(
+        F.col("ID").alias("id"),
+        F.col("Name").alias("name"),
+        F.col("Description").alias("description"),
+        F.element_at("Related_Weaknesses", 1)["id"].alias("parent"),
+    ).orderBy("id", "name", "description", "parent")

@@ -69,3 +69,36 @@ def s3_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.replay_merge(spark, sf_dir).orderBy(
         "user_id", "event_type", "event_id", "ts"
     )
+
+
+@REG.add(
+    "s4_session",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start, user_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY sess_start, user_id, cnt
+    """,
+    doc="S4: native streaming sessionization — session_window(ts, '30 "
+    "minutes') per user under availableNow == the batch lag/cumsum gap "
+    "rewrite (gap >= 30 min starts a session; windows are half-open).",
+)
+def s4_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.session_counts(spark, sf_dir).orderBy(
+        "sess_start", "user_id", "cnt"
+    )

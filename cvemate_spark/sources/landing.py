@@ -1,0 +1,261 @@
+"""Deterministic feed lander: CveMate-shaped landing files from parquet.
+
+The reference's ingestion side fetches feeds over HTTP and drops them
+as files (CSV.gz, JSON catalogs, dict-of-dict JSON, zips of per-CVE
+JSON, XML) before any processing. The engine's SRC-* readers start
+from those landing files. To put every SRC-* reader under the DuckDB
+correctness gate, this module *derives* landing files deterministically
+from the driver parquet tables — pure-Python, sorted, versioned — so
+an oracle SQL over the same parquet views predicts the reader output
+exactly.
+
+This is ingestion-side scaffolding (the stand-in for the reference's
+HTTP fetchers, e.g. handlers/utils.py:59-96), not a query operator:
+file generation is driver-side by nature, and file sizes are capped
+(LIMITed) so they stay trivial at any scale factor.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import zipfile
+
+import pyarrow.parquet as pq
+
+LANDING_VERSION = 3
+SCRATCH = "/root/repo/.scratch"
+
+EPSS_LIMIT = 2000
+KEV_LIMIT = 500
+MSF_LIMIT = 300
+DEBIAN_LIMIT = 400
+ZIP_LIMIT = 200
+DELTA_LIMIT = 400
+
+EPSS_MODEL_VERSION = "v2026.03.15"
+EPSS_SCORE_DATE = "2026-03-15T12:00:00Z"
+DELTA_WATERMARK = "2026-03-14T12:00:00"
+
+
+def landing_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"{SCRATCH}/landing_v{LANDING_VERSION}_{tag}"
+
+
+def _rows(sf_dir: str, table: str, cols: list[str], key: str, limit: int) -> list[dict]:
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols)
+    rows = t.to_pylist()
+    rows.sort(key=lambda r: r[key])
+    return rows[:limit]
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(path)
+
+
+# ----------------------------------------------------------- SRC-6 EPSS
+def gen_epss_csv(sf_dir: str) -> str:
+    """Gzipped CSV with a '#' metadata comment line (epss_handler.py:72-151
+    shape). Scores are pure string formats of ints so the oracle can
+    rebuild the exact decimal strings in SQL. Every event_id % 97 == 0
+    row has an empty percentile (exercises the completeness filter)."""
+    out = f"{landing_dir(sf_dir)}/epss_scores.csv.gz"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(sf_dir, "events", ["event_id"], "event_id", EPSS_LIMIT)
+    tmp = out + ".tmp"
+    with gzip.open(tmp, "wt", newline="") as f:
+        f.write(
+            f"#model_version:{EPSS_MODEL_VERSION},score_date:{EPSS_SCORE_DATE}\n"
+        )
+        f.write("cve,epss,percentile\n")
+        for r in rows:
+            eid = r["event_id"]
+            pct = "" if eid % 97 == 0 else f"0.{eid % 100:02d}"
+            f.write(f"CVE-2024-{eid},0.{eid % 1000:03d},{pct}\n")
+    os.rename(tmp, out)
+    return out
+
+
+# ------------------------------------------------------- SRC-7 CISA KEV
+def gen_kev_json(sf_dir: str) -> str:
+    """KEV catalog JSON {catalogVersion, dateReleased, vulnerabilities[]}
+    (cisa_handler.py:47-67 shape) from the first KEV_LIMIT orders."""
+    out = f"{landing_dir(sf_dir)}/kev_catalog.json"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        "o_orderkey",
+        KEV_LIMIT,
+    )
+    cat = {
+        "catalogVersion": "2026.03.15",
+        "dateReleased": "2026-03-15T00:00:00.000Z",
+        "vulnerabilities": [
+            {
+                "cveID": f"CVE-2020-{r['o_orderkey']}",
+                "vendorProject": r["o_orderstatus"],
+                "product": r["o_orderpriority"],
+            }
+            for r in rows
+        ],
+    }
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cat, f)
+    os.rename(tmp, out)
+    return out
+
+
+# ----------------------------------------------------- SRC-8 Metasploit
+def gen_metasploit_json(sf_dir: str) -> str:
+    """Module dict keyed by module path (metasploit_handler.py:61-77
+    shape); each module lists one CVE and one non-CVE reference so the
+    prefix filter is exercised."""
+    out = f"{landing_dir(sf_dir)}/msf_modules.json"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(sf_dir, "orders", ["o_orderkey"], "o_orderkey", MSF_LIMIT)
+    modules = {
+        f"exploit/windows/mod_{r['o_orderkey']}": {
+            "name": f"mod_{r['o_orderkey']}",
+            "fullname": f"exploit/windows/mod_{r['o_orderkey']}",
+            "rank": r["o_orderkey"] % 600,
+            "disclosure_date": None,
+            "references": [f"CVE-2020-{r['o_orderkey']}", f"OSVDB-{r['o_orderkey']}"],
+        }
+        for r in rows
+    }
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(modules, f)
+    os.rename(tmp, out)
+    return out
+
+
+# --------------------------------------------------------- SRC-8 Debian
+def gen_debian_json(sf_dir: str) -> str:
+    """Two-level dict {package: {cve_id: details}} (debian_handler.py:52-71
+    shape): packages are nation names, CVEs come from customers."""
+    out = f"{landing_dir(sf_dir)}/debian_tracker.json"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    cust = _rows(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_nationkey", "c_mktsegment"],
+        "c_custkey",
+        DEBIAN_LIMIT,
+    )
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _rows(sf_dir, "nation", ["n_nationkey", "n_name"], "n_nationkey", 10**6)
+    }
+    tracker: dict[str, dict] = {}
+    for r in cust:
+        pkg = nations[r["c_nationkey"]]
+        tracker.setdefault(pkg, {})[f"CVE-2021-{r['c_custkey']}"] = {
+            "description": r["c_mktsegment"],
+            "scope": "local",
+        }
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(tracker, f)
+    os.rename(tmp, out)
+    return out
+
+
+# -------------------------------------------------- SRC-3 CVE.org zip
+def gen_cveorg_zip(sf_dir: str) -> str:
+    """Zip of one JSON file per CVE, named CVE-YYYY-NNNN.json, plus two
+    decoys a real dump would carry (cveorg_handler.py:57-86 shape)."""
+    out = f"{landing_dir(sf_dir)}/cveorg_dump.zip"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(sf_dir, "documents", ["doc_id", "n_chars"], "doc_id", ZIP_LIMIT)
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        z.writestr("notes.txt", "not json\n")
+        z.writestr("summary.json", json.dumps({"kind": "summary"}))
+        for r in rows:
+            cve = f"CVE-2019-{r['doc_id']:04d}"
+            z.writestr(
+                f"{cve}.json", json.dumps({"cveId": cve, "nChars": r["n_chars"]})
+            )
+    os.rename(tmp, out)
+    return out
+
+
+# ------------------------------------------------- SRC-4 delta log
+def gen_delta_log(sf_dir: str) -> str:
+    """deltaLog.json: newest record carries the first DELTA_LIMIT event
+    ids split into new[]/updated[]; an older record re-lists a stale
+    subset that the watermark predicate must exclude
+    (cveorg_handler.py:119-156 shape)."""
+    out = f"{landing_dir(sf_dir)}/deltaLog.json"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ids = [r["event_id"] for r in _rows(sf_dir, "events", ["event_id"], "event_id", DELTA_LIMIT)]
+    recent = {
+        "fetchTime": "2026-03-15T10:00:00.000Z",
+        "new": [{"cveId": f"CVE-2024-{i}"} for i in ids if i % 2 == 0],
+        "updated": [{"cveId": f"CVE-2024-{i}"} for i in ids if i % 2 == 1],
+    }
+    stale = {
+        "fetchTime": "2026-03-13T10:00:00.000Z",
+        "new": [{"cveId": f"CVE-2024-{i}"} for i in ids[:50]],
+        "updated": [],
+    }
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([recent, stale], f)
+    os.rename(tmp, out)
+    return out
+
+
+# ----------------------------------------------------- SRC-9 CWE XML
+def gen_cwe_xml(sf_dir: str) -> str:
+    """CWE-catalog-shaped XML (cwe_handler.py:60-102 shape): one
+    Weakness per nation, with namespaced tags, an xhtml-marked-up
+    Description, and Related_Weaknesses pointing at the region."""
+    out = f"{landing_dir(sf_dir)}/cwec.xml"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"], "n_nationkey", 10**6
+    )
+    parts = [
+        '<?xml version="1.0"?>',
+        '<Weakness_Catalog xmlns="http://cwe.mitre.org/cwe-6" '
+        'xmlns:xhtml="http://www.w3.org/1999/xhtml">',
+        "<Weaknesses>",
+    ]
+    for r in rows:
+        parts.append(
+            f'<Weakness ID="{r["n_nationkey"]}" Name="{r["n_name"]}" '
+            'Abstraction="Base">'
+            f"<Description>In region <xhtml:b>{r['n_regionkey']}</xhtml:b>"
+            " weakness</Description>"
+            "<Related_Weaknesses>"
+            f'<Related_Weakness Nature="ChildOf" CWE_ID="R{r["n_regionkey"]}"/>'
+            "</Related_Weaknesses>"
+            "</Weakness>"
+        )
+    parts += ["</Weaknesses>", "</Weakness_Catalog>"]
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("".join(parts))
+    os.rename(tmp, out)
+    return out

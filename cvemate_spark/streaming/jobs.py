@@ -155,3 +155,23 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: session_window(gap=30 min) per user — Structured Streaming's
+    native sessionization (merging variable-length windows in the state
+    store). A new session starts when the gap since the previous event
+    is >= 30 min (session windows are half-open [start, last+gap)), so
+    the batch rewrite is the lag/cumsum gap-flag form with `>=`."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _run_to_memory(agg, "s4_sink")
+    return spark.table("s4_sink").select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "user_id",
+        "cnt",
+    )
