@@ -106,7 +106,9 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
     # the shingle relation feeds signatures, sizes and both verify sides —
     # persist it instead of recomputing the scan 4x
     shingles = doc_shingles(docs).persist()
-    sigs = minhash_signatures(shingles)
+    # one row per doc and tiny (k ints) — persisting stops the band
+    # self-join from running the char-fold hash pass twice
+    sigs = minhash_signatures(shingles).persist()
     band_exprs = band_signature_exprs("spark")
     banded = sigs.select(
         "doc_id",

@@ -69,3 +69,4 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
