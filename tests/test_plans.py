@@ -1,0 +1,97 @@
+"""Plan-quality regression tests: the physical plan IS the product.
+
+Each assertion pins a scale-critical plan property (SURVEY §4.3,
+SCALE.md): predicate pushdown reaching the parquet scan, column
+pruning, dimension broadcast, distributed top-k, and the absence of
+row-at-a-time Python evaluation or cartesian products in hot paths.
+A refactor that silently loses one of these would still pass the
+value-correctness gate but regress at scale — these tests catch it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cvemate_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY.specs[name].builder(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01")
+    assert "PushedFilters: [" in plan
+    assert "StringStartsWith(l_returnflag,R)" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+    # projection pruned to exactly the needed columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double,l_returnflag:string>" in plan
+    )
+
+
+def test_q07_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q07")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # fact scan pruned to join key + measures
+    assert "l_extendedprice" in plan and "l_comment" not in plan
+
+
+def test_q17_distributed_topk(spark):
+    plan = plan_of(spark, "q17")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a limit-k
+
+
+def test_q11_partial_final_agg(spark):
+    plan = plan_of(spark, "q11")
+    # Catalyst plans two HashAggregates (partial map-side + final)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_sql_hot_paths(spark):
+    """The relational/dedup surface must stay JVM-side (whole-stage
+    codegen); Python appears only in declared Arrow stages."""
+    for name in ("q01", "q06", "q11", "q15", "q19", "dedup_minhash", "q26"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name  # row-at-a-time UDF
+        assert "PythonUDF" not in plan, name
+
+
+def test_arrow_stages_where_declared(spark):
+    """mapInPandas/applyInPandas surfaces use Arrow eval, never
+    row-at-a-time pickling."""
+    for name, marker in (
+        ("mm_meta", "MapInPandas"),
+        ("q28", "FlatMapGroupsInPandas"),
+        ("emb_neardup", "FlatMapGroupsInPandas"),
+    ):
+        plan = plan_of(spark, name)
+        assert marker in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_asof_is_single_window_not_range_join(spark):
+    plan = plan_of(spark, "e_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_merge_is_single_shuffle_join(spark):
+    plan = plan_of(spark, "q05")
+    assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
