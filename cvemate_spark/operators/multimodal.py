@@ -104,3 +104,66 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, rs_w int, rs_h int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, digest string"
+
+
+def resize_plan(
+    media: DataFrame, max_dim: int = 256, codec: Callable[[bytes], dict] = fake_decode
+) -> DataFrame:
+    """Resize stage plumbing: decode dims, compute the letterbox-fit
+    target size (integer math so the oracle can reproduce it). The
+    actual pixel resample is part of the stubbed codec boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_image(bytes(payload), codec)
+                w, h = d["width"], d["height"]
+                denom = max(w, h, max_dim)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "rs_w": w * max_dim // denom,
+                        "rs_h": h * max_dim // denom,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "rs_w", "rs_h"]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, stride: int = 2, codec: Callable[[bytes], dict] = fake_decode
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame index
+    (0, stride, 2*stride, … < n_frames) — the UDTF shape (1 payload →
+    N frames). Frame 'content' is a deterministic digest of
+    payload+index so the gate can verify the fan-out exactly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = decode_image(b, codec)
+                for idx in range(0, d["n_frames"], stride):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "digest": hashlib.md5(
+                                b + str(idx).encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "digest"])
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -209,3 +209,32 @@ def e_udaf_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.round("raw_rms", 4).alias("rms_value"))
         .orderBy("event_type", "rms_value")
     )
+
+
+# ------------------------------------------------------------ quantiles
+@REG.add(
+    "e_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, p50, p95
+    """,
+    doc="Exact interpolated percentiles (engine surface; the reference "
+    "has no quantiles). Spark's percentile() and DuckDB's quantile_cont "
+    "share linear-interpolation semantics — verified bit-equal after "
+    "ROUND(4). The 100 TB path swaps in approx_percentile (t-digest "
+    "partials, no full sort) — the e_hll pattern gates its error.",
+)
+def e_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type", "p50", "p95")
+    )

@@ -102,3 +102,19 @@ def s4_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_counts(spark, sf_dir).orderBy(
         "sess_start", "user_id", "cnt"
     )
+
+
+@REG.add(
+    "s5_stateful",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id, cnt
+    """,
+    doc="S5: arbitrary stateful streaming (applyInPandasWithState) — "
+    "per-user running counter in the state store; after availableNow "
+    "drains, the final state equals the batch groupBy count.",
+)
+def s5_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stateful_counts(spark, sf_dir).orderBy("user_id", "cnt")

@@ -175,3 +175,45 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "cnt",
     )
+
+
+def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: custom stateful operator via applyInPandasWithState — a
+    per-user running event counter held in the state store (the
+    arbitrary-state API the reference's watermark table would grow
+    into). Each micro-batch updates the count state and emits the
+    running total; after availableNow drains the source, the last
+    emission per user equals the batch groupBy count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [n]})
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cnt long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("s5_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep the final (largest) emission per user — one row per user when
+    # the source fits one micro-batch, the late-batch total otherwise
+    return (
+        spark.table("s5_sink")
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("cnt"))
+    )
