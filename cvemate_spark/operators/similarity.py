@@ -193,3 +193,64 @@ def neardup_pairs_topk(
         .limit(k)
         .select("d1", "d2")
     )
+
+
+# ------------------------------------------------- random-hyperplane LSH
+def _hyperplanes(n_planes: int = 8, dim: int = 64):
+    """Deterministic signed-random-projection planes, rounded to 6 dp so
+    the identical decimal literals parse to the same doubles in Spark
+    and DuckDB (the oracle embeds them verbatim)."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    return [[round(float(x), 6) for x in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def _plane_dot(engine: str, plane: list[float]) -> str:
+    if engine == "spark":
+        lits = ", ".join(f"{x:.6f}D" for x in plane)
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            "(x, y) -> double(x) * y), 0D, (s, v) -> s + v)"
+        )
+    lits = ", ".join(f"{x:.6f}" for x in plane)
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {len(plane) + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])), (s, v) -> s + v)"
+    )
+
+
+def lsh_signature_expr(engine: str) -> str:
+    """Bit-packed sign signature over the shared hyperplanes."""
+    bits = [
+        f"(CASE WHEN {_plane_dot(engine, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(HYPERPLANES)
+    ]
+    return " + ".join(bits)
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Signed-random-projection LSH ANN: bucket by sign signature,
+    multi-probe the query bucket plus its 8 Hamming-1 neighbors, scan
+    only those buckets. At 100 TB the signature is a write-time
+    partition key (like the IVF cell), so probing prunes partitions;
+    recall/latency trades via n_planes and the probe radius."""
+    sigs = embeddings.withColumn("sig", F.expr(lsh_signature_expr("spark")))
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("sig").alias("qsig"), F.col("embedding").alias("q_emb")
+    )
+    masks = [0] + [1 << i for i in range(len(HYPERPLANES))]
+    probes = q.select(
+        F.explode(F.array(*[F.expr(f"qsig ^ {m}") for m in masks])).alias("p"),
+        "q_emb",
+    )
+    return (
+        sigs.join(F.broadcast(probes), F.col("sig") == F.col("p"))
+        .select("vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )

@@ -238,3 +238,31 @@ def e_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "p50", "p95")
     )
+
+
+# ------------------------------------------------------------ salted agg
+@REG.add(
+    "e_salted",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, cnt
+    """,
+    doc="Skew mitigation surface: two-phase salted aggregation — phase 1 "
+    "groups by (key, salt=event_id%16) so a hot key spreads over 16 "
+    "reducers, phase 2 merges the partials. For algebraic aggs Spark's "
+    "map-side combine makes this implicit; the explicit form is the "
+    "pattern for high-cardinality-state aggs (collect_list/exact "
+    "distinct) on skewed keys, alongside AQE's runtime skew-join split.",
+)
+def e_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", (F.col("event_id") % 16).alias("salt")
+    ).agg(F.count("*").alias("c"))
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy("event_type", "cnt")
+    )

@@ -92,3 +92,40 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs_topk(emb, k=20)
+
+
+def _ann_lsh_oracle() -> str:
+    from ..operators.similarity import lsh_signature_expr
+
+    sig = lsh_signature_expr("duck")
+    cos = duck_cosine("s.embedding", "pr.q_emb")
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+    ),
+    q AS (SELECT sig AS qsig, embedding AS q_emb FROM sigs WHERE vec_id = 0),
+    probes AS (
+        SELECT DISTINCT xor(qsig, m) AS p, q_emb
+        FROM q, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(m)
+    )
+    SELECT s.vec_id
+    FROM sigs s JOIN probes pr ON s.sig = pr.p
+    ORDER BY {cos} DESC, s.vec_id ASC
+    LIMIT 10
+    """
+
+
+@REG.add(
+    "ann_lsh",
+    _ann_lsh_oracle(),
+    tags=("id-set",),
+    doc="Signed-random-projection LSH ANN: bit-packed sign signature over "
+    "8 shared hyperplanes, multi-probe (bucket + Hamming-1 neighbors), "
+    "cosine top-10 within probed buckets. The bucketed alternative to "
+    "ann_ivf: the signature becomes a write-time partition key at scale.",
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_vec_id=0, k=10)

@@ -220,3 +220,31 @@ def src_cwe_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Description").alias("description"),
         F.element_at("Related_Weaknesses", 1)["id"].alias("parent"),
     ).orderBy("id", "name", "description", "parent")
+
+
+# ------------------------------------------------------------ SRC-1/2
+@REG.add(
+    "src_nvd",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT 'CVE-2018-' || CAST(o_orderkey AS VARCHAR))
+                AS BIGINT) AS n_ids,
+           max(o_orderstatus) AS max_vendor
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT {landing.NVD_LIMIT})
+    ORDER BY n_rows, n_ids, max_vendor
+    """,
+    doc="SRC-1/SRC-2: paginated NVD JSON landing pages (nvd_handler.py:"
+    "99-115) — multi-file read, vulnerabilities[] explode, {id, nvd} "
+    "projection (OP-PROJ). The HTTP pagination itself stays ingestion-"
+    "side, exactly as in the reference.",
+)
+def src_nvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import normalize_nvd, read_nvd_json
+
+    pages_dir = landing.gen_nvd_pages(sf_dir)
+    nvd = normalize_nvd(read_nvd_json(spark, pages_dir))
+    return nvd.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.max("nvd.vendor").alias("max_vendor"),
+    ).orderBy("n_rows", "n_ids", "max_vendor")

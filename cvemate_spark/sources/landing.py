@@ -259,3 +259,35 @@ def gen_cwe_xml(sf_dir: str) -> str:
         f.write("".join(parts))
     os.rename(tmp, out)
     return out
+
+
+NVD_LIMIT = 600
+NVD_PAGES = 3
+
+
+def gen_nvd_pages(sf_dir: str) -> str:
+    """NVD API page landing files: NVD_PAGES JSON files, each a
+    {resultsPerPage, vulnerabilities: [{cve: {...}}]} page
+    (nvd_handler.py:99-115 shape). Returns the landing directory."""
+    out_dir = f"{landing_dir(sf_dir)}/nvd_pages"
+    marker = f"{out_dir}/.done"
+    if _done(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = _rows(sf_dir, "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey", NVD_LIMIT)
+    for p in range(NVD_PAGES):
+        vulns = [
+            {
+                "cve": {
+                    "id": f"CVE-2018-{r['o_orderkey']}",
+                    "vendor": r["o_orderstatus"],
+                }
+            }
+            for i, r in enumerate(rows)
+            if i % NVD_PAGES == p
+        ]
+        with open(f"{out_dir}/page-{p}.json", "w") as f:
+            json.dump({"resultsPerPage": len(vulns), "vulnerabilities": vulns}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
