@@ -70,7 +70,14 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         ),
     )
     arr = F.when(n >= 3, sh).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    # hash-repartition by doc id BEFORE the expression-heavy build: the
+    # string work parallelizes across cores AND the HashPartitioning
+    # already satisfies every downstream groupBy(doc_id) (signatures,
+    # sizes) — one shuffle of narrow rows buys zero shuffles later. On
+    # a cluster the scan has many splits, and this exchange is the one
+    # the aggregation would have forced anyway.
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(width, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
@@ -92,7 +99,7 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """k minhashes per doc: (doc_id, mh0..mh{k-1})."""
     hashed = shingles.withColumn("h", F.expr(spark_str_hash("shingle")))
     aggs = [
-        F.expr(f"min(({a}L * h + {b}L) % {PRIME})").alias(f"mh{i}")
+        F.expr(f"min(({a}L * (h % {PRIME}) + {b}L) % {PRIME})").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -162,7 +169,7 @@ def _verify_jaccard(
 def minhash_pairs_oracle(jaccard_threshold: float = 0.3) -> str:
     """DuckDB SQL computing exactly minhash_pairs() (same seeds/hash)."""
     mh_cols = ", ".join(
-        f"min((CAST({a} AS BIGINT) * h + {b}) % {PRIME}) AS mh{i}"
+        f"min((CAST({a} AS BIGINT) * (h % {PRIME}) + {b}) % {PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     )
     band_selects = " UNION ALL ".join(
