@@ -207,3 +207,75 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.expr(spark_str_hash("text")).alias("fp")
     ).orderBy("doc_id", "fp")
+
+
+# ------------------------------------------------------ curation pipeline
+@REG.add(
+    "curate_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, md5(text) AS digest,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOPS}))) AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source, digest, n_tok,
+               LEAST(n_tok / 100.0, 1.0) * 0.5
+                   + (n_distinct * 1.0 / n_tok) * 0.3
+                   + (1.0 - n_stop * 1.0 / n_tok) * 0.2 AS quality
+        FROM scored
+        WHERE n_stop * 10 > n_tok
+        QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(avg(quality), 4) AS avg_quality
+    FROM kept
+    WHERE quality >= 0.5
+    GROUP BY source
+    ORDER BY source, n_docs, total_tokens, avg_quality
+    """,
+    doc="End-to-end training-data curation: language-ID gate (stopword "
+    "density) -> quality floor -> exact-dedup keep-first -> per-source "
+    "corpus stats. One scan, one digest shuffle, one final agg — the "
+    "composed form of t_langid/t_quality/dedup_exact, which is how the "
+    "pieces run in a real 100 TB curation pass.",
+)
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    quality = (
+        F.least(F.col("n_tok") / 100.0, F.lit(1.0)) * 0.5
+        + (F.col("n_distinct") * 1.0 / F.col("n_tok")) * 0.3
+        + (1.0 - F.col("n_stop") * 1.0 / F.col("n_tok")) * 0.2
+    )
+    w = W.partitionBy("digest").orderBy("doc_id")
+    kept = (
+        scored.filter(F.col("n_stop") * 10 > F.col("n_tok"))
+        .withColumn("quality", quality)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("quality") >= 0.5)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source", "n_docs", "total_tokens", "avg_quality")
+    )

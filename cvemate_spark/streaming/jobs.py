@@ -120,12 +120,15 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     os.makedirs(in_dir)
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw (ts as long)
+    # one partitioned write (not one job per chunk); the partition dirs
+    # then become the arrival-ordered landing files
+    chunks_dir = f"{run_dir}/chunks"
+    ev.withColumn("__chunk", F.col("event_id") % n_chunks).repartition(
+        n_chunks, "__chunk"
+    ).write.partitionBy("__chunk").mode("overwrite").parquet(chunks_dir)
     for i in range(n_chunks):
-        chunk_dir = f"{run_dir}/chunk{i}"
-        ev.filter(F.col("event_id") % n_chunks == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(chunk_dir)
-        for j, part in enumerate(sorted(glob.glob(f"{chunk_dir}/part-*.parquet"))):
+        parts = sorted(glob.glob(f"{chunks_dir}/__chunk={i}/part-*.parquet"))
+        for j, part in enumerate(parts):
             shutil.copy(part, f"{in_dir}/chunk{i}_{j}.parquet")
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
