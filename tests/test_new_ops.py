@@ -75,3 +75,15 @@ def test_sample_frames_stride(spark):
 def test_decode_without_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """SNK-3: debug-snapshot JSON sink (utils.py:33-54 shape) — write a
+    keyed frame as JSON lines, read back value-identical."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").limit(20)
+    out = str(tmp_path / "snap.json")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    assert {tuple(r) for r in back.select("doc_id", "lang").collect()} == {
+        tuple(r) for r in docs.collect()
+    }
