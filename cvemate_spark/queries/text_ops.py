@@ -131,9 +131,10 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tok,
-           ROUND(LEAST(n_tok / 100.0, 1.0) * 0.5
-                 + (n_distinct * 1.0 / n_tok) * 0.3
-                 + (1.0 - n_stop * 1.0 / n_tok) * 0.2, 4) AS quality
+           floor((LEAST(n_tok / 100.0, 1.0) * 0.5
+                  + (n_distinct * 1.0 / n_tok) * 0.3
+                  + (1.0 - n_stop * 1.0 / n_tok) * 0.2) * 10000 + 0.5)
+               / 10000.0 AS quality
     FROM (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tok,
@@ -156,12 +157,16 @@ def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
     )
-    quality = F.round(
+    # portable half-up round: Spark's round() goes through the double's
+    # shortest decimal repr while DuckDB rounds the scaled binary value —
+    # they can disagree by 1e-4 on .00005 boundaries. floor(x*1e4 + 0.5)
+    # is the same bit-level algorithm in both engines.
+    raw_quality = (
         F.least(F.col("n_tok") / 100.0, F.lit(1.0)) * 0.5
         + (F.col("n_distinct") * 1.0 / F.col("n_tok")) * 0.3
-        + (1.0 - F.col("n_stop") * 1.0 / F.col("n_tok")) * 0.2,
-        4,
+        + (1.0 - F.col("n_stop") * 1.0 / F.col("n_tok")) * 0.2
     )
+    quality = F.floor(raw_quality * 10000 + F.lit(0.5)) / 10000.0
     return base.select(
         "doc_id", F.col("n_tok").cast("long").alias("n_tok"), quality.alias("quality")
     ).orderBy("doc_id", "n_tok", "quality")
@@ -232,7 +237,7 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-           ROUND(avg(quality), 4) AS avg_quality
+           floor(avg(quality) * 10000 + 0.5) / 10000.0 AS avg_quality
     FROM kept
     WHERE quality >= 0.5
     GROUP BY source
@@ -275,7 +280,7 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            (F.floor(F.avg("quality") * 10000 + F.lit(0.5)) / 10000.0).alias("avg_quality"),
         )
         .orderBy("source", "n_docs", "total_tokens", "avg_quality")
     )

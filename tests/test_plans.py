@@ -10,22 +10,20 @@ value-correctness gate but regress at scale — these tests catch it.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from cvemate_spark.plans.audit import (
+    assert_jvm_only,
+    assert_no_pathological_join,
+    physical_plan,
+)
 from cvemate_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY.specs[name].builder(spark, SF)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return physical_plan(REGISTRY.specs[name].builder(spark, SF))
 
 
 def test_q01_pushdown_and_pruning(spark):
@@ -65,10 +63,15 @@ def test_q11_partial_final_agg(spark):
 def test_no_python_udf_in_sql_hot_paths(spark):
     """The relational/dedup surface must stay JVM-side (whole-stage
     codegen); Python appears only in declared Arrow stages."""
-    for name in ("q01", "q06", "q11", "q15", "q19", "dedup_minhash", "q26"):
+    for name in ("q01", "q06", "q11", "q15", "q19", "dedup_minhash", "q26",
+                 "curate_pipeline", "ann_lsh", "cve_pipeline"):
         plan = plan_of(spark, name)
-        assert "BatchEvalPython" not in plan, name  # row-at-a-time UDF
-        assert "PythonUDF" not in plan, name
+        assert_jvm_only(plan, name)
+        # q26/ann_* deliberately broadcast a ONE-ROW query-vector relation
+        # (BroadcastNestedLoopJoin with a scalar build side is the intended
+        # plan there, not a blow-up)
+        if name not in ("q26", "ann_lsh"):
+            assert_no_pathological_join(plan, name)
 
 
 def test_arrow_stages_where_declared(spark):
