@@ -39,8 +39,10 @@ HEADLINE = [
     "e_asof",          # as-of join (union + window)
     "cve_pipeline",    # OP-MERGE fold + OP-SCORE (the CveMate core)
     "dedup_minhash",   # MinHash LSH pipeline
+    "curate_pipeline", # composed curation pass (langid+quality+dedup)
     "dedup_exact",     # hash dedup
     "q26",             # cosine top-k
+    "ann_lsh",         # hyperplane-LSH ANN
     "emb_neardup",     # pair similarity search
     "mm_meta",         # Arrow mapInPandas plumbing
     "s1_tumbling",     # structured streaming tumbling agg
