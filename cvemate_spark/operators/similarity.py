@@ -116,7 +116,7 @@ def ivf_topk(
 
 
 def neardup_pairs_topk(
-    embeddings: DataFrame, k: int = 20, n_blocks: int = 16
+    embeddings: DataFrame, k: int = 20, n_blocks: int = 8
 ) -> DataFrame:
     """Top-k most-similar distinct pairs (embedding near-dup candidates).
 
@@ -130,6 +130,9 @@ def neardup_pairs_topk(
     compute is n^2/2 dot products done as dense GEMM, not 2M
     interpreted expression folds. Each vector is replicated n_blocks
     times — the standard replication/compute trade of block joins.
+    Pick n_blocks so one block-pair's GEMM tile fits executor memory:
+    at 100 TB that means hundreds of blocks; at bench scale 8 keeps
+    every core busy without replication dominating.
     """
     import numpy as np
     import pandas as pd
