@@ -13,6 +13,7 @@ table as the batch keep-latest query (Q20).
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 
@@ -44,7 +45,10 @@ def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     is staged (copied once) into a scratch dir keyed by sf_dir.
     """
     _ensure_session_confs(spark)
-    stage = f"{SCRATCH}/events_src_{abs(hash(sf_dir)) % 10**8}"
+    stage = (
+        f"{SCRATCH}/events_src_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
     staged = f"{stage}/events.parquet"
     if not os.path.exists(staged):
         os.makedirs(stage, exist_ok=True)

@@ -98,3 +98,34 @@ def test_merge_is_single_shuffle_join(spark):
     plan = plan_of(spark, "q05")
     assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """§4.3 layout claim: tables bucketed on the join key sort-merge
+    join with ZERO exchanges — the cve-table design that makes repeated
+    MERGEs shuffle only the incoming batch at 100 TB."""
+    from cvemate_spark.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF, "orders")
+        lineitem = load_table(spark, SF, "lineitem")
+        orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_b")
+        lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("lineitem_b")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            spark.table("orders_b")["o_orderkey"]
+            == spark.table("lineitem_b")["l_orderkey"],
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
