@@ -132,3 +132,42 @@ def read_target(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.exists(path):
         return None
     return spark.read.parquet(path)
+
+
+def merge_many(
+    batches: dict[str, DataFrame],
+    key: str = "id",
+    now=None,
+) -> DataFrame:
+    """Single-shuffle multi-source merge.
+
+    Folding `merge_upsert` runs one full-outer join per source — k
+    shuffles for k sources, and (because full-outer output loses its
+    partitioning guarantee) none of them reuse the previous exchange.
+    When each source contributes one batch per run (the reference's
+    nightly job shape, main.py:64-89), the same wide row can be built
+    with ONE shuffle: tag rows by source, union, and groupBy(key)
+    taking each source's payload with first(ignorenulls) — exactly one
+    non-null candidate per (key, source), so the result is
+    deterministic and equals the merge_upsert fold (tested).
+    """
+    now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    srcs = list(batches)
+    types = {s: dict(df.dtypes)[s] for s, df in batches.items()}
+    tagged = []
+    for s, df in batches.items():
+        cols = [F.col(key)] + [
+            (F.col(c) if c == s else F.lit(None).cast(types[c])).alias(c)
+            for c in srcs
+        ]
+        tagged.append(df.select(*cols))
+    allrows = tagged[0]
+    for t in tagged[1:]:
+        allrows = allrows.unionByName(t)
+    aggs = [F.first(s, ignorenulls=True).alias(s) for s in srcs]
+    return (
+        allrows.groupBy(key)
+        .agg(*aggs)
+        .withColumn("created_at", now_col)
+        .withColumn("updated_at", now_col)
+    )

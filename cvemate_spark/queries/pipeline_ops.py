@@ -113,3 +113,31 @@ def cve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("priority", "cnt")
     )
+
+
+@REG.add(
+    "cve_pipeline_1shuffle",
+    REG.specs["cve_pipeline"].oracle,
+    doc="Same pipeline as cve_pipeline, built with merge_many — the "
+    "single-shuffle multi-source merge (tag + union + groupBy(id)) "
+    "instead of one full-outer join per source. Identical result, "
+    "k-fold fewer exchanges; the shape for the nightly all-sources run.",
+)
+def cve_pipeline_1shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_many
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cve = merge_many(
+        {
+            "nvd": _nvd_batch(orders),
+            "epss": _epss_batch(lineitem),
+            "kev": _kev_batch(orders),
+        }
+    )
+    return (
+        score(cve)
+        .groupBy("priority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("priority", "cnt")
+    )

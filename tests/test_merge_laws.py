@@ -116,3 +116,22 @@ def test_keep_latest_merge_commutes(spark):
     want = {("a", 3, "x3"), ("b", 5, "y5")}
     for df in (direct, replay1, replay2):
         assert {tuple(r) for r in df.collect()} == want
+
+
+def test_merge_many_equals_fold(spark):
+    from cvemate_spark.operators.merge import merge_many
+
+    batches = {
+        "nvd": _batch(spark, "nvd", {"CVE-1": "n1", "CVE-2": "n2"}),
+        "epss": _batch(spark, "epss", {"CVE-2": "e2", "CVE-3": "e3"}),
+        "kev": _batch(spark, "kev", {"CVE-1": "k1", "CVE-3": "k3"}),
+    }
+    folded = None
+    for df in batches.values():
+        folded = merge_upsert(folded, df, now=T0)
+    wide = merge_many(batches, now=T0)
+    key = lambda df: sorted(
+        (r["id"], r.asDict().get("nvd"), r.asDict().get("epss"), r.asDict().get("kev"))
+        for r in df.collect()
+    )
+    assert key(folded) == key(wide)
