@@ -248,3 +248,31 @@ def src_nvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id").alias("n_ids"),
         F.max("nvd.vendor").alias("max_vendor"),
     ).orderBy("n_rows", "n_ids", "max_vendor")
+
+
+# ------------------------------------------------------------ SRC-5
+@REG.add(
+    "src_exploitdb",
+    f"""
+    SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_exploits,
+           CAST(sum(CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END)
+                AS BIGINT) AS n_cve_refs
+    FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT {landing.EXPLOITDB_LIMIT})
+    ORDER BY n_exploits, n_cve_refs
+    """,
+    doc="SRC-5: ExploitDB CSV — header scan, ';'-split + explode of the "
+    "codes column (OP-EXPL-1), CVE prefix filter (OP-FILT-1), codes "
+    "column dropped from the nested payload (OP-PROJ). n_rows counts "
+    "exploded (exploit, CVE) pairs; the oracle rebuilds the fan-out "
+    "arithmetic from `part`.",
+)
+def src_exploitdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import normalize_exploitdb
+
+    path = landing.gen_exploitdb_csv(sf_dir)
+    raw = spark.read.csv(path, header=True)
+    edb = normalize_exploitdb(raw)
+    return edb.agg(
+        F.countDistinct("exploitdb.id").alias("n_exploits"),
+        F.count("*").alias("n_cve_refs"),
+    ).orderBy("n_exploits", "n_cve_refs")

@@ -291,3 +291,28 @@ def gen_nvd_pages(sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+EXPLOITDB_LIMIT = 400
+
+
+def gen_exploitdb_csv(sf_dir: str) -> str:
+    """files_exploits.csv shape (exploitdb_handler.py:48-64): one row
+    per exploit with a ';'-joined `codes` column mixing CVE and
+    non-CVE identifiers; every 3rd row lists two CVEs."""
+    out = f"{landing_dir(sf_dir)}/files_exploits.csv"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _rows(sf_dir, "part", ["p_partkey"], "p_partkey", EXPLOITDB_LIMIT)
+    tmp = out + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        f.write("id,file,description,codes\n")
+        for r in rows:
+            k = r["p_partkey"]
+            codes = f"CVE-2022-{k};OSVDB-{k}"
+            if k % 3 == 0:
+                codes += f";CVE-2023-{k}"
+            f.write(f"{k},exploits/x_{k}.py,exploit {k},{codes}\n")
+    os.rename(tmp, out)
+    return out
