@@ -44,6 +44,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # a plain session defaults to 200 shuffle partitions — far too
+        # many tasks for the test scales; AQE coalesces but task setup
+        # still dominates. Runtime-settable, so safe on any session.
+        ("spark.sql.shuffle.partitions", "32"),
     ):
         try:
             spark.conf.set(k, v)
