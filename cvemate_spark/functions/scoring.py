@@ -48,17 +48,31 @@ def priority_column(
 
 
 def cvss_base_score(nvd: Column) -> Column:
-    """CVSS coalesce chain (prioritizer_handler.py:31-36).
+    """CVSS version selection (prioritizer_handler.py:30-36).
 
-    First present of v3.1, v3.0, v2 base score, else 0.0 — on the wide
-    `cve` table's `nvd` struct column, where `metrics.cvssMetricV31`
-    is an array of structs and the reference reads element [0].
+    The reference picks the first *present* metric key — `if
+    'cvssMetricV31' in metrics: ... elif 'cvssMetricV30' ...` — and
+    uses that version's `[0].cvssData.baseScore` with a default of 0
+    when the score itself is missing. It never falls through to the
+    next version once a key is present, so a record with cvssMetricV31
+    present but baseScore absent scores 0.0, NOT its v3.0 score. Here
+    key-presence is array-column non-nullness on the wide `cve` table's
+    `nvd` struct, and each arm defaults its own missing baseScore to
+    0.0 to match `.get('baseScore', 0)`.
     """
-    return F.coalesce(
-        F.element_at(nvd["metrics"]["cvssMetricV31"], 1)["cvssData"]["baseScore"],
-        F.element_at(nvd["metrics"]["cvssMetricV30"], 1)["cvssData"]["baseScore"],
-        F.element_at(nvd["metrics"]["cvssMetricV2"], 1)["cvssData"]["baseScore"],
-        F.lit(0.0),
+
+    def arm(version: str) -> Column:
+        return F.coalesce(
+            F.element_at(nvd["metrics"][version], 1)["cvssData"]["baseScore"],
+            F.lit(0.0),
+        )
+
+    metrics = nvd["metrics"]
+    return (
+        F.when(metrics["cvssMetricV31"].isNotNull(), arm("cvssMetricV31"))
+        .when(metrics["cvssMetricV30"].isNotNull(), arm("cvssMetricV30"))
+        .when(metrics["cvssMetricV2"].isNotNull(), arm("cvssMetricV2"))
+        .otherwise(F.lit(0.0))
     )
 
 

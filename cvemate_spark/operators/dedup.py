@@ -16,7 +16,14 @@ Spark-first design for 100 TB:
 
 - **n-gram Jaccard** (`ngram_jaccard_pairs`): exact pairwise Jaccard,
   but only over pairs sharing at least one shingle (join on shingle),
-  which is the scalable form of "all pairs" — disjoint docs never meet.
+  which is the scalable form of "all pairs" — disjoint docs never
+  meet — with a hot-shingle document-frequency cap (`df_cap`) so a
+  ubiquitous shingle cannot re-create the quadratic candidate set.
+
+The per-document `sizes` relation used by the Jaccard verify is never
+broadcast-hinted: it has one row per document (billions at 100 TB).
+The verify joins shuffle on the pair keys and AQE may still broadcast
+at runtime when the relation is actually small.
 
 All hashes are the portable polynomial fold (functions/text.py), so
 every operator has a bit-identical DuckDB oracle generated from the
@@ -155,12 +162,19 @@ def _verify_jaccard(
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("c"))
     )
+    # NO broadcast hint on the sizes relation: it is one row per
+    # document, so at corpus scale it is billions of rows — a forced
+    # broadcast is a guaranteed executor OOM. Plain equi-joins shuffle
+    # on d1/d2 (the same key the `common` agg just produced), and AQE
+    # still converts to broadcast at runtime when the relation is
+    # genuinely small. Pinned in tests/test_plans.py
+    # (test_dedup_verify_has_no_forced_broadcast).
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
-        common.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+        common.join(n1, "d1")
+        .join(n2, "d2")
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -308,39 +322,81 @@ def simhash_pairs_oracle(max_hamming: int = 1) -> str:
 
 
 # --------------------------------------------------- ngram jaccard
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.3, df_cap: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
 
     The shingle join materializes only co-occurring pairs — the
     scalable exact form (disjoint docs never meet in the shuffle).
+
+    ``df_cap`` is the hot-shingle (document-frequency) cap: shingles
+    appearing in more than ``df_cap`` documents are excluded from the
+    candidate self-join. Without it, one ubiquitous shingle shared by
+    f·N documents creates (f·N)² candidate rows — quadratic in corpus
+    size, the classic all-pairs blow-up sneaking back in through a
+    stop-phrase. The cap bounds the join's per-key fan-out at df_cap².
+
+    Recall trade (documented, standard): a pair whose ONLY shared
+    shingles are hot is missed entirely, and for found pairs the
+    intersection count ignores hot shingles while the union (sizes)
+    keeps them — reported jaccard is a lower bound of the true value.
+    Pairs that clear `threshold` on rare shingles alone are exact
+    losses only when hot shingles would have pushed them over.
     """
     shingles = doc_shingles(docs).persist()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.select(F.col("doc_id").alias("d1"), "shingle")
-    b = shingles.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("sh2"))
+    joinable = shingles
+    if df_cap is not None:
+        # doc_shingles emits distinct (doc_id, shingle), so count(*)
+        # per shingle IS document frequency. The hot set is tiny by
+        # construction (≤ total_rows / df_cap entries) and the
+        # anti-join drops it before the quadratic step.
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        joinable = shingles.join(hot, "shingle", "left_anti")
+    a = joinable.select(F.col("doc_id").alias("d1"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("sh2"))
     common = (
         a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("d1") < F.col("d2")))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("c"))
     )
+    # sizes join: no broadcast hint (see _verify_jaccard — one row per
+    # doc, AQE decides).
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
-        common.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+        common.join(n1, "d1")
+        .join(n2, "d2")
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3, df_cap: int | None = None) -> str:
+    cap_cte = ""
+    joinable = "shingles"
+    if df_cap is not None:
+        cap_cte = f""",
+    hot AS (
+        SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > {df_cap}
+    ),
+    joinable AS (
+        SELECT * FROM shingles WHERE shingle NOT IN (SELECT shingle FROM hot)
+    )"""
+        joinable = "joinable"
     return f"""
-    WITH {_duck_shingles_cte()},
+    WITH {_duck_shingles_cte()}{cap_cte},
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        FROM shingles a JOIN shingles b
+        FROM {joinable} a JOIN {joinable} b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )

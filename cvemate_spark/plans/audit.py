@@ -28,6 +28,16 @@ def physical_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """The analyzed logical plan as a string.
+
+    Broadcast *hints* (`F.broadcast(...)`) survive here as
+    `ResolvedHint` nodes, so a test can distinguish a forced broadcast
+    (plan-shape commitment at any scale) from one AQE chose at runtime
+    because the relation happened to be small."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def assert_jvm_only(plan: str, context: str = "") -> None:
     for marker in ROW_PYTHON:
         assert marker not in plan, f"{context}: row-at-a-time Python ({marker})"

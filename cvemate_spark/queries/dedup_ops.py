@@ -36,14 +36,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=1).orderBy("d1", "d2", "hamming")
 
 
+NGRAM_DF_CAP = 200  # hot-shingle document-frequency cap (see dedup.py)
+
+
 @REG.add(
     "dedup_ngram_jaccard",
-    dedup.ngram_jaccard_pairs_oracle(threshold=0.3),
+    dedup.ngram_jaccard_pairs_oracle(threshold=0.3, df_cap=NGRAM_DF_CAP),
     doc="Exact 3-gram Jaccard over co-occurring pairs (join on shingle), "
-    "threshold 0.3 — the verify-side ground truth for the LSH variants.",
+    "threshold 0.3, hot shingles (document frequency > 200) excluded "
+    "from the candidate join so one stop-phrase can't go quadratic — "
+    "the verify-side ground truth for the LSH variants.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.3).orderBy(
-        "d1", "d2", "jaccard"
-    )
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, df_cap=NGRAM_DF_CAP
+    ).orderBy("d1", "d2", "jaccard")

@@ -47,6 +47,35 @@ def test_ngram_jaccard_exact(spark):
     assert 0.6 < rows[(0, 1)] < 1.0
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """df_cap drops ubiquitous shingles from the candidate join: docs
+    whose only overlap is the hot shingle stop pairing, and intersection
+    counts for surviving pairs exclude it (jaccard = lower bound)."""
+    hot = "common boiler plate"  # one shared 3-gram across ALL docs
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{hot} alpha beta gamma delta"),
+            Row(doc_id=1, text=f"{hot} alpha beta gamma epsilon"),
+            Row(doc_id=2, text=f"{hot} zeta eta theta iota"),
+        ]
+    )
+    uncapped = {
+        (r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 0.01).collect()
+    }
+    assert (0, 2) in uncapped and (1, 2) in uncapped  # hot-only overlap pairs
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.01, df_cap=2).collect()
+    }
+    # pairs that co-occurred ONLY through the hot shingle are gone
+    assert (0, 2) not in capped and (1, 2) not in capped
+    # the genuinely-similar pair survives on its rare shingles
+    assert (0, 1) in capped
+    # a shingle at exactly df_cap docs is kept (cap is strict >)
+    still = ngram_jaccard_pairs(docs, 0.01, df_cap=3).collect()
+    assert {(r["d1"], r["d2"]) for r in still} == uncapped
+
+
 def test_simhash_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [

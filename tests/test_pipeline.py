@@ -91,6 +91,44 @@ def test_build_merge_score(spark, fixture_dir, tmp_path):
     assert back.count() == len(rows)
 
 
+def test_cvss_version_selection_is_presence_gated(spark):
+    """prioritizer_handler.py:30-36: the first PRESENT metric key wins
+    and its missing baseScore defaults to 0 — no fall-through to the
+    next version (a V31-present/score-absent record scores 0.0, not
+    its V30 score)."""
+    metric_t = "array<struct<cvssData:struct<baseScore:double>>>"
+    df = spark.sql(
+        f"""
+        SELECT id, named_struct('metrics', named_struct(
+            'cvssMetricV31', CAST(v31 AS {metric_t}),
+            'cvssMetricV30', CAST(v30 AS {metric_t}),
+            'cvssMetricV2',  CAST(v2  AS {metric_t}))) AS nvd
+        FROM VALUES
+            ('v31_wins',        array(named_struct('cvssData', named_struct('baseScore', 9.8D))),
+                                array(named_struct('cvssData', named_struct('baseScore', 7.0D))), NULL),
+            ('v31_score_absent', array(named_struct('cvssData', named_struct('baseScore', CAST(NULL AS DOUBLE)))),
+                                array(named_struct('cvssData', named_struct('baseScore', 7.0D))), NULL),
+            ('v30_only',        NULL,
+                                array(named_struct('cvssData', named_struct('baseScore', 6.5D))), NULL),
+            ('v2_only',         NULL, NULL,
+                                array(named_struct('cvssData', named_struct('baseScore', 4.2D)))),
+            ('none_present',    NULL, NULL, NULL)
+            AS t(id, v31, v30, v2)
+        """
+    )
+    got = {
+        r["id"]: r["base"]
+        for r in df.select("id", cvss_base_score(F.col("nvd")).alias("base")).collect()
+    }
+    assert got == {
+        "v31_wins": 9.8,
+        "v31_score_absent": 0.0,  # NOT the 7.0 fall-through
+        "v30_only": 6.5,
+        "v2_only": 4.2,
+        "none_present": 0.0,
+    }
+
+
 def test_cvss_coalesce_chain(spark, fixture_dir):
     nvd = formats.normalize_nvd(
         formats.read_nvd_json(spark, str(fixture_dir / "nvd_page.json"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 
 from cvemate_spark.plans.audit import (
+    analyzed_plan,
     assert_jvm_only,
     assert_no_pathological_join,
     physical_plan,
@@ -98,6 +99,19 @@ def test_merge_is_single_shuffle_join(spark):
     plan = plan_of(spark, "q05")
     assert "FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_verify_has_no_forced_broadcast(spark):
+    """The per-doc `sizes` relation in the Jaccard verify is one row
+    per document — billions of rows at 100 TB. A broadcast *hint* on it
+    commits the plan to an executor OOM at scale, so the dedup queries
+    must carry no ResolvedHint at all; AQE alone decides whether the
+    small-at-test-scale relation gets broadcast at runtime."""
+    for name in ("dedup_minhash", "dedup_ngram_jaccard"):
+        df = REGISTRY.specs[name].builder(spark, SF)
+        logical = analyzed_plan(df)
+        assert "ResolvedHint" not in logical, name
+        assert "UnresolvedHint" not in logical, name
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
