@@ -20,25 +20,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cvemate_spark.queries import REGISTRY  # noqa: E402
+from cvemate_spark.queries import driver_specs  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: TPC-H Q1 shape (scan → agg → sort)."""
-    return REGISTRY.specs["q11"].builder(spark, SMOKE_SF_DIR)
+    return driver_specs()["q11"].builder(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in sorted(REGISTRY.specs.items())}
+    """The curated driver-gate set: exactly the 50 queries that prove
+    every SURVEY.md §2 operator (the driver records at most 50
+    correctness rows; the full registry — supersets of these shapes —
+    stays locally gated via tools/check.py)."""
+    return {name: spec.builder for name, spec in sorted(driver_specs().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
     return {
         name: spec.oracle
-        for name, spec in sorted(REGISTRY.specs.items())
+        for name, spec in sorted(driver_specs().items())
         if spec.oracle is not None
     }

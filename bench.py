@@ -37,7 +37,12 @@ HEADLINE = [
     "q24",   # text tokenize + top terms
     "q27",   # sessionization
     "e_asof",          # as-of join (union + window)
-    "cve_pipeline",    # OP-MERGE fold + OP-SCORE (the CveMate core)
+    # OP-MERGE fold + OP-SCORE (the CveMate core). This is the
+    # scale-bearing parquet-derived pipeline that BASELINE.md and
+    # BENCH_r01 measured under the name "cve_pipeline"; that name now
+    # belongs to the 8-feed landing-file pipeline, whose inputs are
+    # LIMIT-capped and therefore not a throughput story at any SF.
+    "cve_pipeline_fold",
     "dedup_minhash",   # MinHash LSH pipeline
     "curate_pipeline", # composed curation pass (langid+quality+dedup)
     "dedup_exact",     # hash dedup

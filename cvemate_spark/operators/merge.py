@@ -114,10 +114,19 @@ def keep_latest_merge(
 # ------------------------------------------------------- atomic swap
 def write_atomic(df: DataFrame, path: str) -> None:
     """Write-new-then-swap directory protocol (OP-MERGE atomicity
-    without Delta): materialize to a temp dir, then rename over the
-    target. Readers see either the old or the new table, never a
-    partial write. On HDFS/S3 the same protocol uses a manifest or
-    Delta; local FS rename is atomic enough for the test harness."""
+    without Delta): materialize to a temp dir beside the target (same
+    filesystem — os.rename cannot cross mounts), then swap.
+
+    Directories can't be renamed over each other on POSIX, so the swap
+    is two renames (target→old, tmp→target) and there IS a crash
+    window between them in which `path` is briefly absent — this is a
+    two-rename swap, not a true atomic replace. Recovery is mechanical:
+    the displaced table survives as `path.old-*` and `read_target`
+    probes for it, so no committed data is ever lost; readers see the
+    old table, the new table, or (crash window only) the recoverable
+    old directory — never a partial write. On HDFS/S3/production the
+    same protocol is a manifest pointer swap or Delta's atomic log
+    commit, both of which close the window."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -129,7 +138,15 @@ def write_atomic(df: DataFrame, path: str) -> None:
 
 
 def read_target(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the swap-protocol target, recovering from a crash that
+    happened between write_atomic's two renames (target displaced to
+    `path.old-*` but the new directory not yet renamed in)."""
     if not os.path.exists(path):
+        import glob as _glob
+
+        leftovers = sorted(_glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+        if leftovers:
+            return spark.read.parquet(leftovers[-1])
         return None
     return spark.read.parquet(path)
 

@@ -115,6 +115,69 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Batched IVF probe: N query vectors served in ONE plan.
+
+    The single-query `ivf_topk` rides the query along as a broadcast
+    1-row relation; that shape re-runs the whole plan per query. Here
+    the queries are a *relation*: per-query probe cells come from a
+    window rank over the (queries × centroids) broadcast product —
+    centroids are the bounded side, so this is |Q|·|C| rows, never
+    |Q|·|data| — and data flows through one equi-join on `cent_id`
+    between the assigned vectors and the probe list. At 100 TB the
+    assignment is a write-time partition key, the probe join prunes to
+    the probed cells, and adding queries adds rows to the small side
+    of one join instead of whole plan re-runs. No crossJoin against
+    the data side anywhere.
+
+    Returns (q_id, vec_id): the per-query top-k, self-matches included
+    (rank 1 is the query itself, as with any recall-oriented ANN).
+    """
+    cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine_col("embedding", "cent_emb").alias("cent_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cent_cos")
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = W.partitionBy("q_id").orderBy(F.desc("qc"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_emb", "cent_id", cosine_col("cent_emb", "q_emb").alias("qc")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cent_id", "q_emb")
+    )
+    w_topk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        assigned.join(probes, "cent_id")
+        .select("q_id", "vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
 def neardup_pairs_topk(
     embeddings: DataFrame, k: int = 20, n_blocks: int = 8
 ) -> DataFrame:
@@ -164,8 +227,13 @@ def neardup_pairs_topk(
         # id orderings occur and must map to (min, max))
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
         if len(c) > k:
-            top = np.argpartition(-c, k)[:k]
-            d1, d2, c = d1[top], d2[top], c[top]
+            # deterministic truncation: ties at the k-th cosine must not
+            # keep arbitrary pairs (argpartition alone would), or results
+            # diverge from the totally-ordered oracle whenever a tie
+            # crosses the boundary. lexsort's LAST key is primary:
+            # (-cos, d1, d2) — numpy C-speed, m·log m on a block pair.
+            order = np.lexsort((d2, d1, -c))[:k]
+            d1, d2, c = d1[order], d2[order], c[order]
         return pd.DataFrame({"d1": d1, "d2": d2, "cos": c})
 
     # replicate each vector to every block pair it participates in

@@ -65,7 +65,7 @@ def _kev_batch(orders: DataFrame) -> DataFrame:
 
 
 @REG.add(
-    "cve_pipeline",
+    "cve_pipeline_fold",
     """
     WITH nvd AS (
         SELECT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR) AS id,
@@ -96,12 +96,12 @@ def _kev_batch(orders: DataFrame) -> DataFrame:
     GROUP BY priority
     ORDER BY priority, cnt
     """,
-    doc="End-to-end CveMate pipeline: per-source batches folded through "
-    "OP-MERGE (epss applied twice — idempotence witnessed by the oracle "
-    "match), scored by the CVSS-coalesce + CASE ladder (OP-SCORE), "
+    doc="CveMate pipeline, merge_upsert fold shape: per-source batches "
+    "folded through OP-MERGE (epss applied twice — idempotence witnessed "
+    "by the oracle match), scored by the CVSS + CASE ladder (OP-SCORE), "
     "priority histogram out. One shuffle per merge, all on `id`.",
 )
-def cve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cve_pipeline_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     epss = _epss_batch(lineitem)
@@ -117,7 +117,7 @@ def cve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "cve_pipeline_1shuffle",
-    REG.specs["cve_pipeline"].oracle,
+    REG.specs["cve_pipeline_fold"].oracle,
     doc="Same pipeline as cve_pipeline, built with merge_many — the "
     "single-shuffle multi-source merge (tag + union + groupBy(id)) "
     "instead of one full-outer join per source. Identical result, "
@@ -140,4 +140,180 @@ def cve_pipeline_1shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority")
         .agg(F.count("*").alias("cnt"))
         .orderBy("priority", "cnt")
+    )
+
+
+# ---------------------------------------------------- full-width pipeline
+FEEDS = ("nvd", "redhat", "exploitdb", "epss", "kev", "metasploit", "debian", "cveorg")
+
+
+def _real_feeds(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All 8 reference feeds through their REAL landing files and
+    normalizers (main.py:64-89 runs NVD→ExploitDB→Metasploit→CWE→EPSS→
+    CISA each job; RedHat/Debian/CVE.org handlers merge into the same
+    cve collection). The CWE catalog is a dimension, not a per-CVE
+    feed — it enriches via `cwe_enrich`, exactly like the reference's
+    separate cwe collection."""
+    from ..sources import landing
+    from ..sources.formats import (
+        normalize_cveorg_delta,
+        normalize_debian,
+        normalize_epss,
+        normalize_exploitdb,
+        normalize_kev,
+        normalize_metasploit,
+        normalize_nvd,
+        normalize_redhat,
+        read_epss_csv,
+        read_nvd_json,
+        read_redhat_json,
+    )
+
+    delta = normalize_cveorg_delta(spark, landing.gen_delta_log(sf_dir))
+    cveorg = (
+        delta.filter(
+            F.col("fetch_time") > F.lit(landing.DELTA_WATERMARK).cast("timestamp")
+        )
+        .groupBy("id")
+        .agg(F.max("fetch_time").alias("fetch_time"))
+        .select("id", F.struct("fetch_time").alias("cveorg"))
+    )
+    return {
+        "nvd": normalize_nvd(read_nvd_json(spark, landing.gen_nvd_pages(sf_dir))),
+        "redhat": normalize_redhat(
+            read_redhat_json(spark, landing.gen_redhat_pages(sf_dir))
+        ),
+        "exploitdb": normalize_exploitdb(
+            spark.read.csv(landing.gen_exploitdb_csv(sf_dir), header=True)
+        ),
+        "epss": normalize_epss(read_epss_csv(spark, landing.gen_epss_csv(sf_dir))),
+        "kev": normalize_kev(spark, landing.gen_kev_json(sf_dir)),
+        "metasploit": normalize_metasploit(
+            spark, landing.gen_metasploit_json(sf_dir)
+        ),
+        "debian": normalize_debian(spark, landing.gen_debian_json(sf_dir)),
+        "cveorg": cveorg,
+    }
+
+
+_WIDE_ORACLE = """
+    WITH nvd AS (
+        SELECT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR) AS id,
+               CASE WHEN o_orderkey % 4 = 3 THEN 0.0
+                    ELSE (o_orderkey % 101) / 10.0 END AS base
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 600)
+    ),
+    redhat AS (
+        SELECT 'CVE-2020-' || CAST(s_suppkey AS VARCHAR) AS id
+        FROM (SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT 100)
+    ),
+    edb AS (
+        SELECT 'CVE-2022-' || CAST(p_partkey AS VARCHAR) AS id
+        FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 400)
+        UNION ALL
+        SELECT 'CVE-2023-' || CAST(p_partkey AS VARCHAR) AS id
+        FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 400)
+        WHERE p_partkey % 3 = 0
+    ),
+    epss AS (
+        SELECT 'CVE-2024-' || CAST(event_id AS VARCHAR) AS id,
+               CAST('0.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+                    AS DOUBLE) AS escore
+        FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 2000)
+        WHERE event_id % 97 <> 0
+    ),
+    kev AS (
+        SELECT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR) AS id
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)
+    ),
+    msf AS (
+        SELECT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR) AS id
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 300)
+    ),
+    deb AS (
+        SELECT 'CVE-2021-' || CAST(c_custkey AS VARCHAR) AS id
+        FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 400)
+    ),
+    cveorg AS (
+        SELECT 'CVE-2024-' || CAST(event_id AS VARCHAR) AS id
+        FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 400)
+    ),
+    ids AS (
+        SELECT id FROM nvd UNION SELECT id FROM redhat
+        UNION SELECT id FROM edb UNION SELECT id FROM epss
+        UNION SELECT id FROM kev UNION SELECT id FROM msf
+        UNION SELECT id FROM deb UNION SELECT id FROM cveorg
+    ),
+    wide AS (
+        SELECT i.id,
+               n.id IS NOT NULL AS has_nvd,
+               r.id IS NOT NULL AS has_redhat,
+               e.id IS NOT NULL AS has_exploitdb,
+               p.id IS NOT NULL AS has_epss,
+               k.id IS NOT NULL AS has_kev,
+               m.id IS NOT NULL AS has_metasploit,
+               d.id IS NOT NULL AS has_debian,
+               c.id IS NOT NULL AS has_cveorg,
+               CASE WHEN k.id IS NOT NULL THEN 1
+                    WHEN coalesce(n.base, 0.0) >= 6.0
+                         AND coalesce(p.escore, 0.0) >= 0.2 THEN 1
+                    WHEN coalesce(n.base, 0.0) >= 6.0 THEN 2
+                    WHEN coalesce(p.escore, 0.0) >= 0.2 THEN 3
+                    ELSE 4 END AS priority
+        FROM ids i
+        LEFT JOIN nvd n ON i.id = n.id
+        LEFT JOIN redhat r ON i.id = r.id
+        LEFT JOIN (SELECT DISTINCT id FROM edb) e ON i.id = e.id
+        LEFT JOIN epss p ON i.id = p.id
+        LEFT JOIN kev k ON i.id = k.id
+        LEFT JOIN msf m ON i.id = m.id
+        LEFT JOIN deb d ON i.id = d.id
+        LEFT JOIN cveorg c ON i.id = c.id
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN has_nvd THEN 1 ELSE 0 END) AS BIGINT) AS n_nvd,
+           CAST(sum(CASE WHEN has_redhat THEN 1 ELSE 0 END) AS BIGINT) AS n_redhat,
+           CAST(sum(CASE WHEN has_exploitdb THEN 1 ELSE 0 END) AS BIGINT) AS n_exploitdb,
+           CAST(sum(CASE WHEN has_epss THEN 1 ELSE 0 END) AS BIGINT) AS n_epss,
+           CAST(sum(CASE WHEN has_kev THEN 1 ELSE 0 END) AS BIGINT) AS n_kev,
+           CAST(sum(CASE WHEN has_metasploit THEN 1 ELSE 0 END) AS BIGINT) AS n_metasploit,
+           CAST(sum(CASE WHEN has_debian THEN 1 ELSE 0 END) AS BIGINT) AS n_debian,
+           CAST(sum(CASE WHEN has_cveorg THEN 1 ELSE 0 END) AS BIGINT) AS n_cveorg
+    FROM wide
+    GROUP BY priority
+    ORDER BY priority, n
+    """
+
+
+@REG.add(
+    "cve_pipeline",
+    _WIDE_ORACLE,
+    doc="The full-width CveMate pipeline: all 8 per-CVE feeds "
+    "(NVD, RedHat, ExploitDB, EPSS, KEV, Metasploit, Debian, CVE.org "
+    "delta — ref main.py:64-89 plus the RedHat/Debian/CVE.org handlers) "
+    "read through their REAL landing files and normalizers, folded into "
+    "the wide cve row by merge_many (ONE shuffle for all 8 sources), "
+    "epss re-applied through merge_upsert (idempotence witnessed by the "
+    "oracle match), scored with the presence-gated CVSS + CASE ladder. "
+    "Output: per-priority counts and per-source presence counts — the "
+    "per-source isolation law at full width, against a relational "
+    "left-join oracle.",
+)
+def cve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_many
+
+    feeds = _real_feeds(spark, sf_dir)
+    cve = merge_many(feeds)
+    cve = merge_upsert(cve, feeds["epss"], key="id")  # idempotent re-apply
+    scored = score(cve)
+    return (
+        scored.groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.col(s).isNotNull().cast("long")).alias(f"n_{s}")
+                for s in FEEDS
+            ],
+        )
+        .orderBy("priority", "n")
     )

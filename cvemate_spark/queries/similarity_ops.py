@@ -8,6 +8,7 @@ from ..operators.similarity import (
     brute_topk,
     duck_cosine,
     ivf_topk,
+    ivf_topk_batch,
     neardup_pairs_topk,
 )
 from ..tables import load_table
@@ -72,6 +73,62 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_vec_id=0, k=10, centroid_stride=50, n_probe=3)
+
+
+@REG.add(
+    "ann_ivf_batch",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine("e.embedding", "c.cent_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    probes AS (
+        SELECT q_id, cent_id, q_emb FROM (
+            SELECT q.q_id, c.cent_id, q.q_emb,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY {duck_cosine("c.cent_emb", "q.q_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM queries q, cents c
+        ) WHERE rn <= 3
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY {duck_cosine("a.embedding", "p.q_emb")} DESC,
+                            a.vec_id ASC) AS rn
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+    )
+    SELECT q_id, vec_id FROM scored WHERE rn <= 10
+    ORDER BY q_id, vec_id
+    """,
+    tags=("id-set",),
+    doc="Batched IVF ANN: 8 query vectors as a relation — per-query probe "
+    "cells via window rank over (queries × broadcast centroids), one "
+    "equi-join on cent_id against the assigned vectors, per-query top-10 "
+    "via window. Adding queries grows one join's small side instead of "
+    "re-running the plan per query (the single-query shape's limit).",
+)
+def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_batch(
+        emb, n_queries=8, k=10, centroid_stride=50, n_probe=3
+    ).orderBy("q_id", "vec_id")
 
 
 @REG.add(

@@ -227,7 +227,7 @@ def src_cwe_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_nvd",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT 'CVE-2018-' || CAST(o_orderkey AS VARCHAR))
+           CAST(count(DISTINCT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR))
                 AS BIGINT) AS n_ids,
            max(o_orderstatus) AS max_vendor
     FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT {landing.NVD_LIMIT})
@@ -248,6 +248,111 @@ def src_nvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id").alias("n_ids"),
         F.max("nvd.vendor").alias("max_vendor"),
     ).orderBy("n_rows", "n_ids", "max_vendor")
+
+
+# ------------------------------------------------------------ SRC-2
+@REG.add(
+    "src_redhat",
+    f"""
+    SELECT severity, CAST(count(*) AS BIGINT) AS n_rows, min(id) AS min_id
+    FROM (
+        SELECT ['low', 'moderate', 'important', 'critical'][s_suppkey % 4 + 1]
+                   AS severity,
+               'CVE-2020-' || CAST(s_suppkey AS VARCHAR) AS id
+        FROM (SELECT s_suppkey FROM supplier ORDER BY s_suppkey
+              LIMIT {landing.REDHAT_LIMIT})
+    )
+    GROUP BY severity
+    ORDER BY severity, n_rows, min_id
+    """,
+    doc="SRC-2: RedHat hydra securitydata pages (redhat_handler.py:62-101) "
+    "— NVD-style paginated envelope, RedHat-specific payload "
+    "(severity/public_date), multi-page read + vulnerabilities[] explode, "
+    "{id, redhat} projection. Retry/rate-limit stays ingestion-side as in "
+    "the reference (threads + ratelimit decorators).",
+)
+def src_redhat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import normalize_redhat, read_redhat_json
+
+    pages_dir = landing.gen_redhat_pages(sf_dir)
+    rh = normalize_redhat(read_redhat_json(spark, pages_dir))
+    return (
+        rh.groupBy(F.col("redhat.severity").alias("severity"))
+        .agg(F.count("*").alias("n_rows"), F.min("id").alias("min_id"))
+        .orderBy("severity", "n_rows", "min_id")
+    )
+
+
+# --------------------------------------------- OP-JOIN-ENRICH (cve ↔ cwe)
+@REG.add(
+    "cwe_enrich",
+    f"""
+    WITH nvd AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 4 = 3 THEN 0.0
+                    ELSE (o_orderkey % 101) / 10.0 END AS base
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey
+              LIMIT {landing.NVD_LIMIT})
+    ),
+    refs AS (
+        SELECT 'CVE-2020-' || CAST(k AS VARCHAR) AS id,
+               CAST(k % 25 AS VARCHAR) AS cwe_id, base
+        FROM nvd
+        UNION ALL
+        SELECT 'CVE-2020-' || CAST(k AS VARCHAR),
+               CAST(k % 5 AS VARCHAR), base
+        FROM nvd WHERE k % 7 = 0
+    )
+    SELECT r.cwe_id AS cwe_id, n.n_name AS cwe_name,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT r.id) AS BIGINT) AS n_cves,
+           min(r.base) AS min_base, max(r.base) AS max_base
+    FROM refs r JOIN nation n ON CAST(n.n_nationkey AS VARCHAR) = r.cwe_id
+    GROUP BY 1, 2
+    ORDER BY cwe_id, cwe_name, n_refs, n_cves, min_base, max_base
+    """,
+    doc="OP-JOIN-ENRICH, reference-shaped: the parsed CWE catalog "
+    "dimension (SRC-9, cwe_handler.py:114 key_field='ID') broadcast-joined "
+    "against the nvd weaknesses[].description[].value CWE refs — the "
+    "cve.nvd.weaknesses ↔ cwe.ID enrichment the prioritizer consumes. "
+    "Per-CWE: ref count, distinct CVEs (exact count-distinct), min/max "
+    "presence-gated CVSS base (OP-AGG-MIN/MAX). The CWE dimension is "
+    "thousands of rows at ANY corpus scale — the canonical broadcast "
+    "side, pinned as BroadcastHashJoin in tests/test_plans.py.",
+)
+def cwe_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scoring import cvss_base_score
+    from ..sources.formats import normalize_nvd, read_nvd_json
+
+    nvd = normalize_nvd(read_nvd_json(spark, landing.gen_nvd_pages(sf_dir)))
+    cwe = read_cwe_xml(spark, landing.gen_cwe_xml(sf_dir))
+    refs = (
+        nvd.select(
+            "id",
+            cvss_base_score(F.col("nvd")).alias("base"),
+            F.explode("nvd.weaknesses").alias("w"),
+        )
+        .select("id", "base", F.explode("w.description").alias("d"))
+        .select(
+            "id",
+            "base",
+            F.regexp_extract("d.value", r"CWE-([0-9]+)", 1).alias("cwe_id"),
+        )
+    )
+    dim = cwe.select(
+        F.col("ID").alias("cwe_dim_id"), F.col("Name").alias("cwe_name")
+    )
+    return (
+        refs.join(F.broadcast(dim), refs["cwe_id"] == dim["cwe_dim_id"])
+        .groupBy("cwe_id", "cwe_name")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("id").alias("n_cves"),
+            F.min("base").alias("min_base"),
+            F.max("base").alias("max_base"),
+        )
+        .orderBy("cwe_id", "cwe_name", "n_refs", "n_cves", "min_base", "max_base")
+    )
 
 
 # ------------------------------------------------------------ SRC-5

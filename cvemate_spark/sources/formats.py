@@ -41,6 +41,32 @@ def read_nvd_json(spark: SparkSession, path: str, schema: T.StructType | None = 
     return pages.select(F.explode("vulnerabilities").alias("v")).select("v.*")
 
 
+# ----------------------------------------------------------- SRC-2 RedHat
+def read_redhat_json(spark: SparkSession, path: str) -> DataFrame:
+    """RedHat hydra securitydata landing pages: the same paginated
+    {vulnerabilities: [...]} envelope as NVD (redhat_handler.py:92-96
+    reads `data.get('vulnerabilities', [])`), one row per record.
+    Pagination (resultsPerPage/startIndex), rate-limiting and retry are
+    ingestion-side in the reference (redhat_handler.py:62-90,
+    threads + ratelimit decorators) and stay outside the engine."""
+    pages = spark.read.json(path)
+    return pages.select(F.explode("vulnerabilities").alias("v")).select("v.*")
+
+
+def normalize_redhat(raw: DataFrame) -> DataFrame:
+    """RedHat page record → {id, redhat}.
+
+    Mirrors redhat_handler.py:92-101: each vulnerability's `cve` dict
+    is the stored payload, keyed by its id. The incremental window
+    (lastModStartDate/lastModEndDate, redhat_handler.py:141-168) is a
+    request parameter upstream; its engine-side analog is the standard
+    watermark predicate (streaming/state.py::incremental_filter).
+    """
+    return raw.select(
+        F.col("cve.id").alias("id"), F.col("cve").alias("redhat")
+    ).filter(F.col("id").isNotNull())
+
+
 # ----------------------------------------------------------- SRC-5 ExploitDB
 def normalize_exploitdb(raw: DataFrame) -> DataFrame:
     """ExploitDB CSV → one row per (CVE code) with exploit payload.

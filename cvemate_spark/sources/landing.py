@@ -17,14 +17,16 @@ file generation is driver-side by nature, and file sizes are capped
 
 from __future__ import annotations
 
+import glob
 import gzip
+import hashlib
 import json
 import os
 import zipfile
 
 import pyarrow.parquet as pq
 
-LANDING_VERSION = 3
+LANDING_VERSION = 4
 SCRATCH = "/root/repo/.scratch"
 
 EPSS_LIMIT = 2000
@@ -39,9 +41,27 @@ EPSS_SCORE_DATE = "2026-03-15T12:00:00Z"
 DELTA_WATERMARK = "2026-03-14T12:00:00"
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source parquet tables.
+
+    The landing cache used to be existence-only, keyed by
+    LANDING_VERSION + sf-dir basename — so regenerated testdata (same
+    path, new contents) silently served stale landing files and
+    poisoned the oracle comparison. Keying the cache directory on
+    (LANDING_VERSION, every parquet's name/size/mtime) makes any
+    source change or generator bump produce a fresh directory; stale
+    ones are just dead weight in .scratch.
+    """
+    h = hashlib.md5(str(LANDING_VERSION).encode())
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def landing_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"{SCRATCH}/landing_v{LANDING_VERSION}_{tag}"
+    return f"{SCRATCH}/landing_{tag}_{_source_fingerprint(sf_dir)}"
 
 
 def _rows(sf_dir: str, table: str, cols: list[str], key: str, limit: int) -> list[dict]:
@@ -265,10 +285,55 @@ NVD_LIMIT = 600
 NVD_PAGES = 3
 
 
+def _nvd_metrics(k: int) -> dict:
+    """CVSS metric presence variants keyed by o_orderkey.
+
+    k%4 selects which metric version(s) are present; k%4==3 is the
+    tricky reference case (prioritizer_handler.py:30-36): V31 present
+    but its baseScore absent AND V30 present with a score — the
+    presence-gated selection must score this 0.0, never the V30 value.
+    Oracle arithmetic: base = CASE WHEN k%4=3 THEN 0.0 ELSE (k%101)/10.0 END.
+    """
+    scored = {"cvssData": {"baseScore": (k % 101) / 10.0}}
+    if k % 4 == 0:
+        return {"cvssMetricV31": [scored]}
+    if k % 4 == 1:
+        return {"cvssMetricV30": [scored]}
+    if k % 4 == 2:
+        return {"cvssMetricV2": [scored]}
+    return {"cvssMetricV31": [{"cvssData": {}}], "cvssMetricV30": [scored]}
+
+
+def _nvd_weaknesses(k: int) -> list[dict]:
+    """weaknesses[].description[].value CWE refs (real NVD nesting);
+    every 7th record carries a Secondary ref too (array fan-out)."""
+    w = [
+        {
+            "source": "nvd@nist.gov",
+            "type": "Primary",
+            "description": [{"lang": "en", "value": f"CWE-{k % 25}"}],
+        }
+    ]
+    if k % 7 == 0:
+        w.append(
+            {
+                "source": "secondary",
+                "type": "Secondary",
+                "description": [{"lang": "en", "value": f"CWE-{k % 5}"}],
+            }
+        )
+    return w
+
+
 def gen_nvd_pages(sf_dir: str) -> str:
     """NVD API page landing files: NVD_PAGES JSON files, each a
     {resultsPerPage, vulnerabilities: [{cve: {...}}]} page
-    (nvd_handler.py:99-115 shape). Returns the landing directory."""
+    (nvd_handler.py:99-115 shape). Records carry the metric-presence
+    variants and weaknesses[] CWE refs so the scoring and cwe-enrich
+    gates run on reference-shaped payloads. Ids share the CVE-2020-*
+    space with the KEV/Metasploit/RedHat landings so the wide
+    cve_pipeline merge has genuinely overlapping keys.
+    Returns the landing directory."""
     out_dir = f"{landing_dir(sf_dir)}/nvd_pages"
     marker = f"{out_dir}/.done"
     if _done(marker):
@@ -279,8 +344,10 @@ def gen_nvd_pages(sf_dir: str) -> str:
         vulns = [
             {
                 "cve": {
-                    "id": f"CVE-2018-{r['o_orderkey']}",
+                    "id": f"CVE-2020-{r['o_orderkey']}",
                     "vendor": r["o_orderstatus"],
+                    "metrics": _nvd_metrics(r["o_orderkey"]),
+                    "weaknesses": _nvd_weaknesses(r["o_orderkey"]),
                 }
             }
             for i, r in enumerate(rows)
@@ -288,6 +355,52 @@ def gen_nvd_pages(sf_dir: str) -> str:
         ]
         with open(f"{out_dir}/page-{p}.json", "w") as f:
             json.dump({"resultsPerPage": len(vulns), "vulnerabilities": vulns}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+REDHAT_LIMIT = 100
+REDHAT_PAGES = 2
+REDHAT_SEVERITIES = ["low", "moderate", "important", "critical"]
+
+
+def gen_redhat_pages(sf_dir: str) -> str:
+    """RedHat hydra securitydata page landing files (SRC-2 shape:
+    redhat_handler.py:62-101): REDHAT_PAGES JSON files, each
+    {totalResults, resultsPerPage, vulnerabilities: [{cve: {...}}]} —
+    the same paginated envelope as NVD but RedHat's own payload fields
+    (severity, public_date). Pagination/rate-limit/retry stay
+    ingestion-side exactly as in the reference (threads + ratelimit
+    there). Ids come from supplier keys in the shared CVE-2020-* space.
+    """
+    out_dir = f"{landing_dir(sf_dir)}/redhat_pages"
+    marker = f"{out_dir}/.done"
+    if _done(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = _rows(sf_dir, "supplier", ["s_suppkey"], "s_suppkey", REDHAT_LIMIT)
+    for p in range(REDHAT_PAGES):
+        vulns = [
+            {
+                "cve": {
+                    "id": f"CVE-2020-{r['s_suppkey']}",
+                    "severity": REDHAT_SEVERITIES[r["s_suppkey"] % 4],
+                    "public_date": f"2025-{r['s_suppkey'] % 12 + 1:02d}-01T00:00:00Z",
+                }
+            }
+            for i, r in enumerate(rows)
+            if i % REDHAT_PAGES == p
+        ]
+        with open(f"{out_dir}/page-{p}.json", "w") as f:
+            json.dump(
+                {
+                    "totalResults": len(rows),
+                    "resultsPerPage": len(vulns),
+                    "vulnerabilities": vulns,
+                },
+                f,
+            )
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

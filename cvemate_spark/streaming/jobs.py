@@ -42,13 +42,17 @@ def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     """File-source stream over the events parquet.
 
     The file source requires a directory, so the single parquet file
-    is staged (copied once) into a scratch dir keyed by sf_dir.
+    is staged (copied once) into a scratch dir keyed by the SOURCE
+    FILE's path+size+mtime — not the path alone, which would silently
+    serve a stale copy after the testdata is regenerated in place
+    (same staleness hole the landing cache had).
     """
     _ensure_session_confs(spark)
-    stage = (
-        f"{SCRATCH}/events_src_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-    )
+    st = os.stat(f"{sf_dir}/events.parquet")
+    stage_key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    stage = f"{SCRATCH}/events_src_{stage_key}"
     staged = f"{stage}/events.parquet"
     if not os.path.exists(staged):
         os.makedirs(stage, exist_ok=True)

@@ -62,6 +62,23 @@ class StatusStore:
         return self.source_last_update(source) != upstream_stamp
 
 
+def reload_or_delta(
+    last_update: datetime | None, delta_fetch_times: list[datetime]
+) -> str:
+    """ST-4: full-reload-vs-delta decision (cveorg_handler.py:119-156).
+
+    The reference downloads deltaLog.json, takes the OLDEST fetchTime
+    in it, and falls back to a full re-init when its watermark predates
+    that — the delta log no longer covers the gap since the last run.
+    Returns 'full' or 'delta'; 'full' also when there is no watermark
+    (first run, cveorg_handler.py:104-108) or the delta log is empty
+    (nothing proves coverage).
+    """
+    if last_update is None or not delta_fetch_times:
+        return "full"
+    return "full" if last_update < min(delta_fetch_times) else "delta"
+
+
 def watermark_window(
     store: StatusStore, source: str, now: datetime, lookback_hours: int = DEFAULT_LOOKBACK_HOURS
 ) -> tuple[datetime, datetime]:

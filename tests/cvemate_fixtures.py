@@ -169,6 +169,27 @@ def write_all(root: Path) -> dict[str, Path]:
     p.write_text(json.dumps(delta, sort_keys=True))
     paths["cveorg_delta"] = p
 
+    # B8 redhat hydra securitydata page (SRC-2 shape): NVD-like
+    # paginated envelope, RedHat-specific payload fields
+    rh = {
+        "totalResults": 3,
+        "resultsPerPage": 3,
+        "vulnerabilities": [
+            {
+                "cve": {
+                    "id": cve_id(i),
+                    "severity": sev,
+                    "public_date": "2024-01-01T00:00:00Z",
+                    "bugzilla": f"bz-{i}",
+                }
+            }
+            for i, sev in ((1, "important"), (5, "moderate"), (50, "critical"))
+        ],
+    }
+    p = root / "redhat_page.json"
+    p.write_text(json.dumps(rh, sort_keys=True))
+    paths["redhat"] = p
+
     # cveorg zip of per-CVE JSON files (SRC-3 shape)
     import zipfile
 

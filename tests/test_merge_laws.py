@@ -118,6 +118,23 @@ def test_keep_latest_merge_commutes(spark):
         assert {tuple(r) for r in df.collect()} == want
 
 
+def test_read_target_recovers_displaced_old(spark, tmp_path):
+    """write_atomic's swap is two renames with a documented crash
+    window (target displaced to .old-*, new dir not yet in place);
+    read_target must recover the displaced table instead of reporting
+    no table at all."""
+    import os
+
+    from cvemate_spark.operators.merge import read_target, write_atomic
+
+    path = str(tmp_path / "cve_table")
+    write_atomic(spark.range(5).toDF("id"), path)
+    os.rename(path, path + ".old-deadbeef")  # crash between the renames
+    got = read_target(spark, path)
+    assert got is not None and got.count() == 5
+    assert read_target(spark, str(tmp_path / "never_written")) is None
+
+
 def test_merge_many_equals_fold(spark):
     from cvemate_spark.operators.merge import merge_many
 

@@ -101,6 +101,17 @@ def test_merge_is_single_shuffle_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cwe_enrich_broadcasts_dimension(spark):
+    """The reference-shaped cve↔cwe enrichment: the parsed CWE catalog
+    is a bounded dimension (thousands of rows at any corpus scale), so
+    the weakness-refs join must be a BroadcastHashJoin — never a
+    shuffle of the full refs side."""
+    plan = plan_of(spark, "cwe_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_verify_has_no_forced_broadcast(spark):
     """The per-doc `sizes` relation in the Jaccard verify is one row
     per document — billions of rows at 100 TB. A broadcast *hint* on it

@@ -30,6 +30,17 @@ def test_epss_read_and_normalize(spark, fixture_dir):
     assert meta["score_date"] == "2025-08-12T00:00:00Z"
 
 
+def test_redhat_normalize(spark, fixture_dir):
+    raw = formats.read_redhat_json(spark, str(fixture_dir / "redhat_page.json"))
+    out = formats.normalize_redhat(raw)
+    rows = {r["id"]: r["redhat"] for r in out.collect()}
+    assert len(rows) == 3
+    assert rows["CVE-2024-00001"]["severity"] == "important"
+    assert rows["CVE-2024-00050"]["severity"] == "critical"
+    # payload keyed + nested under its source name, like every feed
+    assert out.columns == ["id", "redhat"]
+
+
 def test_exploitdb_normalize(spark, fixture_dir):
     raw = spark.read.csv(str(fixture_dir / "files_exploits.csv"), header=True)
     out = formats.normalize_exploitdb(raw).collect()

@@ -9,10 +9,28 @@ from pyspark.sql import Row
 from cvemate_spark.streaming.state import (
     StatusStore,
     incremental_filter,
+    reload_or_delta,
     watermark_window,
 )
 
 NOW = datetime(2024, 1, 10, tzinfo=timezone.utc)
+
+
+def test_reload_or_delta_decision():
+    """ST-4 (cveorg_handler.py:119-156): full re-init when the
+    watermark predates the oldest delta entry, delta otherwise; full on
+    first run or an empty delta log."""
+    older, oldest, newer = (
+        NOW - timedelta(days=5),
+        NOW - timedelta(days=3),
+        NOW - timedelta(days=1),
+    )
+    fetch_times = [newer, oldest]  # unordered, min() must find oldest
+    assert reload_or_delta(older, fetch_times) == "full"  # gap: log too short
+    assert reload_or_delta(NOW - timedelta(days=2), fetch_times) == "delta"
+    assert reload_or_delta(oldest, fetch_times) == "delta"  # boundary: covered
+    assert reload_or_delta(None, fetch_times) == "full"  # first run
+    assert reload_or_delta(newer, []) == "full"  # empty log proves nothing
 
 
 def test_status_store_roundtrip(tmp_path):
