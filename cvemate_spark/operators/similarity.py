@@ -230,8 +230,15 @@ def neardup_pairs_topk(
             # deterministic truncation: ties at the k-th cosine must not
             # keep arbitrary pairs (argpartition alone would), or results
             # diverge from the totally-ordered oracle whenever a tie
-            # crosses the boundary. lexsort's LAST key is primary:
-            # (-cos, d1, d2) — numpy C-speed, m·log m on a block pair.
+            # crosses the boundary. O(m) selection first: find the k-th
+            # largest cosine, keep EVERYTHING >= it (so every boundary
+            # tie survives selection), then totally order just that
+            # sliver by (-cos, d1, d2) — lexsort's LAST key is primary —
+            # and cut at k. A full m·log m lexsort here cost ~2.5 s on
+            # the sf0.1 bench; this is selection-speed again.
+            kth = -np.partition(-c, k - 1)[k - 1]
+            keep = c >= kth
+            d1, d2, c = d1[keep], d2[keep], c[keep]
             order = np.lexsort((d2, d1, -c))[:k]
             d1, d2, c = d1[order], d2[order], c[order]
         return pd.DataFrame({"d1": d1, "d2": d2, "cos": c})
