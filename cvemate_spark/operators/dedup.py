@@ -321,6 +321,100 @@ def simhash_pairs_oracle(max_hamming: int = 1) -> str:
     """
 
 
+# ------------------------------------------- connected components
+def dedup_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, component).
+
+    A near-dup pipeline's last step is grouping pairwise matches into
+    clusters and electing a canonical document per cluster. This is
+    connected components, computed GraphX-style as iterative min-label
+    propagation: every node starts labeled with its own id; each round
+    every node takes the min of its label and its neighbors' labels;
+    at fixpoint the label is the minimum doc_id of the component —
+    which is also the canonical-survivor choice ("keep the smallest
+    id").
+
+    Spark shape per iteration: one equi-join (edges ⋈ labels on the
+    neighbor key) + one groupBy(node) min — two shuffles over the
+    EDGE relation, which is the near-dup pair set, orders of magnitude
+    smaller than the corpus. Iteration count is the cluster diameter
+    (near-dup clusters are shallow; `max_iter` is a documented safety
+    cap, convergence is detected with a driver-side emptiness probe —
+    the standard iterative-algorithm control flow, the only
+    driver-side action in the loop). `localCheckpoint` truncates the
+    growing lineage each round so the plan does not deepen per
+    iteration.
+    """
+    fwd = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # materialize the per-node neighbor min ONCE per round: the
+        # convergence probe and the label update both read it, and
+        # recomputing the edge join for each would double every round
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_min"))
+            .localCheckpoint()
+        )
+        improved = (
+            labels.join(nbr, labels["node"] == nbr["a"])
+            .filter(F.col("nbr_min") < F.col("comp"))
+        )
+        if improved.limit(1).count() == 0:  # fixpoint reached
+            break
+        labels = (
+            labels.alias("l")
+            .join(nbr.alias("n"), F.col("l.node") == F.col("n.a"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.comp"),
+                    F.coalesce(F.col("n.nbr_min"), F.col("l.comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def dedup_components_oracle(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE oracle for dedup_components.
+
+    `pairs_sql` must select (d1, d2). The recursive part enumerates
+    every (node, reachable component seed) and min-reduces — exact
+    transitive closure, independent of the Spark loop's iteration
+    schedule, so it also proves the propagation CONVERGED (an
+    un-converged label would mismatch the true component min).
+    """
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp
+        FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component
+    FROM reach GROUP BY node
+    ORDER BY doc_id, component
+    """
+
+
 # --------------------------------------------------- ngram jaccard
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.3, df_cap: int | None = None

@@ -36,6 +36,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=1).orderBy("d1", "d2", "hamming")
 
 
+@REG.add(
+    "dedup_components",
+    dedup.dedup_components_oracle(dedup.simhash_pairs_oracle(max_hamming=2)),
+    doc="Duplicate clustering: connected components over simhash "
+    "near-dup pairs (hamming <= 2) via iterative min-label propagation "
+    "— the GraphX-CC shape, two edge-relation shuffles per round, "
+    "convergence probed driver-side. The component id is min(doc_id) = "
+    "the canonical survivor. Oracle is an exact recursive-CTE "
+    "transitive closure, so a hash match also proves the propagation "
+    "converged.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=2)
+    return dedup.dedup_components(pairs).orderBy("doc_id", "component")
+
+
 NGRAM_DF_CAP = 200  # hot-shingle document-frequency cap (see dedup.py)
 
 

@@ -76,6 +76,19 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert {(r["d1"], r["d2"]) for r in still} == uncapped
 
 
+def test_dedup_components_multi_hop(spark):
+    """Min-label propagation must cross multiple hops (a 4-node path
+    needs 3 rounds) and keep disjoint clusters apart; the component id
+    is the cluster's min doc_id (the canonical survivor)."""
+    from cvemate_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [Row(d1=1, d2=2), Row(d1=2, d2=3), Row(d1=3, d2=4), Row(d1=10, d2=11)]
+    )
+    got = {r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_identical_docs_collide(spark):
     docs = spark.createDataFrame(
         [
