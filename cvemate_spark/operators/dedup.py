@@ -415,6 +415,38 @@ def dedup_components_oracle(pairs_sql: str) -> str:
     """
 
 
+def dedup_canonical_oracle(pairs_sql: str) -> str:
+    """DuckDB oracle for the composed fuzzy-dedup pass: recursive-CTE
+    components over `pairs_sql` (selecting d1, d2), canonical survivor
+    = component min, unpaired documents survive as singletons; output
+    is per-source corpus shrinkage (docs kept / tokens kept)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp
+        FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+                         THEN len(string_split(d.text, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    ORDER BY source, n_docs, n_kept, kept_tokens
+    """
+
+
 # --------------------------------------------------- ngram jaccard
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.3, df_cap: int | None = None

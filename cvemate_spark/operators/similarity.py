@@ -310,6 +310,45 @@ def lsh_signature_expr(engine: str) -> str:
     return " + ".join(bits)
 
 
+def lsh_topk_batch(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Batched multi-probe LSH ANN: N query vectors served in ONE plan.
+
+    Mirror of `ivf_topk_batch` for the signature-bucketed path: the
+    queries are a relation; each explodes into its own bucket plus the
+    8 Hamming-1 neighbor signatures (9·|Q| probe rows — grows with the
+    query batch, never with the data), and the data side flows through
+    one equi-join on the bit-packed signature. Per-query top-k via a
+    window rank on (q_id). No broadcast hint on the probe relation —
+    it is small per batch but unbounded across batches, so AQE decides
+    (same rule as the dedup sizes joins). At 100 TB the signature is a
+    write-time partition key and the probe join prunes partitions.
+
+    Returns (q_id, vec_id) per-query top-k, self-matches included.
+    """
+    sigs = embeddings.withColumn("sig", F.expr(lsh_signature_expr("spark")))
+    queries = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("qsig"),
+    )
+    masks = [0] + [1 << i for i in range(len(HYPERPLANES))]
+    probes = queries.select(
+        "q_id",
+        "q_emb",
+        F.explode(F.array(*[F.expr(f"qsig ^ {m}") for m in masks])).alias("p"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sigs.join(probes, F.col("sig") == F.col("p"))
+        .select("q_id", "vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Signed-random-projection LSH ANN: bucket by sign signature,
     multi-probe the query bucket plus its 8 Hamming-1 neighbors, scan

@@ -58,9 +58,13 @@ DRIVER_GATE: tuple[str, ...] = (
     # §2.9-2.11 streaming
     "s1_tumbling", "s2_sliding", "s3_merge_replay", "s4_session",
     "s5_stateful",
-    # LLM-pipeline: dedup, similarity, text, multimodal
+    # LLM-pipeline: dedup, similarity, text, multimodal. (ann_ivf — the
+    # single-query special case of ann_ivf_batch — ceded its slot to
+    # dedup_components, the clustering stage of the dedup pipeline; it
+    # stays locally gated.)
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "q26", "ann_ivf", "ann_ivf_batch", "ann_lsh", "emb_neardup",
+    "dedup_components",
+    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup",
     "t_langid", "t_quality", "t_tokens", "t_fingerprint",
     "curate_pipeline",
     "mm_features", "mm_frames",

@@ -53,6 +53,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(pairs).orderBy("doc_id", "component")
 
 
+@REG.add(
+    "dedup_canonical",
+    dedup.dedup_canonical_oracle(dedup.simhash_pairs_oracle(max_hamming=2)),
+    doc="The composed fuzzy-dedup pass a curation pipeline actually runs: "
+    "simhash near-dup pairs (hamming <= 2) -> connected components -> "
+    "keep the canonical survivor (min doc_id; unpaired docs survive as "
+    "singletons) -> per-source corpus shrinkage (docs/tokens kept). The "
+    "pair set and component relation are near-dup-density-sized, so the "
+    "only corpus-wide work is one scan and the final left join on "
+    "doc_id.",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=2)
+    comp = dedup.dedup_components(pairs)
+    kept = F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select("source", kept.alias("kept"), n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source", "n_docs", "n_kept", "kept_tokens")
+    )
+
+
 NGRAM_DF_CAP = 200  # hot-shingle document-frequency cap (see dedup.py)
 
 

@@ -172,6 +172,53 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _ann_lsh_batch_oracle() -> str:
+    from ..operators.similarity import lsh_signature_expr
+
+    sig = lsh_signature_expr("duck")
+    cos = duck_cosine("s.embedding", "pr.q_emb")
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(8)])
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, sig AS qsig, embedding AS q_emb
+        FROM sigs WHERE vec_id < 8
+    ),
+    probes AS (
+        SELECT q_id, q_emb, xor(qsig, m) AS p
+        FROM q, unnest([{masks}]) AS t(m)
+    ),
+    scored AS (
+        SELECT pr.q_id, s.vec_id,
+               row_number() OVER (
+                   PARTITION BY pr.q_id
+                   ORDER BY {cos} DESC, s.vec_id ASC) AS rn
+        FROM sigs s JOIN probes pr ON s.sig = pr.p
+    )
+    SELECT q_id, vec_id FROM scored WHERE rn <= 10
+    ORDER BY q_id, vec_id
+    """
+
+
+@REG.add(
+    "ann_lsh_batch",
+    _ann_lsh_batch_oracle(),
+    tags=("id-set",),
+    doc="Batched multi-probe LSH ANN: 8 query vectors as a relation, each "
+    "probing its bucket + 8 Hamming-1 neighbors; data joined once on the "
+    "bit-packed signature, per-query top-10 via window. The batch form of "
+    "ann_lsh — adding queries grows the probe relation, never re-runs the "
+    "plan.",
+)
+def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_batch(emb, n_queries=8, k=10).orderBy("q_id", "vec_id")
+
+
 @REG.add(
     "ann_lsh",
     _ann_lsh_oracle(),

@@ -105,6 +105,22 @@ def s4_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s6_dedup",
+    """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc="S6: streaming dedup — dropDuplicates((user_id, event_type)) with "
+    "state-store backing under availableNow == batch DISTINCT over the "
+    "keys. The watermark-bounded production variant "
+    "(dropDuplicatesWithinWatermark) is covered in tests/test_state.py.",
+)
+def s6_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_dedup(spark, sf_dir).orderBy("user_id", "event_type")
+
+
+@REG.add(
     "s5_stateful",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

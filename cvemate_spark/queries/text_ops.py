@@ -17,6 +17,8 @@ REG = Registry()
 
 _STOPS = stopword_in_list_sql()
 
+PACK_BUDGET = 512  # tokens per packed training sequence (t_pack)
+
 
 # ---------------------------------------------------------------- Q24
 @REG.add(
@@ -212,6 +214,145 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.expr(spark_str_hash("text")).alias("fp")
     ).orderBy("doc_id", "fp")
+
+
+# ------------------------------------------------------ t_split
+@REG.add(
+    "t_split",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM (
+        SELECT text,
+               CASE WHEN {duck_str_hash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                         THEN 'train'
+                    WHEN {duck_str_hash("CAST(doc_id AS VARCHAR)")} % 100 < 95
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split
+    ORDER BY split, n_docs, total_tokens
+    """,
+    doc="Deterministic train/val/test split (90/5/5): assignment is "
+    "hash(doc_id) mod 100 — stable across runs, engines and cluster "
+    "sizes, never a random() sample (which is neither reproducible nor "
+    "consistent between a 32-core and a 1000-executor run). Pure "
+    "codegen; at 100 TB the split column is computed in the scan "
+    "projection and can be a write-time partition key.",
+)
+def t_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"{spark_str_hash('cast(doc_id as string)')} % 100")
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "n_docs", "total_tokens")
+    )
+
+
+# ------------------------------------------------------ t_pack
+@REG.add(
+    "t_pack",
+    f"""
+    SELECT lang, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT lang, n_tok,
+               CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS bin
+        FROM (
+            SELECT lang, len(string_split(text, ' ')) AS n_tok,
+                   sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents
+        )
+    )
+    GROUP BY lang, bin
+    ORDER BY lang, bin, n_docs, n_tokens
+    """,
+    doc="Sequence packing (concat-and-chunk): documents are concatenated "
+    "in doc_id order within each language shard and cut into "
+    f"{PACK_BUDGET}-token training sequences; a document's bin is its "
+    "start-offset div budget (running-sum window), so packing is one "
+    "window + one agg — no per-row Python. Scale note: the window "
+    "partitions by shard (lang here; any bounded shard key in "
+    "production), so no global-order single-partition bottleneck.",
+)
+def t_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sized = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    binned = sized.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(PACK_BUDGET))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "bin", "n_docs", "n_tokens")
+    )
+
+
+# ------------------------------------------------------ t_redact
+@REG.add(
+    "t_redact",
+    """
+    SELECT event_id,
+           regexp_replace(line, '[0-9]+', '[NUM]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(line, '[0-9]+')) AS BIGINT) AS n_redacted
+    FROM (
+        SELECT event_id,
+               'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type
+                   || ' props=' || props AS line
+        FROM events
+    )
+    ORDER BY event_id, redacted, n_redacted
+    """,
+    doc="PII-style regex redaction: rebuild a log line per event, replace "
+    "every digit run with a [NUM] placeholder and count redactions — the "
+    "scrubbing pass a training pipeline runs before text leaves the "
+    "enclave. JVM regexp_replace/regexp_extract_all in the scan "
+    "projection (one map stage, no shuffle); production swaps in the "
+    "email/phone/ssn pattern alternation, same plan shape. DuckDB's "
+    "regexp_replace needs the 'g' flag to match Spark's replace-all.",
+)
+def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("user="),
+        F.col("user_id").cast("string"),
+        F.lit(" type="),
+        F.col("event_type"),
+        F.lit(" props="),
+        F.col("props"),
+    )
+    lined = ev.select("event_id", line.alias("line"))
+    return lined.select(
+        "event_id",
+        F.regexp_replace("line", "[0-9]+", "[NUM]").alias("redacted"),
+        F.size(F.expr("regexp_extract_all(line, '[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_redacted"),
+    ).orderBy("event_id", "redacted", "n_redacted")
 
 
 # ------------------------------------------------------ curation pipeline

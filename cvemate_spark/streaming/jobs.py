@@ -122,7 +122,10 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     The merge is commutative, so any batch order converges to Q20.
     """
     _ensure_session_confs(spark)
-    run_dir = f"{SCRATCH}/s3"
+    # pid-keyed run dir: a concurrent oracle check and pytest run must
+    # not race on the same chunk/target/checkpoint paths (observed as a
+    # transient mismatch when both ran at once)
+    run_dir = f"{SCRATCH}/s3_{os.getpid()}"
     in_dir, target, ckpt = f"{run_dir}/in", f"{run_dir}/target", f"{run_dir}/ckpt"
     shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(in_dir)
@@ -166,6 +169,36 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: streaming deduplication — dropDuplicates on the key columns
+    with state-store backing, the streaming form of the exact-dedup
+    operator (first arrival per key wins; we emit only the keys, so the
+    hermetic availableNow result equals batch DISTINCT regardless of
+    partition arrival order).
+
+    Scale note: unbounded dropDuplicates keeps every key in the state
+    store forever. The production form for event streams is
+    dropDuplicatesWithinWatermark (state evicted once the watermark
+    passes each key's event time — bounded by the late-data horizon,
+    not the key cardinality); covered in tests/test_state.py since its
+    output depends on arrival order when a key recurs beyond the
+    watermark, which a batch oracle can't pin.
+    """
+    ev = _events_stream(spark, sf_dir)
+    dd = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s6_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("s6_sink")
 
 
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

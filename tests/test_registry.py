@@ -16,7 +16,8 @@ CRITICAL = (
     "s1_tumbling", "s2_sliding", "s3_merge_replay", "s4_session", "s5_stateful",
     "t_langid", "t_quality", "t_tokens", "t_fingerprint", "curate_pipeline",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "q26", "ann_ivf", "ann_ivf_batch", "ann_lsh", "emb_neardup",
+    "dedup_components",
+    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup",
     "cve_pipeline", "cwe_enrich", "mm_features", "mm_frames",
 )
 

@@ -38,3 +38,42 @@ def test_s3_replay_order_invariant(spark):
     three = _rows(jobs.replay_merge(spark, SF, n_chunks=3))
     batch = _rows(REGISTRY.specs["q20"].builder(spark, SF))
     assert two == three == batch
+
+
+def test_s6_stream_dedup_equals_distinct(spark):
+    got = _rows(jobs.stream_dedup(spark, SF))
+    from cvemate_spark.tables import load_table
+
+    expect = _rows(
+        load_table(spark, SF, "events").select("user_id", "event_type").distinct()
+    )
+    assert got == expect
+
+
+def test_dedup_within_watermark_bounded_state(spark):
+    """The production streaming-dedup form: dropDuplicatesWithinWatermark
+    holds each key only until the watermark passes its event time. With
+    a delay horizon covering the whole input, no state is evicted
+    mid-run, so the emitted key set still equals batch DISTINCT — while
+    the operator's state bound is the late-data horizon, not the key
+    cardinality (the property that makes it the 100 TB form)."""
+    ev = jobs._events_stream(spark, SF)
+    dd = ev.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dd.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s6_wm_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("s6_wm_sink").distinct().collect())
+    from cvemate_spark.tables import load_table
+
+    expect = _rows(
+        load_table(spark, SF, "events").select("user_id", "event_type").distinct()
+    )
+    assert got == expect
