@@ -121,6 +121,28 @@ def s6_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s7_join",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+    doc="S7: watermarked stream-stream inner join (click -> purchase "
+    "attribution within 1 hour per user) under availableNow == the batch "
+    "time-range join. The two-sided watermark + time-bounded predicate "
+    "keeps the join state bounded by the horizon, not the stream length.",
+)
+def s7_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_stream_join(spark, sf_dir).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+@REG.add(
     "s5_stateful",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

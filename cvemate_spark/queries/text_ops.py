@@ -355,6 +355,98 @@ def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "redacted", "n_redacted")
 
 
+# ------------------------------------------------------ t_sample
+@REG.add(
+    "t_sample",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {duck_str_hash("CAST(doc_id AS VARCHAR)")} % 1000
+                              < 100 + 45 * (CAST(substring(source, 4) AS INT) % 10)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents
+    GROUP BY source
+    ORDER BY source, n_total, n_kept
+    """,
+    doc="Stratified deterministic sampling (data mixing): each source "
+    "stratum keeps a different fraction of its documents — the rate here "
+    "derives from the source id (100-505 permille) standing in for a "
+    "mixing-weight table — selected by hash(doc_id) mod 1000 against the "
+    "stratum's permille rate. Hash selection makes the mix reproducible "
+    "and cluster-size-independent (a random() sample is neither), and "
+    "composes with t_split: disjoint hash functions, independent draws. "
+    "One scan, one agg; the kept set is a filter in the same scan when "
+    "materializing.",
+)
+def t_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"{spark_str_hash('cast(doc_id as string)')} % 1000")
+    rate = 100 + 45 * (F.substring("source", 4, 10).cast("int") % 10)
+    return (
+        docs.select("source", (bucket < rate).cast("int").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source", "n_total", "n_kept")
+    )
+
+
+# ------------------------------------------------------ t_novelty
+@REG.add(
+    "t_novelty",
+    """
+    WITH bi AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1]))) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    df AS (SELECT bigram, count(*) AS df FROM bi GROUP BY bigram)
+    SELECT bi.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((sum(df.df) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0
+               AS avg_bigram_df
+    FROM bi JOIN df ON bi.bigram = df.bigram
+    GROUP BY bi.doc_id
+    ORDER BY doc_id, n_bigrams, avg_bigram_df
+    """,
+    doc="Corpus-statistics novelty scoring (the integer-exact stand-in for "
+    "bigram-LM perplexity): per-document mean document-frequency of its "
+    "distinct bigrams. Low = unusual/novel text, high = boilerplate — the "
+    "repetition/novelty quality signal a curation pass thresholds on. Two "
+    "shuffles (global bigram df agg, per-doc agg) + one equi-join on "
+    "bigram, all corpus-side work linear in token count; the score "
+    "arithmetic is exact BIGINT sums with a single portable-rounded "
+    "division at the end (transcendental log-prob sums are deliberately "
+    "avoided — double addition is order-sensitive across engines).",
+)
+def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard 1-token docs (duck's
+    # end-exclusive range is empty there, same as the shingle guard)
+    arr = F.when(F.size(toks) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    bi = docs.select("doc_id", F.explode(F.array_distinct(arr)).alias("bigram"))
+    df_rel = bi.groupBy("bigram").agg(F.count("*").alias("df"))
+    avg = F.sum("df") * 1.0 / F.count("*")
+    return (
+        bi.join(df_rel, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.floor(avg * 10000 + F.lit(0.5)) / 10000.0).alias("avg_bigram_df"),
+        )
+        .orderBy("doc_id", "n_bigrams", "avg_bigram_df")
+    )
+
+
 # ------------------------------------------------------ curation pipeline
 @REG.add(
     "curate_pipeline",
