@@ -147,6 +147,93 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
     return _verify_jaccard(candidates, shingles, jaccard_threshold)
 
 
+def minhash_pairs_incremental(
+    docs: DataFrame, batch_mod: int = 10, jaccard_threshold: float = 0.3
+) -> DataFrame:
+    """Incremental near-dup: a NEW batch checked against the corpus
+    index, never corpus × corpus.
+
+    The steady-state shape at 100 TB: the corpus's band signatures are
+    a persisted index (computed once at ingest, partitioned by (band,
+    sig)); deduplicating an arriving batch is shingle+sign the batch
+    only, then ONE equi-join of batch signatures against the index —
+    per-batch cost is O(|batch| + matches), not O(corpus²), and the
+    full self-join never reruns. Here both sides' signatures come from
+    one pass over `docs` (there is no persisted state in the harness);
+    the batch is docs with doc_id % batch_mod == 0, the index is the
+    rest, and the join carries no d1<d2 constraint because the sides
+    are disjoint by construction.
+
+    Returns (batch_doc, index_doc, jaccard >= threshold).
+    """
+    shingles = doc_shingles(docs).persist()
+    sigs = minhash_signatures(shingles).persist()
+    band_exprs = band_signature_exprs("spark")
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias("band", "sig"),
+    )
+    new_b = banded.filter(F.col("doc_id") % batch_mod == 0).select(
+        F.col("doc_id").alias("d1"), F.col("band").alias("b1"), F.col("sig").alias("s1")
+    )
+    idx_b = banded.filter(F.col("doc_id") % batch_mod != 0).select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("b2"), F.col("sig").alias("s2")
+    )
+    candidates = (
+        new_b.join(
+            idx_b,
+            (F.col("b1") == F.col("b2")) & (F.col("s1") == F.col("s2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _verify_jaccard(candidates, shingles, jaccard_threshold).select(
+        F.col("d1").alias("batch_doc"),
+        F.col("d2").alias("index_doc"),
+        "jaccard",
+    )
+
+
+def minhash_pairs_incremental_oracle(
+    batch_mod: int = 10, jaccard_threshold: float = 0.3
+) -> str:
+    mh_cols = ", ".join(
+        f"min((CAST({a} AS BIGINT) * (h % {PRIME}) + {b}) % {PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, {expr} AS sig FROM sigs"
+        for band, expr in enumerate(band_signature_exprs("duck"))
+    )
+    return f"""
+    WITH {_duck_shingles_cte()},
+    hashed AS (SELECT doc_id, {duck_str_hash('shingle')} AS h FROM shingles),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig
+         AND l.doc_id % {batch_mod} = 0 AND r.doc_id % {batch_mod} != 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT c.d1, c.d2, count(*) AS c
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.d1
+        JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    )
+    SELECT common.d1 AS batch_doc, common.d2 AS index_doc,
+           ROUND(common.c * 1.0 / (sa.n + sb.n - common.c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.d1
+    JOIN sizes sb ON sb.doc_id = common.d2
+    WHERE common.c * 1.0 / (sa.n + sb.n - common.c) >= {jaccard_threshold}
+    ORDER BY batch_doc, index_doc, jaccard
+    """
+
+
 def _verify_jaccard(
     candidates: DataFrame, shingles: DataFrame, threshold: float
 ) -> DataFrame:

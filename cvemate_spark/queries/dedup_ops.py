@@ -54,6 +54,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "dedup_incremental",
+    dedup.minhash_pairs_incremental_oracle(batch_mod=10, jaccard_threshold=0.3),
+    doc="Incremental MinHash dedup: an arriving batch (doc_id % 10 == 0) "
+    "band-joined against the corpus index (the rest) — the steady-state "
+    "100 TB shape where the corpus signatures are a persisted write-time "
+    "index and per-batch cost is O(|batch| + matches), never corpus x "
+    "corpus recompute.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_pairs_incremental(
+        docs, batch_mod=10, jaccard_threshold=0.3
+    ).orderBy("batch_doc", "index_doc", "jaccard")
+
+
+@REG.add(
     "dedup_canonical",
     dedup.dedup_canonical_oracle(dedup.simhash_pairs_oracle(max_hamming=2)),
     doc="The composed fuzzy-dedup pass a curation pipeline actually runs: "

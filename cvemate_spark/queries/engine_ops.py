@@ -266,3 +266,88 @@ def e_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("cnt"))
         .orderBy("event_type", "cnt")
     )
+
+
+# ------------------------------------------------------------ pivot
+@REG.add(
+    "e_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id, n_click, n_error, n_purchase, n_signup, n_view
+    """,
+    doc="Pivot: per-user event counts spread into one column per event "
+    "type. The value list is DECLARED (pivot(col, values)) — without it "
+    "Spark must run an extra distinct-collect job to discover the "
+    "columns before planning, a hidden corpus scan at 100 TB. With the "
+    "list supplied the whole pivot is one hash aggregation of "
+    "conditional partials (exactly the oracle's SUM(CASE) form).",
+)
+def e_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+    return out.orderBy("user_id", *[f"n_{t}" for t in types])
+
+
+# ------------------------------------------------------------ unpivot
+@REG.add(
+    "e_unpivot",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS view
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, metric, CAST(v AS DOUBLE) AS amount
+    FROM (
+        SELECT user_id, 'click' AS metric, click AS v FROM wide
+        UNION ALL
+        SELECT user_id, 'view' AS metric, view AS v FROM wide
+    )
+    ORDER BY user_id, metric, amount
+    """,
+    doc="Unpivot (melt): a wide per-user metric table folded back to long "
+    "(user_id, metric, amount) rows via the native unpivot operator "
+    "(Spark's Expand node: each input row fans out row-locally, no "
+    "shuffle and no UDF — the same physical shape as explode). Money "
+    "sums ride as DECIMAL(18,2) for cross-engine exactness.",
+)
+def e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("click"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("view"),
+    )
+    long = wide.unpivot("user_id", ["click", "view"], "metric", "amount")
+    return long.select(
+        "user_id", "metric", F.col("amount").cast("double").alias("amount")
+    ).orderBy("user_id", "metric", "amount")

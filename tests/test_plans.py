@@ -75,6 +75,29 @@ def test_no_python_udf_in_sql_hot_paths(spark):
             assert_no_pathological_join(plan, name)
 
 
+def test_new_pipeline_ops_stay_jvm_side(spark):
+    """The round-2 training-pipeline surface (split/sample/pack/redact/
+    novelty, incremental dedup, batched ANN, pivot) is pure codegen —
+    no Python eval, no cartesian blow-up anywhere."""
+    for name in ("t_split", "t_sample", "t_pack", "t_redact", "t_novelty",
+                 "dedup_incremental", "ann_lsh_batch", "e_pivot", "e_unpivot"):
+        plan = plan_of(spark, name)
+        assert_jvm_only(plan, name)
+        assert_no_pathological_join(plan, name)
+
+
+def test_pivot_declared_values_single_aggregate(spark):
+    """pivot(col, values) with the value list DECLARED: one aggregate
+    pass, no hidden distinct-discovery job (which would be an extra
+    corpus scan at 100 TB)."""
+    import re
+
+    plan = plan_of(spark, "e_pivot")
+    # formatted mode prints each node twice (tree + detail); count the
+    # detail headers
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
 def test_arrow_stages_where_declared(spark):
     """mapInPandas/applyInPandas surfaces use Arrow eval, never
     row-at-a-time pickling."""
