@@ -177,3 +177,67 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Write-time partitioning -> read-time partition pruning: a filter
+    on the partition column must land in PartitionFilters (directories
+    skipped at planning), NOT as a row filter over a full scan — at
+    100 TB this is the difference between listing 1/5 of the table and
+    reading all of it."""
+    from cvemate_spark.plans.audit import physical_plan
+    from cvemate_spark.tables import load_table
+
+    path = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    got = spark.read.parquet(path).filter("o_orderpriority = '1-URGENT'")
+    plan = physical_plan(got)
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    n = got.count()
+    assert n == orders.filter("o_orderpriority = '1-URGENT'").count() > 0
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: when the partition key is only constrained THROUGH a join
+    with a filtered dimension, Spark must still prune the fact scan at
+    runtime (dynamicpruning subquery in the partition filters). This is
+    the scan-avoidance path for star joins at 100 TB."""
+    from cvemate_spark.plans.audit import physical_plan
+    from cvemate_spark.tables import load_table
+
+    path = str(tmp_path / "orders_by_status")
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    # the selective predicate must sit on a NON-join dim column: a
+    # filter on the join key itself would constant-propagate into a
+    # static partition filter and DPP would have nothing to do
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 0), ("P", 0)], ["o_orderstatus", "flag"]
+    ).filter("flag = 1")
+    joined = fact.join(dim.hint("broadcast"), "o_orderstatus")
+    plan = physical_plan(joined).lower()
+    assert "dynamicpruning" in plan
+    assert joined.count() == orders.filter("o_orderstatus = 'F'").count() > 0
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution: a landing zone accumulates files written under
+    different schema versions (a feed adds a column mid-stream). The
+    reader must reconcile them (mergeSchema), old files yielding NULL
+    for the new column — silent column loss is how pipelines corrupt
+    history."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(f"{base}/v1")
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    ).write.parquet(f"{base}/v2")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{base}/v1", f"{base}/v2")
+    assert set(df.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in df.collect()}
+    assert rows[0] is None and rows[7] == 70
