@@ -125,3 +125,66 @@ def test_xhtml_rewrite_regex():
     from cvemate_spark.sources.cwe_xml import _xhtml_to_html
 
     assert _xhtml_to_html("a <xhtml:p>b</xhtml:p> <xhtml:br/>") == "a <p>b</p> <br />"
+
+
+def test_malformed_feed_rows_are_quarantined_not_fatal(spark, tmp_path):
+    """Feed robustness: a landing file with a corrupt page must not
+    abort the batch (the reference's fetch loop skips bad pages and
+    carries on — utils retry/except paths). PERMISSIVE JSON parsing
+    quarantines the bad record under _corrupt_record; good pages parse
+    fully; counts reconcile (nothing silently dropped)."""
+    import json as _json
+
+    from pyspark.sql import functions as F, types as T
+
+    p = tmp_path / "pages"
+    p.mkdir()
+    good = {
+        "vulnerabilities": [
+            {"cve": {"id": "CVE-2024-1", "sourceIdentifier": "a"}},
+            {"cve": {"id": "CVE-2024-2", "sourceIdentifier": "b"}},
+        ]
+    }
+    (p / "page0.json").write_text(_json.dumps(good))
+    (p / "page1.json").write_text('{"vulnerabilities": [ TRUNCATED')
+    schema = T.StructType(
+        [
+            T.StructField(
+                "vulnerabilities",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "cve",
+                                T.StructType(
+                                    [
+                                        T.StructField("id", T.StringType()),
+                                        T.StructField(
+                                            "sourceIdentifier", T.StringType()
+                                        ),
+                                    ]
+                                ),
+                            )
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    pages = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    ).cache()  # Spark refuses raw-record queries on an uncached corrupt frame
+    bad = pages.filter(F.col("_corrupt_record").isNotNull())
+    ok = pages.filter(F.col("_corrupt_record").isNull()).select(
+        F.explode("vulnerabilities").alias("v")
+    )
+    assert bad.count() == 1  # quarantined, inspectable
+    assert [r["v"]["cve"]["id"] for r in ok.collect()] == [
+        "CVE-2024-1",
+        "CVE-2024-2",
+    ]
+    pages.unpersist()

@@ -77,3 +77,33 @@ def test_dedup_within_watermark_bounded_state(spark):
         load_table(spark, SF, "events").select("user_id", "event_type").distinct()
     )
     assert got == expect
+
+
+def test_streaming_state_on_rocksdb_provider(spark):
+    """The 100 TB state backend: the same tumbling aggregation runs on
+    the RocksDB state store provider (state spills to local disk,
+    bounded executor memory — the production choice for large keyed
+    state) and produces the identical result. The provider class is a
+    per-session SQL conf, so an isolated newSession() (shared context,
+    own conf/catalog) carries it without touching the fixture session
+    — calling stop() on a second getOrCreate() session would kill the
+    shared SparkContext for every later test."""
+    s = spark.newSession()
+    s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    got = _rows(jobs.tumbling_counts(s, SF))
+    from cvemate_spark.tables import load_table
+
+    ev = load_table(s, SF, "events")
+    expect = _rows(
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("win_start"),
+            "event_type",
+        ).agg(F.count("*").alias("cnt"))
+    )
+    assert got == expect
