@@ -381,3 +381,38 @@ def src_exploitdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("exploitdb.id").alias("n_exploits"),
         F.count("*").alias("n_cve_refs"),
     ).orderBy("n_exploits", "n_cve_refs")
+
+
+# ------------------------------------------- custom Python DataSource
+@REG.add(
+    "src_pyds",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT 'CVE-2020-' || CAST(o_orderkey AS VARCHAR))
+                AS BIGINT) AS n_ids,
+           CAST(count(DISTINCT o_orderkey % {landing.NVD_PAGES}) AS BIGINT)
+               AS n_pages,
+           max(o_orderstatus) AS max_vendor
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT {landing.NVD_LIMIT})
+    ORDER BY n_rows, n_ids, n_pages, max_vendor
+    """,
+    doc="Custom Python DataSource (Spark 4 Data Source API): the "
+    "paginated-feed connector as a first-class `spark.read.format(...)` "
+    "source — partitions() enumerates the pages, so page parallelism "
+    "belongs to the cluster scheduler (the Spark-native form of the "
+    "reference's per-page thread pool, nvd_handler.py:50,102). Reads "
+    "the same NVD landing pages as src_nvd; n_pages proves rows "
+    "arrived from every partition.",
+)
+def src_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pyds
+
+    pages_dir = landing.gen_nvd_pages(sf_dir)
+    pyds.register(spark)
+    df = spark.read.format(pyds.FORMAT_NAME).option("path", pages_dir).load()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_ids"),
+        F.countDistinct("page").alias("n_pages"),
+        F.max("vendor").alias("max_vendor"),
+    ).orderBy("n_rows", "n_ids", "n_pages", "max_vendor")

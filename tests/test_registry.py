@@ -31,7 +31,10 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 
 def test_driver_gate_covers_critical_families():
     names = set(DRIVER_GATE)
-    src_all = {n for n in REGISTRY.specs if n.startswith("src_")}
+    # src_pyds re-reads the same NVD pages as src_nvd through the
+    # Spark 4 Python Data Source API — a connector-mechanism demo, not
+    # a distinct feed shape; it stays locally gated (tools/check.py).
+    src_all = {n for n in REGISTRY.specs if n.startswith("src_")} - {"src_pyds"}
     assert src_all and src_all <= names, src_all - names
     missing = [n for n in CRITICAL if n not in names]
     assert not missing, missing

@@ -188,3 +188,21 @@ def test_malformed_feed_rows_are_quarantined_not_fatal(spark, tmp_path):
         "CVE-2024-2",
     ]
     pages.unpersist()
+
+
+def test_python_datasource_partition_per_page(spark):
+    """The custom paginated-feed DataSource maps one page file to one
+    input partition — page parallelism owned by the task scheduler (the
+    Spark-native form of the reference's page thread pool)."""
+    from cvemate_spark.sources import landing, pyds
+
+    pages_dir = landing.gen_nvd_pages("/root/testdata/sf0.001")
+    pyds.register(spark)
+    df = spark.read.format(pyds.FORMAT_NAME).option("path", pages_dir).load()
+    assert df.rdd.getNumPartitions() == landing.NVD_PAGES
+    per_page = {
+        r["page"]: r["n"]
+        for r in df.groupBy("page").count().withColumnRenamed("count", "n").collect()
+    }
+    assert sorted(per_page) == list(range(landing.NVD_PAGES))
+    assert all(n > 0 for n in per_page.values())
