@@ -447,6 +447,197 @@ def t_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ t_decontam
+@REG.add(
+    "t_decontam",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               {duck_str_hash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+               unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram, doc_id AS bench_doc FROM g WHERE bucket >= 95),
+    train AS (SELECT doc_id, gram FROM g WHERE bucket < 90)
+    SELECT train.doc_id,
+           CAST(count(DISTINCT train.gram) AS BIGINT) AS n_hit_grams,
+           CAST(count(DISTINCT bench.bench_doc) AS BIGINT) AS n_bench_docs
+    FROM train JOIN bench USING (gram)
+    GROUP BY train.doc_id
+    ORDER BY doc_id, n_hit_grams, n_bench_docs
+    """,
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "5-gram with the held-out benchmark set (here: the t_split test "
+    "bucket standing in for an eval suite), reporting how many distinct "
+    "grams and benchmark docs each one hits. The production shape for "
+    "100 TB: the benchmark side is a FIXED-SIZE suite (MBs of eval "
+    "data), so its distinct-gram relation stays tiny no matter how the "
+    "corpus grows — the join is a broadcast semi-join against the "
+    "corpus scan (no hint needed; AQE broadcasts the small side), one "
+    "corpus-linear explode + one agg, never a corpus self-join.",
+)
+def t_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+        ),
+    )
+    # sequence() counts DOWN when end < start: guard short docs
+    arr = F.when(F.size(toks) >= 5, grams).otherwise(F.array().cast("array<string>"))
+    bucket = F.expr(f"{spark_str_hash('cast(doc_id as string)')} % 100")
+    g = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.array_distinct(arr)).alias("gram"),
+    )
+    bench = (
+        g.filter(F.col("bucket") >= 95)
+        .select("gram", F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    train = g.filter(F.col("bucket") < 90).select("doc_id", "gram")
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id", "n_hit_grams", "n_bench_docs")
+    )
+
+
+# ------------------------------------------------------ t_repetition
+@REG.add(
+    "t_repetition",
+    """
+    WITH cnt AS (
+        SELECT doc_id, bigram, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 2
+        )
+        GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           floor(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000.0 / sum(c)
+                 + 0.5) / 10000.0 AS dup_frac,
+           floor(max(c) * 10000.0 / sum(c) + 0.5) / 10000.0 AS top_frac
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id, n_bigrams, dup_frac, top_frac
+    """,
+    doc="Repetition quality metrics (the Gopher-style repetition filters): "
+    "per document, the fraction of bigram occurrences belonging to a "
+    "repeated bigram and the share of the single most frequent bigram. "
+    "High values = boilerplate/degenerate text a pretraining filter "
+    "drops. Shapes: explode -> partial-agg on (doc_id, bigram) -> final "
+    "agg on doc_id — both aggs keyed by doc_id so the second is an "
+    "almost-local regroup; corpus-linear, no join. Ratios are exact "
+    "BIGINT sums with one portable floor-round division at the end.",
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    arr = F.when(F.size(toks) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        docs.select("doc_id", F.explode(arr).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_bigrams"),
+            (F.floor(dup * 10000.0 / total + F.lit(0.5)) / 10000.0).alias("dup_frac"),
+            (F.floor(F.max("c") * 10000.0 / total + F.lit(0.5)) / 10000.0).alias(
+                "top_frac"
+            ),
+        )
+        .orderBy("doc_id", "n_bigrams", "dup_frac", "top_frac")
+    )
+
+
+# ------------------------------------------------------ t_shuffle
+@REG.add(
+    "t_shuffle",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               {duck_str_hash("'shuf1:' || CAST(doc_id AS VARCHAR)")} AS hv
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, hv, hv % 16 AS shard,
+               row_number() OVER (PARTITION BY hv % 16
+                                  ORDER BY hv, doc_id) AS pos
+        FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(hv) AS BIGINT) AS first_hv,
+           CAST(max(hv) AS BIGINT) AS last_hv,
+           CAST(CAST(sum(pos * doc_id) AS BIGINT) % 1000000007 AS BIGINT)
+               AS order_digest
+    FROM s
+    GROUP BY shard
+    ORDER BY shard, n_docs, first_hv, last_hv, order_digest
+    """,
+    doc="Deterministic global shuffle (training-order assignment): each "
+    "document gets a salted hash; shard = hash mod 16, position = rank "
+    "of the hash within the shard. order_digest (sum of pos*doc_id mod "
+    "p) proves both engines assign the exact same training order. The "
+    "100 TB shape: repartition by shard + sortWithinPartitions(hv) — "
+    "a bounded per-shard local sort writing N independent shard files, "
+    "never a single global orderBy (whose final merge would serialize); "
+    "reshuffling an epoch is just a new salt, still one pass. A "
+    "random() shuffle is neither reproducible nor stable across "
+    "cluster sizes — hash order is both.",
+)
+def t_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.expr(spark_str_hash("'shuf1:' || cast(doc_id as string)"))
+    h = docs.select("doc_id", hv.alias("hv"), (hv % 16).alias("shard"))
+    w = W.partitionBy("shard").orderBy("hv", "doc_id")
+    s = h.select("doc_id", "hv", "shard", F.row_number().over(w).alias("pos"))
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("hv").alias("first_hv"),
+            F.max("hv").alias("last_hv"),
+            (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
+            .cast("long")
+            .alias("order_digest"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_docs", "first_hv", "last_hv", "order_digest")
+        .orderBy("shard", "n_docs", "first_hv", "last_hv", "order_digest")
+    )
+
+
 # ------------------------------------------------------ curation pipeline
 @REG.add(
     "curate_pipeline",

