@@ -62,23 +62,105 @@ def brute_topk(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Spherical k-means (Lloyd's) over the embedding column — the
+    iterative coarse-quantizer trainer behind a production IVF index.
+
+    The Spark shape of an iterative algorithm: per-iteration state is
+    the k centroid vectors (k rows — driver-bounded no matter the
+    corpus size), each iteration is ONE distributed job — broadcast
+    centroids -> argmax-cosine assignment (window rank, same shape as
+    `ivf_topk`'s assign) -> per-dimension mean via posexplode +
+    partial-aggregated groupBy — and only k centroid rows ever come
+    back to the driver. Means are L2-normalized driver-side (k*dim
+    floats), which keeps spherical k-means' cost monotone. Empty
+    clusters keep their previous centroid. At 100 TB: train on a
+    hash-sampled slice (the standard IVF recipe), cache the training
+    slice, and ship the final centroids to `ivf_topk(cents=...)` as
+    the write-time partition key.
+
+    Returns (centroids as [(cent_id, unit_vector)], per-iteration mean
+    cost 1-cos — non-increasing, asserted in tests).
+    """
+    spark = embeddings.sparkSession
+    seeds = embeddings.orderBy("vec_id").limit(k).collect()
+    cents = {
+        i: _l2_normalize([float(x) for x in r["embedding"]])
+        for i, r in enumerate(seeds)
+    }
+    costs: list[float] = []
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, emb) for cid, emb in sorted(cents.items())],
+            "cent_id int, cent_emb array<double>",
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "embedding",
+                "cent_id",
+                cosine_col("embedding", "cent_emb").alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        dim = len(next(iter(cents.values())))
+        per_dim = (
+            assigned.select(
+                "cent_id",
+                ((1.0 - F.col("cos")) / dim).alias("cost_part"),
+                F.posexplode("embedding").alias("pos", "v"),
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("v").alias("m"), F.sum("cost_part").alias("c"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("emb"),
+                F.sum("c").alias("cost"),
+            )
+            .collect()
+        )
+        costs.append(float(sum(r["cost"] for r in per_dim)))
+        for r in per_dim:  # empty clusters keep their previous centroid
+            cents[r["cent_id"]] = _l2_normalize([float(x) for x in r["emb"]])
+    return sorted(cents.items()), costs
+
+
+def _l2_normalize(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec] if n > 0 else vec
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     centroid_stride: int = 50,
     n_probe: int = 3,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids, probe nearest cells, scan only those.
 
-    Deterministic "training": centroids are the vectors whose id is a
-    multiple of `centroid_stride` (a seeded-sample stand-in for k-means;
-    the plumbing — broadcast assign, cell pruning, in-cell top-k — is
-    the production shape).
+    Deterministic "training": by default centroids are the vectors whose
+    id is a multiple of `centroid_stride` (a seeded-sample stand-in kept
+    for the DuckDB oracle's benefit; the plumbing — broadcast assign,
+    cell pruning, in-cell top-k — is the production shape). Pass
+    `cents` (cent_id, cent_emb) — e.g. from `kmeans_fit` — to serve
+    from trained centroids instead.
     """
-    cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
+    if cents is None:
+        cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
     # assign every vector to its nearest centroid (broadcast argmax)
     w = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
     assigned = (

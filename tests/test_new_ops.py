@@ -211,3 +211,35 @@ def test_shuffle_is_a_permutation_and_salt_sensitive(spark):
     assert sum(r["n_docs"] for r in rows) == docs.count()
     again = build(spark, SF).collect()
     assert [r["order_digest"] for r in again] == [r["order_digest"] for r in rows]
+
+
+def test_kmeans_fit_monotone_deterministic_and_serves_ivf(spark):
+    """Spherical k-means: cost is non-increasing per iteration, the fit
+    is reproducible (same seeds, same assignment tie-break), and the
+    trained centroids slot into ivf_topk with reasonable recall vs the
+    brute-force exact top-k."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.similarity import brute_topk, ivf_topk, kmeans_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, costs = kmeans_fit(emb, k=8, iters=4)
+    assert len(costs) == 4
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-9  # monotone under normalized means
+    cents2, costs2 = kmeans_fit(emb, k=8, iters=4)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(costs, costs2))
+    for (i1, v1), (i2, v2) in zip(cents, cents2):
+        assert i1 == i2
+        assert max(abs(a - b) for a, b in zip(v1, v2)) < 1e-6
+    for _, v in cents:  # unit vectors
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    cdf = spark.createDataFrame(
+        [(cid, v) for cid, v in cents], "cent_id int, cent_emb array<double>"
+    )
+    got = {r["vec_id"] for r in ivf_topk(emb, query_vec_id=1, k=10, cents=cdf).collect()}
+    exact = {r["vec_id"] for r in brute_topk(emb, query_vec_id=1, k=10).collect()}
+    assert len(got) == 10
+    recall = len(got & exact) / 10
+    assert recall >= 0.5, recall
