@@ -708,3 +708,80 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n_docs", "total_tokens", "avg_quality")
     )
+
+
+# ------------------------------------------------------ t_chunk
+CHUNK_SIZE = 32   # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+@REG.add(
+    "t_chunk",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok <= {CHUNK_SIZE} THEN 1
+                    ELSE CAST(floor((n_tok - {CHUNK_SIZE}
+                              + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE})
+                         AS BIGINT) + 1 END AS n_chunks,
+               t
+        FROM sized
+    ),
+    per_chunk AS (
+        SELECT doc_id, n_tok, n_chunks,
+               unnest(range(0, n_chunks)) AS chunk_idx,
+               t
+        FROM chunked
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_SIZE}, n_tok - chunk_idx * {CHUNK_STRIDE})
+                AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                 chunk_idx * {CHUNK_STRIDE}
+                 + LEAST({CHUNK_SIZE}, n_tok - chunk_idx * {CHUNK_STRIDE})],
+               ' ')) AS chunk_fp
+    FROM per_chunk
+    ORDER BY doc_id, chunk_idx, chunk_len, chunk_fp
+    """,
+    doc="RAG-style document chunking with overlap: fixed-size token "
+    f"windows ({CHUNK_SIZE} tokens, stride {CHUNK_STRIDE}, overlap "
+    f"{CHUNK_SIZE - CHUNK_STRIDE}) — the embedding-prep step of a "
+    "retrieval/training pipeline. Chunk count and boundaries are pure "
+    "integer arithmetic; the md5 fingerprint of each chunk's token "
+    "span proves both engines extract the exact same text windows. "
+    "Row-local explode in the scan projection — chunking 100 TB is "
+    "zero-shuffle and the chunk rows flow straight into the embed/"
+    "quantize/index stages.",
+)
+def t_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= CHUNK_SIZE, F.lit(1).cast("long")).otherwise(
+        F.floor((n_tok - CHUNK_SIZE + CHUNK_STRIDE - 1) / CHUNK_STRIDE) + 1
+    )
+    sized = docs.select("doc_id", toks.alias("t"), n_tok.alias("n_tok"),
+                        n_chunks.alias("n_chunks"))
+    per_chunk = sized.select(
+        "doc_id",
+        "n_tok",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+    )
+    chunk_len = F.least(
+        F.lit(CHUNK_SIZE), F.col("n_tok") - F.col("chunk_idx") * CHUNK_STRIDE
+    )
+    span = F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_STRIDE + 1, chunk_len)
+    return per_chunk.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", span).cast("binary")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx", "chunk_len", "chunk_fp")

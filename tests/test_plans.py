@@ -81,7 +81,8 @@ def test_new_pipeline_ops_stay_jvm_side(spark):
     no Python eval, no cartesian blow-up anywhere."""
     for name in ("t_split", "t_sample", "t_pack", "t_redact", "t_novelty",
                  "dedup_incremental", "ann_lsh_batch", "e_pivot", "e_unpivot",
-                 "t_decontam", "t_repetition", "t_shuffle", "emb_quantize"):
+                 "t_decontam", "t_repetition", "t_shuffle", "emb_quantize",
+                 "t_chunk"):
         plan = plan_of(spark, name)
         assert_jvm_only(plan, name)
         assert_no_pathological_join(plan, name)
