@@ -140,30 +140,24 @@ def _l2_normalize(vec: list[float]) -> list[float]:
     return [x / n for x in vec] if n > 0 else vec
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    query_vec_id: int = 0,
-    k: int = 10,
-    centroid_stride: int = 50,
-    n_probe: int = 3,
-    cents: DataFrame | None = None,
-) -> DataFrame:
-    """IVF-style ANN: coarse centroids, probe nearest cells, scan only those.
+def stride_cents(embeddings: DataFrame, centroid_stride: int = 50) -> DataFrame:
+    """Deterministic coarse centroids: vectors whose id is a stride multiple
+    (a seeded-sample stand-in kept for the DuckDB oracle's benefit)."""
+    return embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
 
-    Deterministic "training": by default centroids are the vectors whose
-    id is a multiple of `centroid_stride` (a seeded-sample stand-in kept
-    for the DuckDB oracle's benefit; the plumbing — broadcast assign,
-    cell pruning, in-cell top-k — is the production shape). Pass
-    `cents` (cent_id, cent_emb) — e.g. from `kmeans_fit` — to serve
-    from trained centroids instead.
+
+def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast argmax).
+
+    Centroids are the bounded small side — broadcast is correct at any
+    corpus size (|cells| grows with sqrt(N) at most, not N). Returns
+    (vec_id, embedding, cent_id); at 100 TB cent_id becomes a
+    write-time partition key so probes prune partitions.
     """
-    if cents is None:
-        cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-        )
-    # assign every vector to its nearest centroid (broadcast argmax)
     w = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    assigned = (
+    return (
         embeddings.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -175,6 +169,27 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .drop("rn", "cent_cos")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    centroid_stride: int = 50,
+    n_probe: int = 3,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids, probe nearest cells, scan only those.
+
+    Deterministic "training": by default centroids come from
+    `stride_cents` (oracle-expressible); the plumbing — broadcast
+    assign, cell pruning, in-cell top-k — is the production shape. Pass
+    `cents` (cent_id, cent_emb) — e.g. from `kmeans_fit` — to serve
+    from trained centroids instead.
+    """
+    if cents is None:
+        cents = stride_cents(embeddings, centroid_stride)
+    assigned = assign_cells(embeddings, cents)
     # the query probes its n_probe nearest centroids
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb")
@@ -221,22 +236,8 @@ def ivf_topk_batch(
     Returns (q_id, vec_id): the per-query top-k, self-matches included
     (rank 1 is the query itself, as with any recall-oriented ANN).
     """
-    cents = embeddings.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    assigned = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            cosine_col("embedding", "cent_emb").alias("cent_cos"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cent_cos")
-    )
+    cents = stride_cents(embeddings, centroid_stride)
+    assigned = assign_cells(embeddings, cents)
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -352,6 +353,58 @@ def neardup_pairs_topk(
         candidates.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame, tau: float = 0.30, centroid_stride: int = 50
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings, drop any vector
+    whose cosine to a LOWER-id member of the same cluster is >= tau.
+
+    The two-stage shape from the SemDeDup paper (Abbas et al. 2023) —
+    coarse k-means clustering so that pairwise similarity is only ever
+    computed WITHIN a cluster, never across the corpus:
+
+    - clustering: `assign_cells` (broadcast argmax against the bounded
+      centroid relation; `stride_cents` default keeps the oracle
+      expressible, `kmeans_fit` centroids slot in for production);
+    - within-cluster pairs: one equi-join on `cent_id` with the id
+      inequality + cosine threshold as join filters — a single shuffle
+      keyed by cluster, all-JVM codegen. Cluster sizes are bounded by
+      construction (that is the point of the clustering stage), so the
+      quadratic stays local to a cell; for heavy cells the blocked-GEMM
+      kernel (`neardup_pairs_topk`'s applyInPandas shape) drops in
+      per-cluster.
+    - keep rule: the surviving representative is the MINIMUM id among
+      tau-similar cluster-mates — deterministic, no score ordering.
+
+    Returns (dup_id, rep_id, n_sim): each dropped vector, its kept
+    representative, and how many kept-side vectors it matched.
+    """
+    assigned = assign_cells(embeddings, stride_cents(embeddings, centroid_stride))
+    a = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("rep_cand"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = assigned.select(
+        "cent_id",
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("rep_cand") < F.col("dup_id"))
+        .filter(cosine_col("a_emb", "b_emb") >= F.lit(tau))
+    )
+    return (
+        pairs.groupBy("dup_id")
+        .agg(
+            F.min("rep_cand").alias("rep_id"),
+            F.count("*").alias("n_sim"),
+        )
+        .orderBy("dup_id")
     )
 
 

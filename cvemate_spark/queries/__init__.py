@@ -17,6 +17,7 @@ def build_registry() -> Registry:
         "dedup_ops",
         "streaming_ops",
         "multimodal_ops",
+        "retrieval_ops",
         "engine_ops",
         "source_ops",
         "pipeline_ops",

@@ -10,6 +10,7 @@ from ..operators.similarity import (
     ivf_topk,
     ivf_topk_batch,
     neardup_pairs_topk,
+    semdedup,
 )
 from ..tables import load_table
 from .base import Registry
@@ -305,3 +306,43 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("code").cast("long").alias("qmax"),
         step.alias("step"),
     ).orderBy("vec_id", "qsum", "qmax", "step")
+
+
+@REG.add(
+    "emb_semdedup",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine("e.embedding", "c.cent_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS rep_cand, b.vec_id AS dup_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.30
+    )
+    SELECT dup_id, CAST(min(rep_cand) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_sim
+    FROM pairs GROUP BY dup_id ORDER BY dup_id
+    """,
+    tags=("id-set",),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster "
+    "the embeddings, then drop every vector with a tau-similar LOWER-id "
+    "cluster-mate (keep = min id). Pairwise cosine only ever runs WITHIN "
+    "a cluster — one cent_id-keyed shuffle, never a corpus cross-join; "
+    "the cosine fold is sequence-identical in both engines so the "
+    "threshold compare is bit-exact.",
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, tau=0.30, centroid_stride=50)

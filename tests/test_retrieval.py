@@ -1,0 +1,95 @@
+"""Retrieval/LM-quality surface: BM25, bigram perplexity, domain lexicon,
+SemDeDup — value invariants plus the plan-shape pins that make the ops
+safe at 100 TB (value correctness itself is the DuckDB oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cvemate_spark.plans.audit import (
+    analyzed_plan,
+    assert_jvm_only,
+    assert_no_pathological_join,
+    physical_plan,
+)
+from cvemate_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    return REGISTRY.specs[name].builder(spark, SF)
+
+
+def test_retrieval_surface_stays_jvm_side(spark):
+    for name in ("bm25_topk", "t_perplexity", "t_domain", "emb_semdedup"):
+        plan = physical_plan(run(spark, name))
+        assert_jvm_only(plan, name)
+        # bm25/perplexity ride corpus stats along as a broadcast ONE-ROW
+        # relation (the q21/q22 scalar pattern) and semdedup crossJoins
+        # the bounded centroid relation (the ann_ivf pattern) — those
+        # BNLJs are intended; a CartesianProduct never is.
+        if name == "t_domain":
+            assert_no_pathological_join(plan, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_topk_is_distributed_topk(spark):
+    assert "TakeOrderedAndProject" in physical_plan(run(spark, "bm25_topk"))
+
+
+def test_bm25_rare_term_outranks(spark):
+    """Docs holding the rare query term ('dup' appears only in planted
+    near-duplicates) must outrank common-term-only docs: idf ordering."""
+    rows = run(spark, "bm25_topk").collect()
+    assert rows, "bm25 returned nothing"
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").contains("dup"))
+        .select("doc_id")
+    )
+    dup_ids = {r.doc_id for r in docs.collect()}
+    assert dup_ids, "fixture lost its planted 'dup' docs"
+    top = rows[0].doc_id
+    assert top in dup_ids, "top-ranked doc does not hold the high-idf term"
+
+
+def test_perplexity_scores_every_doc_positive(spark):
+    out = run(spark, "t_perplexity")
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.avg_nll > 0 for r in rows)
+    # n_bigrams = token count - 1, always >= 1 on this corpus
+    assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_perplexity_model_joins_unhinted(spark):
+    """The bigram model is vocab-bounded, not corpus-bounded — the model
+    joins must NOT carry a forced broadcast hint (AQE decides), per the
+    round-1 dedup-sizes verdict. Only the scalar vocab relation rides a
+    hint."""
+    plan = analyzed_plan(run(spark, "t_perplexity"))
+    assert plan.count("ResolvedHint") == 1  # the 1-row vocab scalar only
+
+
+def test_domain_lexicon_is_hinted_broadcast(spark):
+    """The lexicon is the one structurally-constant relation — the hint
+    must be THERE (never a corpus-keyed shuffle for a 17-row dim)."""
+    assert "ResolvedHint" in analyzed_plan(run(spark, "t_domain"))
+    rows = run(spark, "t_domain").collect()
+    assert rows and all(r.score >= 2 for r in rows)
+    assert {r.domain for r in rows} <= {"join", "exec", "stream", "storage"}
+
+
+def test_semdedup_keep_rule(spark):
+    """Representative is always a strictly lower id (keep = min id), and
+    every reported dup has at least one similar kept-side mate."""
+    rows = run(spark, "emb_semdedup").collect()
+    assert rows, "semdedup found no pairs at sf0.001"
+    assert all(r.rep_id < r.dup_id for r in rows)
+    assert all(r.n_sim >= 1 for r in rows)
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    assert "ResolvedHint" in analyzed_plan(run(spark, "emb_semdedup"))
