@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.text import duck_str_hash, spark_str_hash
 from ..tables import load_table
 from .base import Registry
 
@@ -284,5 +285,129 @@ def t_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "domain", "score")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------- DSIR importance weights
+# Data Selection via Importance Resampling (Xie et al. 2023): score how
+# much more likely each document is under a TARGET slice's hashed-ngram
+# distribution than under the raw-corpus distribution; positive weight
+# = closer to target.  Features are bigrams hashed into a fixed bucket
+# count, so both "models" are constant-size (B rows) by construction.
+DSIR_TARGET_SOURCE = "src1"
+DSIR_BUCKETS = 64
+DSIR_ALPHA = 0.5
+
+_SPARK_CONCAT = "concat(w1, ' ', w2)"
+_DUCK_CONCAT = "w1 || ' ' || w2"
+_SPARK_BUCKET = f"({spark_str_hash(_SPARK_CONCAT)} % {DSIR_BUCKETS})"
+_DUCK_BUCKET = f"({duck_str_hash(_DUCK_CONCAT)} % {DSIR_BUCKETS})"
+
+
+@REG.add(
+    "t_dsir",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, source, {_DUCK_BUCKET} AS bkt FROM (
+            SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+                FROM tok
+            )
+        )
+    ),
+    cc AS (SELECT bkt, count(*) AS cc FROM flat GROUP BY bkt),
+    ct AS (SELECT bkt, count(*) AS ct FROM flat
+           WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bkt),
+    stats AS (
+        SELECT cc.bkt, coalesce(ct.ct, 0) AS ct, cc.cc
+        FROM cc LEFT JOIN ct ON cc.bkt = ct.bkt
+    ),
+    totals AS (SELECT sum(ct) AS t_tot, sum(cc) AS c_tot FROM stats),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(floor(ln(((s.ct + {DSIR_ALPHA})
+                              / (t.t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                             / ((s.cc + {DSIR_ALPHA})
+                              / (t.c_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lw_u
+        FROM flat f JOIN stats s ON f.bkt = s.bkt, totals t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lw_u) AS DOUBLE) / 1000000.0 / count(*) AS avg_lw,
+           CAST(sum(lw_u) > 0 AS BOOLEAN) AS selected
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023): hashed-bigram "
+    "bucket distributions for a target slice vs the raw corpus; per-doc "
+    "log importance weight, selected = weight > 0. Both distribution "
+    "relations are exactly B=64 rows (constant by construction) so the "
+    "stats join broadcasts safely at any corpus size; the selection "
+    "threshold compares an exact integer sum, no float boundary.",
+)
+def t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+        )
+        .select("doc_id", "source", F.expr(_SPARK_BUCKET).alias("bkt"))
+    )
+    cc = flat.groupBy("bkt").agg(F.count("*").alias("cc"))
+    ct = (
+        flat.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bkt")
+        .agg(F.count("*").alias("ct"))
+    )
+    stats = cc.join(ct, "bkt", "left").select(
+        "bkt", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"), "cc"
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cc").alias("c_tot")
+    )
+    lw = F.log(
+        (
+            (F.col("ct") + F.lit(DSIR_ALPHA))
+            / (F.col("t_tot") + F.lit(DSIR_ALPHA * DSIR_BUCKETS))
+        )
+        / (
+            (F.col("cc") + F.lit(DSIR_ALPHA))
+            / (F.col("c_tot") + F.lit(DSIR_ALPHA * DSIR_BUCKETS))
+        )
+    )
+    lw_u = F.floor(lw * F.lit(1000000.0) + F.lit(0.5))
+    scored = (
+        flat.join(F.broadcast(stats), "bkt")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lw_u.alias("lw_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("lw_u").cast("double") / F.lit(1000000.0) / F.count("*")).alias(
+                "avg_lw"
+            ),
+            (F.sum("lw_u") > F.lit(0)).alias("selected"),
+        )
         .orderBy("doc_id")
     )

@@ -22,7 +22,8 @@ def run(spark, name):
 
 
 def test_retrieval_surface_stays_jvm_side(spark):
-    for name in ("bm25_topk", "t_perplexity", "t_domain", "emb_semdedup"):
+    for name in ("bm25_topk", "t_perplexity", "t_domain", "emb_semdedup",
+                 "t_dsir"):
         plan = physical_plan(run(spark, name))
         assert_jvm_only(plan, name)
         # bm25/perplexity ride corpus stats along as a broadcast ONE-ROW
@@ -93,3 +94,19 @@ def test_semdedup_keep_rule(spark):
 
 def test_semdedup_assignment_broadcasts_centroids(spark):
     assert "ResolvedHint" in analyzed_plan(run(spark, "emb_semdedup"))
+
+
+def test_dsir_selects_target_slice(spark):
+    """Docs FROM the target slice must skew positive (the importance
+    weight is literally 'how target-like'), and the bucket stats join
+    rides an explicit broadcast (B=64 rows, constant by construction)."""
+    out = run(spark, "t_dsir")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    joined = out.join(docs, "doc_id").collect()
+    tgt = [r for r in joined if r.source == "src1"]
+    rest = [r for r in joined if r.source != "src1"]
+    assert tgt and rest
+    frac_tgt = sum(r.selected for r in tgt) / len(tgt)
+    frac_rest = sum(r.selected for r in rest) / len(rest)
+    assert frac_tgt > frac_rest, (frac_tgt, frac_rest)
+    assert "ResolvedHint" in analyzed_plan(run(spark, "t_dsir"))
