@@ -10,8 +10,11 @@ Design (the 100 TB training-data shape):
   Python roundtrip per *batch*, not per row;
 - the actual codec calls are STUBBED here (no image/audio libs in this
   container): `decode_image` raises NotImplementedError unless handed
-  the deterministic fake codec used by the tests. The Spark-side
-  plumbing — schema, batch iteration, partitioning — is real.
+  a codec. The Spark-side plumbing — schema, batch iteration,
+  partitioning — is real, and the boundary is proven twice over: the
+  deterministic `fake_decode` (tests/oracle), and `bmp_codec` — a real
+  library-free BMP header decoder, showing a production codec drops in
+  with no plumbing changes.
 """
 
 from __future__ import annotations
@@ -64,6 +67,27 @@ def fake_decode(payload: bytes) -> dict:
     a (width, height, n_frames) tuple."""
     n = len(payload)
     return {"width": n % 640, "height": n % 480, "n_frames": 1 + n % 8}
+
+
+def bmp_codec(payload: bytes) -> dict:
+    """A REAL decoder for one format, zero libraries: BMP dimensions
+    straight from the BITMAPINFOHEADER (bytes 18-25 of the file, public
+    spec). Proves the codec-injection boundary carries an actual codec,
+    not only the test fake — `extract_features(media, codec=bmp_codec)`
+    runs the same Arrow mapInPandas plumbing end to end. Still images:
+    n_frames is always 1.
+
+    Raises ValueError on a non-BMP payload (magic != 'BM' or truncated
+    header) — malformed media should fail loudly at the decode stage,
+    not propagate garbage dimensions downstream.
+    """
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    # negative height encodes top-down row order in the spec
+    return {"width": width, "height": abs(height), "n_frames": 1}
 
 
 def decode_image(payload: bytes, codec: Callable[[bytes], dict] | None = None) -> dict:

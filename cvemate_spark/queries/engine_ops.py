@@ -351,3 +351,46 @@ def e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select(
         "user_id", "metric", F.col("amount").cast("double").alias("amount")
     ).orderBy("user_id", "metric", "amount")
+
+
+# ------------------------------------------- rolling interval window
+@REG.add(
+    "e_rolling",
+    f"""
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS roll_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll_cnt
+    FROM events
+    ORDER BY event_id, user_id, ts_s, roll_sum, roll_cnt
+    """,
+    doc="Rolling 1-hour per-user aggregate via a RANGE-BETWEEN-INTERVAL "
+    "window frame — the time-based frame class (vs q16's ROWS frames): "
+    "the frame edge is a timestamp offset, so peers enter/leave by "
+    "event time, not row position. One shuffle on user_id, per-key "
+    "linear sliding-frame evaluation; value sums ride as DECIMAL(18,2) "
+    "for cross-engine exactness.",
+)
+def e_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+            F.expr(
+                f"CAST(SUM(CAST(value AS DECIMAL(18, 2))) {frame} AS DOUBLE)"
+            ).alias("roll_sum"),
+            F.expr(f"CAST(COUNT(*) {frame} AS BIGINT)").alias("roll_cnt"),
+        )
+        .orderBy("event_id", "user_id", "ts_s", "roll_sum", "roll_cnt")
+    )

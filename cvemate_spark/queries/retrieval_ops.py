@@ -411,3 +411,54 @@ def t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- positional phrase match
+PHRASE = ("hash", "join")
+
+
+@REG.add(
+    "t_phrase",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(toks) AS term,
+               unnest(range(0, len(toks))) AS pos
+        FROM tok
+    )
+    SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+    FROM pos p1 JOIN pos p2
+      ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    WHERE p1.term = '{PHRASE[0]}' AND p2.term = '{PHRASE[1]}'
+    GROUP BY p1.doc_id
+    ORDER BY p1.doc_id
+    """,
+    doc="Exact phrase search over a positional posting list: posexplode "
+    "gives (doc_id, term, pos); consecutive-position equi-join finds "
+    "phrase occurrences. Both posting relations are filtered to their "
+    "term BEFORE the join (term selectivity cuts the join input by "
+    "~|vocab|x) and the join key leads with doc_id — at 100 TB the "
+    "posting list is written bucketed by term, so each phrase term "
+    "reads one bucket and the position join shuffles only matching "
+    "postings, never the corpus.",
+)
+def t_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    p1 = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2,
+            (p1.doc_id == p2.doc_id) & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .groupBy(p1.doc_id.alias("doc_id"))
+        .agg(F.count("*").alias("n_occ"))
+        .orderBy("doc_id")
+    )

@@ -135,6 +135,39 @@ def test_multimodal_stub_boundary(spark):
     assert feats["n_frames"] == 1 + 5 % 8
 
 
+def _tiny_bmp(width: int, height: int) -> bytes:
+    """Minimal valid-enough BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER with the given dimensions, no pixel data."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
+    return header + info
+
+
+def test_real_codec_injection_bmp(spark):
+    """The codec boundary carries a REAL decoder end to end: BMP header
+    parse (no image library) through the same mapInPandas feature/
+    resize/frame stages the fake codec exercises."""
+    rows = [
+        Row(doc_id=0, media_type="image/bmp", payload=_tiny_bmp(640, 480)),
+        Row(doc_id=1, media_type="image/bmp", payload=_tiny_bmp(100, -200)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_features(media, codec=multimodal.bmp_codec).collect()
+    }
+    assert (feats[0].width, feats[0].height) == (640, 480)
+    # negative height = top-down row order; dimensions still positive
+    assert (feats[1].width, feats[1].height) == (100, 200)
+    rs = {r.doc_id: r for r in multimodal.resize_plan(
+        media, max_dim=256, codec=multimodal.bmp_codec).collect()}
+    assert (rs[0].rs_w, rs[0].rs_h) == (256, 192)  # letterbox fit
+    with pytest.raises(Exception, match="BMP"):
+        multimodal.bmp_codec(b"PNG... not a bmp")
+
+
 def test_priority_ladder_rungs(spark):
     rows = [
         Row(id=1, kev=True, base=1.0, epss=0.0),   # kev -> 1

@@ -110,3 +110,21 @@ def test_dsir_selects_target_slice(spark):
     frac_rest = sum(r.selected for r in rest) / len(rest)
     assert frac_tgt > frac_rest, (frac_tgt, frac_rest)
     assert "ResolvedHint" in analyzed_plan(run(spark, "t_dsir"))
+
+
+def test_phrase_and_rolling_stay_jvm_side(spark):
+    for name in ("t_phrase", "e_rolling"):
+        plan = physical_plan(run(spark, name))
+        assert_jvm_only(plan, name)
+        assert_no_pathological_join(plan, name)
+
+
+def test_phrase_occurrences_match_direct_count(spark):
+    """Cross-check the posting-list join against a direct substring
+    count on the padded text (tokens are single-space separated)."""
+    rows = {r.doc_id: r.n_occ for r in run(spark, "t_phrase").collect()}
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    for d in docs:
+        direct = (" " + d.text + " ").count(" hash join ")
+        assert rows.get(d.doc_id, 0) == direct, d.doc_id

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Streaming state-store benchmark: the same stateful streaming jobs on
+the default (HDFS-backed, in-JVM-heap) state store provider vs RocksDB
+(state on local disk, bounded executor memory — the provider a 100 TB
+deployment runs, because keyed state grows with key cardinality and
+must not live on the heap).
+
+Run: python3 tools/streambench.py            # sf dir from $SPARK_GRAFT_SF_DIR
+Prints ONE JSON line:
+    {"metric": "stream-state-suite", "providers": {"hdfs": {...},
+     "rocksdb": {...}}, "sf": "..."}
+
+Not part of bench.py's headline suite (BASELINE.md's totals predate it
+and stay comparable); results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvemate_spark.queries import REGISTRY
+from cvemate_spark.session import get_spark
+
+# the stateful jobs: windowed agg, session windows, arbitrary state,
+# state-store dedup, stream-stream join
+STREAM_SET = ["s1_tumbling", "s4_session", "s5_stateful", "s6_dedup", "s7_join"]
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in STREAM_SET:
+        t0 = time.time()
+        # streaming jobs materialize through a memory sink internally;
+        # the builder blocks until the stream drains
+        REGISTRY.specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()  # see bench.py rationale
+    return timings
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    root = get_spark("streambench", cpus=cpus)
+    # warm untimed
+    REGISTRY.specs["s1_tumbling"].builder(root, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out: dict[str, dict[str, float]] = {}
+    for label, provider in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
+        s = root.newSession()
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        timings = run_suite(s, sf_dir)
+        timings["total"] = round(sum(timings.values()), 3)
+        out[label] = timings
+
+    print(
+        json.dumps(
+            {"metric": "stream-state-suite", "unit": "sec", "providers": out,
+             "sf": sf_dir}
+        )
+    )
+    root.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
