@@ -394,3 +394,54 @@ def e_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "user_id", "ts_s", "roll_sum", "roll_cnt")
     )
+
+
+# -------------------------------------- incremental rollup maintenance
+ROLLUP_CUTOFF = "2024-01-25 00:00:00"
+
+
+@REG.add(
+    "e_rollup_inc",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS sum_val
+    FROM events
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type, cnt, sum_val
+    """,
+    doc="Incremental rollup maintenance (hypertable-style continuous "
+    "aggregate): the STORED per-(hour, type) partials for history are "
+    "additively merged with the partials of the new batch (ts >= "
+    "cutoff) — count and DECIMAL sum are both associative state, so "
+    "refresh cost is O(batch), never a re-scan of history. The oracle "
+    "is the full recompute; equality IS the maintenance law (also "
+    "pinned batch-vs-full in tests/test_retrieval.py).",
+)
+def e_rollup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias(
+                "win_start"
+            ),
+            "event_type",
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    stored = partials(ev.filter(F.col("ts") < cutoff))  # the materialized state
+    delta = partials(ev.filter(F.col("ts") >= cutoff))  # the new batch
+    return (
+        stored.unionByName(delta)
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_dec").cast("double").alias("sum_val"),
+        )
+        .orderBy("win_start", "event_type", "cnt", "sum_val")
+    )

@@ -128,3 +128,52 @@ def test_phrase_occurrences_match_direct_count(spark):
     for d in docs:
         direct = (" " + d.text + " ").count(" hash join ")
         assert rows.get(d.doc_id, 0) == direct, d.doc_id
+
+
+def test_rollup_incremental_equals_full(spark):
+    """The maintenance law, pinned directly: merging stored history
+    partials with a new batch's partials equals the full recompute —
+    so a refresh is O(batch). (The oracle gate checks the same thing
+    against DuckDB; this is the in-engine statement of the law.)"""
+    from pyspark.sql import functions as F
+    from cvemate_spark.tables import load_table
+
+    inc = run(spark, "e_rollup_inc")
+    ev = load_table(spark, SF, "events")
+    full = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_val"
+            ),
+        )
+        .orderBy("win_start", "event_type", "cnt", "sum_val")
+    )
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+
+
+def test_native_python_udtf_surface(spark):
+    """Spark 4's native Python UDTF API (@udtf) — the lateral-join UDTF
+    shape as a first-class function, checked against the declarative
+    chunker the pipeline actually uses (mapInPandas/t_chunk are the
+    Arrow fast path; this pins that the row-based UDTF surface also
+    works for users who want it)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), size):
+                yield i // size, " ".join(toks[i : i + size])
+
+    out = ChunkDoc(lit("a b c d e"), lit(2)).collect()
+    assert [(r.chunk_idx, r.chunk) for r in out] == [
+        (0, "a b"), (1, "c d"), (2, "e"),
+    ]
