@@ -177,3 +177,41 @@ def test_native_python_udtf_surface(spark):
     assert [(r.chunk_idx, r.chunk) for r in out] == [
         (0, "a b"), (1, "c d"), (2, "e"),
     ]
+
+
+def test_bpe_fit_and_encode_laws(spark):
+    """BPE tokenizer training laws: deterministic merges, first merge is
+    the top adjacent pair, encoding is lossless (concat of a word's
+    tokens reconstructs word + sentinel), and more merges never yield
+    more tokens."""
+    from collections import Counter
+
+    from cvemate_spark.operators import tokenizer as tk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = tk.bpe_fit(docs, n_merges=12)
+    assert merges == tk.bpe_fit(docs, n_merges=12)  # deterministic
+    assert len(merges) == 12
+
+    # first merge = most frequent adjacent symbol pair over word freqs
+    pair_counts = Counter()
+    for r in tk.word_freqs(docs).collect():
+        syms = tuple(r.word) + (tk.EOW,)
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += r.freq
+    top = max(pair_counts.values())
+    assert merges[0] == min(p for p, c in pair_counts.items() if c == top)
+
+    enc = {r.doc_id: r for r in tk.bpe_encode(docs, merges).collect()}
+    raw = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in list(raw.items())[:20]:
+        r = enc[doc_id]
+        # lossless: stripping sentinels and re-splitting gives the text back
+        rebuilt = "".join(r.tokens).replace(tk.EOW, " ").rstrip()
+        assert rebuilt == text
+        assert r.n_tokens >= r.n_words  # every word ends with >= 1 token
+
+    # compression monotonicity: more merges => no more tokens
+    few = sum(r.n_tokens for r in tk.bpe_encode(docs, merges[:2]).collect())
+    many = sum(r.n_tokens for r in tk.bpe_encode(docs, merges).collect())
+    assert many <= few
