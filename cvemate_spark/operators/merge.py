@@ -151,6 +151,65 @@ def read_target(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+# ------------------------------------------- versioned snapshot sink
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Manifest-pointer snapshot sink: the atomic-replace upgrade of
+    `write_atomic`, plus time travel.
+
+    Each write lands in an immutable `path/v-<n>/` directory; commit is
+    publishing the new version name into the `path/_LATEST` pointer
+    FILE via os.replace — and replacing a *file* over an existing file
+    IS atomic on POSIX, so the crash window `write_atomic`'s two
+    directory renames leave open does not exist here: a reader sees
+    the old pointer or the new pointer, never no pointer and never a
+    partial table. This is the same design as Delta/Iceberg commits
+    (data immutable, one tiny atomic pointer/log write), scaled down
+    to a filesystem. Returns the committed version number.
+    """
+    versions = _list_versions(path)
+    v = (max(versions) if versions else 0) + 1
+    os.makedirs(path, exist_ok=True)
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v-{v}"))
+    tmp = os.path.join(path, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(path, "_LATEST"))  # the atomic commit
+    return v
+
+
+def _list_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d[2:]) for d in os.listdir(path)
+        if d.startswith("v-") and d[2:].isdigit()
+    )
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (or a pinned `version` — time
+    travel). Uncommitted version directories (crash before the pointer
+    replace) are invisible: only the pointer decides what is current."""
+    if version is None:
+        with open(os.path.join(path, "_LATEST")) as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(path, f"v-{version}"))
+
+
+def vacuum_versions(path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest `keep` versions, never the committed
+    one. Returns the versions removed."""
+    with open(os.path.join(path, "_LATEST")) as f:
+        committed = int(f.read().strip())
+    versions = _list_versions(path)
+    doomed = [v for v in versions[:-keep] if v != committed] if keep else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v-{v}"), ignore_errors=True)
+    return doomed
+
+
 def merge_many(
     batches: dict[str, DataFrame],
     key: str = "id",

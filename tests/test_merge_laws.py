@@ -152,3 +152,36 @@ def test_merge_many_equals_fold(spark):
         for r in df.collect()
     )
     assert key(folded) == key(wide)
+
+
+def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
+    """Manifest-pointer snapshot laws: latest follows the pointer, old
+    versions stay readable (time travel), an unpublished version dir is
+    invisible, and vacuum never removes the committed version."""
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = write_versioned(spark.createDataFrame([Row(id=1, x="a")]), path)
+    v2 = write_versioned(spark.createDataFrame([Row(id=1, x="b")]), path)
+    assert (v1, v2) == (1, 2)
+    assert read_versioned(spark, path).first().x == "b"
+    assert read_versioned(spark, path, version=1).first().x == "a"
+
+    # a crashed write = data dir present, pointer never replaced:
+    # readers still see v2
+    spark.createDataFrame([Row(id=1, x="crash")]).write.parquet(f"{path}/v-9")
+    assert read_versioned(spark, path).first().x == "b"
+
+    v3 = write_versioned(spark.createDataFrame([Row(id=1, x="c")]), path)
+    assert v3 == 10  # next after the orphaned directory, never reused
+    assert read_versioned(spark, path).first().x == "c"
+
+    removed = vacuum_versions(path, keep=2)
+    assert 1 in removed and 10 not in removed
+    assert read_versioned(spark, path).first().x == "c"
