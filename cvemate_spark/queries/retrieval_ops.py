@@ -462,3 +462,76 @@ def t_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_occ"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- PMI collocations
+PMI_MIN_COUNT = 10  # drop rare pairs before scoring (variance control)
+
+
+@REG.add(
+    "t_colloc",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(toks) AS term,
+               unnest(range(0, len(toks))) AS pos
+        FROM tok
+    ),
+    uni AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    pairs AS (
+        SELECT p1.term AS w1, p2.term AS w2, count(*) AS c12
+        FROM pos p1 JOIN pos p2
+          ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        GROUP BY w1, w2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           floor(ln((t.n * pairs.c12) / (CAST(u1.c AS DOUBLE) * u2.c))
+                 * 10000 + 0.5) / 10000.0 AS pmi
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.term
+    JOIN uni u2 ON pairs.w2 = u2.term, tot t
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+    doc="PMI collocation mining: adjacent-pair co-occurrence counts vs "
+    "unigram expectation, top-20 scoring pairs. One tokenize pass "
+    "feeds both the unigram and the pair counts; the pair relation is "
+    "min-count-filtered BEFORE scoring (rare-pair variance control AND "
+    "the size cap); unigram joins are vocab-bounded and unhinted. The "
+    "log only touches exact integer ratios, portable-rounded once.",
+)
+def t_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    uni = pos.groupBy("term").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    p1 = pos.select("doc_id", F.col("pos").alias("pos1"), F.col("term").alias("w1"))
+    p2 = pos.select("doc_id", F.col("pos").alias("pos2"), F.col("term").alias("w2"))
+    pairs = (
+        p1.join(p2, (p1.doc_id == p2.doc_id) & (F.col("pos2") == F.col("pos1") + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi_raw = F.log(
+        (F.col("n") * F.col("c12")) / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            (F.floor(pmi_raw * 10000 + F.lit(0.5)) / 10000.0).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -215,3 +215,13 @@ def test_bpe_fit_and_encode_laws(spark):
     few = sum(r.n_tokens for r in tk.bpe_encode(docs, merges[:2]).collect())
     many = sum(r.n_tokens for r in tk.bpe_encode(docs, merges).collect())
     assert many <= few
+
+
+def test_colloc_jvm_side_and_nonempty(spark):
+    plan = physical_plan(run(spark, "t_colloc"))
+    assert_jvm_only(plan, "t_colloc")
+    rows = run(spark, "t_colloc").collect()
+    assert len(rows) == 20
+    # PMI is a log-ratio of exact integer counts; 'dup dup' (the planted
+    # duplicate marker repeating) should collocate far above chance
+    assert rows[0].pmi > 0
