@@ -18,6 +18,7 @@ def build_registry() -> Registry:
         "streaming_ops",
         "multimodal_ops",
         "retrieval_ops",
+        "curation_ops",
         "engine_ops",
         "source_ops",
         "pipeline_ops",

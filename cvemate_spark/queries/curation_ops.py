@@ -1,0 +1,274 @@
+"""Curation-rule + sketch + layout queries (SURVEY §2.12 extensions).
+
+Published-pipeline curation operators over `documents`, plus the
+engine-surface gates for the count-min sketch and the z-order key:
+
+- t_gopher        Gopher-style document quality rules (Rae et al. 2021,
+                  App. A): word count, mean word length, symbol ratio,
+                  alphabetic-word fraction, stopword floor → keep flag.
+- dedup_paragraph MassiveText-style duplicated-paragraph removal; this
+                  corpus has no newlines, so a "paragraph" is a fixed
+                  4-token block (documented adaptation — the machinery
+                  (block → hash → corpus-wide count → per-doc dup
+                  fraction → keep) is the published shape).
+- e_cms           count-min sketch built as a distributed aggregation,
+                  probed for the top-20 terms; the portable md5 hash
+                  makes the sketch bit-identical in DuckDB, so even the
+                  sketch's overcounts are oracle-checked.
+- e_zorder        Morton z-value of two quantized event dimensions —
+                  the clustering key behind operators/layout.py.
+
+All JVM-side (lambda folds, bit ops, regex); no Python in any scan.
+Every keep/threshold decision is integer arithmetic (e.g. mean word
+length in [3,10] tested as charsum BETWEEN 3*n AND 10*n) so the flags
+can never float-drift between engines; only display fractions are
+rounded, with the portable floor(x*1e4+0.5) half-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import duck_str_hash
+from ..operators.layout import zorder_expr_duck, zorder_expr_spark
+from ..operators.sketch import DEPTH, WIDTH, _bucket_expr_duck, cms_build, cms_estimate
+from ..tables import load_table
+from .base import Registry
+
+REG = Registry()
+
+BLOCK_W = 4  # tokens per dedup_paragraph block (corpus vocab is ~31 words,
+# so 4-token blocks give a real duplicated-block population to measure)
+
+
+# ------------------------------------------------------ t_gopher
+@REG.add(
+    "t_gopher",
+    """
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           floor(charsum * 10000.0 / n_words + 0.5) / 10000.0 AS mean_wlen,
+           CAST(n_stop AS BIGINT) AS stop_cnt,
+           floor(n_alpha * 10000.0 / n_words + 0.5) / 10000.0 AS alpha_frac,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND charsum BETWEEN 3 * n_words AND 10 * n_words
+                      AND 5 * n_alpha > 4 * n_words
+                      AND 10 * n_sym < n_words
+                      AND n_stop >= 2
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> len(w))) AS charsum,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the', 'a'))) AS n_stop,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style quality rules (word count 50..100k, mean word length "
+    "3..10, symbol ratio < 0.1, alphabetic-word fraction > 0.8, >= 2 "
+    "stopwords) as ONE scan; all keep decisions are integer-exact.",
+)
+def t_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> length(w)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("charsum"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a"))).cast("long").alias("n_stop"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+        .cast("long")
+        .alias("n_alpha"),
+        (
+            F.size(F.expr("regexp_extract_all(text, '#', 0)"))
+            + F.size(F.expr("regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)"))
+        )
+        .cast("long")
+        .alias("n_sym"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("charsum").between(3 * F.col("n_words"), 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha") > 4 * F.col("n_words"))
+        & (10 * F.col("n_sym") < F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        (F.floor(F.col("charsum") * 10000.0 / F.col("n_words") + 0.5) / 10000.0).alias(
+            "mean_wlen"
+        ),
+        F.col("n_stop").alias("stop_cnt"),
+        (F.floor(F.col("n_alpha") * 10000.0 / F.col("n_words") + 0.5) / 10000.0).alias(
+            "alpha_frac"
+        ),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ dedup_paragraph
+@REG.add(
+    "dedup_paragraph",
+    f"""
+    WITH blk AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(CAST(ceil(len(toks) / {BLOCK_W}.0) AS BIGINT)),
+                   i -> array_to_string(
+                       toks[i*{BLOCK_W}+1 : i*{BLOCK_W}+{BLOCK_W}], ' '))) AS block
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    hashed AS (SELECT doc_id, md5(block) AS bh FROM blk),
+    cnt AS (SELECT bh, count(*) AS c FROM hashed GROUP BY bh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+           floor(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)
+                 + 0.5) / 10000.0 AS dup_frac,
+           CAST(CASE WHEN 5 * sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) <= count(*)
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM hashed JOIN cnt USING (bh)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Duplicated-paragraph removal (MassiveText shape) at 4-token-block "
+    "granularity: corpus-wide block-hash counts -> per-doc duplicated "
+    "fraction -> keep at <= 20% (integer-exact). Two keyed shuffles + one "
+    "join; the per-block count relation is UNHINTED (AQE decides — at 100 TB "
+    "it is corpus-sized, never broadcastable).",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blk = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {BLOCK_W}.0)"
+                f" as int) - 1), i -> array_join(slice(split(text, ' '),"
+                f" i*{BLOCK_W}+1, {BLOCK_W}), ' '))"
+            )
+        ).alias("block"),
+    )
+    hashed = blk.select("doc_id", F.md5(F.col("block").cast("binary")).alias("bh"))
+    cnt = hashed.groupBy("bh").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        hashed.join(cnt, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            dup.cast("long").alias("dup_blocks"),
+            (F.floor(dup * 10000.0 / F.count("*") + 0.5) / 10000.0).alias("dup_frac"),
+            (5 * dup <= F.count("*")).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------ e_cms
+_DUCK_BUCKET = _bucket_expr_duck("term", "j", WIDTH)
+
+@REG.add(
+    "e_cms",
+    f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    js AS (SELECT unnest(range({DEPTH})) AS j),
+    sketch AS (
+        SELECT j, {_DUCK_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok CROSS JOIN js
+        GROUP BY 1, 2
+    ),
+    true_top AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM tok GROUP BY term
+        ORDER BY true_cnt DESC, term LIMIT 20
+    ),
+    probe AS (
+        SELECT term, true_cnt, j, {_DUCK_BUCKET} AS bucket
+        FROM true_top CROSS JOIN js
+    )
+    SELECT p.term AS term, p.true_cnt AS true_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS est,
+           CAST(min(s.cnt) - p.true_cnt AS BIGINT) AS overcount
+    FROM probe p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.term, p.true_cnt
+    ORDER BY true_cnt DESC, term
+    """,
+    doc="Count-min sketch (d=4, w=256) built as one map-side-combinable "
+    "aggregation, probed for the top-20 terms; est/overcount are exact "
+    "integers in both engines because the cell hash is the portable "
+    "md5-prefix hash — the oracle rebuilds the identical sketch.",
+)
+def e_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    sketch = cms_build(tok)
+    true_top = (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, true_top.select("term"))
+    return (
+        true_top.join(est, "term")
+        .select(
+            "term",
+            "true_cnt",
+            "est",
+            (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+    )
+
+
+# ------------------------------------------------------ e_zorder
+@REG.add(
+    "e_zorder",
+    f"""
+    SELECT event_id, x, y,
+           CAST({zorder_expr_duck('x', 'y')} AS BIGINT) AS z
+    FROM (
+        SELECT event_id,
+               user_id % 256 AS x,
+               CAST(floor(value / 2.0) AS BIGINT) AS y
+        FROM events
+    )
+    ORDER BY z, event_id
+    LIMIT 100
+    """,
+    doc="Morton z-value of two quantized event dimensions (8 bits each, "
+    "shiftleft/shiftright/& inside codegen) — the clustering key "
+    "operators/layout.py writes files by; bit-identical in DuckDB.",
+)
+def e_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    quant = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        F.floor(F.col("value") / 2.0).cast("long").alias("y"),
+    )
+    return (
+        quant.select(
+            "event_id",
+            "x",
+            "y",
+            F.expr(zorder_expr_spark("x", "y")).cast("long").alias("z"),
+        )
+        .orderBy("z", "event_id")
+        .limit(100)
+    )
+
+
+__all__ = ["REG", "duck_str_hash"]

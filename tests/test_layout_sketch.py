@@ -1,0 +1,143 @@
+"""Laws for the sketch + layout operators.
+
+Count-min (operators/sketch.py): never-undercount, exactness on heavy
+hitters when collisions allow, and shard-merge additivity — the
+properties that make per-day sketch rollup sound at 100 TB.
+
+Layout (operators/layout.py): z-order clustering must (a) preserve the
+data, (b) produce per-file bounding boxes tight enough that a small
+query box PRUNES files from the manifest, and (c) beat a single-column
+sort layout on 2-D pruning — the reason z-order exists. Compaction
+must preserve rows while reducing file count, and be a no-op when the
+layout is already within budget.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cvemate_spark.operators.layout import (
+    compact_files,
+    file_stats,
+    prune_files,
+    read_pruned,
+    write_zordered,
+    zorder_expr_spark,
+)
+from cvemate_spark.operators.merge import read_versioned
+from cvemate_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+from cvemate_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(spark):
+    return (
+        load_table(spark, SF, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+
+
+def test_cms_never_undercounts_and_is_exact_when_unambiguous(spark):
+    tok = _tokens(spark)
+    true = {r["term"]: r["cnt"] for r in tok.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    sketch = cms_build(tok)
+    probes = tok.select("term").distinct()
+    est = {r["term"]: r["est"] for r in cms_estimate(sketch, probes).collect()}
+    assert set(est) == set(true)
+    for t, c in true.items():
+        assert est[t] >= c, f"undercount for {t}"
+    # vocab (~31) << width (256): with d=4 rows at least one row should
+    # isolate most terms — demand exactness for a majority, a regression
+    # tripwire if the hash or cell layout changes.
+    exact = sum(1 for t in true if est[t] == true[t])
+    assert exact >= len(true) * 0.6
+
+
+def test_cms_merge_equals_whole_build(spark):
+    tok = _tokens(spark).withColumn("h", F.crc32(F.col("term").cast("binary")))
+    a, b = tok.filter("h % 2 = 0").select("term"), tok.filter("h % 2 = 1").select("term")
+    merged = cms_merge(cms_build(a), cms_build(b))
+    whole = cms_build(_tokens(spark))
+    key = lambda df: {(r["j"], r["bucket"]): r["cnt"] for r in df.collect()}
+    assert key(merged) == key(whole)
+
+
+def _quantized_events(spark):
+    return load_table(spark, SF, "events").select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        F.floor(F.col("value") / 2.0).cast("long").alias("y"),
+    )
+
+
+def test_zorder_layout_preserves_data_and_prunes_2d_boxes(spark, tmp_path):
+    ev = _quantized_events(spark)
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")  # single-column sort layout, same file count
+    write_zordered(ev, zpath, "x", "y", n_files=8)
+    (
+        ev.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # (a) lossless
+    assert sorted(r["event_id"] for r in spark.read.parquet(zpath).collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+
+    zman = file_stats(spark, zpath, ["x", "y"])
+    sman = file_stats(spark, spath, ["x", "y"])
+    bounds = {"x": (0, 31), "y": (0, 31)}
+    zfiles, sfiles = prune_files(zman, bounds), prune_files(sman, bounds)
+
+    # (b) the manifest prunes: a 1/64-area box must not touch every file
+    assert 0 < len(zfiles) < 8
+    # (c) z-order prunes at least as well as the 1-D sort on a 2-D box
+    assert len(zfiles) <= len(sfiles)
+
+    # pruned read == full filtered read
+    got = read_pruned(spark, zpath, zman, bounds)
+    want = ev.filter(F.col("x").between(0, 31) & F.col("y").between(0, 31))
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+
+def test_zorder_expr_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b1010, 0b0101)], "x long, y long").select(
+        F.expr(zorder_expr_spark("x", "y")).alias("z")
+    )
+    # x bits land on even positions, y bits on odd: 1010 ⨉ 0101 -> 01100110
+    assert df.collect()[0]["z"] == 0b01100110
+
+
+def test_compaction_preserves_rows_reduces_files_and_noops_when_tight(spark, tmp_path):
+    ev = _quantized_events(spark)
+    frag = str(tmp_path / "frag")
+    ev.repartition(16).write.parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_before == 16
+
+    stats = compact_files(spark, frag, target_bytes=1 << 30)
+    assert stats["compacted"] is True and stats["out_files"] == 1
+    out = read_versioned(spark, frag + ".compacted")
+    assert sorted(r["event_id"] for r in out.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+    n_after = len(
+        [
+            f
+            for f in os.listdir(os.path.join(frag + ".compacted", f"v-{stats['version']}"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_after == 1 < n_before
+
+    # a directory already within budget is untouched
+    again = compact_files(spark, frag, target_bytes=1)
+    assert again["compacted"] is False
