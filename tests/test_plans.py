@@ -243,3 +243,70 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"k", "extra"}
     rows = {r["k"]: r["extra"] for r in df.collect()}
     assert rows[0] is None and rows[7] == 70
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    """Runtime-filter story for the shuffle-join regime: when the dim
+    side carries a selective predicate and broadcast is off (the 100-TB
+    fact⋈fact shape), Catalyst must inject a bloom filter that prunes
+    the fact side BEFORE its shuffle — the engine's join shapes have to
+    stay eligible for it (equi-join on a raw column, no UDF on the
+    key). Pins `might_contain` on the application side and the
+    `bloom_filter_agg` build on the creation side."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_curation_sketch_layout_plan_shapes(spark):
+    """The new curation/sketch/layout gates stay JVM-side and keep
+    their scale-critical shapes: partial+final agg for the sketch build
+    with its bounded-relation broadcast, distributed top-k for the
+    z-key query, and NO forced broadcast of dedup_paragraph's
+    corpus-sized per-block count relation."""
+    for name in ("t_gopher", "dedup_paragraph", "e_cms", "e_zorder"):
+        assert_jvm_only(plan_of(spark, name), name)
+
+    p = plan_of(spark, "e_cms")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+
+    p = plan_of(spark, "e_zorder")
+    assert "TakeOrderedAndProject" in p
+
+    logical = analyzed_plan(REGISTRY.specs["dedup_paragraph"].builder(spark, SF))
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
