@@ -176,6 +176,77 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ t_overlap
+@REG.add(
+    "t_overlap",
+    """
+    WITH sh AS (
+        SELECT DISTINCT source, shingle
+        FROM (
+            SELECT source,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+            FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2,
+           CAST(n1.n AS BIGINT) AS n1, CAST(n2.n AS BIGINT) AS n2,
+           CAST(inter AS BIGINT) AS inter,
+           floor(inter * 10000.0 / (n1.n + n2.n - inter) + 0.5) / 10000.0 AS jacc
+    FROM pairs
+    JOIN sz n1 ON pairs.s1 = n1.source
+    JOIN sz n2 ON pairs.s2 = n2.source
+    ORDER BY s1, s2
+    """,
+    doc="Cross-source corpus overlap: exact 3-gram Jaccard per source pair "
+    "(the dataset-contamination / dataset-overlap audit). Per-source "
+    "DISTINCT shingle sets -> self-join on shingle -> pair intersection "
+    "sizes. The pair space is |sources|^2 (bounded); the shingle self-join "
+    "is vocabulary-keyed — AQE's skew handling covers hot shingles, and "
+    "the size relation (one row per SOURCE, not per doc) is safely small.",
+)
+def t_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, id_col="source").distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    n1 = sizes.select(F.col("source").alias("s1"), F.col("n").alias("_n1"))
+    n2 = sizes.select(F.col("source").alias("s2"), F.col("n").alias("_n2"))
+    union_size = F.col("_n1") + F.col("_n2") - F.col("inter")
+    return (
+        pairs.join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("_n1").cast("long").alias("n1"),
+            F.col("_n2").cast("long").alias("n2"),
+            F.col("inter").cast("long").alias("inter"),
+            (F.floor(F.col("inter") * 10000.0 / union_size + 0.5) / 10000.0).alias(
+                "jacc"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 # ------------------------------------------------------ e_cms
 _DUCK_BUCKET = _bucket_expr_duck("term", "j", WIDTH)
 

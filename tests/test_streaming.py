@@ -107,3 +107,38 @@ def test_streaming_state_on_rocksdb_provider(spark):
         ).agg(F.count("*").alias("cnt"))
     )
     assert got == expect
+
+
+def test_tws_running_agg_gate_or_law(spark):
+    """Spark 4 stateful-processor surface (transformWithStateInPandas):
+    where the protobuf runtime exists the drained per-user state must
+    equal the batch aggregate (count + micro-unit value sum); in this
+    container the operator must fail CLOSED with the explicit
+    environment-gate error, never a deep stream crash."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.streaming import jobs
+    from cvemate_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = {
+            r["user_id"]: (r["cnt"], r["micros"])
+            for r in jobs.tws_running_agg(spark, sf).collect()
+        }
+    except NotImplementedError as e:
+        assert "protobuf" in str(e)
+        return
+    want = {
+        r["user_id"]: (r["cnt"], r["micros"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("long")).alias(
+                "micros"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
