@@ -445,3 +445,138 @@ def e_rollup_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type", "cnt", "sum_val")
     )
+
+
+# ------------------------------------------------------------ e_dq_audit
+@REG.add(
+    "e_dq_audit",
+    """
+    SELECT 'customer_null_name' AS check_name,
+           CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS scanned
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_orders_fk',
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50)
+               AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(coalesce(sum(cnt - 1), 0) AS BIGINT),
+           CAST(coalesce(sum(cnt), 0) AS BIGINT)
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    ORDER BY check_name
+    """,
+    doc="Data-quality audit pass (dbt-test shape): referential integrity "
+    "as LEFT-join null counts, primary-key uniqueness as excess-count "
+    "sum, null-rate and range checks as conditional aggregates — one "
+    "row per check with (violations, scanned). At 100 TB each FK check "
+    "is an equi-join on the key (bloom/DPP eligible) and each scan "
+    "check is a map-side conditional count; checks over the same table "
+    "share its scan.",
+)
+def e_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, violations, scanned, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("check_name"),
+            violations.cast("long").alias("violations"),
+            scanned.cast("long").alias("scanned"),
+        )
+
+    null_name = check(
+        "customer_null_name",
+        F.count(F.when(F.col("c_name").isNull(), 1)),
+        F.count("*"),
+        customer,
+    )
+    li_fk = check(
+        "lineitem_orders_fk",
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+        F.count("*"),
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left",
+        ),
+    )
+    qty_range = check(
+        "lineitem_qty_range",
+        F.count(F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50), 1)),
+        F.count("*"),
+        lineitem,
+    )
+    o_fk = check(
+        "orders_customer_fk",
+        F.count(F.when(F.col("c_custkey").isNull(), 1)),
+        F.count("*"),
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        ),
+    )
+    pk = check(
+        "orders_pk_unique",
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)),
+        F.coalesce(F.sum("cnt"), F.lit(0)),
+        orders.groupBy("o_orderkey").agg(F.count("*").alias("cnt")),
+    )
+    return (
+        null_name.unionByName(li_fk)
+        .unionByName(qty_range)
+        .unionByName(o_fk)
+        .unionByName(pk)
+        .orderBy("check_name")
+    )
+
+
+# ------------------------------------------------------------ e_scd2
+@REG.add(
+    "e_scd2",
+    f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '{TS_FMT_DUCK}'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ORDER BY user_id, event_type, valid_from, event_id
+    """,
+    doc="SCD type-2 history build: per-key validity intervals "
+    "[ts, next_ts) via lead(), open interval sentinel + is_current "
+    "flag — the snapshot-to-dimension-history op every warehouse "
+    "pipeline runs. One shuffle on the dimension key; at 100 TB the "
+    "window partitions by (user_id, event_type), never a global sort.",
+)
+def e_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, TS_FMT_SPARK), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    ).orderBy("user_id", "event_type", "valid_from", "event_id")
