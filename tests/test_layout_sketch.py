@@ -141,3 +141,27 @@ def test_compaction_preserves_rows_reduces_files_and_noops_when_tight(spark, tmp
     # a directory already within budget is untouched
     again = compact_files(spark, frag, target_bytes=1)
     assert again["compacted"] is False
+
+
+def test_hll_sketch_rollup_is_mergeable_and_close(spark):
+    """Datasketches HLL surface (Spark 4 hll_sketch_agg/hll_union):
+    per-source sketches must union to the same estimate as one global
+    sketch (mergeable summaries — the rollup never re-reads raw data),
+    and the estimate must sit within HLL error of the exact distinct.
+    Complements e_hll, which gates the approx_count_distinct path."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    per_source = tok.groupBy("source").agg(F.hll_sketch_agg("term").alias("sk"))
+    merged_est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    global_est = tok.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("term")).alias("e")
+    ).collect()[0]["e"]
+    true = tok.select("term").distinct().count()
+    assert merged_est == global_est  # mergeability: same summary either way
+    assert abs(merged_est - true) <= max(2.0, 0.05 * true)

@@ -310,3 +310,52 @@ def test_curation_sketch_layout_plan_shapes(spark):
 
     logical = analyzed_plan(REGISTRY.specs["dedup_paragraph"].builder(spark, SF))
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_bucket_pruning_for_point_lookup(spark, tmp_path):
+    """SNK-4 point-lookup path: a key-equality filter on a bucketed
+    table must prune to ONE bucket (SelectedBucketsCount 1 out of N) —
+    the scan reads 1/N of the files, the layout-level analog of the
+    reference's primary-key index. autoBucketedScan is disabled for
+    the probe because the planner otherwise drops bucketed scanning
+    when nothing downstream consumes the distribution."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bucket_prune_probe")
+        (
+            spark.range(1000)
+            .withColumn("k", F.col("id") % 50)
+            .write.bucketBy(8, "k")
+            .sortBy("k")
+            .saveAsTable("bucket_prune_probe")
+        )
+        plan = physical_plan(spark.table("bucket_prune_probe").filter("k = 7"))
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", saved)
+        spark.sql("DROP TABLE IF EXISTS bucket_prune_probe")
+
+
+def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
+    """Nested-column pruning: selecting one field of a struct column
+    (the cve table is all nested structs) must narrow ReadSchema to
+    that field — reading the full struct for a one-field projection
+    multiplies scan bytes by the struct width at 100 TB."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nested")
+    (
+        spark.range(100)
+        .select(
+            F.struct(
+                F.col("id").alias("a"), (F.col("id") * 2).alias("wide_unused")
+            ).alias("s")
+        )
+        .write.parquet(path)
+    )
+    plan = physical_plan(spark.read.parquet(path).select("s.a"))
+    assert "ReadSchema: struct<s:struct<a:bigint>>" in plan
+    assert "wide_unused" not in plan
