@@ -25,11 +25,12 @@ from ..tables import _ensure_session_confs
 
 SCRATCH = "/root/repo/.scratch"
 
-# events parquet schema as the nanosAsLong reader sees it
-EVENTS_RAW_SCHEMA = T.StructType(
+# schema of the staged (micros-normalized) events parquet — file-source
+# streams require an explicit schema
+EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,30 +39,55 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
-    """File-source stream over the events parquet.
+def _stage_events(sf_dir: str) -> str:
+    """Stage the events parquet into a scratch dir for file-source
+    streams, normalizing the on-disk timestamp unit to
+    TIMESTAMP(MICROS).
 
-    The file source requires a directory, so the single parquet file
-    is staged (copied once) into a scratch dir keyed by the SOURCE
-    FILE's path+size+mtime — not the path alone, which would silently
-    serve a stale copy after the testdata is regenerated in place
-    (same staleness hole the landing cache had).
+    The cache key is the SOURCE FILE's path+size+mtime — not the path
+    alone, which would silently serve a stale copy after the testdata
+    is regenerated in place (same staleness hole the landing cache
+    had). The unit normalization makes the streams independent of the
+    generator's parquet timestamp unit (it has shipped both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds): nanos is
+    cast with truncation, exactly DuckDB's nanos→micros behavior and
+    the batch loader's `ts div 1000`.
     """
-    _ensure_session_confs(spark)
-    st = os.stat(f"{sf_dir}/events.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
     stage_key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:us-v2".encode()
     ).hexdigest()[:12]
     stage = f"{SCRATCH}/events_src_{stage_key}"
-    staged = f"{stage}/events.parquet"
-    if not os.path.exists(staged):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", staged)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if not os.path.exists(stage):
+        tmp = f"{stage}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        tbl = pq.read_table(src)
+        i = tbl.schema.get_field_index("ts")
+        if tbl.schema.field(i).type != pa.timestamp("us"):
+            tbl = tbl.set_column(
+                i, "ts", tbl.column("ts").cast(pa.timestamp("us"), safe=False)
+            )
+        pq.write_table(tbl, f"{tmp}/events.parquet")
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # concurrent stager won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
+    """File-source stream over the staged events parquet."""
+    _ensure_session_confs(spark)
+    stage = _stage_events(sf_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
     for k, v in options.items():
         reader = reader.option(k, v)
-    raw = reader.parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(stage)
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> None:
@@ -127,15 +153,16 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     # n_chunks) — stage them ONCE keyed by the source's size/mtime
     # fingerprint instead of re-running the partitioned write per call
     # (same cache rule as _events_stream / the landing generator).
+    stage = _stage_events(sf_dir)
     st = os.stat(f"{sf_dir}/events.parquet")
     in_key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}".encode()
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
     ).hexdigest()[:12]
     in_dir = f"{SCRATCH}/s3_in_{in_key}"
     if not os.path.exists(in_dir):
         tmp = f"{in_dir}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw (ts as long)
+        ev = spark.read.parquet(stage)  # micros-normalized
         # one partitioned write (not one job per chunk); the partition
         # dirs then become the arrival-ordered landing files
         chunks_dir = f"{tmp}/chunks"
@@ -161,7 +188,6 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     os.makedirs(run_dir)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         current = read_target(batch.sparkSession, target)
         merged = keep_latest_merge(
             current,
@@ -172,7 +198,7 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
         write_atomic(merged, target)
 
     q = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
         .writeStream.foreachBatch(merge_batch)

@@ -58,8 +58,18 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # The generator has shipped the ts column as TIMESTAMP(NANOS)
+        # (unreadable without nanosAsLong -> arrives as a long) and as
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false (arrives as
+        # TIMESTAMP_NTZ). Normalize both to session-zone TimestampType
+        # (session is pinned to UTC, so the NTZ cast is value-exact and
+        # matches the naive-timestamp DuckDB oracle).
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
