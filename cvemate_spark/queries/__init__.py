@@ -22,6 +22,7 @@ def build_registry() -> Registry:
         "engine_ops",
         "source_ops",
         "pipeline_ops",
+        "graph_ops",
     ):
         try:
             mod = __import__(f"{__name__}.{mod_name}", fromlist=["REG"])

@@ -342,4 +342,75 @@ def e_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ------------------------------------------------------ t_classify
+CLS_B = 4096  # hashed feature buckets
+CLS_MULT = 2654435761  # Knuth multiplicative constant -> pseudo-weights
+
+_SPARK_TERM_HASH = "cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)"
+_DUCK_TERM_HASH = "CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT)"
+
+
+@REG.add(
+    "t_classify",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               (({_DUCK_TERM_HASH} % {CLS_B}) * {CLS_MULT}) % 2001 - 1000 AS w
+        FROM tok
+    ),
+    scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(w) AS BIGINT) AS score_sum
+        FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, score_sum,
+           floor(CAST(score_sum AS DOUBLE) * 10000.0 / n_tok + 0.5)
+               / 10000.0 AS mean_w,
+           CASE WHEN score_sum > 0 THEN 'pos' ELSE 'neg' END AS label
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Hashed linear text classifier inference (the fastText / "
+    "hashing-trick shape every corpus quality-classifier filter runs "
+    "at scale): token -> 60-bit md5 hash -> one of 4096 feature "
+    "buckets -> fixed integer weight (multiplicative-hash "
+    "pseudo-weights standing in for trained coefficients, which would "
+    "arrive as a 4096-row broadcast relation); document score = sum "
+    "of token weights, thresholded at 0. ONE scan + one map-side "
+    "partial-agg'd doc_id shuffle, everything JVM codegen; integer "
+    "score sums are order-independent so the gate is exact. Swapping "
+    "trained weights in changes the weight expression to a broadcast "
+    "join against a bucket->weight dim, nothing else.",
+)
+def t_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    w = F.expr(
+        f"(({_SPARK_TERM_HASH} % {CLS_B}) * {CLS_MULT}L) % 2001 - 1000"
+    )
+    scored = tok.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum("w").cast("long").alias("score_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "score_sum",
+        (
+            F.floor(
+                F.col("score_sum").cast("double") * 10000.0 / F.col("n_tok")
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("mean_w"),
+        F.when(F.col("score_sum") > 0, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
 __all__ = ["REG", "duck_str_hash"]

@@ -1,0 +1,101 @@
+"""Laws for the round-2 analysis operators: PageRank, repeated-substring
+exposure, hashed classifier, product quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from cvemate_spark.operators.graph import BASE, RANK_SCALE, pagerank
+from cvemate_spark.queries.curation_ops import CLS_B, CLS_MULT
+from cvemate_spark.queries.dedup_ops import SPAN_K, dedup_substring
+from cvemate_spark.queries.similarity_ops import PQ_DSUB, PQ_K, PQ_M
+
+
+def _ref_pagerank(edges: list[tuple[str, str]], iters: int) -> dict[str, int]:
+    """Driver-side reference of the integer recurrence."""
+    from collections import defaultdict
+
+    outdeg: dict[str, int] = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ranks = {u: RANK_SCALE for u in outdeg}
+    for _ in range(iters):
+        nxt: dict[str, int] = defaultdict(int)
+        for s, d in edges:
+            nxt[d] += (85 * ranks[s]) // (100 * outdeg[s])
+        ranks = {v: BASE + c for v, c in nxt.items()}
+    return ranks
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    # star + chain: a<->b, a<->c, c<->d (undirected as directed pairs)
+    und = [("a", "b"), ("a", "c"), ("c", "d")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    assert got == _ref_pagerank(edges, iters=3)
+    # hub a (degree 2) outranks leaves b, d (degree 1)
+    assert got["a"] > got["b"] and got["a"] > got["d"]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = und + [(d, s) for s, d in und]
+    df1 = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    df8 = df1.repartition(8)
+    r1 = {r["node"]: r["rank"] for r in pagerank(df1, iters=2).collect()}
+    r8 = {r["node"]: r["rank"] for r in pagerank(df8, iters=2).collect()}
+    assert r1 == r8  # integer arithmetic: layout can't change the result
+
+
+def test_dedup_substring_known_span(spark, tmp_path):
+    # doc 1 and 2 share a verbatim 10-token run; doc 3 is unique
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = [
+        Row(doc_id=1, text=f"a1 a2 a3 {shared} a4 a5"),
+        Row(doc_id=2, text=f"b1 {shared} b2 b3 b4"),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(20))),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    out = {r["doc_id"]: r.asDict() for r in dedup_substring(spark, str(sf)).collect()}
+    # a 10-token shared run = 10 - K + 1 duplicated window positions,
+    # merging to one island whose span is exactly 10 tokens
+    expect_dup = 10 - SPAN_K + 1
+    for d in (1, 2):
+        assert out[d]["dup_win"] == expect_dup
+        assert out[d]["max_span"] == 10
+    assert out[3]["dup_win"] == 0 and out[3]["max_span"] == 0 and out[3]["keep"] == 1
+
+
+def test_classifier_weights_are_signed_and_bounded():
+    # the pseudo-weight table spans both classes and stays in [-1000, 1000]
+    ws = [((b % CLS_B) * CLS_MULT) % 2001 - 1000 for b in range(CLS_B)]
+    assert min(ws) >= -1000 and max(ws) <= 1000
+    assert any(w < 0 for w in ws) and any(w > 0 for w in ws)
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.rand(PQ_M * PQ_DSUB)])
+        for i in range(60)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows).write.parquet(str(sf / "embeddings.parquet"))
+
+    from cvemate_spark.queries.similarity_ops import emb_pq
+
+    out = emb_pq(spark, str(sf)).collect()
+    codes = {r["vec_id"]: (r["c0"], r["c1"], r["c2"], r["c3"]) for r in out}
+    # every emitted code is a valid codeword id
+    assert all(0 <= c < PQ_K for cs in codes.values() for c in cs)
+    # a codebook seed's subvectors are distance-0 to their own codeword,
+    # so any seed that reaches the top-20 encodes to itself
+    for vid, cs in codes.items():
+        if vid < PQ_K:
+            assert cs == (vid, vid, vid, vid)
