@@ -50,7 +50,12 @@ def pagerank(edges: DataFrame, iters: int = 2) -> DataFrame:
     is otherwise dropped, matching the truncated-contribution model.
     Returns (node, rank) with rank scaled by RANK_SCALE.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # the edge relation is referenced by every iteration's join (and
+    # deg twice more) — persist so one action computes the upstream
+    # plan (often itself a join, as in g_pagerank) exactly once; on a
+    # cluster the same role is played by a bucketed edge table
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank")
     )

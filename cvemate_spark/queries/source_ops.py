@@ -416,3 +416,34 @@ def src_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("page").alias("n_pages"),
         F.max("vendor").alias("max_vendor"),
     ).orderBy("n_rows", "n_ids", "n_pages", "max_vendor")
+
+
+# ------------------------------------------------------------ ORC
+@REG.add(
+    "src_orc",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang, n_docs, total_chars
+    """,
+    doc="Columnar-format breadth: the documents table served as ORC "
+    "(landing.gen_orc_documents) and read with spark.read.orc — the "
+    "same scan surface (column pruning, predicate pushdown, "
+    "whole-stage codegen) Spark gives parquet. Oracle reads the "
+    "parquet original: a hash match proves the ORC round-trip is "
+    "value-exact.",
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = landing.gen_orc_documents(sf_dir)
+    docs = spark.read.orc(path)
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "lang", "n_docs", "total_chars")
+    )

@@ -785,3 +785,43 @@ def t_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_len.cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", span).cast("binary")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_idx", "chunk_len", "chunk_fp")
+
+# ------------------------------------------------------ t_compress
+@REG.add(
+    "t_compress",
+    None,  # zlib exists in no SQL engine: rows-only driver check; the
+    # determinism/ordering laws live in tests/test_graph_analysis.py
+    doc="Compression-ratio quality signal (used by RefinedWeb/Gopher-"
+    "family pipelines: highly compressible text is boilerplate or "
+    "repetition, incompressible text is noise): per-doc "
+    "zlib-compressed size over raw size, as permille. Python is "
+    "unavoidable (zlib), so the scan is ONE Arrow-batched mapInPandas "
+    "pass — per-batch C-speed zlib, no per-row UDF overhead, no "
+    "shuffle at all (row-local); output is (doc_id, n_bytes, z_bytes, "
+    "ratio_pm) with the ratio in integer permille so downstream "
+    "keep-thresholds are float-drift-free.",
+)
+def t_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compress_batches(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            z = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "z_bytes": z,
+                    "ratio_pm": (z * 1000) // n,
+                }
+            )
+
+    out_schema = "doc_id long, n_bytes long, z_bytes long, ratio_pm long"
+    return docs.mapInPandas(compress_batches, schema=out_schema).orderBy("doc_id")
+

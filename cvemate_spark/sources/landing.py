@@ -429,3 +429,21 @@ def gen_exploitdb_csv(sf_dir: str) -> str:
             f.write(f"{k},exploits/x_{k}.py,exploit {k},{codes}\n")
     os.rename(tmp, out)
     return out
+
+
+def gen_orc_documents(sf_dir: str) -> str:
+    """ORC copy of the documents table (pyarrow ORC writer, done once
+    per landing fingerprint) — the landing file for src_orc, proving
+    the engine's columnar-format breadth beyond parquet (Spark's ORC
+    reader supports the same pushdown/pruning surface)."""
+    out = f"{landing_dir(sf_dir)}/documents.orc"
+    if _done(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    tmp = out + ".tmp"
+    po.write_table(pq.read_table(f"{sf_dir}/documents.parquet"), tmp)
+    os.rename(tmp, out)
+    return out

@@ -99,3 +99,34 @@ def test_pq_seed_vectors_encode_to_themselves(spark, tmp_path):
     for vid, cs in codes.items():
         if vid < PQ_K:
             assert cs == (vid, vid, vid, vid)
+
+
+def test_compress_ratio_orders_repetition(spark, tmp_path):
+    docs = [
+        Row(doc_id=1, text="spam ham " * 200),          # repetitive
+        Row(doc_id=2, text=" ".join(f"w{i*7919%4096}x{i}" for i in range(400))),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    from cvemate_spark.queries.text_ops import t_compress
+
+    out = {r["doc_id"]: r.asDict() for r in t_compress(spark, str(sf)).collect()}
+    assert out[1]["ratio_pm"] < out[2]["ratio_pm"]  # repetition compresses harder
+    for r in out.values():
+        assert 0 < r["z_bytes"] and 0 < r["ratio_pm"] <= 1100
+        assert r["ratio_pm"] == r["z_bytes"] * 1000 // r["n_bytes"]
+    # determinism across runs (fixed zlib level)
+    again = {r["doc_id"]: r.asDict() for r in t_compress(spark, str(sf)).collect()}
+    assert out == again
+
+
+def test_orc_roundtrip_is_value_exact(spark):
+    from cvemate_spark.sources.landing import gen_orc_documents
+    from cvemate_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orc = spark.read.orc(gen_orc_documents(sf))
+    pq = load_table(spark, sf, "documents")
+    assert orc.count() == pq.count()
+    assert orc.exceptAll(pq).count() == 0 and pq.exceptAll(orc).count() == 0
