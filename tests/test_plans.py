@@ -359,3 +359,32 @@ def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
     plan = physical_plan(spark.read.parquet(path).select("s.a"))
     assert "ReadSchema: struct<s:struct<a:bigint>>" in plan
     assert "wide_unused" not in plan
+
+
+def test_round2_analysis_ops_plan_shapes(spark):
+    """Graph/substring/classifier/PQ gates keep their scale shapes:
+    all JVM-side (t_compress is the one declared Arrow stage), no
+    cartesian products, PQ's codebook and distance table broadcast,
+    classifier/substring aggs partial+final, pagerank top-k
+    distributed."""
+    for name in ("g_pagerank", "dedup_substring", "t_classify", "emb_pq",
+                 "src_orc"):
+        plan = plan_of(spark, name)
+        assert_jvm_only(plan, name)
+        assert_no_pathological_join(plan, name)
+
+    p = plan_of(spark, "emb_pq")
+    assert p.count("BroadcastHashJoin") >= 2  # codebook (encode) + qd table
+    assert "SortMergeJoin" not in p
+
+    p = plan_of(spark, "t_classify")
+    assert p.count("HashAggregate") >= 2  # partial map-side + final
+
+    p = plan_of(spark, "g_pagerank")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    # substring join-back carries no forced broadcast of the
+    # corpus-sized window-count relation (AQE decides)
+    logical = analyzed_plan(REGISTRY.specs["dedup_substring"].builder(spark, SF))
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
