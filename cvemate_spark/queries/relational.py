@@ -524,3 +524,85 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(cust.select(F.col("c_custkey").alias("custkey")))
         .orderBy("custkey")
     )
+
+
+# ------------------------------------------------------------ Q29/Q30
+@REG.add(
+    "q29",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority, n_orders
+    """,
+    doc="Correlated EXISTS subquery (TPC-H Q4 shape, adapted to this "
+    "schema): orders with at least one returned lineitem, counted per "
+    "priority — exercising Catalyst's subquery decorrelation "
+    "(RewritePredicateSubquery rewrites EXISTS to a left-semi join, "
+    "so the physical plan is the q08 semi-join shape with the filter "
+    "pushed into the subquery scan).",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM sq_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM sq_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority, n_orders
+        """
+    )
+
+
+@REG.add(
+    "q30",
+    """
+    SELECT l.l_partkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_lot_revenue
+    FROM lineitem l
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * (
+        SELECT count(*) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey
+    ) < (
+        SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey, small_lot_revenue
+    """,
+    doc="Correlated scalar-aggregate subquery (TPC-H Q17 shape): "
+    "lineitems whose quantity is below 20% of their part's average "
+    "(expressed as 5*qty*n < sum via two correlated scalar subqueries "
+    "in exact integer arithmetic), revenue per part. Catalyst "
+    "decorrelates the scalar subquery into an aggregate + join "
+    "(RewriteCorrelatedScalarSubquery) — l_partkey-keyed aggregates "
+    "joined back, no per-row re-execution, which is what makes the "
+    "correlated form viable at 100 TB; revenue sums in DECIMAL(18,2).",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq30_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS small_lot_revenue
+        FROM sq30_lineitem l
+        WHERE CAST(l.l_quantity AS BIGINT) * 5 * (
+            SELECT count(*) FROM sq30_lineitem l3 WHERE l3.l_partkey = l.l_partkey
+        ) < (
+            SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+            FROM sq30_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        ORDER BY l.l_partkey, small_lot_revenue
+        """
+    )

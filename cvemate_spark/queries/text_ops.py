@@ -825,3 +825,109 @@ def t_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "doc_id long, n_bytes long, z_bytes long, ratio_pm long"
     return docs.mapInPandas(compress_batches, schema=out_schema).orderBy("doc_id")
 
+# ------------------------------------------------------ t_winnow
+WIN_K = 5   # k-gram length for winnowing
+WIN_W = 4   # winnowing window (guarantee: any match >= K+W-1 tokens is caught)
+_POS_BITS = 20  # pack (hash, pos) -> one BIGINT for a frame-min with tie-break
+
+
+@REG.add(
+    "t_winnow",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substring(md5(array_to_string(t[i:i + {WIN_K} - 1],
+                    ' ')), 1, 10)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(t) - {WIN_K} + 2)) AS r(i)
+        WHERE len(t) >= {WIN_K} + {WIN_W} - 1
+    ),
+    packed AS (
+        SELECT doc_id, pos, h * {1 << _POS_BITS} + pos AS ph FROM grams
+    ),
+    mins AS (
+        SELECT doc_id,
+               min(ph) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+                   AS m,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM packed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               m // {1 << _POS_BITS} AS fh, m % {1 << _POS_BITS} AS fpos
+        FROM mins WHERE rn <= n - {WIN_W - 1}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(min(fh) AS BIGINT) AS min_fh,
+           CAST(max(fpos) AS BIGINT) AS last_pos
+    FROM fps
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken "
+    "2003, the MOSS algorithm): hash every 5-token k-gram, slide a "
+    "4-window over the hash sequence and keep each window's minimum "
+    "(ties broken by rightmost position via packing (hash, pos) into "
+    "one BIGINT before the frame-min) — selecting O(n/w) "
+    "position-stable fingerprints that guarantee any verbatim match "
+    "of >= k+w-1 tokens shares a fingerprint. The per-doc frame-min "
+    "is ONE doc_id-keyed window pass (row-frame, streaming-friendly); "
+    "selected fingerprints are the compact index a 100-TB dedup joins "
+    "on INSTEAD of all overlapping windows (w-fold candidate "
+    "reduction vs dedup_substring's full position set, the standard "
+    "recall/cost dial). 40-bit hash + 20-bit position keeps the pack "
+    "exact in int64.",
+)
+def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= WIN_K + WIN_W - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {WIN_K} + 1), i -> "
+                    f"cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))),"
+                    f" 1, 10), 16, 10) as bigint))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    packed = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * (1 << _POS_BITS) + F.col("pos")).alias("ph"),
+    )
+    byPos = W.partitionBy("doc_id").orderBy("pos")
+    mins = packed.select(
+        "doc_id",
+        F.min("ph").over(byPos.rowsBetween(0, WIN_W - 1)).alias("m"),
+        F.row_number().over(byPos).alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+    )
+    fps = (
+        mins.filter(F.col("rn") <= F.col("n") - (WIN_W - 1))
+        .select(
+            "doc_id",
+            F.expr(f"m div {1 << _POS_BITS}").alias("fh"),
+            (F.col("m") % (1 << _POS_BITS)).alias("fpos"),
+        )
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fp"),
+            F.min("fh").cast("long").alias("min_fh"),
+            F.max("fpos").cast("long").alias("last_pos"),
+        )
+        .orderBy("doc_id")
+    )
+

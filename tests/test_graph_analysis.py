@@ -130,3 +130,41 @@ def test_orc_roundtrip_is_value_exact(spark):
     pq = load_table(spark, sf, "documents")
     assert orc.count() == pq.count()
     assert orc.exceptAll(pq).count() == 0 and pq.exceptAll(orc).count() == 0
+
+
+def test_winnow_guarantee_shared_fingerprint(spark, tmp_path):
+    """Winnowing's theorem: docs sharing a verbatim run of at least
+    K + W - 1 tokens select at least one common (hash, local-min)
+    fingerprint hash."""
+    from cvemate_spark.queries.text_ops import WIN_K, WIN_W, t_winnow
+
+    shared = " ".join(f"s{i}" for i in range(WIN_K + WIN_W - 1))
+    docs = [
+        Row(doc_id=1, text=f"a1 a2 a3 a4 {shared} a5 a6 a7"),
+        Row(doc_id=2, text=f"{shared} b1 b2 b3 b4 b5"),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(30))),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    out = t_winnow(spark, str(sf))
+    assert out.count() == 3  # every long-enough doc emits fingerprints
+
+    # recompute the selected hash sets per doc to check the overlap law
+    from cvemate_spark.queries.text_ops import _POS_BITS  # noqa: F401
+    import hashlib
+
+    def fps(text: str) -> set[int]:
+        t = text.split(" ")
+        hs = [
+            int(hashlib.md5(" ".join(t[i : i + WIN_K]).encode()).hexdigest()[:10], 16)
+            for i in range(len(t) - WIN_K + 1)
+        ]
+        packed = [h * (1 << _POS_BITS) + i + 1 for i, h in enumerate(hs)]
+        return {
+            min(packed[i : i + WIN_W]) >> _POS_BITS
+            for i in range(len(packed) - WIN_W + 1)
+        }
+
+    assert fps(docs[0].text) & fps(docs[1].text)  # shared run -> shared fp
+    assert not (fps(docs[2].text) & fps(docs[0].text))

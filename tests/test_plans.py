@@ -388,3 +388,17 @@ def test_round2_analysis_ops_plan_shapes(spark):
     # corpus-sized window-count relation (AQE decides)
     logical = analyzed_plan(REGISTRY.specs["dedup_substring"].builder(spark, SF))
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
+def test_subquery_decorrelation_shapes(spark):
+    """EXISTS becomes a semi join; the correlated scalar aggregate
+    becomes partkey-keyed aggregates joined back — never a per-row
+    re-execution or cartesian product."""
+    p = plan_of(spark, "q29")
+    assert "SemiJoin" in p or "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of(spark, "q30")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    assert_jvm_only(p, "q30")
