@@ -931,3 +931,56 @@ def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+# ------------------------------------------------------ t_entropy
+@REG.add(
+    "t_entropy",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    wc AS (
+        SELECT doc_id, term, c,
+               sum(c) OVER (PARTITION BY doc_id) AS n
+        FROM cnt
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tok,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(floor(c * ln(CAST(n AS DOUBLE) / c) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS ent_q
+    FROM wc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Token-distribution entropy per document (the unigram-entropy "
+    "gibberish/repetition signal: near-zero for one-token spam, "
+    "log(n) for all-distinct text): H*n = sum over terms of "
+    "c*ln(n/c). Each term's contribution is quantized to an integer "
+    "(x1e6 floor) BEFORE the per-doc sum, so the aggregate is "
+    "order-independent — the one ln touches an exact integer ratio, "
+    "same portable-log discipline as t_colloc/t_perplexity. Shape: "
+    "one (doc_id, term) count shuffle + one doc_id window/agg, all "
+    "JVM codegen. ent_q/1e6/n_tok/ln(2) is bits-per-token; kept "
+    "integer here so keep-thresholds cannot float-drift.",
+)
+def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    wc = cnt.withColumn("n", F.sum("c").over(W.partitionBy("doc_id")))
+    term_q = F.floor(
+        F.col("c") * F.log(F.col("n").cast("double") / F.col("c")) * 1000000
+    ).cast("long")
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tok"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(term_q).cast("long").alias("ent_q"),
+        )
+        .orderBy("doc_id")
+    )
+

@@ -168,3 +168,22 @@ def test_winnow_guarantee_shared_fingerprint(spark, tmp_path):
 
     assert fps(docs[0].text) & fps(docs[1].text)  # shared run -> shared fp
     assert not (fps(docs[2].text) & fps(docs[0].text))
+
+
+def test_entropy_extremes(spark, tmp_path):
+    docs = [
+        Row(doc_id=1, text="spam " * 50 + "spam"),          # one token: H = 0
+        Row(doc_id=2, text=" ".join(f"w{i}" for i in range(51))),  # all distinct
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    from cvemate_spark.queries.text_ops import t_entropy
+
+    out = {r["doc_id"]: r.asDict() for r in t_entropy(spark, str(sf)).collect()}
+    assert out[1]["ent_q"] == 0 and out[1]["n_distinct"] == 1
+    # all-distinct: H*n = n*ln(n); quantized per term as floor(ln(51)*1e6)*51
+    import math
+
+    assert out[2]["ent_q"] == 51 * math.floor(math.log(51.0) * 1000000)
+    assert out[2]["n_distinct"] == 51
