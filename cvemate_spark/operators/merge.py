@@ -90,6 +90,35 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def merge_upsert_deletes(
+    target: DataFrame | None,
+    updates: DataFrame,
+    key: str = "id",
+    deleted_col: str = "_deleted",
+    now=None,
+) -> DataFrame:
+    """OP-MERGE with a delete leg: the Delta/Iceberg `MERGE INTO ...
+    WHEN MATCHED AND u._deleted THEN DELETE` shape (the reference
+    drops withdrawn entries the same way a feed retracts an id).
+
+    `updates` rows with `deleted_col` true are tombstones: their keys
+    are removed from the result (whether or not they exist in the
+    target — deleting an absent key is a no-op, keeping the operator
+    idempotent). All other rows upsert exactly as `merge_upsert`.
+
+    Shape: the upsert is the same single full-outer join; tombstone
+    removal is a left-anti join against the (tiny) tombstone key set —
+    at 100 TB the tombstone relation is the day's retractions, orders
+    of magnitude below the corpus, so the anti join is a broadcast in
+    practice (left unhinted — AQE decides). A later upsert of the same
+    key re-inserts it: delete is not a permanent blacklist, matching
+    MERGE semantics."""
+    tombs = updates.filter(F.col(deleted_col)).select(key)
+    live = updates.filter(~F.col(deleted_col)).drop(deleted_col)
+    merged = merge_upsert(target, live, key=key, now=now)
+    return merged.join(tombs, key, "left_anti")
+
+
 def keep_latest_merge(
     target: DataFrame | None,
     updates: DataFrame,

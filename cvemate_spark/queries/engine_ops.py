@@ -580,3 +580,61 @@ def e_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     ).orderBy("user_id", "event_type", "valid_from", "event_id")
+
+
+# ------------------------------------------------------ e_merge_delete
+@REG.add(
+    "e_merge_delete",
+    """
+    WITH target AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    updates AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS price,
+               (o_orderkey % 10 = 0) AS _deleted
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT coalesce(u.id, t.id) AS id,
+               coalesce(u.status, t.status) AS status,
+               coalesce(u.price, t.price) AS price
+        FROM target t
+        FULL OUTER JOIN (SELECT * FROM updates WHERE NOT _deleted) u
+          ON t.id = u.id
+    )
+    SELECT id, status, CAST(price AS DOUBLE) AS price
+    FROM merged
+    WHERE id NOT IN (SELECT id FROM updates WHERE _deleted)
+    ORDER BY id, status, price
+    """,
+    doc="OP-MERGE delete leg (MERGE INTO ... WHEN MATCHED THEN DELETE): "
+    "keyed upsert where tombstone-flagged update rows remove their key "
+    "— insert, update and delete in one pass, the full CDC-apply "
+    "surface. One full-outer upsert join + one anti join against the "
+    "tombstone key set (unhinted; tombstones are a day's retractions, "
+    "so AQE broadcasts in practice). Deleting an absent key is a "
+    "no-op: the operator is idempotent.",
+)
+def e_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert_deletes
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 1).alias("price"),
+        (F.col("o_orderkey") % 10 == 0).alias("_deleted"),
+    )
+    merged = merge_upsert_deletes(target, updates, key="id")
+    return (
+        merged.select("id", "status", F.col("price").cast("double").alias("price"))
+        .orderBy("id", "status", "price")
+    )

@@ -185,3 +185,32 @@ def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
     removed = vacuum_versions(path, keep=2)
     assert 1 in removed and 10 not in removed
     assert read_versioned(spark, path).first().x == "c"
+
+
+def test_merge_delete_laws(spark):
+    from cvemate_spark.operators.merge import merge_upsert_deletes
+
+    NOW = "2026-01-01 00:00:00"
+    target = spark.createDataFrame(
+        [Row(id="a", v=1), Row(id="b", v=2), Row(id="c", v=3)]
+    )
+    ups = spark.createDataFrame(
+        [
+            Row(id="b", v=20, _deleted=False),   # update
+            Row(id="c", v=None, _deleted=True),  # delete existing
+            Row(id="d", v=40, _deleted=False),   # insert
+            Row(id="z", v=None, _deleted=True),  # delete absent: no-op
+        ]
+    )
+    out = merge_upsert_deletes(target, ups, key="id", now=NOW)
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {"a": 1, "b": 20, "d": 40}
+
+    # idempotent: re-applying the same batch changes nothing
+    again = merge_upsert_deletes(out, ups, key="id", now=NOW)
+    assert {r["id"]: r["v"] for r in again.collect()} == got
+
+    # delete is not a blacklist: a later upsert resurrects the key
+    back = spark.createDataFrame([Row(id="c", v=300, _deleted=False)])
+    res = merge_upsert_deletes(again, back, key="id", now=NOW)
+    assert {r["id"]: r["v"] for r in res.collect()}["c"] == 300

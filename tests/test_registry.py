@@ -33,8 +33,14 @@ def test_driver_gate_covers_critical_families():
     names = set(DRIVER_GATE)
     # src_pyds re-reads the same NVD pages as src_nvd through the
     # Spark 4 Python Data Source API — a connector-mechanism demo, not
-    # a distinct feed shape; it stays locally gated (tools/check.py).
-    src_all = {n for n in REGISTRY.specs if n.startswith("src_")} - {"src_pyds"}
+    # a distinct feed shape; src_orc is format breadth beyond the
+    # reference's SRC inventory (same documents rows through the ORC
+    # reader). Both stay locally gated (tools/check.py) — the 50
+    # driver slots are reserved for the reference's own feed shapes.
+    src_all = {n for n in REGISTRY.specs if n.startswith("src_")} - {
+        "src_pyds",
+        "src_orc",
+    }
     assert src_all and src_all <= names, src_all - names
     missing = [n for n in CRITICAL if n not in names]
     assert not missing, missing
