@@ -606,3 +606,37 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l.l_partkey, small_lot_revenue
         """
     )
+
+
+@REG.add(
+    "q31",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey NOT IN (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%'
+    )
+    ORDER BY s_suppkey, s_name
+    """,
+    doc="Null-aware NOT IN subquery: suppliers outside 'A%' nations. "
+    "NOT IN over a subquery has three-valued-logic semantics (one NULL "
+    "in the list empties the result), so Catalyst plans it as a "
+    "null-aware anti join (BroadcastHashJoin LeftAnti, buildSide "
+    "marked NAAJ) rather than the plain anti join of NOT EXISTS — a "
+    "distinct join strategy q09/q18 do not exercise. The subquery side "
+    "is a pruned dim scan; broadcast keeps it shuffle-free at any "
+    "fact size.",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("sq31_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sq31_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM sq31_supplier
+        WHERE s_nationkey NOT IN (
+            SELECT n_nationkey FROM sq31_nation WHERE n_name LIKE 'A%'
+        )
+        ORDER BY s_suppkey, s_name
+        """
+    )

@@ -402,3 +402,9 @@ def test_subquery_decorrelation_shapes(spark):
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
     assert_jvm_only(p, "q30")
+
+
+def test_not_in_is_null_aware_anti_join(spark):
+    p = plan_of(spark, "q31")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
