@@ -475,3 +475,123 @@ def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+# ------------------------------------------------------ ann_pq_batch
+PQ_QMOD = 100  # batch queries: every vec_id % 100 == 42
+PQ_BATCH_K = 5
+
+
+@REG.add(
+    "ann_pq_batch",
+    f"""
+    WITH ss AS (SELECT unnest(range({PQ_M})) AS s),
+    cb AS (SELECT vec_id AS j, embedding AS cvec FROM embeddings
+           WHERE vec_id < {PQ_K}),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id % {PQ_QMOD} = {PQ_QVEC}),
+    dist AS (
+        SELECT e.vec_id, ss.s, cb.j, {_duck_subdist("e.embedding", "cb.cvec")} AS d
+        FROM embeddings e, ss, cb
+    ),
+    enc AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, j) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT q.qid, ss.s, cb.j,
+               CAST(floor({_duck_subdist("q.qvec", "cb.cvec")} * 1000000 + 0.5)
+                    AS BIGINT) AS qd_int
+        FROM q, ss, cb
+    ),
+    adc AS (
+        SELECT qd.qid, e.vec_id, CAST(sum(qd.qd_int) AS BIGINT) AS qdist
+        FROM enc e JOIN qd ON e.s = qd.s AND e.code = qd.j
+        GROUP BY qd.qid, e.vec_id
+    )
+    SELECT qid, vec_id, qdist FROM (
+        SELECT qid, vec_id, qdist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY qdist, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= {PQ_BATCH_K}
+    ORDER BY qid, qdist, vec_id
+    """,
+    tags=("ann",),
+    doc="Batch PQ serving: every query in the batch (vec_id % 100 == "
+    "42) gets ADC top-5 in ONE pass — the query batch joins the "
+    "shared code relation as a (|Q| x 32)-row quantized distance "
+    "table, never as per-query scans (the q26-style crossJoin "
+    "per query would re-read the corpus |Q| times). Codes are "
+    "encoded once (same broadcast + partial-agg argmin as emb_pq); "
+    "the per-query top-k is a qid-partitioned window over the "
+    "already-aggregated ADC relation. This is the production ANN "
+    "shape at 100 TB: amortize the code scan across the whole query "
+    "batch.",
+)
+def ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = F.posexplode(
+        F.array(
+            *[
+                F.slice("embedding", s * PQ_DSUB + 1, PQ_DSUB)
+                for s in range(PQ_M)
+            ]
+        )
+    ).alias("s", "sub")
+
+    data = emb.select("vec_id", subs)
+    cb = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("j"), subs.alias("s", "csub")
+    )
+    qsub = emb.filter(F.col("vec_id") % PQ_QMOD == PQ_QVEC).select(
+        F.col("vec_id").alias("qid"), subs.alias("s", "qsub")
+    )
+
+    def sqdist(a: str, b: str):
+        diff2 = F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    enc = (
+        data.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", "j", sqdist("sub", "csub").alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("m"))
+        .select("vec_id", "s", F.col("m.j").alias("code"))
+    )
+    qd = (
+        qsub.join(F.broadcast(cb), "s")
+        .select(
+            "qid",
+            F.col("s").alias("qs"),
+            F.col("j").alias("qj"),
+            F.floor(sqdist("qsub", "csub") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("qd_int"),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qd),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qj")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd_int").cast("long").alias("qdist"))
+    )
+    topk = W.partitionBy("qid").orderBy("qdist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(topk))
+        .filter(F.col("rn") <= PQ_BATCH_K)
+        .select("qid", "vec_id", "qdist")
+        .orderBy("qid", "qdist", "vec_id")
+    )
+
