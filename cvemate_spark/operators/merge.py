@@ -119,6 +119,41 @@ def merge_upsert_deletes(
     return merged.join(tombs, key, "left_anti")
 
 
+def table_diff(v1: DataFrame, v2: DataFrame, key: str = "id") -> DataFrame:
+    """Row-level snapshot diff: the change-data-feed between two table
+    versions (Delta CDF computed rather than logged).
+
+    Returns (key, payload-from-the-surviving-side, change) with change
+    in {insert, update, delete} — nochange rows are dropped. Null-safe
+    column comparison (eqNullSafe) classifies updates. The law tying
+    this to the merge surface: applying the diff to v1 through
+    `merge_upsert_deletes` reproduces v2 exactly (tested in
+    test_merge_laws); one key-partitioned full-outer join, bucketable
+    to exchange-free at scale."""
+    cols = [c for c in v1.columns if c != key and c in v2.columns]
+    j = v1.alias("a").join(v2.alias("b"), F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    change = (
+        F.when(F.col(f"a.{key}").isNull(), "insert")
+        .when(F.col(f"b.{key}").isNull(), "delete")
+        .when(differs, "update")
+        .otherwise("nochange")
+    )
+    payload = [
+        F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c) for c in cols
+    ]
+    return (
+        j.select(
+            F.coalesce(F.col(f"b.{key}"), F.col(f"a.{key}")).alias(key),
+            *payload,
+            change.alias("change"),
+        )
+        .filter(F.col("change") != "nochange")
+    )
+
+
 def keep_latest_merge(
     target: DataFrame | None,
     updates: DataFrame,

@@ -638,3 +638,73 @@ def e_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.select("id", "status", F.col("price").cast("double").alias("price"))
         .orderBy("id", "status", "price")
     )
+
+
+# ------------------------------------------------------ e_table_diff
+@REG.add(
+    "e_table_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS price
+        FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+    FROM (
+        SELECT coalesce(v2.id, v1.id) AS id,
+               CASE WHEN v1.id IS NULL THEN 'insert'
+                    WHEN v2.id IS NULL THEN 'delete'
+                    WHEN v1.status IS DISTINCT FROM v2.status
+                         OR v1.price IS DISTINCT FROM v2.price THEN 'update'
+                    ELSE 'nochange' END AS change
+        FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+    )
+    WHERE change <> 'nochange'
+    GROUP BY change
+    ORDER BY change, n, min_id, max_id
+    """,
+    doc="Snapshot diff / change-data-feed derivation (the Delta CDF "
+    "shape, computed rather than logged): full-outer join of two "
+    "table versions on the key, per-row change class via null-safe "
+    "comparison (IS DISTINCT FROM), summarized per class. This is "
+    "the inverse of e_merge_delete — diff DERIVES the insert/update/"
+    "delete batch that merge APPLIES, so diff(v1,v2) fed to "
+    "merge_upsert_deletes(v1) reproduces v2. One key-partitioned "
+    "shuffle join; at 100 TB both sides bucket on the key and the "
+    "join is exchange-free (the bucketed-SMJ layout pinned in "
+    "test_plans).",
+)
+def e_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            + F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0)
+        ).alias("price"),
+    )
+    from ..operators.merge import table_diff
+
+    return (
+        table_diff(v1, v2, key="id")
+        .groupBy("change")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("change", "n", "min_id", "max_id")
+    )

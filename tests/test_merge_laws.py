@@ -214,3 +214,22 @@ def test_merge_delete_laws(spark):
     back = spark.createDataFrame([Row(id="c", v=300, _deleted=False)])
     res = merge_upsert_deletes(again, back, key="id", now=NOW)
     assert {r["id"]: r["v"] for r in res.collect()}["c"] == 300
+
+
+def test_diff_applied_through_merge_reproduces_v2(spark):
+    """table_diff and merge_upsert_deletes are inverses: applying the
+    CDC batch derived from (v1 -> v2) onto v1 yields exactly v2."""
+    from cvemate_spark.operators.merge import merge_upsert_deletes, table_diff
+
+    NOW = "2026-01-01 00:00:00"
+    v1 = spark.createDataFrame(
+        [Row(id="a", v=1), Row(id="b", v=2), Row(id="c", v=3)]
+    )
+    v2 = spark.createDataFrame(
+        [Row(id="b", v=2), Row(id="c", v=30), Row(id="d", v=4)]
+    )
+    cdc = table_diff(v1, v2, key="id").withColumn(
+        "_deleted", F.col("change") == "delete"
+    ).drop("change")
+    out = merge_upsert_deletes(v1, cdc, key="id", now=NOW).select("id", "v")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in v2.collect()}

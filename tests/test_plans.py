@@ -408,3 +408,26 @@ def test_not_in_is_null_aware_anti_join(spark):
     p = plan_of(spark, "q31")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_round2b_plan_shapes(spark):
+    """winnow/entropy/merge-delete/batch-PQ stay JVM-side with their
+    scale shapes: windows partitioned by doc/qid (never unpartitioned),
+    partial+final aggs, no cartesian products."""
+    for name in ("t_winnow", "t_entropy", "e_merge_delete", "ann_pq_batch"):
+        plan = plan_of(spark, name)
+        assert_jvm_only(plan, name)
+        assert_no_pathological_join(plan, name)
+
+    # an unpartitioned window would serialize the whole corpus through
+    # one task — pin that every windowspecdefinition in these plans
+    # carries the doc_id partition key
+    import re
+
+    for name in ("t_winnow", "t_entropy"):
+        p = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+        assert specs, name
+        assert all(s.startswith("doc_id") for s in specs), (name, specs)
+    p = plan_of(spark, "ann_pq_batch")
+    assert p.count("BroadcastHashJoin") >= 2
