@@ -413,4 +413,122 @@ def t_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+
+# ------------------------------------------------ curate_pipeline2
+_SPARK_W_FOLD = (
+    "aggregate(transform(split(text, ' '), t -> "
+    "((cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 4096)"
+    " * 2654435761L) % 2001 - 1000), 0L, (acc, x) -> acc + x)"
+)
+_DUCK_W_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(text, ' '), t -> "
+    "((CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 4096)"
+    " * 2654435761) % 2001 - 1000)), (acc, x) -> acc + x)"
+)
+
+
+@REG.add(
+    "curate_pipeline2",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the', 'a'))) AS n_stop,
+               list_sum(list_transform(string_split(text, ' '),
+                                       w -> len(w))) AS charsum,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+               {_DUCK_W_FOLD} AS score_sum,
+               md5(text) AS digest
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM sig
+    )
+    SELECT source,
+           CASE WHEN n_stop * 10 > n_tok THEN 'en' ELSE 'other' END AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1
+                          AND n_tok BETWEEN 50 AND 100000
+                          AND charsum BETWEEN 3 * n_tok AND 10 * n_tok
+                          AND 5 * n_alpha > 4 * n_tok
+                          AND n_stop >= 2
+                          AND score_sum > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1
+                          AND n_tok BETWEEN 50 AND 100000
+                          AND charsum BETWEEN 3 * n_tok AND 10 * n_tok
+                          AND 5 * n_alpha > 4 * n_tok
+                          AND n_stop >= 2
+                          AND score_sum > 0
+                     THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ranked
+    GROUP BY source, pred_lang
+    ORDER BY source, pred_lang, n_docs, n_kept, kept_tokens
+    """,
+    doc="Composed curation v2 — four signals from ONE scan: language-ID "
+    "(stopword ratio), Gopher length/word-shape/stopword rules, the "
+    "hashed linear classifier score (a row-local lambda fold — no "
+    "explode, no extra shuffle), and exact-dedup survivorship (min "
+    "doc_id per digest). Per (source, predicted-lang): doc count, "
+    "kept count, kept token budget. TWO shuffles end to end (digest "
+    "window + final agg) no matter how many signals ride the scan — "
+    "the composition law for curation at 100 TB: signals are scan "
+    "expressions, not passes.",
+)
+def curate_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+        .cast("long")
+        .alias("n_stop"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), w -> length(w)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("charsum"),
+        F.expr("size(filter(split(text, ' '), w -> w rlike '[a-z]'))")
+        .cast("long")
+        .alias("n_alpha"),
+        F.expr(_SPARK_W_FOLD).alias("score_sum"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+    ranked = sig.withColumn(
+        "rn", F.row_number().over(W.partitionBy("digest").orderBy("doc_id"))
+    )
+    keep = (
+        (F.col("rn") == 1)
+        & F.col("n_tok").between(50, 100000)
+        & F.col("charsum").between(3 * F.col("n_tok"), 10 * F.col("n_tok"))
+        & (5 * F.col("n_alpha") > 4 * F.col("n_tok"))
+        & (F.col("n_stop") >= 2)
+        & (F.col("score_sum") > 0)
+    )
+    pred = F.when(F.col("n_stop") * 10 > F.col("n_tok"), "en").otherwise("other")
+    return (
+        ranked.select(
+            "source",
+            pred.alias("pred_lang"),
+            keep.cast("int").alias("keep"),
+            "n_tok",
+        )
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_tok")).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source", "pred_lang", "n_docs", "n_kept", "kept_tokens")
+    )
+
+
 __all__ = ["REG", "duck_str_hash"]

@@ -431,3 +431,17 @@ def test_round2b_plan_shapes(spark):
         assert all(s.startswith("doc_id") for s in specs), (name, specs)
     p = plan_of(spark, "ann_pq_batch")
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_curate_pipeline2_is_two_shuffles_one_scan(spark):
+    """The composition law: four curation signals ride ONE parquet scan
+    (row-local folds), and the whole pipeline is exactly two exchanges
+    (digest window + final agg) — adding a signal must not add a pass."""
+    import re
+
+    p = plan_of(spark, "curate_pipeline2")
+    assert_jvm_only(p, "curate_pipeline2")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    # (the third exchange is the output ORDER BY's rangepartitioning —
+    # the determinism contract, not pipeline work)
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 2
