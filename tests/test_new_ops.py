@@ -243,3 +243,29 @@ def test_kmeans_fit_monotone_deterministic_and_serves_ivf(spark):
     assert len(got) == 10
     recall = len(got & exact) / 10
     assert recall >= 0.5, recall
+
+
+def test_observe_metrics_ride_the_action(spark):
+    """Operational surface: df.observe attaches accumulator-style
+    metrics (row counts, kept counts, quality sums) to an existing
+    plan — ONE action yields both the data and the audit metrics, the
+    no-extra-scan form of pipeline observability at 100 TB."""
+    from pyspark.sql import Observation, functions as F
+    from cvemate_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    obs = Observation("curation_audit")
+    kept = (F.size(F.split("text", " ")) >= 50).cast("long")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+    )
+    out = observed.filter(F.col("lang") == "en")
+    n_en = out.count()  # one action: data AND metrics
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert 0 <= m["n_kept"] <= m["n_rows"]
+    assert m["total_chars"] > 0
+    assert n_en <= m["n_rows"]
