@@ -23,7 +23,13 @@ from __future__ import annotations
 import glob
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 FORMAT_NAME = "cvemate_paged_feed"
 
@@ -41,6 +47,9 @@ class PagedFeedDataSource(DataSource):
 
     def reader(self, schema) -> "PagedFeedReader":
         return PagedFeedReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PagedFeedWriter":
+        return PagedFeedWriter(self.options)
 
 
 class PagedFeedReader(DataSourceReader):
@@ -72,3 +81,57 @@ class PagedFeedReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(PagedFeedDataSource)
+
+
+# ------------------------------------------------------------ writer
+class PagedFeedWriter(DataSourceWriter):
+    """Batch writer half of the connector (DataSourceWriter protocol):
+    each task serializes its partition to one page-<pid>.json shard
+    under option('path'), committing task results through Spark's
+    commit protocol — the cluster-side form of the reference's
+    batched POST-back (speculative/failed tasks abort cleanly, the
+    job commit is all-or-nothing).
+
+    Records must be (id, vendor, page) rows (the connector schema).
+    Files land as page-00000.json.. one per non-empty partition; a
+    job-level _SUCCESS marker is written on commit, so readers treat
+    partially-written directories as absent (the same
+    visible-only-after-commit rule as the versioned snapshot sink)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cvemate_paged_feed write requires option('path')")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [
+            {"cve": {"id": r[0], "vendor": r[1]}, "page": r[2]} for r in iterator
+        ]
+        if not rows:
+            return WriterCommitMessage()
+        _os.makedirs(self.path, exist_ok=True)
+        out = f"{self.path}/page-{pid:05d}.json"
+        tmp = out + f".tmp-{_os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump({"vulnerabilities": rows}, f)
+        _os.rename(tmp, out)
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        import os as _os
+
+        with open(f"{self.path}/_SUCCESS", "w") as f:
+            f.write("")
+        _ = _os  # commit marker only
+
+    def abort(self, messages):
+        import glob as _glob
+        import os as _os
+
+        for p in _glob.glob(f"{self.path}/page-*.json"):
+            _os.remove(p)

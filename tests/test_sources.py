@@ -206,3 +206,32 @@ def test_python_datasource_partition_per_page(spark):
     }
     assert sorted(per_page) == list(range(landing.NVD_PAGES))
     assert all(n > 0 for n in per_page.values())
+
+
+def test_pyds_writer_roundtrip(spark, tmp_path):
+    """The connector's write half: DataFrame -> custom sink -> page
+    shards -> read back through the same format gives the same rows,
+    and the job commit leaves a _SUCCESS marker (all-or-nothing rule)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.sources import pyds
+
+    pyds.register(spark)
+    rows = [
+        Row(id=f"CVE-2026-{i}", vendor=f"v{i % 3}", page=i % 4) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    out = str(tmp_path / "pages")
+    df.write.format(pyds.FORMAT_NAME).option("path", out).mode("append").save()
+    assert os.path.exists(f"{out}/_SUCCESS")
+    back = (
+        spark.read.format(pyds.FORMAT_NAME)
+        .option("path", out)
+        .load()
+        .select("id", "vendor")
+    )
+    assert {(r["id"], r["vendor"]) for r in back.collect()} == {
+        (r.id, r.vendor) for r in rows
+    }
