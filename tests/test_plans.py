@@ -445,3 +445,12 @@ def test_curate_pipeline2_is_two_shuffles_one_scan(spark):
     # (the third exchange is the output ORDER BY's rangepartitioning —
     # the determinism contract, not pipeline work)
     assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 2
+
+
+def test_bloom_semi_prefilter_is_broadcast(spark):
+    """The explicit hash-mod prefilter must reach the fact side as a
+    BroadcastHashJoin (bounded bit relation), never a shuffle."""
+    p = plan_of(spark, "e_bloom_semi")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in p
+    assert_jvm_only(p, "e_bloom_semi")
