@@ -112,17 +112,10 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
-    """LSH candidate pairs verified by exact Jaccard >= threshold.
-
-    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
-    """
-    # the shingle relation feeds signatures, sizes and both verify sides —
-    # persist it instead of recomputing the scan 4x
-    shingles = doc_shingles(docs).persist()
-    # one row per doc and tiny (k ints) — persisting stops the band
-    # self-join from running the char-fold hash pass twice
-    sigs = minhash_signatures(shingles).persist()
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs (d1 < d2) from a signature relation —
+    the pre-verification stage shared by minhash_pairs and the
+    banding-quality evaluation."""
     band_exprs = band_signature_exprs("spark")
     banded = sigs.select(
         "doc_id",
@@ -134,7 +127,7 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
     right = banded.select(
         F.col("doc_id").alias("d2"), F.col("band").alias("b2"), F.col("sig").alias("s2")
     )
-    candidates = (
+    return (
         left.join(
             right,
             (F.col("b1") == F.col("b2"))
@@ -144,7 +137,20 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    return _verify_jaccard(candidates, shingles, jaccard_threshold)
+
+
+def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard >= threshold.
+
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
+    """
+    # the shingle relation feeds signatures, sizes and both verify sides —
+    # persist it instead of recomputing the scan 4x
+    shingles = doc_shingles(docs).persist()
+    # one row per doc and tiny (k ints) — persisting stops the band
+    # self-join from running the char-fold hash pass twice
+    sigs = minhash_signatures(shingles).persist()
+    return _verify_jaccard(lsh_candidates(sigs), shingles, jaccard_threshold)
 
 
 def minhash_pairs_incremental(

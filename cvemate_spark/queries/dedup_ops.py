@@ -225,3 +225,127 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+# ------------------------------------------------- dedup_eval
+EVAL_THRESHOLD = 0.3
+
+
+def _dedup_eval_oracle() -> str:
+    from ..operators.dedup import (
+        MINHASH_SEEDS,
+        PRIME,
+        _duck_shingles_cte,
+        band_signature_exprs,
+    )
+    from ..functions.text import duck_str_hash
+
+    mh_cols = ", ".join(
+        f"min((CAST({a} AS BIGINT) * (h % {PRIME}) + {b}) % {PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, {expr} AS sig FROM sigs"
+        for band, expr in enumerate(band_signature_exprs("duck"))
+    )
+    t = EVAL_THRESHOLD
+    return f"""
+    WITH {_duck_shingles_cte()},
+    hashed AS (SELECT doc_id, {duck_str_hash("shingle")} AS h FROM shingles),
+    sigs AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT co.d1, co.d2 FROM co
+        JOIN sizes sa ON sa.doc_id = co.d1
+        JOIN sizes sb ON sb.doc_id = co.d2
+        WHERE co.c * 1.0 / (sa.n + sb.n - co.c) >= {t}
+    ),
+    joined AS (
+        SELECT coalesce(t.d1, c.d1) AS d1,
+               t.d1 IS NOT NULL AS in_truth,
+               c.d1 IS NOT NULL AS in_cand
+        FROM truth t
+        FULL OUTER JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+    )
+    SELECT CAST(sum(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN in_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(floor(sum(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END)
+                      * 10000.0
+                      / sum(CASE WHEN in_truth THEN 1 ELSE 0 END))
+                AS BIGINT) AS recall_bp
+    FROM joined
+    """
+
+
+@REG.add(
+    "dedup_eval",
+    _dedup_eval_oracle(),
+    doc="Banding-quality evaluation: the LSH candidate set (pre-"
+    "verification) scored against exact ground truth (all shingle-"
+    "co-occurring pairs with true Jaccard >= 0.3) — TP / candidate / "
+    "truth counts and recall in integer basis points. This is how a "
+    "100-TB dedup TUNES its band/row configuration: run the eval on "
+    "a sample partition, read recall, adjust bands — measured, not "
+    "guessed. The ground-truth join is the exhaustive co-occurrence "
+    "pass (eval-on-sample economics; the production dedup itself "
+    "never runs it), and the eval output is one row.",
+)
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import doc_shingles, lsh_candidates, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = doc_shingles(docs).persist()
+    cand = lsh_candidates(minhash_signatures(shingles))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("_n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("_n2"))
+    truth = (
+        co.join(n1, "d1")
+        .join(n2, "d2")
+        .filter(
+            F.col("c") * 1.0 / (F.col("_n1") + F.col("_n2") - F.col("c"))
+            >= EVAL_THRESHOLD
+        )
+        .select("d1", "d2")
+    )
+    j = truth.withColumn("in_truth", F.lit(True)).alias("t").join(
+        cand.withColumn("in_cand", F.lit(True)).alias("c"),
+        (F.col("t.d1") == F.col("c.d1")) & (F.col("t.d2") == F.col("c.d2")),
+        "full_outer",
+    )
+    in_truth = F.col("t.in_truth").isNotNull()
+    in_cand = F.col("c.in_cand").isNotNull()
+    tp = F.sum(F.when(in_truth & in_cand, 1).otherwise(0))
+    n_truth = F.sum(F.when(in_truth, 1).otherwise(0))
+    return j.agg(
+        n_truth.cast("long").alias("n_truth"),
+        F.sum(F.when(in_cand, 1).otherwise(0)).cast("long").alias("n_cand"),
+        tp.cast("long").alias("tp"),
+        F.floor(tp * 10000.0 / n_truth).cast("long").alias("recall_bp"),
+    )
+
