@@ -761,3 +761,76 @@ def e_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "n_rows", "total_qty")
     )
+
+
+# ------------------------------------------------------ e_funnel
+@REG.add(
+    "e_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'step1_click' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'step2_view', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'step3_purchase', CAST(count(*) AS BIGINT) FROM s3
+    ORDER BY step, users
+    """,
+    doc="Ordered-sequence funnel (click -> view -> purchase, each step "
+    "strictly after the previous): per-user earliest qualifying "
+    "timestamp per step, converted-user counts per step — the "
+    "MATCH_RECOGNIZE-lite shape every behavioral pipeline runs. Each "
+    "step is one user_id-keyed partial-agg'd shuffle joined back to "
+    "the prior step's (user, ts) relation; the event scan is filter-"
+    "pushed per step, and all comparisons are on raw timestamps — "
+    "no window over the whole event stream, so step count, not "
+    "stream size, bounds the plan depth.",
+)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit("step1_click").alias("step"), "users"
+        ),
+        s2.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit("step2_view").alias("step"), "users"
+        ),
+        s3.agg(F.count("*").cast("long").alias("users")).select(
+            F.lit("step3_purchase").alias("step"), "users"
+        ),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("step", "users")
