@@ -834,3 +834,78 @@ def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return out.orderBy("step", "users")
+
+
+# ------------------------------------------------------ e_gapfill
+@REG.add(
+    "e_gapfill",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_raw
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, s.day, d.n_raw
+        FROM types t CROSS JOIN spine s
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n_raw, 0) AS BIGINT) AS n,
+           CAST(coalesce(last_value(n_raw IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS BIGINT) AS carry
+    FROM grid
+    ORDER BY event_type, day, n, carry
+    """,
+    doc="Time-series densification (gap fill + forward fill): generate "
+    "the full date spine (sequence explode — a generator, not a "
+    "scan), left-join the daily counts, fill absent days with 0 and "
+    "carry the last observed count forward (last_value IGNORE NULLS "
+    "over a day-ordered window). The reporting shape that makes "
+    "downstream window math correct over sparse event streams. Spine "
+    "size is days x types — bounded output regardless of stream "
+    "volume; the only corpus-sized work is the one daily groupBy "
+    "(map-side partial).",
+)
+def e_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_raw"))
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.last("n_raw", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("carry"),
+    ).orderBy("event_type", "day", "n", "carry")
