@@ -909,3 +909,44 @@ def e_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("carry"),
     ).orderBy("event_type", "day", "n", "carry")
+
+
+# ------------------------------------------------------ e_ivm_join
+@REG.add(
+    "e_ivm_join",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus, n_rows, total_qty
+    """,
+    doc="Incremental view maintenance for a JOIN view (the delta rule "
+    "dV = dA join B for insert-only dA): the maintained view is the "
+    "stored V1 = A1 join B unioned with the delta join dA join B — "
+    "NEVER a re-join of the full A. The oracle is the direct "
+    "full-recompute join, so the hash match proves the IVM algebra "
+    "end-to-end. At 100 TB this is the difference between joining a "
+    "day's orders against lineitem and re-joining years of history "
+    "every refresh; the delta join shuffles only dA (or broadcasts "
+    "it), and the union is free (no shuffle). Aggregate maintenance "
+    "over stored partials is the companion gate e_rollup_inc.",
+)
+def e_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a1 = orders.filter(F.col("o_orderkey") % 3 != 0)     # stored base
+    da = orders.filter(F.col("o_orderkey") % 3 == 0)     # insert delta
+    cols = ["o_orderstatus", "l_quantity"]
+    v1 = a1.join(li, a1["o_orderkey"] == li["l_orderkey"]).select(*cols)
+    dv = da.join(li, da["o_orderkey"] == li["l_orderkey"]).select(*cols)
+    v2 = v1.unionByName(dv)  # maintained view: V1 u (dA join B)
+    return (
+        v2.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+        .orderBy("o_orderstatus", "n_rows", "total_qty")
+    )
