@@ -950,3 +950,75 @@ def e_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "n_rows", "total_qty")
     )
+
+
+# ------------------------------------------------------ e_salted_join
+SALT_N = 8
+
+
+@REG.add(
+    "e_salted_join",
+    """
+    WITH skewed AS (
+        SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+                    ELSE l_orderkey END AS k,
+               l_quantity
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN 0
+                             ELSE o_orderkey END AS k,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'hot' ELSE 'cold' END AS grp
+        FROM orders
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM skewed JOIN dim USING (k)
+    GROUP BY grp
+    ORDER BY grp, n_rows, total_qty
+    """,
+    doc="Manual salted join for key skew: half the fact rows share one "
+    "hot key (k=0), which would land an entire join partition on one "
+    "task. The fact side carries a DETERMINISTIC salt "
+    "(l_linenumber % 8); the dim side is replicated x8 with a "
+    "matching salt column (sequence explode); the join key becomes "
+    "(k, salt), spreading the hot key over 8 tasks. The oracle is "
+    "the PLAIN unsalted join — the hash match proves salting is "
+    "algebra-neutral. This is the manual fix for skew AQE cannot "
+    "split (one key too hot for any partition-level rebalance, or "
+    "engines/stacks without AQE skew-join); deterministic salts keep "
+    "it replayable, random salts would break retry idempotence.",
+)
+def e_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot_k = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    fact = li.select(
+        hot_k.alias("k"),
+        (F.col("l_linenumber") % SALT_N).alias("salt"),
+        "l_quantity",
+    )
+    dim_k = F.when(F.col("o_orderkey") % 2 == 0, F.lit(0)).otherwise(
+        F.col("o_orderkey")
+    )
+    dim = (
+        orders.select(
+            dim_k.alias("k"),
+            F.when(F.col("o_orderkey") % 2 == 0, "hot")
+            .otherwise("cold")
+            .alias("grp"),
+        )
+        .distinct()
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))))
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+        .orderBy("grp", "n_rows", "total_qty")
+    )
