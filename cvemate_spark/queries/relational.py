@@ -640,3 +640,54 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey, s_name
         """
     )
+
+
+@REG.add(
+    "q32",
+    """
+    WITH RECURSIVE walk(root, node) AS (
+        SELECT o_orderkey, o_orderkey FROM orders WHERE o_orderkey < 10
+        UNION ALL
+        SELECT w.root, o.o_orderkey
+        FROM walk w JOIN orders o ON o.o_orderkey // 10 = w.node
+         AND o.o_orderkey >= 10
+    )
+    SELECT w.root,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS subtree_price
+    FROM walk w JOIN orders o ON o.o_orderkey = w.node
+    GROUP BY w.root
+    ORDER BY root, n_nodes, subtree_price
+    """,
+    doc="Recursive CTE (native WITH RECURSIVE, new executable surface "
+    "in Spark 4): walk the implicit decimal-digit tree over orderkeys "
+    "(parent = key div 10) from the single-digit roots, aggregating "
+    "subtree size and DECIMAL-exact price. Spark executes the "
+    "recursion as iterated UnionLoop steps — each level is one "
+    "equi-join shuffle, depth = tree height (log10 of the keyspace), "
+    "the same per-level cost model as the driver-loop connected-"
+    "components operator (dedup_components) but declared in SQL. "
+    "DuckDB runs the identical recursion natively, making the gate a "
+    "cross-engine check of a genuinely recursive plan.",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq32_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(root, node) AS (
+            SELECT o_orderkey, o_orderkey FROM sq32_orders WHERE o_orderkey < 10
+            UNION ALL
+            SELECT w.root, o.o_orderkey
+            FROM walk w JOIN sq32_orders o ON o.o_orderkey div 10 = w.node
+             AND o.o_orderkey >= 10
+        )
+        SELECT w.root,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS subtree_price
+        FROM walk w JOIN sq32_orders o ON o.o_orderkey = w.node
+        GROUP BY w.root
+        ORDER BY root, n_nodes, subtree_price
+        """
+    )
