@@ -1022,3 +1022,80 @@ def e_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "n_rows", "total_qty")
     )
+
+
+# ------------------------------------------------------ e_interval_bin
+@REG.add(
+    "e_interval_bin",
+    """
+    WITH incidents AS (
+        SELECT date_trunc('hour', ts) - INTERVAL 30 MINUTE AS t_start,
+               date_trunc('hour', ts) + INTERVAL 90 MINUTE AS t_end
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts)
+        HAVING count(*) >= 2
+    )
+    SELECT strftime(i.t_start, '%Y-%m-%d %H:%M:%S') AS t_start,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM incidents i
+    JOIN events e
+      ON e.event_type = 'purchase' AND e.ts >= i.t_start AND e.ts < i.t_end
+    GROUP BY i.t_start
+    ORDER BY t_start, n_purchases, n_users
+    """,
+    doc="Unkeyed interval join via time-bin equi rewrite: purchases "
+    "inside 2-hour incident windows (error-dense hours, deliberately "
+    "NOT hour-aligned). There is no shared key, so the naive plan is "
+    "a nested-loop over points x intervals; the rewrite explodes "
+    "each interval into its covered hour bins (sequence generator, "
+    "<= 3 rows per interval), equi-joins points on their own hour "
+    "bin, and applies the exact range residual after the match — a "
+    "shuffle/broadcast HASH join, never a BNLJ (plan-pinned). Each "
+    "point matches an interval through exactly one bin (its own), "
+    "so no dedup is needed. The standard rewrite for interval joins "
+    "at 100 TB (bin width tuned to median interval span); the "
+    "oracle runs the plain theta join.",
+)
+def e_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = F.date_trunc("hour", F.col("ts"))
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hours.alias("h"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTE")).alias("t_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTE")).alias("t_end"),
+        )
+    )
+    binned = incidents.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("t_start")),
+                F.date_trunc("hour", F.col("t_end") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.date_trunc("hour", F.col("ts")).alias("bin")
+    )
+    matched = purchases.join(binned, "bin").filter(
+        (F.col("ts") >= F.col("t_start")) & (F.col("ts") < F.col("t_end"))
+    )
+    return (
+        matched.groupBy("t_start")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("t_start", "yyyy-MM-dd HH:mm:ss").alias("t_start"),
+            "n_purchases",
+            "n_users",
+        )
+        .orderBy("t_start", "n_purchases", "n_users")
+    )

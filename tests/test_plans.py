@@ -454,3 +454,13 @@ def test_bloom_semi_prefilter_is_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in p
     assert_jvm_only(p, "e_bloom_semi")
+
+
+def test_interval_bin_join_is_hash_not_bnlj(spark):
+    """The bin rewrite must make the unkeyed interval join a hash
+    join; a BroadcastNestedLoopJoin or cartesian product means the
+    rewrite regressed to points x intervals."""
+    p = plan_of(spark, "e_interval_bin")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
