@@ -204,13 +204,23 @@ def gen_cveorg_zip(sf_dir: str) -> str:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     rows = _rows(sf_dir, "documents", ["doc_id", "n_chars"], "doc_id", ZIP_LIMIT)
     tmp = out + ".tmp"
+
+    def entry(name: str) -> zipfile.ZipInfo:
+        # writestr(name, ...) would stamp the CURRENT wall clock into
+        # each member header, making two generations byte-differ when
+        # they cross a second boundary — pin a fixed timestamp so the
+        # archive is bit-deterministic (the determinism law in
+        # tests/test_new_ops.py flaked exactly this way)
+        return zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+
     with zipfile.ZipFile(tmp, "w") as z:
-        z.writestr("notes.txt", "not json\n")
-        z.writestr("summary.json", json.dumps({"kind": "summary"}))
+        z.writestr(entry("notes.txt"), "not json\n")
+        z.writestr(entry("summary.json"), json.dumps({"kind": "summary"}))
         for r in rows:
             cve = f"CVE-2019-{r['doc_id']:04d}"
             z.writestr(
-                f"{cve}.json", json.dumps({"cveId": cve, "nChars": r["n_chars"]})
+                entry(f"{cve}.json"),
+                json.dumps({"cveId": cve, "nChars": r["n_chars"]}),
             )
     os.rename(tmp, out)
     return out
