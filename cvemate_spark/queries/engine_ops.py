@@ -1150,3 +1150,44 @@ def e_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k1", "k2", "dist")
     )
+
+
+# ------------------------------------------------------ e_topn_group
+@REG.add(
+    "e_topn_group",
+    """
+    SELECT o_orderstatus, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_orderstatus, o_orderkey, price
+    """,
+    doc="Per-group top-N (top-3 orders by price per status): the "
+    "rank-filter shape Spark compiles to WindowGroupLimit (plan-"
+    "pinned) — each partition keeps a bounded heap per group during "
+    "the window sort instead of ranking every row and filtering "
+    "after, the difference between O(N) state and O(groups x N) "
+    "work at 100 TB. Deterministic tie-break on the key; DOUBLE "
+    "cast only at output.",
+)
+def e_topn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey", "price")
+    )

@@ -464,3 +464,13 @@ def test_interval_bin_join_is_hash_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_topn_group_uses_window_group_limit(spark):
+    """The rank<=k filter must compile to WindowGroupLimit — Spark
+    keeps a bounded per-group heap (partial BEFORE the shuffle and
+    final after), never ranks-then-filters the full partition."""
+    import re
+
+    p = plan_of(spark, "e_topn_group")
+    assert len(re.findall(r"^\(\d+\) WindowGroupLimit", p, re.M)) >= 2
