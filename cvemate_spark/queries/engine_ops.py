@@ -1191,3 +1191,39 @@ def e_topn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderkey", "price")
     )
+
+
+# ------------------------------------------------- e_quantiles_approx
+@REG.add(
+    "e_quantiles_approx",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, exact_p50, within_5pct
+    """,
+    doc="approx_percentile (t-digest-style bounded-memory partials) "
+    "error-gated against the exact interpolated median, the e_hll "
+    "pattern: Spark computes both and asserts the sketch lands "
+    "within 5% of exact; the oracle emits the exact value with the "
+    "assertion pre-passed, so a hash match proves the bound held. "
+    "At 100 TB approx_percentile is the only viable form — "
+    "fixed-size mergeable partials instead of a full sort per "
+    "group (exact percentile() buffers every value).",
+)
+def e_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("apx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        (
+            F.abs(F.col("apx") - F.col("exact_p50"))
+            <= 0.05 * F.abs(F.col("exact_p50"))
+        ).alias("within_5pct"),
+    ).orderBy("event_type", "exact_p50", "within_5pct")
