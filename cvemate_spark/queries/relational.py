@@ -691,3 +691,39 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY root, n_nodes, subtree_price
         """
     )
+
+
+@REG.add(
+    "q33",
+    """
+    SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY n_name, c_name, acctbal
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 customers by balance for each nation) — the LATERAL join "
+    "surface, decorrelated by Catalyst into a ranked join rather "
+    "than a per-outer-row re-execution (the same per-group top-N "
+    "physics as e_topn_group, reached through SQL LATERAL instead "
+    "of a window). DuckDB runs the identical LATERAL natively.",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sq33_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq33_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        FROM sq33_nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM sq33_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n_name, c_name, acctbal
+        """
+    )
