@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..streaming import jobs
 from .base import Registry
@@ -156,3 +156,26 @@ def s7_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s5_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.stateful_counts(spark, sf_dir).orderBy("user_id", "cnt")
+
+
+@REG.add(
+    "s8_static_join",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment, cnt
+    """,
+    doc="S8: stream-static enrichment join — the purchase stream "
+    "joined per micro-batch against the customer dimension (static "
+    "side re-planned each batch, broadcast when small, ZERO join "
+    "state unlike S7's stream-stream form), per-segment counts under "
+    "availableNow == the batch join.",
+)
+def s8_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        jobs.stream_static_join(spark, sf_dir)
+        .select("c_mktsegment", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("c_mktsegment", "cnt")
+    )

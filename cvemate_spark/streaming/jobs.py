@@ -432,3 +432,37 @@ def tws_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("cnt").alias("cnt"), F.max("micros").alias("micros"))
     )
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: stream-static enrichment join — the workhorse production
+    streaming shape (a fact stream enriched against a slowly-changing
+    dimension read as a plain batch relation). The static side is
+    planned per micro-batch (so dim updates between batches are
+    picked up) and broadcast when small; no watermark or join state
+    is needed because the static side is bounded — unlike the
+    stream-stream join (S7) this keeps ZERO state in the store.
+
+    Enrichment: events joined to the customer dimension on
+    user_id -> c_custkey, purchase counts per market segment.
+    """
+    _ensure_session_confs(spark)
+    ev = _events_stream(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s8_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("s8_sink")
