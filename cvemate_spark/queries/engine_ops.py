@@ -1227,3 +1227,99 @@ def e_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.abs(F.col("exact_p50"))
         ).alias("within_5pct"),
     ).orderBy("event_type", "exact_p50", "within_5pct")
+
+
+# --------------------------------------------------- e_grouping_sets
+@REG.add(
+    "e_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '-') AS status,
+           coalesce(o_orderpriority, '-') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority, gid, n
+    """,
+    doc="Explicit GROUPING SETS with grouping_id: three aggregation "
+    "grains in ONE pass (per status, per priority, grand total) via "
+    "the Expand operator — one scan feeding all grains, the "
+    "report-card shape. grouping_id disambiguates a NULL that came "
+    "from the DATA from a NULL the rollup synthesized — the classic "
+    "grouping-sets correctness trap; the gate exercises exactly that "
+    "bit arithmetic cross-engine.",
+)
+def e_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("egs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '-') AS status,
+               coalesce(o_orderpriority, '-') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM egs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority, gid, n
+        """
+    )
+
+
+# ------------------------------------------------------ e_try_arith
+@REG.add(
+    "e_try_arith",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_k,
+           CAST(sum(CASE WHEN k IS NOT NULL AND k <> 50
+                         THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                              // abs(k - 50)
+                         ELSE 0 END) AS BIGINT) AS ratio_q
+    FROM (
+        SELECT event_type, value,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type, n, bad_k, ratio_q
+    """,
+    doc="Error-safe arithmetic over dirty input (the try_* surface): "
+    "TRY_CAST turns unparsable JSON fields into NULL instead of a "
+    "job abort — at 100 TB one malformed record must never kill a "
+    "pipeline — and the division guards its zero denominator "
+    "explicitly. The divided quantity is micro-quantized to an "
+    "integer FIRST, so the per-group sum of integer quotients is "
+    "order-independent and the gate exact. All codegen; nulls "
+    "counted as a data-quality signal rather than dropped silently.",
+)
+def e_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        "value",
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k"),
+    )
+    # numerator is non-negative (value >= 0); abs() keeps the
+    # denominator positive too, so Spark's truncating `div` and
+    # DuckDB's flooring `//` agree (they differ on negative quotients)
+    ratio = F.when(
+        F.col("k").isNotNull() & (F.col("k") != 50),
+        F.expr(
+            "CAST(floor(value * 1000000 + 0.5) AS BIGINT) div abs(k - 50)"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("bad_k"),
+            F.sum(ratio).cast("long").alias("ratio_q"),
+        )
+        .orderBy("event_type", "n", "bad_k", "ratio_q")
+    )
