@@ -1323,3 +1323,58 @@ def e_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "n", "bad_k", "ratio_q")
     )
+
+
+# ------------------------------------------------------ e_union_evolve
+@REG.add(
+    "e_union_evolve",
+    """
+    WITH old_batch AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               NULL AS price
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new_batch AS (
+        SELECT o_orderkey AS id, NULL AS status,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(status) AS BIGINT) AS with_status,
+           CAST(count(price) AS BIGINT) AS with_price,
+           CAST(sum(CAST(coalesce(price, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_sum
+    FROM unioned
+    ORDER BY n, with_status, with_price, price_sum
+    """,
+    doc="Schema-drift-tolerant union (unionByName with "
+    "allowMissingColumns): batches written before and after a schema "
+    "change union by NAME, absent columns null-filled — the "
+    "ingestion-evolution surface that makes a feed's column addition "
+    "a non-event instead of a pipeline break (the read-side "
+    "mergeSchema counterpart is plan-pinned in test_plans). "
+    "Position-based UNION would silently misalign columns; the gate "
+    "counts per-column presence so a misalignment cannot hash-match.",
+)
+def e_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new_batch = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    unioned = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return unioned.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("status").cast("long").alias("with_status"),
+        F.count("price").cast("long").alias("with_price"),
+        F.sum(F.coalesce(F.col("price"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    ).orderBy("n", "with_status", "with_price", "price_sum")
