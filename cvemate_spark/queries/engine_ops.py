@@ -1378,3 +1378,48 @@ def e_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     ).orderBy("n", "with_status", "with_price", "price_sum")
+
+
+# ------------------------------------------------------ e_variant
+@REG.add(
+    "e_variant",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, n, k_sum, n_absent
+    """,
+    doc="Semi-structured VARIANT ingestion (Spark 4's open-ended JSON "
+    "type): props parsed ONCE to VARIANT (binary-encoded, no schema "
+    "declared up front), fields typed lazily at use with variant_get "
+    "— absent paths are NULL, never errors. This is the "
+    "schema-on-read path for feeds whose payload shape drifts (the "
+    "reference's raw handler payloads); versus from_json it needs no "
+    "up-front schema and keeps unprojected fields queryable. DuckDB's "
+    "JSON type plays the oracle role with identical extract "
+    "semantics; integer sums keep the gate exact.",
+)
+def e_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.expr("parse_json(props)").alias("pv"))
+    return (
+        v.select(
+            "event_type",
+            F.expr("variant_get(pv, '$.k', 'long')").alias("k"),
+            F.expr("variant_get(pv, '$.missing', 'string')").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_absent"),
+        )
+        .orderBy("event_type", "n", "k_sum", "n_absent")
+    )
