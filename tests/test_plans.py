@@ -474,3 +474,13 @@ def test_topn_group_uses_window_group_limit(spark):
 
     p = plan_of(spark, "e_topn_group")
     assert len(re.findall(r"^\(\d+\) WindowGroupLimit", p, re.M)) >= 2
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """Three aggregation grains from ONE scan via Expand — a plan that
+    re-scanned per grain would triple the corpus reads."""
+    import re
+
+    p = plan_of(spark, "e_grouping_sets")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Expand" in p
