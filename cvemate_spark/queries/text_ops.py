@@ -984,3 +984,47 @@ def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+# ------------------------------------------------------ t_length_hist
+@REG.add(
+    "t_length_hist",
+    """
+    SELECT source,
+           CAST(CASE WHEN len(string_split(text, ' ')) >= 200 THEN 21
+                     ELSE len(string_split(text, ' ')) // 10 + 1 END
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                AS BIGINT) AS tokens
+    FROM documents
+    GROUP BY source, bucket
+    ORDER BY source, bucket, n_docs, tokens
+    """,
+    doc="Token-length histogram per source (20 equal 10-token bins "
+    "over 0..200 plus an overflow bucket — width_bucket semantics "
+    "spelled as integer arithmetic, since DuckDB lacks the "
+    "function): the length-distribution report every mixture plan "
+    "and packing-efficiency estimate starts from. One scan, one "
+    "map-side-combinable (source, bucket) agg; bucket ids and token "
+    "sums are integers, so the gate is exact.",
+)
+def t_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            "source",
+            F.expr(
+                "CAST(CASE WHEN size(split(text, ' ')) >= 200 THEN 21"
+                " ELSE size(split(text, ' ')) div 10 + 1 END AS BIGINT)"
+            ).alias("bucket"),
+            n_tok.cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        .orderBy("source", "bucket", "n_docs", "tokens")
+    )
