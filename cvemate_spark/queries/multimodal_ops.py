@@ -88,3 +88,43 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs)
     return sample_frames(media).orderBy("doc_id", "frame_idx", "digest")
+
+
+@REG.add(
+    "mm_dedup",
+    """
+    SELECT digest,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dup,
+           CAST(sum(CAST(octet_length(encode(text)) AS BIGINT))
+                AS BIGINT) AS bytes_total
+    FROM (
+        SELECT doc_id, text, md5(text) AS digest FROM documents
+    )
+    GROUP BY digest
+    ORDER BY digest, keep_id, n_dup, bytes_total
+    """,
+    doc="Binary-payload exact dedup (the image/audio-pipeline form of "
+    "dedup_exact): the opaque payload column is hashed AT THE BYTES "
+    "(md5 over binary, computed inside the same Arrow mapInPandas "
+    "stage that owns the payload — the digest is a by-product of the "
+    "metadata pass, no second scan), then hash-groupBy keeps min id "
+    "and accounts the reclaimable duplicate bytes. At 100 TB of "
+    "media this is always the FIRST dedup: bytes-identical payloads "
+    "are the bulk of crawl duplication and the digest costs nothing "
+    "beyond the scan already extracting metadata.",
+)
+def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = extract_metadata(attach_payload(docs))  # (doc_id, ..., n_bytes, digest)
+    return (
+        meta.groupBy("digest")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            (F.count("*") - 1).cast("long").alias("n_dup"),
+            F.sum("n_bytes").cast("long").alias("bytes_total"),
+        )
+        .orderBy("digest", "keep_id", "n_dup", "bytes_total")
+    )
