@@ -1028,3 +1028,111 @@ def t_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket", "n_docs", "tokens")
     )
+
+
+# ------------------------------------------------- t_winnow_pairs
+WINP_DF_CAP = 200  # hot-fingerprint document-frequency cap
+WINP_MIN_SHARED = 2  # pairs must share >= 2 selected fingerprints
+
+
+@REG.add(
+    "t_winnow_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substring(md5(array_to_string(t[i:i + {WIN_K} - 1],
+                    ' ')), 1, 10)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(t) - {WIN_K} + 2)) AS r(i)
+        WHERE len(t) >= {WIN_K} + {WIN_W} - 1
+    ),
+    packed AS (
+        SELECT doc_id, pos, h * {1 << _POS_BITS} + pos AS ph FROM grams
+    ),
+    mins AS (
+        SELECT doc_id,
+               min(ph) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+                   AS m,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM packed
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, m // {1 << _POS_BITS} AS fh
+        FROM mins WHERE rn <= n - {WIN_W - 1}
+    ),
+    keep AS (
+        SELECT fh FROM fps GROUP BY fh
+        HAVING count(*) BETWEEN 2 AND {WINP_DF_CAP}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS shared_fp
+    FROM fps a
+    JOIN keep k ON a.fh = k.fh
+    JOIN fps b ON a.fh = b.fh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINP_MIN_SHARED}
+    ORDER BY d1, d2, shared_fp
+    """,
+    doc="Winnowing candidate pairs (the MOSS pipeline's second half): "
+    "documents joined on SELECTED fingerprints only — a w-fold "
+    "smaller join input than the full window set dedup_substring "
+    "touches — with a hot-fingerprint document-frequency cap "
+    "(2..200) so one boilerplate span cannot go quadratic (the "
+    "dedup_ngram_jaccard lesson), and a >= 2 shared-fingerprint "
+    "floor to suppress single-collision noise. Emits (d1, d2, "
+    "shared_fp) candidates for a downstream exact verify. All "
+    "integer counts; one doc_id window pass + one fingerprint-keyed "
+    "join.",
+)
+def t_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= WIN_K + WIN_W - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {WIN_K} + 1), i -> "
+                    f"cast(conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))),"
+                    f" 1, 10), 16, 10) as bigint))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    packed = grams.select(
+        "doc_id", "pos", (F.col("h") * (1 << _POS_BITS) + F.col("pos")).alias("ph")
+    )
+    byPos = W.partitionBy("doc_id").orderBy("pos")
+    mins = packed.select(
+        "doc_id",
+        F.min("ph").over(byPos.rowsBetween(0, WIN_W - 1)).alias("m"),
+        F.row_number().over(byPos).alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+    )
+    fps = (
+        mins.filter(F.col("rn") <= F.col("n") - (WIN_W - 1))
+        .select("doc_id", F.expr(f"m div {1 << _POS_BITS}").alias("fh"))
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, WINP_DF_CAP))
+        .select("fh")
+    )
+    a = fps.join(keep, "fh").select(F.col("doc_id").alias("d1"), "fh")
+    b = fps.select(F.col("doc_id").alias("d2"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINP_MIN_SHARED)
+        .orderBy("d1", "d2", "shared_fp")
+    )
