@@ -1423,3 +1423,46 @@ def e_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "n", "k_sum", "n_absent")
     )
+
+
+# ------------------------------------------------------ e_share
+@REG.add(
+    "e_share",
+    """
+    WITH rev AS (
+        SELECT o_orderstatus AS status,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, cents,
+           CAST(cents * 10000 // sum(cents) OVER () AS BIGINT) AS share_bp
+    FROM rev
+    ORDER BY status, cents, share_bp
+    """,
+    doc="Percent-of-total (ratio_to_report): per-status revenue share "
+    "in integer basis points — money scaled to exact BIGINT cents, "
+    "the global total as an unbounded window sum over the tiny "
+    "aggregated relation (never over the fact table), integer "
+    "division so the gate is exact. The two-level shape (aggregate "
+    "first, window over the group relation) is what keeps the "
+    "over-() window from serializing the corpus through one task.",
+)
+def e_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents_row = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rev = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum(cents_row).cast("long").alias("cents")
+    )
+    with_total = rev.withColumn(
+        "_total", F.sum("cents").over(W.partitionBy())
+    )
+    # integer div, not float /: double division of big longs can round
+    # up across an integer boundary where floor would not
+    return with_total.select(
+        "status",
+        "cents",
+        F.expr("(cents * 10000L) div _total").cast("long").alias("share_bp"),
+    ).orderBy("status", "cents", "share_bp")
