@@ -349,3 +349,63 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(tp * 10000.0 / n_truth).cast("long").alias("recall_bp"),
     )
 
+
+
+@REG.add(
+    "dedup_cluster_sizes",
+    """
+    WITH RECURSIVE pairs AS ("""
+    + dedup.simhash_pairs_oracle(max_hamming=2)
+    + """),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp
+        FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comps AS (
+        SELECT node AS doc_id, min(comp) AS component
+        FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT component, count(*) AS csize FROM comps GROUP BY component
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize - 1) AS BIGINT) AS removable_docs
+    FROM sizes
+    GROUP BY csize
+    ORDER BY cluster_size, n_clusters, removable_docs
+    """,
+    doc="Duplicate-cluster size distribution (the report read after "
+    "any dedup run): connected components over simhash pairs, then "
+    "cluster-size histogram with the removable-doc count (size-1 per "
+    "cluster, keeping one canonical survivor each). Two tiny "
+    "aggregations over the component relation — the corpus-sized "
+    "work is the components computation already proven by "
+    "dedup_components; the oracle recomputes the exact transitive "
+    "closure so the histogram also re-verifies convergence.",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=2)
+    comps = dedup.dedup_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.col("csize") - 1).cast("long").alias("removable_docs"),
+        )
+        .select(
+            F.col("csize").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "removable_docs",
+        )
+        .orderBy("cluster_size", "n_clusters", "removable_docs")
+    )
