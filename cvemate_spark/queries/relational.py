@@ -727,3 +727,52 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, c_name, acctbal
         """
     )
+
+
+@REG.add(
+    "q34",
+    """
+    WITH i AS (
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem
+    ),
+    e AS (
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem
+    )
+    SELECT custkey, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+    FROM i GROUP BY custkey
+    UNION ALL
+    SELECT custkey, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+    FROM e GROUP BY custkey
+    ORDER BY custkey, n, op
+    """,
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-preserving forms — INTERSECT ALL keeps "
+    "min(count_left, count_right) copies per value, EXCEPT ALL "
+    "subtracts counts — where q18's DISTINCT forms collapse them. "
+    "Catalyst compiles both to count-aggregated joins (no row-by-row "
+    "matching), one key shuffle each; the grouped output makes the "
+    "multiplicities explicit so the gate verifies the bag algebra "
+    "itself.",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(F.col("o_custkey").alias("custkey"))
+    s = li.select(F.col("l_suppkey").alias("custkey"))
+    i = (
+        o.intersectAll(s)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    e = (
+        o.exceptAll(s)
+        .groupBy("custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return i.unionByName(e).orderBy("custkey", "n", "op")
