@@ -1466,3 +1466,34 @@ def e_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.expr("(cents * 10000L) div _total").cast("long").alias("share_bp"),
     ).orderBy("status", "cents", "share_bp")
+
+
+# --------------------------------------------------- e_explode_outer
+@REG.add(
+    "e_explode_outer",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_match
+    FROM documents
+    ORDER BY doc_id, n_match
+    """,
+    doc="Null-preserving explode (explode_outer): documents with ZERO "
+    "regex matches keep their row as a NULL instead of vanishing — "
+    "the correctness nuance that silently loses records under plain "
+    "explode (108/500 docs here have no match; an inner explode "
+    "would drop them and the row count could never hash-match). The "
+    "Spark side genuinely explodes and re-aggregates so the gate "
+    "exercises the outer-generator path; the oracle counts matches "
+    "directly.",
+)
+def e_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.explode_outer(F.expr("regexp_extract_all(text, 'the', 0)")).alias("m"),
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.count("m").cast("long").alias("n_match"))
+        .orderBy("doc_id", "n_match")
+    )
