@@ -87,7 +87,14 @@ def gen_epss_csv(sf_dir: str) -> str:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     rows = _rows(sf_dir, "events", ["event_id"], "event_id", EPSS_LIMIT)
     tmp = out + ".tmp"
-    with gzip.open(tmp, "wt", newline="") as f:
+    # gzip.open stamps the wall clock into the header MTIME field —
+    # the same nondeterminism the zip generator had; pin mtime=0 so
+    # regeneration is byte-identical (determinism law in test_new_ops)
+    import io
+
+    with open(tmp, "wb") as raw, gzip.GzipFile(
+        filename="", mode="wb", fileobj=raw, mtime=0
+    ) as gz, io.TextIOWrapper(gz, newline="") as f:
         f.write(
             f"#model_version:{EPSS_MODEL_VERSION},score_date:{EPSS_SCORE_DATE}\n"
         )
