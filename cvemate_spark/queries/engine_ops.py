@@ -1497,3 +1497,41 @@ def e_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("m").cast("long").alias("n_match"))
         .orderBy("doc_id", "n_match")
     )
+
+
+# --------------------------------------------------- e_collect_sorted
+@REG.add(
+    "e_collect_sorted",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           md5(array_to_string(list_sort(list(o_orderkey)), ',')) AS keys_md5
+    FROM (SELECT o_orderstatus, o_orderkey FROM orders
+          WHERE o_orderkey % 50 = 0)
+    GROUP BY o_orderstatus
+    ORDER BY status, n, keys_md5
+    """,
+    doc="Deterministic collection aggregation: collect_list's order is "
+    "partition-arrival order — nondeterministic under shuffle — so "
+    "any downstream use must canonicalize; sort_array makes the "
+    "collected keys reproducible and the md5 fingerprint hashable "
+    "(raw collect_list could never oracle-match). The contract's "
+    "no-arrays-in-output rule is honored by emitting the digest, "
+    "not the list. Bounded collected size (keys are the filtered "
+    "minority) — an unbounded per-group list is the OOM shape to "
+    "avoid at 100 TB.",
+)
+def e_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderstatus").alias("status"), "o_orderkey"
+    )
+    sorted_keys = F.sort_array(F.collect_list("o_orderkey"))
+    return (
+        keys.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.md5(F.concat_ws(",", sorted_keys).cast("binary")).alias("keys_md5"),
+        )
+        .orderBy("status", "n", "keys_md5")
+    )
