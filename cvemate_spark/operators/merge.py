@@ -112,9 +112,14 @@ def merge_upsert_deletes(
     of magnitude below the corpus, so the anti join is a broadcast in
     practice (left unhinted — AQE decides). A later upsert of the same
     key re-inserts it: delete is not a permanent blacklist, matching
-    MERGE semantics."""
-    tombs = updates.filter(F.col(deleted_col)).select(key)
-    live = updates.filter(~F.col(deleted_col)).drop(deleted_col)
+    MERGE semantics.
+
+    A NULL flag means not-deleted (dirty CDC feeds omit the column for
+    plain upserts): the flag is coalesced to false first, so NULL rows
+    take the live leg instead of vanishing from both."""
+    d = F.coalesce(F.col(deleted_col), F.lit(False))
+    tombs = updates.filter(d).select(key)
+    live = updates.filter(~d).drop(deleted_col)
     merged = merge_upsert(target, live, key=key, now=now)
     return merged.join(tombs, key, "left_anti")
 

@@ -828,7 +828,10 @@ def t_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ t_winnow
 WIN_K = 5   # k-gram length for winnowing
 WIN_W = 4   # winnowing window (guarantee: any match >= K+W-1 tokens is caught)
-_POS_BITS = 20  # pack (hash, pos) -> one BIGINT for a frame-min with tie-break
+_POS_BITS = 22  # pack (hash, pos) -> one BIGINT for a frame-min with tie-break
+# 40-bit hash + 22-bit position = 62 bits, exact in int64. Docs longer than
+# 2^22-1 (~4.2M) token positions would corrupt the pack silently, so the
+# Spark path raises on overflow instead (the oracle never sees such rows).
 
 
 @REG.add(
@@ -878,8 +881,9 @@ _POS_BITS = 20  # pack (hash, pos) -> one BIGINT for a frame-min with tie-break
     "selected fingerprints are the compact index a 100-TB dedup joins "
     "on INSTEAD of all overlapping windows (w-fold candidate "
     "reduction vs dedup_substring's full position set, the standard "
-    "recall/cost dial). 40-bit hash + 20-bit position keeps the pack "
-    "exact in int64.",
+    "recall/cost dial). 40-bit hash + 22-bit position keeps the pack "
+    "exact in int64; positions past the 22-bit cap raise instead of "
+    "silently corrupting the frame-min.",
 )
 def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -903,7 +907,12 @@ def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = grams.select(
         "doc_id",
         "pos",
-        (F.col("h") * (1 << _POS_BITS) + F.col("pos")).alias("ph"),
+        F.expr(
+            f"CASE WHEN pos >= {1 << _POS_BITS} THEN "
+            f"raise_error(concat('t_winnow: position overflows {_POS_BITS}-bit "
+            f"pack for doc_id=', doc_id)) "
+            f"ELSE h * {1 << _POS_BITS}L + pos END"
+        ).alias("ph"),
     )
     byPos = W.partitionBy("doc_id").orderBy("pos")
     mins = packed.select(

@@ -49,7 +49,7 @@ class PagedFeedDataSource(DataSource):
         return PagedFeedReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "PagedFeedWriter":
-        return PagedFeedWriter(self.options)
+        return PagedFeedWriter(self.options, overwrite)
 
 
 class PagedFeedReader(DataSourceReader):
@@ -86,22 +86,34 @@ def register(spark) -> None:
 # ------------------------------------------------------------ writer
 class PagedFeedWriter(DataSourceWriter):
     """Batch writer half of the connector (DataSourceWriter protocol):
-    each task serializes its partition to one page-<pid>.json shard
-    under option('path'), committing task results through Spark's
-    commit protocol — the cluster-side form of the reference's
-    batched POST-back (speculative/failed tasks abort cleanly, the
-    job commit is all-or-nothing).
+    each task serializes its partition to one page shard, committing
+    task results through Spark's commit protocol — the cluster-side
+    form of the reference's batched POST-back (speculative/failed
+    tasks abort cleanly, the job commit is all-or-nothing).
 
     Records must be (id, vendor, page) rows (the connector schema).
-    Files land as page-00000.json.. one per non-empty partition; a
-    job-level _SUCCESS marker is written on commit, so readers treat
-    partially-written directories as absent (the same
-    visible-only-after-commit rule as the versioned snapshot sink)."""
+    Tasks write into a per-job `_staging-<token>` subdir (job-unique
+    token minted on the driver, pickled to executors), so an in-flight
+    write never disturbs the committed view. `commit()` then makes the
+    swap: drop the `_SUCCESS` marker (readers treat unmarked dirs as
+    absent), clear old shards when `overwrite` was requested, move the
+    staged shards in, and re-write `_SUCCESS`. Shard names carry the
+    job token, so append-mode jobs never collide with earlier shards.
+    `abort()` removes only the staging dir — the committed view is
+    untouched. An all-partitions-empty job still commits: an empty
+    (or, with overwrite, cleared) directory with a fresh marker."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cvemate_paged_feed write requires option('path')")
+        self.overwrite = overwrite
+        self.token = uuid.uuid4().hex[:12]
+
+    def _staging(self) -> str:
+        return f"{self.path}/_staging-{self.token}"
 
     def write(self, iterator):
         import json as _json
@@ -114,8 +126,9 @@ class PagedFeedWriter(DataSourceWriter):
         ]
         if not rows:
             return WriterCommitMessage()
-        _os.makedirs(self.path, exist_ok=True)
-        out = f"{self.path}/page-{pid:05d}.json"
+        staging = self._staging()
+        _os.makedirs(staging, exist_ok=True)
+        out = f"{staging}/page-{pid:05d}-{self.token}.json"
         tmp = out + f".tmp-{_os.getpid()}"
         with open(tmp, "w") as f:
             _json.dump({"vulnerabilities": rows}, f)
@@ -123,15 +136,26 @@ class PagedFeedWriter(DataSourceWriter):
         return WriterCommitMessage()
 
     def commit(self, messages):
-        import os as _os
-
-        with open(f"{self.path}/_SUCCESS", "w") as f:
-            f.write("")
-        _ = _os  # commit marker only
-
-    def abort(self, messages):
         import glob as _glob
         import os as _os
+        import shutil as _shutil
 
-        for p in _glob.glob(f"{self.path}/page-*.json"):
-            _os.remove(p)
+        _os.makedirs(self.path, exist_ok=True)
+        success = f"{self.path}/_SUCCESS"
+        if _os.path.exists(success):
+            _os.remove(success)  # hide the dir while shards change
+        if self.overwrite:
+            for p in _glob.glob(f"{self.path}/page-*.json"):
+                _os.remove(p)
+        staging = self._staging()
+        if _os.path.isdir(staging):
+            for p in sorted(_glob.glob(f"{staging}/page-*.json")):
+                _os.replace(p, f"{self.path}/{_os.path.basename(p)}")
+            _shutil.rmtree(staging, ignore_errors=True)
+        with open(success, "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(self._staging(), ignore_errors=True)

@@ -170,6 +170,24 @@ def test_winnow_guarantee_shared_fingerprint(spark, tmp_path):
     assert not (fps(docs[2].text) & fps(docs[0].text))
 
 
+def test_winnow_position_overflow_raises(spark, tmp_path, monkeypatch):
+    """The (hash, pos) pack is exact only while pos < 2^_POS_BITS; past
+    the cap the job must fail loudly, never silently corrupt the
+    frame-min. Proven by shrinking the cap to 8 positions and feeding a
+    longer doc."""
+    import pytest as _pytest
+
+    import cvemate_spark.queries.text_ops as T
+
+    docs = [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(40)))]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    monkeypatch.setattr(T, "_POS_BITS", 3)
+    with _pytest.raises(Exception, match="overflows"):
+        T.t_winnow(spark, str(sf)).collect()
+
+
 def test_entropy_extremes(spark, tmp_path):
     docs = [
         Row(doc_id=1, text="spam " * 50 + "spam"),          # one token: H = 0

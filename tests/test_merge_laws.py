@@ -216,6 +216,22 @@ def test_merge_delete_laws(spark):
     assert {r["id"]: r["v"] for r in res.collect()}["c"] == 300
 
 
+def test_merge_delete_null_flag_is_live(spark):
+    """A NULL _deleted flag means not-deleted (dirty CDC feeds omit the
+    flag on plain upserts): such rows must take the live upsert leg,
+    not silently vanish from both filter legs."""
+    from cvemate_spark.operators.merge import merge_upsert_deletes
+
+    NOW = "2026-01-01 00:00:00"
+    target = spark.createDataFrame([Row(id="a", v=1)])
+    ups = spark.createDataFrame(
+        [("a", 10, None), ("b", 2, None), ("a2", None, True)],
+        "id string, v int, _deleted boolean",
+    )
+    out = merge_upsert_deletes(target, ups, key="id", now=NOW)
+    assert {r["id"]: r["v"] for r in out.collect()} == {"a": 10, "b": 2}
+
+
 def test_diff_applied_through_merge_reproduces_v2(spark):
     """table_diff and merge_upsert_deletes are inverses: applying the
     CDC batch derived from (v1 -> v2) onto v1 yields exactly v2."""

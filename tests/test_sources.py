@@ -235,3 +235,34 @@ def test_pyds_writer_roundtrip(spark, tmp_path):
     assert {(r["id"], r["vendor"]) for r in back.collect()} == {
         (r.id, r.vendor) for r in rows
     }
+
+
+def test_pyds_writer_overwrite_replaces_and_empty_commits(spark, tmp_path):
+    """mode('overwrite') replaces ALL prior shards — a smaller rewrite
+    leaves no stale pages from an earlier, larger run — staging dirs
+    are cleaned up, and an all-partitions-empty job still commits (the
+    _SUCCESS marker lands even when no task created the directory)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "pages")
+    big = spark.createDataFrame(
+        [Row(id=f"CVE-2026-{i}", vendor="v", page=0) for i in range(20)]
+    ).repartition(8)
+    big.write.format(pyds.FORMAT_NAME).option("path", out).mode("overwrite").save()
+    small = spark.createDataFrame([Row(id="CVE-2026-X", vendor="w", page=0)])
+    small.write.format(pyds.FORMAT_NAME).option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format(pyds.FORMAT_NAME).option("path", out).load()
+    assert [(r["id"], r["vendor"]) for r in back.collect()] == [("CVE-2026-X", "w")]
+    assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
+
+    empty = spark.createDataFrame([], "id string, vendor string, page int")
+    out2 = str(tmp_path / "empty")
+    empty.write.format(pyds.FORMAT_NAME).option("path", out2).mode("append").save()
+    assert os.path.exists(f"{out2}/_SUCCESS")
