@@ -43,6 +43,17 @@ REGISTRY = build_registry()
 # chosen so every SURVEY §2 operator has a driver-green proving query;
 # everything else in REGISTRY stays locally gated via tools/check.py
 # (same oracle machinery, full registry).
+#
+# Round-3 rotation (per VERDICT.md round 2, item 2): hard driver
+# evidence accumulates ACROSS rounds, so queries that are driver-green
+# in both CORRECTNESS_r01 and _r02 (e_asof, e_cube, e_hll,
+# e_quantiles, e_ranks, e_salted, e_udaf_rms) plus the judge-named
+# stable provers (q16, q17, s2_sliding) ceded their slots to ten
+# previously local-only capabilities: the merge delete leg, NAAJ,
+# recursive CTE, VARIANT, funnel, SCD2, incremental dedup, BM25,
+# SemDeDup and the two-exchange curation pipeline. Every rotated-out
+# query stays registered and locally gated (tools/check.py), and its
+# §2 operator row keeps its recorded r01/r02 driver-green evidence.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
     # §2.1 sources (all ten readers, incl. the XML UDTF and RedHat)
@@ -54,22 +65,24 @@ DRIVER_GATE: tuple[str, ...] = (
     # §2.2-2.8 relational core (unique provers; the rest of q01..q28
     # stay locally gated — their operator classes are covered by the
     # source/engine queries in this set)
-    "q05", "q10", "q11", "q15", "q16", "q17", "q18", "q19", "q21", "q28",
-    # engine surface
-    "e_asof", "e_cube", "e_hll", "e_quantiles", "e_ranks", "e_salted",
-    "e_udaf_rms",
+    "q05", "q10", "q11", "q15", "q18", "q19", "q21", "q28",
+    # r03 rotation: NAAJ + recursive CTE join the relational slots
+    "q31", "q32",
+    # engine surface (r03 rotation: delete-leg merge, VARIANT, funnel,
+    # SCD2 replace the r01+r02-proven e_* provers)
+    "e_merge_delete", "e_variant", "e_funnel", "e_scd2",
     # §2.9-2.11 streaming
-    "s1_tumbling", "s2_sliding", "s3_merge_replay", "s4_session",
-    "s5_stateful",
+    "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
     # LLM-pipeline: dedup, similarity, text, multimodal. (ann_ivf — the
     # single-query special case of ann_ivf_batch — ceded its slot to
     # dedup_components, the clustering stage of the dedup pipeline; it
     # stays locally gated.)
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_components",
-    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup",
+    "dedup_components", "dedup_incremental",
+    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup", "emb_semdedup",
+    "bm25_topk",
     "t_langid", "t_quality", "t_tokens", "t_fingerprint",
-    "curate_pipeline",
+    "curate_pipeline", "curate_pipeline2",
     "mm_features", "mm_frames",
 )
 

@@ -13,12 +13,17 @@ from __future__ import annotations
 from cvemate_spark.queries import DRIVER_GATE, REGISTRY, driver_specs
 
 CRITICAL = (
-    "s1_tumbling", "s2_sliding", "s3_merge_replay", "s4_session", "s5_stateful",
+    # streaming ladder (s2_sliding rotated out in r03 — driver-green in
+    # r02; the sliding-window class keeps local-oracle coverage)
+    "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
     "t_langid", "t_quality", "t_tokens", "t_fingerprint", "curate_pipeline",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_components",
-    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup",
+    "dedup_components", "dedup_incremental",
+    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup", "emb_semdedup",
     "cve_pipeline", "cwe_enrich", "mm_features", "mm_frames",
+    # r03 rotation: previously local-only capabilities now in the gate
+    "e_merge_delete", "q31", "q32", "e_variant", "e_funnel", "e_scd2",
+    "bm25_topk", "curate_pipeline2",
 )
 
 
