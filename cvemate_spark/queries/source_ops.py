@@ -208,12 +208,40 @@ def src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation
     ORDER BY id, name, description, parent
     """,
-    doc="SRC-9: CWE catalog XML via mapInPandas ElementTree UDTF "
-    "(cwe_handler.py:60-102) — namespace strip, recursive text flatten, "
-    "Related_Weaknesses array.",
+    doc="SRC-9: CWE catalog XML through the primary reader (Spark 4 "
+    "native XML source when available, mapInPandas ElementTree UDTF "
+    "otherwise; cwe_handler.py:60-102) — namespace strip, recursive "
+    "text flatten with xhtml→html rewrite, Related_Weaknesses array.",
 )
 def src_cwe_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     cwe = read_cwe_xml(spark, landing.gen_cwe_xml(sf_dir))
+    return cwe.select(
+        F.col("ID").alias("id"),
+        F.col("Name").alias("name"),
+        F.col("Description").alias("description"),
+        F.element_at("Related_Weaknesses", 1)["id"].alias("parent"),
+    ).orderBy("id", "name", "description", "parent")
+
+
+@REG.add(
+    "src_cwe_xml_udtf",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS id, n_name AS name,
+           'In region ' || CAST(n_regionkey AS VARCHAR) || ' weakness'
+               AS description,
+           'R' || CAST(n_regionkey AS VARCHAR) AS parent
+    FROM nation
+    ORDER BY id, name, description, parent
+    """,
+    doc="SRC-9 fallback reader, pinned: the Arrow mapInPandas "
+    "ElementTree walk (cwe_handler.py:60-102), gated to the SAME "
+    "oracle as src_cwe_xml so the native/UDTF pair is provably "
+    "hash-equal (also asserted row-for-row in tests/test_sources.py).",
+)
+def src_cwe_xml_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cwe_xml import read_cwe_xml_udtf
+
+    cwe = read_cwe_xml_udtf(spark, landing.gen_cwe_xml(sf_dir))
     return cwe.select(
         F.col("ID").alias("id"),
         F.col("Name").alias("name"),

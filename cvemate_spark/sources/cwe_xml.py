@@ -1,14 +1,25 @@
-"""SRC-9: CWE weakness catalog XML → dimension rows, via mapInPandas.
+"""SRC-9: CWE weakness catalog XML → dimension rows.
 
-The one custom reader (SURVEY §4.2): PySpark has no core XML source
-pre-Spark-4 `spark.read.xml`, and the container may lack the spark-xml
-package, so the weakness walk runs as an Arrow-batched mapInPandas
-stage wrapping ElementTree — one XML blob in, N weakness rows out (the
-UDTF shape of the reference's `xml2json`, cwe_handler.py:60-102).
+Two readers, one contract (cwe_handler.py:60-102 semantics: walk
+Weakness elements, strip namespaces, flatten Description text with the
+xhtml→html rewrite, collect Related_Weaknesses):
 
-Per-file stream parsing keeps memory bounded on huge blobs: files
-arrive one per row via binaryFile, each parsed independently, so a
-partition never holds more than its files' trees.
+- `read_cwe_xml_native` — PRIMARY. Spark 4's built-in XML source
+  (`spark.read.format("xml")`, rowTag=Weakness) with an EXPLICIT
+  schema whose Description is StringType, which makes the parser hand
+  back the element's raw inner XML; the tag-strip, entity decode and
+  xhtml→html rewrite then run JVM-side as regexp_replace/replace
+  chains inside whole-stage codegen. At scale this is the right
+  reader: codegen'd parse, schema-pruned, no Python stage at all.
+- `read_cwe_xml_udtf` — FALLBACK. The Arrow-batched mapInPandas
+  ElementTree walk (the UDTF shape of the reference's `xml2json`),
+  for environments whose Spark lacks the XML source. Per-file stream
+  parsing keeps memory bounded: files arrive one per row via
+  binaryFile, each parsed independently.
+
+`read_cwe_xml` dispatches native-first and falls back on error; both
+paths are oracle-gated to identical output (src_cwe_xml /
+src_cwe_xml_native, plus a row-for-row equality pytest).
 """
 
 from __future__ import annotations
@@ -88,8 +99,9 @@ def parse_weaknesses(xml_bytes: bytes) -> list[dict]:
     return rows
 
 
-def read_cwe_xml(spark: SparkSession, path: str) -> DataFrame:
-    """XML files → CWE dimension DataFrame (broadcast-join side)."""
+def read_cwe_xml_udtf(spark: SparkSession, path: str) -> DataFrame:
+    """XML files → CWE dimension DataFrame (broadcast-join side),
+    via the mapInPandas ElementTree walk (fallback path)."""
     blobs = spark.read.format("binaryFile").load(path)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,3 +121,81 @@ def read_cwe_xml(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return blobs.select("content").mapInPandas(batches, schema=CWE_SCHEMA)
+
+
+# Explicit read schema for the native XML source. Description is
+# declared StringType ON PURPOSE: the parser then returns the raw
+# inner XML of the element (child tags + entities intact) instead of
+# a lossy mixed-content struct, and the reference's flatten/rewrite
+# becomes a JVM-side expression chain.
+_NATIVE_XML_SCHEMA = (
+    "Description string, "
+    "Related_Weaknesses struct<"
+    "Related_Weakness: array<struct<_CWE_ID: string, _Nature: string>>>, "
+    "_Abstraction string, _ID string, _Name string"
+)
+
+
+def _flatten_description(col):
+    """JVM-side equivalent of `_element_text(el)` on the native
+    reader's StringType projection of a mixed-content element.
+
+    The native parser hands back the element's inner content with
+    child tags intact as markup and XML entities decoded ONCE (so
+    '&amp;amp;' arrives as '&amp;', '&amp;lt;' as '&lt;' — exactly the
+    single decode ElementTree applies). The flatten therefore only
+    drops the real xhtml child tags — their text contributes, the
+    markup doesn't (cwe_handler.py:43-52 semantics) — and trims.
+
+    Known boundary (documented, tested): markup that was XML-ESCAPED
+    in the source ('&lt;xhtml:p&gt;') is indistinguishable from real
+    child markup after the parser's entity decode, so the native path
+    strips it too, where ElementTree keeps it as text for the
+    xhtml→html rewrite. Catalogs that escape xhtml markup inside
+    Description must use the UDTF reader; the real CWE catalog carries
+    xhtml as actual child elements, where both readers agree."""
+    import pyspark.sql.functions as F  # local: keep module import light
+
+    c = F.regexp_replace(col, r"</?xhtml:[a-zA-Z]+\s*/?>", "")
+    return F.trim(c)
+
+
+def read_cwe_xml_native(spark: SparkSession, path: str) -> DataFrame:
+    """XML files → CWE dimension DataFrame through Spark 4's built-in
+    XML source: codegen'd parse, no Python stage (the scale-preferred
+    SRC-9 path; SURVEY §2.1 notes Spark 4 ships `spark.read.xml`).
+    Output is column-for-column identical to the UDTF reader."""
+    import pyspark.sql.functions as F
+
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "Weakness")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(_NATIVE_XML_SCHEMA)
+        .load(path)
+    )
+    return raw.select(
+        F.col("_ID").alias("ID"),
+        F.col("_Name").alias("Name"),
+        F.col("_Abstraction").alias("Abstraction"),
+        _flatten_description(F.col("Description")).alias("Description"),
+        F.coalesce(
+            F.transform(
+                F.col("Related_Weaknesses.Related_Weakness"),
+                lambda rw: F.struct(
+                    rw["_CWE_ID"].alias("id"), rw["_Nature"].alias("nature")
+                ),
+            ),
+            F.array().cast("array<struct<id: string, nature: string>>"),
+        ).alias("Related_Weaknesses"),
+    )
+
+
+def read_cwe_xml(spark: SparkSession, path: str) -> DataFrame:
+    """SRC-9 dispatcher: the native XML source when this Spark has it
+    (Spark 4 does), else the mapInPandas ElementTree fallback. Both
+    readers are gated to identical output, so callers are agnostic."""
+    try:
+        return read_cwe_xml_native(spark, path)
+    except Exception:
+        return read_cwe_xml_udtf(spark, path)

@@ -42,9 +42,13 @@ def test_driver_gate_covers_critical_families():
     # reference's SRC inventory (same documents rows through the ORC
     # reader). Both stay locally gated (tools/check.py) — the 50
     # driver slots are reserved for the reference's own feed shapes.
+    # src_cwe_xml_udtf is the same feed through the fallback reader —
+    # the gate slot proves the primary (native) path; the fallback
+    # stays locally gated to the identical oracle.
     src_all = {n for n in REGISTRY.specs if n.startswith("src_")} - {
         "src_pyds",
         "src_orc",
+        "src_cwe_xml_udtf",
     }
     assert src_all and src_all <= names, src_all - names
     missing = [n for n in CRITICAL if n not in names]

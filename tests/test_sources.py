@@ -266,3 +266,67 @@ def test_pyds_writer_overwrite_replaces_and_empty_commits(spark, tmp_path):
     out2 = str(tmp_path / "empty")
     empty.write.format(pyds.FORMAT_NAME).option("path", out2).mode("append").save()
     assert os.path.exists(f"{out2}/_SUCCESS")
+
+
+def test_cwe_xml_native_equals_udtf_and_stays_jvm_side(spark):
+    """SRC-9 primary/fallback parity: the Spark 4 native XML reader and
+    the mapInPandas ElementTree walk produce identical rows on the
+    generated catalog (incl. the mixed-content Description flatten),
+    and the native plan has NO Python stage — the whole parse is
+    codegen'd scan + expressions."""
+    from cvemate_spark.sources import landing
+    from cvemate_spark.sources.cwe_xml import (
+        read_cwe_xml_native,
+        read_cwe_xml_udtf,
+    )
+
+    p = landing.gen_cwe_xml("/root/testdata/sf0.001")
+    native = read_cwe_xml_native(spark, p)
+    udtf = read_cwe_xml_udtf(spark, p)
+    # same names and types (nullability flags differ: the native
+    # coalesce-to-empty-array is provably non-null)
+    assert native.schema.simpleString() == udtf.schema.simpleString()
+    n_rows = sorted(map(tuple, native.collect()))
+    u_rows = sorted(map(tuple, udtf.collect()))
+    assert n_rows == u_rows and len(n_rows) == 25
+
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "XmlScan" in plan or "xml" in plan.lower()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_cwe_xml_native_entity_and_markup_flatten(spark, tmp_path):
+    """The JVM-side Description flatten matches ElementTree semantics on
+    the catalog-realistic cases: real xhtml child tags contribute only
+    their text, single-decoded entities survive literally ('&amp;amp;'
+    → '&amp;', '&amp;lt;script&amp;gt;' → '<script>' text — NOT
+    stripped, the tag-strip is xhtml-scoped)."""
+    from cvemate_spark.sources.cwe_xml import (
+        read_cwe_xml_native,
+        read_cwe_xml_udtf,
+    )
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<Weakness_Catalog xmlns="http://cwe.mitre.org/cwe-6" '
+        'xmlns:xhtml="http://www.w3.org/1999/xhtml"><Weaknesses>'
+        '<Weakness ID="9" Name="N" Abstraction="Base">'
+        "<Description>a <xhtml:b>bold</xhtml:b> 1 &lt; 2 "
+        "&amp;amp; x &lt;script&gt;alert&lt;/script&gt; tail"
+        "</Description>"
+        "<Related_Weaknesses>"
+        '<Related_Weakness Nature="ChildOf" CWE_ID="R1"/>'
+        "</Related_Weaknesses></Weakness>"
+        "</Weaknesses></Weakness_Catalog>"
+    )
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "cwec.xml").write_text(xml)
+    native = read_cwe_xml_native(spark, str(d)).collect()
+    udtf = read_cwe_xml_udtf(spark, str(d)).collect()
+    assert sorted(map(tuple, native)) == sorted(map(tuple, udtf))
+    assert (
+        native[0]["Description"]
+        == "a bold 1 < 2 &amp; x <script>alert</script> tail"
+    )
