@@ -221,9 +221,9 @@ def read_target(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 # ------------------------------------------- versioned snapshot sink
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str, max_retries: int = 64) -> int:
     """Manifest-pointer snapshot sink: the atomic-replace upgrade of
-    `write_atomic`, plus time travel.
+    `write_atomic`, plus time travel, safe under CONCURRENT writers.
 
     Each write lands in an immutable `path/v-<n>/` directory; commit is
     publishing the new version name into the `path/_LATEST` pointer
@@ -233,17 +233,77 @@ def write_versioned(df: DataFrame, path: str) -> int:
     the old pointer or the new pointer, never no pointer and never a
     partial table. This is the same design as Delta/Iceberg commits
     (data immutable, one tiny atomic pointer/log write), scaled down
-    to a filesystem. Returns the committed version number.
-    """
-    versions = _list_versions(path)
-    v = (max(versions) if versions else 0) + 1
+    to a filesystem.
+
+    Concurrency protocol (the CAS the optimistic Delta/Iceberg commit
+    performs against its log store):
+    1. version ALLOCATION — a writer claims `v-<n>` by O_CREAT|O_EXCL
+       on `v-<n>.claim`; exactly one racer wins each number, losers
+       re-scan (claims count as taken) and take the next one. A claim
+       that crashed before writing data blocks nothing: readers only
+       resolve through the pointer, and later writers allocate past it.
+    2. pointer ADVANCE — under an flock'd `_COMMITLOCK`, the pointer
+       is replaced only if the new version is HIGHER than the current
+       one, so two successful commits publish the max and neither
+       unpublishes the other (both version dirs remain readable via
+       time travel either way).
+    Returns the committed version number; raises after `max_retries`
+    lost allocation races (never silently drops a write)."""
     os.makedirs(path, exist_ok=True)
-    df.write.mode("errorifexists").parquet(os.path.join(path, f"v-{v}"))
-    tmp = os.path.join(path, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-    os.replace(tmp, os.path.join(path, "_LATEST"))  # the atomic commit
-    return v
+    for _ in range(max_retries):
+        taken = _taken_versions(path)
+        v = (max(taken) if taken else 0) + 1
+        claim = os.path.join(path, f"v-{v}.claim")
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race for this number — re-scan
+        os.close(fd)
+        df.write.mode("errorifexists").parquet(os.path.join(path, f"v-{v}"))
+        tmp = os.path.join(path, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        _advance_pointer(path, tmp, v)
+        return v
+    raise RuntimeError(
+        f"write_versioned: lost {max_retries} allocation races under {path}"
+    )
+
+
+def _advance_pointer(path: str, tmp: str, v: int) -> None:
+    """Atomically publish `v` into `_LATEST` iff it is higher than the
+    currently-published version (monotonic commit under an flock, so a
+    slower racer can never roll the pointer back)."""
+    import fcntl
+
+    lock_path = os.path.join(path, "_COMMITLOCK")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = -1
+            latest = os.path.join(path, "_LATEST")
+            if os.path.exists(latest):
+                with open(latest) as f:
+                    current = int(f.read().strip() or -1)
+            if v > current:
+                os.replace(tmp, latest)  # the atomic commit
+            else:
+                os.unlink(tmp)  # a newer version is already published
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _taken_versions(path: str) -> list[int]:
+    """Version numbers already allocated: committed/in-flight data dirs
+    AND claim markers (a claim is taken even before its dir exists)."""
+    if not os.path.isdir(path):
+        return []
+    out = set()
+    for d in os.listdir(path):
+        name = d[:-6] if d.endswith(".claim") else d
+        if name.startswith("v-") and name[2:].isdigit():
+            out.add(int(name[2:]))
+    return sorted(out)
 
 
 def _list_versions(path: str) -> list[int]:
@@ -251,7 +311,7 @@ def _list_versions(path: str) -> list[int]:
         return []
     return sorted(
         int(d[2:]) for d in os.listdir(path)
-        if d.startswith("v-") and d[2:].isdigit()
+        if d.startswith("v-") and d[2:].isdigit() and os.path.isdir(os.path.join(path, d))
     )
 
 

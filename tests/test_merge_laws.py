@@ -187,6 +187,42 @@ def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
     assert read_versioned(spark, path).first().x == "c"
 
 
+def test_versioned_sink_concurrent_writers_race(spark, tmp_path):
+    """CAS commit law: N racing writers each allocate a DISTINCT
+    version (O_EXCL claim), every committed version's data survives
+    intact (time travel reads each one), and the pointer lands on the
+    highest committed version — no lost update, and a slow racer can
+    never roll the pointer back over a newer commit."""
+    import threading
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge import read_versioned, write_versioned
+
+    path = str(tmp_path / "tbl")
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        try:
+            df = spark.createDataFrame([Row(id=tag, x=f"w{tag}")])
+            results[tag] = write_versioned(df, path)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results.values()) == [1, 2, 3, 4]  # distinct + dense
+    for tag, v in results.items():  # no committed data lost
+        assert read_versioned(spark, path, version=v).first().x == f"w{tag}"
+    with open(f"{path}/_LATEST") as f:
+        assert int(f.read()) == 4  # pointer = max committed
+
+
 def test_merge_delete_laws(spark):
     from cvemate_spark.operators.merge import merge_upsert_deletes
 
