@@ -3,17 +3,26 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q01": sec, ...}, "sf": "..."}
+     "queries": {"q01": sec, ...}, "queries_median": {...},
+     "runs": N, "sf": "..."}
 
 Each query is materialized through the noop sink (full execution, no
 driver-side collect). The session mirrors the cluster design: AQE on,
 shuffle partitions ~ cores.
+
+Protocol: N full passes over the suite (default 5, override with
+$SPARK_GRAFT_BENCH_N), reporting per-query MIN as the headline number
+and median alongside. This container's wall clock swings ±20-30% on
+zero guest load (BASELINE.md variance note), so a single reading is
+noise; min-of-N is the stable estimator of the plan's true cost and
+median shows the spread.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,32 +77,42 @@ def main() -> int:
     spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY.specs[name]
-        t0 = time.time()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # operators cache intermediates (e.g. shingle relations); drop
-        # them so later queries aren't measured under memory pressure
-        spark.catalog.clearCache()
-        # Spark's ContextCleaner only reclaims shuffle files / broadcast
-        # blocks when the driver GCs, and periodicGC.interval defaults
-        # to 30 min — far longer than this suite. Without this, freed
-        # blocks pile up and the last third of the suite runs 2-3x
-        # slower (measured: tail queries 7-9 s vs 3 s). The forced GC
-        # sits outside the timed window, so it costs the metric nothing.
-        spark.sparkContext._jvm.System.gc()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            spec = REGISTRY.specs[name]
+            t0 = time.time()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+            # operators cache intermediates (e.g. shingle relations);
+            # drop them so later queries aren't measured under memory
+            # pressure
+            spark.catalog.clearCache()
+            # Spark's ContextCleaner only reclaims shuffle files /
+            # broadcast blocks when the driver GCs, and
+            # periodicGC.interval defaults to 30 min — far longer than
+            # this suite. Without this, freed blocks pile up and the
+            # last third of the suite runs 2-3x slower (measured: tail
+            # queries 7-9 s vs 3 s). The forced GC sits outside the
+            # timed window, so it costs the metric nothing.
+            spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
+    best = {name: round(min(ts), 3) for name, ts in samples.items()}
+    median = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    total = round(sum(best.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall clock",
+                "metric": "headline-suite wall clock (min of runs)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
+                "queries_median": median,
+                "runs": n_runs,
                 "sf": sf_dir,
             }
         )
