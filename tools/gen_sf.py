@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Derive larger / skewed test datasets from the driver's sf0.1 tables.
+
+Two products, both under /root/repo/.scratch (gitignored — derived
+data, regenerable):
+
+  sf1    — 10x scale-up of sf0.1 (~6M lineitem rows): copy 0 is the
+           original data verbatim; copies 1..9 shift every key family
+           by a copy-sized offset so referential integrity holds
+           (lineitem.l_orderkey still joins orders.o_orderkey, etc.).
+           Text columns are per-copy alphabet-rotated so near-dup
+           relations stay LINEAR in corpus size (replicating text
+           verbatim would make every doc a 10-way duplicate and
+           quadratically inflate dedup outputs — a data artifact, not
+           a plan property). Embeddings get a per-copy deterministic
+           sign-flip pattern for the same reason: cross-copy cosines
+           decorrelate instead of being exact ties.
+  skew0.1 — sf0.1 volumes, but orders.o_custkey and events.user_id
+           remapped log-uniformly (each magnitude decade equally
+           likely), the classic zipf-ish hot-key shape: a handful of
+           customers/users carry a large share of rows. Dimension
+           tables are copied verbatim so every registered query runs
+           unchanged against the skewed directory.
+
+Determinism: no RNG anywhere — offsets, rotations and the skew map
+are pure functions of existing keys, so repeated runs are identical.
+
+Usage: python3 tools/gen_sf.py [sf1|skew|all]  (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from cvemate_spark.session import get_spark  # noqa: E402
+from cvemate_spark.tables import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+COPIES = 10
+
+# key-family offsets: one decade above the sf0.1 max, so shifted key
+# ranges never collide and the copy index is readable off the key
+OFF = {
+    "orderkey": 1_000_000,
+    "custkey": 100_000,
+    "partkey": 100_000,
+    "suppkey": 10_000,
+    "event_id": 1_000_000,
+    "user_id": 10_000,
+    "doc_id": 10_000,
+    "vec_id": 10_000,
+}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot_alpha(i: int) -> tuple[str, str]:
+    """Per-copy letter rotation (identity for copy 0)."""
+    r = (i * 7) % 26
+    src = ALPHA + ALPHA.upper()
+    dst = ALPHA[r:] + ALPHA[:r] + (ALPHA[r:] + ALPHA[:r]).upper()
+    return src, dst
+
+
+def _copies(df, mapper):
+    """Union of COPIES transformed copies (copy 0 untouched)."""
+    return reduce(lambda a, b: a.unionByName(b), [mapper(df, i) for i in range(COPIES)])
+
+
+def gen_sf1(spark) -> str:
+    out = os.path.join(OUT_ROOT, "sf1")
+    os.makedirs(out, exist_ok=True)
+
+    def shift(col, fam, i):
+        return (F.col(col) + F.lit(i * OFF[fam])).alias(col)
+
+    def orders_copy(df, i):
+        return df.select(
+            shift("o_orderkey", "orderkey", i), shift("o_custkey", "custkey", i),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+
+    def lineitem_copy(df, i):
+        return df.select(
+            shift("l_orderkey", "orderkey", i), shift("l_partkey", "partkey", i),
+            shift("l_suppkey", "suppkey", i), "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+
+    def customer_copy(df, i):
+        return df.select(
+            shift("c_custkey", "custkey", i),
+            F.concat(F.col("c_name"), F.lit(f"#{i}")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+
+    def supplier_copy(df, i):
+        return df.select(
+            shift("s_suppkey", "suppkey", i),
+            F.concat(F.col("s_name"), F.lit(f"#{i}")).alias("s_name"),
+            "s_nationkey", "s_acctbal",
+        )
+
+    def part_copy(df, i):
+        return df.select(
+            shift("p_partkey", "partkey", i),
+            F.concat(F.col("p_name"), F.lit(f"#{i}")).alias("p_name"),
+            "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+
+    def events_copy(df, i):
+        return df.select(
+            shift("event_id", "event_id", i), "ts",
+            shift("user_id", "user_id", i), "event_type", "value", "props",
+        )
+
+    def documents_copy(df, i):
+        src_a, dst_a = _rot_alpha(i)
+        return df.select(
+            shift("doc_id", "doc_id", i),
+            F.translate(F.col("text"), src_a, dst_a).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    def embeddings_copy(df, i):
+        if i == 0:
+            return df.select("vec_id", "embedding", "label")
+        mult = (i % 7) + 1
+        offs = (i * 13) % 5
+        flip = F.expr(
+            "transform(embedding, (x, p) -> "
+            f"CASE WHEN (p * {mult} + {offs}) % 5 < 2 THEN -x ELSE x END)"
+        ).alias("embedding")
+        return df.select(shift("vec_id", "vec_id", i), flip, "label")
+
+    plans = {
+        "region": None, "nation": None,
+        "customer": customer_copy, "supplier": supplier_copy,
+        "part": part_copy, "orders": orders_copy, "lineitem": lineitem_copy,
+        "events": events_copy, "documents": documents_copy,
+        "embeddings": embeddings_copy,
+    }
+    for name, mapper in plans.items():
+        dst = os.path.join(out, f"{name}.parquet")
+        df = load_table(spark, SRC, name)
+        big = df if mapper is None else _copies(df, mapper)
+        big.write.mode("overwrite").parquet(dst)
+        print(f"[sf1] {name}: {big.count()} rows")
+    return out
+
+
+def _log_uniform(key_col: str, n_keys: int):
+    """Deterministic zipf-ish remap: hash the key to uniform [0,1),
+    then k = floor(n^u) — each magnitude decade equally likely, so key
+    0 alone carries ~1/log(n) of all rows (a true hot key)."""
+    u = (F.abs(F.xxhash64(F.col(key_col))) % 1_000_000) / 1_000_000.0
+    return F.floor(F.pow(F.lit(float(n_keys)), u)).cast("long") - 1
+
+
+def gen_skew(spark) -> str:
+    out = os.path.join(OUT_ROOT, "skew0.1")
+    os.makedirs(out, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "documents", "embeddings"):
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    orders = load_table(spark, SRC, "orders").withColumn(
+        "o_custkey", _log_uniform("o_orderkey", 15_000)
+    )
+    orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    lineitem = load_table(spark, SRC, "lineitem")
+    lineitem.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    events = load_table(spark, SRC, "events").withColumn(
+        "user_id", _log_uniform("event_id", 1_500)
+    )
+    events.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    print(f"[skew] orders+events remapped log-uniform under {out}")
+    return out
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("gen_sf", cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    if which in ("sf1", "all"):
+        gen_sf1(spark)
+    if which in ("skew", "all"):
+        gen_skew(spark)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,10 +8,15 @@ must not live on the heap).
 Run: python3 tools/streambench.py            # sf dir from $SPARK_GRAFT_SF_DIR
 Prints ONE JSON line:
     {"metric": "stream-state-suite", "providers": {"hdfs": {...},
-     "rocksdb": {...}}, "sf": "..."}
+     "rocksdb": {...}}, "rows_per_sec": {...}, "input_rows": N,
+     "sf": "..."}
 
+Every job drains the full events table through availableNow, so
+throughput is input_rows / elapsed — the number a capacity plan needs
+(events/sec a single 32-thread node sustains per stateful shape).
 Not part of bench.py's headline suite (BASELINE.md's totals predate it
-and stay comparable); results are recorded in SCALE.md.
+and stay comparable); results are recorded in STREAMBENCH.json and
+discussed in SCALE.md.
 """
 
 from __future__ import annotations
@@ -26,9 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cvemate_spark.queries import REGISTRY
 from cvemate_spark.session import get_spark
 
-# the stateful jobs: windowed agg, session windows, arbitrary state,
-# state-store dedup, stream-stream join
-STREAM_SET = ["s1_tumbling", "s4_session", "s5_stateful", "s6_dedup", "s7_join"]
+# the stateful jobs: windowed agg, foreachBatch MERGE replay, session
+# windows, arbitrary state, state-store dedup, stream-stream join
+STREAM_SET = [
+    "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
+    "s6_dedup", "s7_join",
+]
 
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -60,6 +68,8 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    input_rows = root.read.parquet(f"{sf_dir}/events.parquet").count()
+
     out: dict[str, dict[str, float]] = {}
     for label, provider in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
         s = root.newSession()
@@ -68,9 +78,18 @@ def main() -> int:
         timings["total"] = round(sum(timings.values()), 3)
         out[label] = timings
 
+    # throughput on the default provider: every job drains the whole
+    # events table, so events/sec = input_rows / elapsed
+    rows_per_sec = {
+        name: round(input_rows / out["hdfs"][name], 1)
+        for name in STREAM_SET
+        if out["hdfs"].get(name)
+    }
+
     print(
         json.dumps(
             {"metric": "stream-state-suite", "unit": "sec", "providers": out,
+             "rows_per_sec": rows_per_sec, "input_rows": input_rows,
              "sf": sf_dir}
         )
     )
