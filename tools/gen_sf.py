@@ -166,24 +166,50 @@ def _log_uniform(key_col: str, n_keys: int):
 
 
 def gen_skew(spark) -> str:
+    """Write TWO directories with IDENTICAL file layout: skew0.1 (hot
+    keys) and ctrl0.1 (original keys). Comparing skew0.1 against the
+    driver's single-file sf0.1 would confound skew with file-count
+    scheduling overhead; the control isolates skew as the only
+    variable."""
     out = os.path.join(OUT_ROOT, "skew0.1")
+    ctrl = os.path.join(OUT_ROOT, "ctrl0.1")
     os.makedirs(out, exist_ok=True)
+    os.makedirs(ctrl, exist_ok=True)
     for name in ("region", "nation", "customer", "supplier", "part",
                  "documents", "embeddings"):
-        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+        for dst in (out, ctrl):
+            load_table(spark, SRC, name).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{name}.parquet")
+            )
+    # fact tables are written as 32 files: a 100 TB fact table is
+    # thousands of files/row-groups = thousands of shuffle mappers, and
+    # AQE's skew split can only divide a reduce partition at MAPPER
+    # granularity — a single-file local table has one mapper and is
+    # therefore structurally unsplittable (verified: OptimizeSkewedJoin
+    # logs "number of skewed partitions: left 0" regardless of
+    # thresholds). Multi-file facts reproduce the cluster shape.
+    orders = load_table(spark, SRC, "orders")
+    lineitem = load_table(spark, SRC, "lineitem")
+    events = load_table(spark, SRC, "events")
+    facts = {
+        "orders": (
+            orders.withColumn("o_custkey", _log_uniform("o_orderkey", 15_000)),
+            orders,
+        ),
+        "lineitem": (lineitem, lineitem),
+        "events": (
+            events.withColumn("user_id", _log_uniform("event_id", 1_500)),
+            events,
+        ),
+    }
+    for name, (skewed_df, ctrl_df) in facts.items():
+        skewed_df.repartition(32).write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
-    orders = load_table(spark, SRC, "orders").withColumn(
-        "o_custkey", _log_uniform("o_orderkey", 15_000)
-    )
-    orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
-    lineitem = load_table(spark, SRC, "lineitem")
-    lineitem.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
-    events = load_table(spark, SRC, "events").withColumn(
-        "user_id", _log_uniform("event_id", 1_500)
-    )
-    events.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
-    print(f"[skew] orders+events remapped log-uniform under {out}")
+        ctrl_df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(ctrl, f"{name}.parquet")
+        )
+    print(f"[skew] hot-key facts under {out}, layout-matched control under {ctrl}")
     return out
 
 
