@@ -484,3 +484,37 @@ def test_grouping_sets_single_expand_pass(spark):
     p = plan_of(spark, "e_grouping_sets")
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert "Expand" in p
+
+
+def test_parquet_aggregate_pushdown_metadata_only_scan(spark):
+    """COUNT/MIN/MAX with no filter must come from parquet FOOTERS, not
+    row data (DSv2 + spark.sql.parquet.aggregatePushdown): the scan
+    shows PushedAggregation and reads zero data pages. At 100 TB this
+    turns full-table audit queries (row counts, key ranges, freshness
+    watermarks) into metadata-only operations — milliseconds against
+    manifests instead of a petabyte scan. Isolated in its own session:
+    the v2 reader list is session-wide and every other plan pin in
+    this suite asserts against the v1 FileScan shape."""
+    import pyspark.sql.functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = (
+        s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("k_min"),
+            F.max("l_orderkey").alias("k_max"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in plan, plan
+    assert "COUNT(*)" in plan and "MIN(l_orderkey)" in plan
+    row = df.collect()[0]
+    base = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert row["n"] == base.count()
+    truth = base.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).collect()[0]
+    assert (row["k_min"], row["k_max"]) == (truth["lo"], truth["hi"])

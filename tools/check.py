@@ -28,11 +28,16 @@ TABLES = [
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # driver tables are single files; derived tables (tools/gen_sf.py)
+        # are Spark-style directories of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
