@@ -532,3 +532,91 @@ def curate_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["REG", "duck_str_hash"]
+
+
+# ------------------------------------------------------ t_budget_select
+_BUDGET_FRAC = 0.3  # keep the best docs up to 30% of each source's tokens
+_Q_STOPS = "'the', 'a'"
+
+
+@REG.add(
+    "t_budget_select",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               floor((LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+                      + (len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' '))) * 0.3
+                      + (1.0 - len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_Q_STOPS}))) * 1.0
+                             / len(string_split(text, ' '))) * 0.2) * 10000
+                     + 0.5) / 10000.0 AS quality
+        FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tok) AS total_tok FROM scored GROUP BY source),
+    cum AS (
+        SELECT s.source, s.n_tok, s.quality, t.total_tok,
+               sum(s.n_tok) OVER (PARTITION BY s.source
+                                  ORDER BY s.quality DESC, s.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM scored s JOIN tot t USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           min(quality) AS quality_cutoff
+    FROM cum
+    WHERE cum_tok <= floor({_BUDGET_FRAC} * total_tok)
+    GROUP BY source
+    ORDER BY source, n_kept, kept_tokens, quality_cutoff
+    """,
+    doc="Token-budget data selection: keep each source's highest-quality "
+    "documents until a token budget (30% of the source's total) is "
+    "filled — the data-selection step between scoring and training-set "
+    "assembly. Quality is t_quality's exact integer-safe score; the "
+    "greedy fill is a per-source running token sum over (quality DESC, "
+    "doc_id) with the budget as a cumulative cap, and quality_cutoff "
+    "reports the effective per-source threshold. Scale: one scan, one "
+    "agg for totals, one source-keyed window. The window is a full "
+    "per-source sort, fine while a source's metadata (doc_id, n_tok, "
+    "quality — NOT text) fits a spill budget; at extreme per-source "
+    "cardinality the production swap is quantile-threshold selection "
+    "(approx_percentile of quality weighted by tokens at the budget "
+    "point, then a plain filter — the e_quantiles_approx pattern), "
+    "trading exact budget adherence for a sort-free plan.",
+)
+def t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    raw_quality = (
+        F.least(F.size(toks) / 100.0, F.lit(1.0)) * 0.5
+        + (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)) * 0.3
+        + (1.0 - F.size(F.filter(toks, lambda t: t.isin("the", "a"))) * 1.0
+           / F.size(toks)) * 0.2
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        (F.floor(raw_quality * 10000 + F.lit(0.5)) / 10000.0).alias("quality"),
+    )
+    tot = scored.groupBy("source").agg(F.sum("n_tok").alias("total_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.join(tot, "source").withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.filter(F.col("cum_tok") <= F.floor(F.lit(_BUDGET_FRAC) * F.col("total_tok")))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+            F.min("quality").alias("quality_cutoff"),
+        )
+        .orderBy("source", "n_kept", "kept_tokens", "quality_cutoff")
+    )

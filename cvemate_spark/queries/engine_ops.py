@@ -1535,3 +1535,50 @@ def e_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "n", "keys_md5")
     )
+
+
+# ------------------------------------------------------ e_hll_merge
+@REG.add(
+    "e_hll_merge",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_10pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, exact_users, within_10pct
+    """,
+    doc="Mergeable distinct-count sketches (Datasketches HLL, Spark "
+    "3.5+): per-(event_type, day) sketches built with hll_sketch_agg, "
+    "UNIONED across days with hll_union_agg, estimated, and gated "
+    "within 10% of the exact distinct. The step beyond e_hll's "
+    "approx_count_distinct: the sketch is a persistable VALUE, so at "
+    "100 TB the daily sketch table is computed once at ingest and any "
+    "date-range distinct is a metadata-sized re-merge — raw data is "
+    "never re-scanned, and shard/day/cluster rollups compose "
+    "associatively (the same additive-state argument as e_rollup_inc, "
+    "applied to a non-algebraic aggregate).",
+)
+def e_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("apx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("apx") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("within_10pct"),
+        )
+        .orderBy("event_type", "exact_users", "within_10pct")
+    )
