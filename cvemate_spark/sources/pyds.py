@@ -26,6 +26,7 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -50,6 +51,9 @@ class PagedFeedDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "PagedFeedWriter":
         return PagedFeedWriter(self.options, overwrite)
+
+    def streamReader(self, schema) -> "PagedFeedStreamReader":
+        return PagedFeedStreamReader(self.options)
 
 
 class PagedFeedReader(DataSourceReader):
@@ -159,3 +163,61 @@ class PagedFeedWriter(DataSourceWriter):
         import shutil as _shutil
 
         _shutil.rmtree(self._staging(), ignore_errors=True)
+
+
+# ------------------------------------------------------------ stream reader
+class PagedFeedStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector (Spark 4 Python streaming data
+    source): the reference's scheduled polling loop (SURVEY §3.2 — cron
+    wakes, fetches pages after its watermark, merges) as a first-class
+    Structured Streaming source.
+
+    Offsets are page counts: pages land as contiguous `page-<n>.json`
+    files (the deterministic stand-in for numbered API pages), so
+    `latestOffset` is the length of the contiguous prefix on disk and a
+    micro-batch covers pages [start, end) — one InputPartition per
+    page, cluster-parallel exactly like the batch reader. Progress
+    lives in the stream checkpoint (WAL'd offsets), so a restarted job
+    resumes after the last COMMITTED page with no re-read and no gap —
+    the engine-managed form of the reference's per-source watermark
+    table. Replayed batches (crash between WAL and commit) re-read the
+    same page range and yield identical rows: the landing files are
+    immutable, so the source is exactly-once replayable."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("cvemate_paged_feed requires option('path', ...)")
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _available(self) -> int:
+        import os as _os
+
+        n = 0
+        while _os.path.exists(f"{self.path}/page-{n}.json"):
+            n += 1
+        return n
+
+    def latestOffset(self) -> dict:
+        return {"page": self._available()}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            InputPartition((i, f"{self.path}/page-{i}.json"))
+            for i in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition):
+        page_idx, page_file = partition.value
+        with open(page_file) as f:
+            page = json.load(f)
+        for v in page.get("vulnerabilities", []):
+            cve = v.get("cve", {})
+            if cve.get("id") is not None:
+                yield (cve["id"], cve.get("vendor"), page_idx)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing external

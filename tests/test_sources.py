@@ -330,3 +330,66 @@ def test_cwe_xml_native_entity_and_markup_flatten(spark, tmp_path):
         native[0]["Description"]
         == "a bold 1 < 2 &amp; x <script>alert</script> tail"
     )
+
+
+def test_pyds_stream_reader_incremental_with_checkpoint_restart(spark, tmp_path):
+    """The streaming half of the Python data source: pages drained
+    through availableNow, offsets persisted in the stream checkpoint,
+    and a restarted query resumes after the last committed page —
+    processing ONLY pages that landed since (the engine-managed form of
+    the reference's per-source watermark poll loop)."""
+    import json
+
+    from cvemate_spark.sources import pyds
+
+    pyds.register(spark)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_page(n: int, ids: list[str]) -> None:
+        payload = {
+            "vulnerabilities": [
+                {"cve": {"id": i, "vendor": f"v{n}"}} for i in ids
+            ]
+        }
+        (pages / f"page-{n}.json").write_text(json.dumps(payload))
+
+    out = str(tmp_path / "out")
+
+    def drain() -> list[tuple]:
+        # parquet sink: the fault-tolerant (exactly-once) sink that
+        # supports checkpoint recovery — the memory sink does not
+        q = (
+            spark.readStream.format(pyds.FORMAT_NAME)
+            .option("path", str(pages))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.id, r.vendor, r.page) for r in spark.read.parquet(out).collect()
+        )
+
+    write_page(0, ["CVE-1", "CVE-2"])
+    write_page(1, ["CVE-3"])
+    assert drain() == [
+        ("CVE-1", "v0", 0), ("CVE-2", "v0", 0), ("CVE-3", "v1", 1),
+    ]
+
+    # two more pages land; the restarted query (same checkpoint) must
+    # process ONLY the new pages — committed offsets survive, already-
+    # drained pages are neither replayed nor duplicated
+    write_page(2, ["CVE-4"])
+    write_page(3, ["CVE-5", "CVE-6"])
+    assert drain() == [
+        ("CVE-1", "v0", 0), ("CVE-2", "v0", 0), ("CVE-3", "v1", 1),
+        ("CVE-4", "v2", 2), ("CVE-5", "v3", 3), ("CVE-6", "v3", 3),
+    ]
+
+    # nothing new: a third restart appends nothing (no replay)
+    assert len(drain()) == 6
