@@ -330,44 +330,63 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """Near-dup pairs by simhash: banding on 8-bit chunks + hamming verify.
+    """Near-dup pairs by simhash: chunk banding + exact hamming verify.
 
-    Returns (d1, d2, hamming) with d1 < d2. A pair with hamming <= 6
-    over 32 bits must agree on at least one of the four 8-bit chunks
-    (pigeonhole for hamming <= 3; chunk banding is the standard recall
-    trade-off beyond that), so candidates come from 4 equi-joins
-    instead of a cross join.
+    Returns (d1, d2, hamming) with d1 < d2. Pigeonhole over the four
+    8-bit chunks: hamming <= 3 guarantees >= 1 intact chunk, hamming
+    <= 2 guarantees >= 2 intact chunks. So for max_hamming <= 2 the
+    banding joins on chunk PAIRS (C(4,2) = 6 bands, 16-bit combined
+    keys = 65 536 buckets) — still a guaranteed superset of the true
+    pairs, and the verified output is IDENTICAL to single-chunk
+    banding, but bucket occupancy drops from n/256 to n/65 536.
+
+    That occupancy term is the scale story: single-chunk candidates
+    grow ~ n²/256 (measured at sf1: 50 k docs -> ~20 M candidate
+    pairs, the one super-linear blowup the 10x scale-stress caught),
+    while pair banding keeps candidates near-linear until n
+    approaches the 65 536-bucket regime — at which point widen the
+    signature (64-bit, 16-bit sub-chunks) rather than verify more
+    pairs. For max_hamming = 3 the guarantee needs single chunks and
+    the coarse banding is kept (no gated query uses it).
     """
+    from itertools import combinations
+
     sigs = simhash_signatures(docs)
+    if max_hamming <= SIMHASH_CHUNKS - 2:
+        band_exprs = [
+            F.expr(
+                f"((((simhash >> {8 * i}) & 255) << 8)"
+                f" | ((simhash >> {8 * j}) & 255))"
+            )
+            for i, j in combinations(range(SIMHASH_CHUNKS), 2)
+        ]
+    else:
+        band_exprs = [
+            F.expr(f"(simhash >> {8 * c}) & 255")
+            for c in range(SIMHASH_CHUNKS)
+        ]
     chunks = sigs.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"(simhash >> {8 * c}) & 255")
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*band_exprs)).alias("band", "key"),
     )
     left = chunks.select(
         F.col("doc_id").alias("d1"),
         F.col("simhash").alias("h1"),
-        "chunk_idx",
-        "chunk",
+        "band",
+        "key",
     )
     right = chunks.select(
         F.col("doc_id").alias("d2"),
         F.col("simhash").alias("h2"),
-        F.col("chunk_idx").alias("ci2"),
-        F.col("chunk").alias("c2"),
+        F.col("band").alias("b2"),
+        F.col("key").alias("k2"),
     )
     cand = (
         left.join(
             right,
-            (F.col("chunk_idx") == F.col("ci2"))
-            & (F.col("chunk") == F.col("c2"))
+            (F.col("band") == F.col("b2"))
+            & (F.col("key") == F.col("k2"))
             & (F.col("d1") < F.col("d2")),
         )
         .select("d1", "d2", "h1", "h2")
