@@ -407,10 +407,24 @@ def simhash_pairs_oracle(max_hamming: int = 1) -> str:
         f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {b})"
         for b in range(SIMHASH_BITS)
     )
-    chunk_union = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {8 * c}) & 255 AS chunk FROM sigs"
-        for c in range(SIMHASH_CHUNKS)
-    )
+    # mirror simhash_pairs' banding: chunk PAIRS for max_hamming <= 2
+    # (pigeonhole: >= 2 intact chunks -> guaranteed candidate superset,
+    # identical verified output, 256x lower bucket occupancy)
+    from itertools import combinations
+
+    if max_hamming <= SIMHASH_CHUNKS - 2:
+        chunk_union = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS chunk_idx, "
+            f"((((simhash >> {8 * i}) & 255) << 8)"
+            f" | ((simhash >> {8 * j}) & 255)) AS chunk FROM sigs"
+            for b, (i, j) in enumerate(combinations(range(SIMHASH_CHUNKS), 2))
+        )
+    else:
+        chunk_union = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+            f"(simhash >> {8 * c}) & 255 AS chunk FROM sigs"
+            for c in range(SIMHASH_CHUNKS)
+        )
     return f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
