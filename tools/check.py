@@ -95,9 +95,26 @@ def main() -> int:
     spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
     con = duck_connect(sf_dir)
 
+    # Queries whose ORACLE (not the engine) is super-linear by design:
+    # the clustering gates verify against an exact transitive closure,
+    # which is O(sum of component-size^2). On the synthetic corpus the
+    # simhash pair graph densifies ~24x at 10x docs (cross-copy
+    # signature collisions), so the closure is a test-scale construct.
+    # The engine side of these queries runs fine at sf1 (15-19 s,
+    # label-propagation is edge-linear); they stay fully gated at the
+    # driver scales and are skipped only in derived large-scale sweeps.
+    oracle_scale_bound = {"dedup_canonical", "dedup_components",
+                          "dedup_cluster_sizes"}
+    derived_dir = not sf_dir.startswith("/root/testdata/")
+
     names = only or sorted(REGISTRY.specs)
     n_ok = n_bad = n_skip = 0
     for name in names:
+        if derived_dir and name in oracle_scale_bound and not only:
+            print(f"[SKIP-ORACLE-SCALE] {name}: closure oracle is "
+                  "O(component^2); gated at driver scales only")
+            n_skip += 1
+            continue
         spec = REGISTRY.specs[name]
         t0 = time.time()
         try:
