@@ -414,6 +414,52 @@ def t_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ------------------------------------------------ t_classify_grad
+@REG.add(
+    "t_classify_grad",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, {_DUCK_TERM_HASH} % {CLS_B} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, bucket
+    ),
+    lab AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    )
+    SELECT bucket, CAST(sum((500000 - 1000000 * y) * cnt) AS BIGINT) AS g
+    FROM feats JOIN lab USING (doc_id)
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="First gradient of the hashed-feature quality-classifier "
+    "trainer (operators/classifier.py), label = (lang = 'en'). From "
+    "zero weights sigmoid(0) = 1/2 EXACTLY, so the logistic-loss "
+    "gradient is pure rational arithmetic — (1/2 - y) * cnt in "
+    "integer micro-units — and the distributed trainer's core "
+    "computation (featurize -> margin -> row-local quantize -> exact "
+    "BIGINT bucket sum) gets a bit-exact SQL oracle. The iterative "
+    "loop on top is gated by pytest laws (loss decreases, learns a "
+    "planted signal, weights invariant under repartitioning) since "
+    "sigmoid of nonzero margins has no SQL form. Scale shape: the "
+    "weight state is 4096 rows by construction (broadcast dim), "
+    "per iteration two map-side-combinable keyed shuffles; corpus "
+    "rows never reach the driver.",
+)
+def t_classify_grad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import N_BUCKETS, featurize, gradient_step
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    g = gradient_step(featurize(docs), labels, [0] * N_BUCKETS)
+    return g.select("bucket", F.col("g").cast("long")).orderBy("bucket")
+
+
 # ------------------------------------------------ curate_pipeline2
 _SPARK_W_FOLD = (
     "aggregate(transform(split(text, ' '), t -> "
