@@ -346,11 +346,26 @@ def neardup_pairs_topk(
     Pick n_blocks so one block-pair's GEMM tile fits executor memory:
     at 100 TB that means hundreds of blocks; at bench scale 8 keeps
     every core busy without replication dominating.
+
+    Portability at the boundary (found by the sf1 oracle sweep): BLAS
+    sums dot products in a different order than a sequential fold, so
+    GEMM cosines differ from the oracle's in the last ulp — harmless
+    until the corpus has near-ties at the global k-th rank (the
+    sign-flipped sf1 copies manufacture exactly that), where the ulp
+    decides set membership. So GEMM only SELECTS candidates (top-2k
+    per block-pair group — k plus a tie margin), and the final
+    ranking re-scores that O(groups·k) sliver with the portable
+    sequential fold (the identical expression the DuckDB oracle and
+    q26 use), making the output bit-exact at any scale. The rescore
+    joins broadcast the candidate relation — O(groups·k) plus any
+    exact-tie plateau at the threshold (duplicate multiplicity),
+    never corpus-sized.
     """
     import numpy as np
     import pandas as pd
 
     nb = n_blocks
+    k_emit = 2 * k  # per-group margin so ulp-reordered boundary pairs survive selection
 
     def pair_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
@@ -376,21 +391,27 @@ def neardup_pairs_topk(
         # canonicalize (cross-block groups exist only for b1 < b2, so both
         # id orderings occur and must map to (min, max))
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
-        if len(c) > k:
-            # deterministic truncation: ties at the k-th cosine must not
-            # keep arbitrary pairs (argpartition alone would), or results
-            # diverge from the totally-ordered oracle whenever a tie
-            # crosses the boundary. O(m) selection first: find the k-th
-            # largest cosine, keep EVERYTHING >= it (so every boundary
-            # tie survives selection), then totally order just that
-            # sliver by (-cos, d1, d2) — lexsort's LAST key is primary —
-            # and cut at k. A full m·log m lexsort here cost ~2.5 s on
-            # the sf0.1 bench; this is selection-speed again.
-            kth = -np.partition(-c, k - 1)[k - 1]
-            keep = c >= kth
+        if len(c) > k_emit:
+            # O(m) threshold selection with an ulp-proof margin: find
+            # the k_emit-th largest GEMM cosine and keep EVERYTHING
+            # >= (kth - EPS). The margin is what makes selection
+            # EXACT, not heuristic: a pair's GEMM score and its
+            # portable-fold score differ by at most
+            # delta ~ d * ulp ~ 1.4e-14 (64 dims, unit vectors), so
+            # with EPS > 2*delta, any pair cut here has >= k_emit
+            # group-mates whose PORTABLE scores strictly beat its own
+            # portable score — i.e. it provably cannot be in the
+            # global top-k (k_emit >= k). A duplicate-heavy corpus
+            # (the sf1 derivation puts ~10k exact-tie pairs at
+            # cos=1.0 on each diagonal block group) therefore emits
+            # its whole plateau — the one case where emission exceeds
+            # O(k), bounded by duplicate multiplicity, and exactly
+            # the case where cutting inside the plateau by GEMM order
+            # produced wrong top-k membership. No local sort: the
+            # distributed rescore does the only ordering that counts.
+            kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
+            keep = c >= kth - 1e-12
             d1, d2, c = d1[keep], d2[keep], c[keep]
-            order = np.lexsort((d2, d1, -c))[:k]
-            d1, d2, c = d1[order], d2[order], c[order]
         return pd.DataFrame({"d1": d1, "d2": d2, "cos": c})
 
     # replicate each vector to every block pair it participates in
@@ -415,9 +436,20 @@ def neardup_pairs_topk(
         lefts.unionByName(rights)
         .groupBy("b1", "b2")
         .applyInPandas(pair_groups, schema="d1 long, d2 long, cos double")
+        .select("d1", "d2")
+    )
+    # portable rescore of the bounded candidate sliver: broadcast the
+    # O(groups·k) candidate relation into two id-joins against the
+    # embedding table, score with the sequential fold, rank totally
+    e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    rescored = (
+        e1.join(F.broadcast(candidates), "d1")
+        .join(e2, "d2")
+        .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
     )
     return (
-        candidates.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        rescored.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
     )

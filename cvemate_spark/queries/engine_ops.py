@@ -1110,12 +1110,14 @@ def e_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(p_name, ' ')[-1] AS block
         FROM part
     )
-    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    SELECT a.block AS block,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS npairs
     FROM parts a JOIN parts b
       ON a.block = b.block AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
-    ORDER BY k1, k2, dist
+    GROUP BY a.block, dist
+    ORDER BY block, dist
     """,
     doc="Entity-resolution fuzzy match with blocking: candidate pairs "
     "come from an equi-join on a blocking key (the name's head noun) "
@@ -1125,7 +1127,16 @@ def e_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sibling of the LSH band-then-verify dedup family; blocking "
     "keys at 100 TB come from phonetic codes / sorted-token prefixes "
     "/ q-gram buckets, all the same plan. Levenshtein is JVM-side "
-    "codegen and integer-valued, so the gate is exact.",
+    "codegen and integer-valued, so the gate is exact. The gate "
+    "aggregates the verified pairs to per-(block, dist) counts: on a "
+    "low-entropy name corpus the TRUE match set is dense (the sf1 "
+    "sweep measured ~11M pairs at sf0.1, ~110M at sf1 — quadratic "
+    "in block density), so a pair-list output can never be collected "
+    "or oracle-compared at scale, while the count aggregation rides "
+    "the same verify join map-side-combined and stays "
+    "|blocks| x 4 rows at any corpus size. Production consumers "
+    "keep the pair RELATION distributed (feeding clustering, like "
+    "dedup_components) — only the gate needs a bounded projection.",
 )
 def e_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -1143,12 +1154,9 @@ def e_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
         )
         .filter(dist <= 3)
-        .select(
-            F.col("a.p_partkey").alias("k1"),
-            F.col("b.p_partkey").alias("k2"),
-            dist.cast("long").alias("dist"),
-        )
-        .orderBy("k1", "k2", "dist")
+        .groupBy(F.col("a.block").alias("block"), dist.cast("long").alias("dist"))
+        .agg(F.count("*").cast("long").alias("npairs"))
+        .orderBy("block", "dist")
     )
 
 
