@@ -20,10 +20,10 @@ Spark-first design for 100 TB:
   meet — with a hot-shingle document-frequency cap (`df_cap`) so a
   ubiquitous shingle cannot re-create the quadratic candidate set.
 
-The per-document `sizes` relation used by the Jaccard verify is never
-broadcast-hinted: it has one row per document (billions at 100 TB).
-The verify joins shuffle on the pair keys and AQE may still broadcast
-at runtime when the relation is actually small.
+The per-document shingle-array relation used by the Jaccard verify is
+never broadcast-hinted: it has one row per document (billions at
+100 TB). The verify joins shuffle on the pair keys and AQE may still
+broadcast at runtime when the relation is actually small.
 
 All hashes are the portable polynomial fold (functions/text.py), so
 every operator has a bit-identical DuckDB oracle generated from the
@@ -55,15 +55,20 @@ SHINGLE_N = 3
 
 
 # ------------------------------------------------------------ shingles
-def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def doc_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingle SET per doc: (doc_id, sh array<string>).
 
     Row-local construction: the shingle array is built with a
     `transform(sequence(...))` over the token array and deduped with
-    `array_distinct` BEFORE exploding — zero shuffles, unlike the
-    posexplode + window(lead) formulation, which shuffles the whole
-    token stream per doc. At 100 TB this stage is embarrassingly
-    parallel map work.
+    `array_distinct` — zero shuffles, embarrassingly parallel map work
+    at 100 TB. The un-exploded array form is the primitive the minhash
+    path wants: signatures fold over it row-locally (no per-doc
+    aggregation shuffle) and the Jaccard verify intersects two arrays
+    row-locally (no exploded shingle join). `doc_shingles` below is
+    the exploded view for consumers keyed by individual shingle
+    (document frequency caps, co-occurrence ground truth).
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -78,14 +83,19 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     arr = F.when(n >= 3, sh).otherwise(F.array().cast("array<string>"))
     # hash-repartition by doc id BEFORE the expression-heavy build: the
-    # string work parallelizes across cores AND the HashPartitioning
-    # already satisfies every downstream groupBy(doc_id) (signatures,
-    # sizes) — one shuffle of narrow rows buys zero shuffles later. On
-    # a cluster the scan has many splits, and this exchange is the one
-    # the aggregation would have forced anyway.
+    # string work parallelizes across cores regardless of the scan's
+    # split count, and the HashPartitioning satisfies every downstream
+    # doc-keyed join or aggregation without a second exchange.
     width = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(width, id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
+        F.col(id_col), F.array_distinct(arr).alias("sh")
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc, exploded: (doc_id, shingle)."""
+    return doc_shingle_arrays(docs, id_col, text_col).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
     )
 
 
@@ -103,13 +113,35 @@ def _duck_shingles_cte() -> str:
 
 # ------------------------------------------------------------ minhash
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """k minhashes per doc: (doc_id, mh0..mh{k-1})."""
+    """k minhashes per doc from the exploded relation: (doc_id, mh0..)."""
     hashed = shingles.withColumn("h", F.expr(spark_str_hash("shingle")))
     aggs = [
         F.expr(f"min(({a}L * (h % {PRIME}) + {b}L) % {PRIME})").alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_local(sh_arr: DataFrame) -> DataFrame:
+    """k minhashes per doc computed ROW-LOCALLY from the shingle array:
+    hash each element once, then `array_min` over each seed's affine
+    transform — identical arithmetic to the groupBy(min) form (same
+    md5-prefix hash, same (a*h+b) mod p), but with ZERO shuffle: at
+    100 TB the per-doc aggregation exchange the exploded form forces
+    is pure waste, since the fold is associative within one row.
+    Empty shingle sets are dropped (they produced no signature row in
+    the aggregated form either, and an all-null signature would band
+    every short doc into one hot '' bucket).
+    """
+    hs = F.expr(f"transform(sh, x -> {spark_str_hash('x')})")
+    tmp = sh_arr.filter(F.size("sh") > 0).select("doc_id", hs.alias("hs"))
+    cols = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> ({a}L * (h % {PRIME}) + {b}L) % {PRIME})")
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    return tmp.select("doc_id", *cols)
 
 
 def lsh_candidates(sigs: DataFrame) -> DataFrame:
@@ -144,13 +176,16 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
 
     Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
     """
-    # the shingle relation feeds signatures, sizes and both verify sides —
-    # persist it instead of recomputing the scan 4x
-    shingles = doc_shingles(docs).persist()
+    # the shingle-array relation feeds signatures and both verify
+    # sides — persist it instead of recomputing the scan 3x. The
+    # whole pre-candidate pipeline is shuffle-free: arrays are built
+    # row-locally, signatures fold row-locally (minhash_signatures_local),
+    # so the first exchange in the plan is the band self-join itself.
+    sh_arr = doc_shingle_arrays(docs).persist()
     # one row per doc and tiny (k ints) — persisting stops the band
-    # self-join from running the char-fold hash pass twice
-    sigs = minhash_signatures(shingles).persist()
-    return _verify_jaccard(lsh_candidates(sigs), shingles, jaccard_threshold)
+    # self-join from running the md5 hash pass twice
+    sigs = minhash_signatures_local(sh_arr).persist()
+    return _verify_jaccard(lsh_candidates(sigs), sh_arr, jaccard_threshold)
 
 
 def minhash_pairs_incremental(
@@ -172,8 +207,8 @@ def minhash_pairs_incremental(
 
     Returns (batch_doc, index_doc, jaccard >= threshold).
     """
-    shingles = doc_shingles(docs).persist()
-    sigs = minhash_signatures(shingles).persist()
+    sh_arr = doc_shingle_arrays(docs).persist()
+    sigs = minhash_signatures_local(sh_arr).persist()
     band_exprs = band_signature_exprs("spark")
     banded = sigs.select(
         "doc_id",
@@ -193,7 +228,7 @@ def minhash_pairs_incremental(
         .select("d1", "d2")
         .distinct()
     )
-    return _verify_jaccard(candidates, shingles, jaccard_threshold).select(
+    return _verify_jaccard(candidates, sh_arr, jaccard_threshold).select(
         F.col("d1").alias("batch_doc"),
         F.col("d2").alias("index_doc"),
         "jaccard",
@@ -241,33 +276,37 @@ def minhash_pairs_incremental_oracle(
 
 
 def _verify_jaccard(
-    candidates: DataFrame, shingles: DataFrame, threshold: float
+    candidates: DataFrame, sh_arr: DataFrame, threshold: float
 ) -> DataFrame:
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    s1 = shingles.select(F.col("doc_id").alias("d1"), F.col("shingle"))
-    s2 = shingles.select(F.col("doc_id").alias("d2x"), F.col("shingle").alias("shingle2"))
-    common = (
-        candidates.join(s1, "d1")
-        .join(
-            s2,
-            (F.col("d2") == F.col("d2x")) & (F.col("shingle") == F.col("shingle2")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("c"))
-    )
-    # NO broadcast hint on the sizes relation: it is one row per
-    # document, so at corpus scale it is billions of rows — a forced
-    # broadcast is a guaranteed executor OOM. Plain equi-joins shuffle
-    # on d1/d2 (the same key the `common` agg just produced), and AQE
-    # still converts to broadcast at runtime when the relation is
-    # genuinely small. Pinned in tests/test_plans.py
-    # (test_dedup_verify_has_no_forced_broadcast).
-    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+    """Exact-Jaccard verification of candidate pairs against the
+    per-doc shingle-ARRAY relation (doc_id, sh).
+
+    Two equi-joins attach each side's shingle set to the pair row,
+    then the intersection count, both set sizes, and the Jaccard
+    ratio are all row-local expressions (`array_intersect` — the
+    arrays are distinct sets by construction, so its cardinality IS
+    the common-shingle count). Compared to the exploded formulation
+    (candidates ⨝ shingles ⨝ shingles → groupBy(pair) → two size
+    joins) this removes the |candidates|×|doc-shingles| intermediate,
+    the pair re-aggregation shuffle, and both size joins: the verify
+    is exactly two shuffles of |candidates| rows, each carrying one
+    bounded array payload — the same bytes the exploded join moved,
+    moved once.
+
+    NO broadcast hint on the array relation: it is one row per
+    document, so at corpus scale it is billions of rows — a forced
+    broadcast is a guaranteed executor OOM. AQE still converts to
+    broadcast at runtime when the relation is genuinely small.
+    Pinned in tests/test_plans.py
+    (test_dedup_verify_has_no_forced_broadcast).
+    """
+    a1 = sh_arr.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    a2 = sh_arr.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    c = F.size(F.array_intersect("sh1", "sh2"))
+    jac = c * 1.0 / (F.size("sh1") + F.size("sh2") - c)
     return (
-        common.join(n1, "d1")
-        .join(n2, "d2")
+        candidates.join(a1, "d1")
+        .join(a2, "d2")
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
