@@ -518,3 +518,38 @@ def test_parquet_aggregate_pushdown_metadata_only_scan(spark):
         F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
     ).collect()[0]
     assert (row["k_min"], row["k_max"]) == (truth["lo"], truth["hi"])
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    """The minhash signature relation must fold ROW-LOCALLY over the
+    shingle array (minhash_signatures_local): exactly one Exchange in
+    its plan — the explicit doc-id repartition — and zero
+    HashAggregates. The groupBy(min) formulation this replaced put a
+    per-doc aggregation exchange in front of the band join; at 100 TB
+    that shuffles the entire hashed-shingle stream for an associative
+    fold that never needed to leave its row."""
+    from cvemate_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_signatures_local,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(minhash_signatures_local(doc_shingle_arrays(docs)))
+    # formatted plans print each node twice (tree line + detail block)
+    assert plan.count("Exchange") == 2, plan
+    assert "HashAggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_minhash_verify_is_array_local(spark):
+    """The Jaccard verify must not re-explode shingles: the full
+    dedup_minhash plan contains the band-join candidate aggregation
+    (distinct) but NO per-pair count aggregation afterwards — the
+    intersection is an array_intersect expression. Pin: at most two
+    HashAggregate pairs (the candidate distinct's partial+final),
+    and no Generate (explode) downstream of the first join."""
+    plan = plan_of(spark, "dedup_minhash")
+    # distinct = one partial+final pair (each printed twice in the
+    # formatted plan); the signature path contributes none
+    assert plan.count("HashAggregate") <= 4, plan
+    assert "array_intersect" in plan, plan
