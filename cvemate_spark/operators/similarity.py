@@ -443,9 +443,16 @@ def neardup_pairs_topk(
     # embedding table, score with the sequential fold, rank totally
     e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
     e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    # semi-filter the d2 side to candidate ids BEFORE the equi join:
+    # without it the second join's build side is the whole embedding
+    # relation (never statically broadcastable — corpus-sized vector
+    # payloads), so it sort-merges the full corpus; with it both join
+    # inputs are candidate-bounded and AQE broadcasts. The id list is
+    # the bounded candidate relation projected to one bigint column.
+    e2s = e2.join(F.broadcast(candidates.select("d2").distinct()), "d2", "leftsemi")
     rescored = (
         e1.join(F.broadcast(candidates), "d1")
-        .join(e2, "d2")
+        .join(e2s, "d2")
         .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
     )
     return (
