@@ -182,3 +182,33 @@ def test_priority_ladder_rungs(spark):
     )
     got = {r["id"]: r["p"] for r in df.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4}
+
+
+def test_minhash_short_doc_edge_cases(spark):
+    """Docs with < 3 tokens have an EMPTY shingle set: they must produce
+    no signature row (minhash_signatures_local filters them — an
+    all-null signature would band every short doc into one hot ''
+    bucket) and never appear in pairs, while normal docs still match.
+    Guards the row-local signature path's empty-array semantics."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base + " today"),
+            Row(doc_id=1, text=base + " tonight"),
+            Row(doc_id=2, text="a b"),      # 2 tokens -> no shingles
+            Row(doc_id=3, text=""),          # empty text
+            Row(doc_id=4, text="single"),
+        ]
+    )
+    from cvemate_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_pairs,
+        minhash_signatures_local,
+    )
+
+    sigs = minhash_signatures_local(doc_shingle_arrays(docs))
+    assert {r["doc_id"] for r in sigs.collect()} == {0, 1}
+    pairs = {(r["d1"], r["d2"]) for r in minhash_pairs(docs, 0.3).collect()}
+    assert pairs == {(0, 1)}
