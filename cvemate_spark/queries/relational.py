@@ -176,20 +176,28 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q3 shape: 3-way join + group agg (OP-JOIN-ENRICH, sort-merge at scale).",
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Group-by pushdown, by hand (Catalyst does not reorder an agg
+    # below a join): revenue is additive per orderkey and the customer
+    # predicate selects whole orders, so lineitem aggregates FIRST —
+    # the orders ⨝ lineitem join then moves one pre-summed row per
+    # order instead of every line item, and the post-join groupBy
+    # disappears. The customer filter becomes a semi join (only
+    # membership matters). The lineitem aggregation shuffles the same
+    # bytes the join shuffle would have, so this strictly removes the
+    # wide join output — the dominant term at scale.
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "leftsemi")
+        .join(li_agg, orders.o_orderkey == li_agg.l_orderkey)
         .select(
             "o_orderkey", _fmt("o_orderdate").alias("o_orderdate"), "revenue"
         )
