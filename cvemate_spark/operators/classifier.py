@@ -141,9 +141,16 @@ def classifier_fit(
     for _ in range(iters):
         rows = gradient_step(feats, lab, w, n_buckets).collect()
         for r in rows:
-            # integer update in micro-unit space; // is exact and
-            # deterministic (G_SCALE cancels against W_SCALE)
-            w[int(r["bucket"])] -= (lr_num * int(r["g"])) // (lr_den * n_docs)
+            # integer update in micro-unit space, truncated TOWARD
+            # ZERO: plain // floors toward -inf, so a tiny negative
+            # gradient sum would still bump the weight a full
+            # micro-unit while the equal-magnitude positive one
+            # truncates to nothing — a systematic positive bias.
+            # Symmetric truncation keeps the update exact, unbiased
+            # and deterministic (G_SCALE cancels against W_SCALE).
+            num, den = lr_num * int(r["g"]), lr_den * n_docs
+            step = abs(num) // den
+            w[int(r["bucket"])] -= step if num >= 0 else -step
     feats.unpersist()
     return w
 

@@ -5,9 +5,11 @@ Spark-first design for 100 TB:
 - **MinHash+LSH** (`minhash_pairs`): shingle → k minhashes → band
   signatures → candidate pairs via an equi-join on (band, signature)
   → exact-Jaccard verify restricted to candidates. Every stage is a
-  DataFrame transform; the only shuffles are the per-doc signature
-  aggregation and the band self-join, both keyed well (band signatures
-  are high-cardinality, so the join has no hot keys). Candidate count
+  DataFrame transform; shingle arrays and minhash signatures fold
+  ROW-LOCALLY (`doc_shingle_arrays` + `minhash_signatures_local` —
+  zero pre-candidate shuffle), so the first exchange in the plan is
+  the band self-join itself, keyed well (band signatures are
+  high-cardinality, so the join has no hot keys). Candidate count
   scales with true near-dup density, not n².
 
 - **SimHash** (`simhash_pairs`): 32-bit signature per doc from token
@@ -25,9 +27,11 @@ never broadcast-hinted: it has one row per document (billions at
 100 TB). The verify joins shuffle on the pair keys and AQE may still
 broadcast at runtime when the relation is actually small.
 
-All hashes are the portable polynomial fold (functions/text.py), so
-every operator has a bit-identical DuckDB oracle generated from the
-same seed table. No Python UDFs anywhere — full whole-stage codegen.
+All hashes are the portable md5-prefix hash (functions/text.py:
+`spark_str_hash` / `duck_str_hash` — the first 15 hex digits of
+md5, identical builtins on both engines), so every operator has a
+bit-identical DuckDB oracle. No Python UDFs anywhere — full
+whole-stage codegen.
 
 Reference parity: the reference's only dedup is keyed-upsert collapse
 (SURVEY §2.5 OP-DEDUP); these operators are the §Phase-4 LLM-pipeline
@@ -304,11 +308,19 @@ def _verify_jaccard(
     a2 = sh_arr.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     c = F.size(F.array_intersect("sh1", "sh2"))
     jac = c * 1.0 / (F.size("sh1") + F.size("sh2") - c)
+    # At threshold <= 0 the >= filter alone would admit zero-overlap
+    # candidate pairs (jaccard exactly 0.0), which the historical
+    # exploded-join formulation dropped structurally (no shared
+    # shingle -> no joined row). Keep that contract: a candidate pair
+    # must share at least one shingle to be emitted, at any threshold.
+    keep = (
+        F.col("jaccard") >= threshold if threshold > 0 else F.col("jaccard") > 0
+    )
     return (
         candidates.join(a1, "d1")
         .join(a2, "d2")
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(keep)
     )
 
 

@@ -356,10 +356,14 @@ def neardup_pairs_topk(
     per block-pair group — k plus a tie margin), and the final
     ranking re-scores that O(groups·k) sliver with the portable
     sequential fold (the identical expression the DuckDB oracle and
-    q26 use), making the output bit-exact at any scale. The rescore
-    joins broadcast the candidate relation — O(groups·k) plus any
-    exact-tie plateau at the threshold (duplicate multiplicity),
-    never corpus-sized.
+    q26 use), making the output bit-exact at any scale. The candidate
+    relation is O(groups·k) PLUS any exact-tie plateau at the
+    selection threshold — quadratic in duplicate multiplicity on a
+    duplicate-heavy corpus — so it is persisted (one GEMM pass feeds
+    both rescore joins) but never broadcast-hinted: AQE broadcasts it
+    at runtime when it is actually small and degrades to a shuffled
+    join instead of an executor OOM when a plateau blows it up (the
+    same no-forced-broadcast rule the dedup verify pins).
     """
     import numpy as np
     import pandas as pd
@@ -438,21 +442,23 @@ def neardup_pairs_topk(
         .applyInPandas(pair_groups, schema="d1 long, d2 long, cos double")
         .select("d1", "d2")
     )
-    # portable rescore of the bounded candidate sliver: broadcast the
-    # O(groups·k) candidate relation into two id-joins against the
-    # embedding table, score with the sequential fold, rank totally
+    # NOTE: candidates appears exactly ONCE in the final plan (the
+    # d2-distinct semi-filter subtree that used to consume it a second
+    # time is gone), so the blocked GEMM stage runs once per action —
+    # no persist needed, no recompute to guard.
+    # portable rescore of the bounded candidate sliver: the candidate
+    # relation drives two id-joins against the embedding table, the
+    # sequential fold scores, a total order ranks. Candidates-first
+    # join order keeps every join input candidate-bounded on one side
+    # (cand, then cand+emb1) so AQE broadcasts the bounded side at
+    # runtime; no forced broadcast — an exact-tie plateau can make the
+    # candidate relation quadratic in duplicate multiplicity, and a
+    # hinted broadcast of that is the OOM the dedup verify forbids.
     e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
     e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
-    # semi-filter the d2 side to candidate ids BEFORE the equi join:
-    # without it the second join's build side is the whole embedding
-    # relation (never statically broadcastable — corpus-sized vector
-    # payloads), so it sort-merges the full corpus; with it both join
-    # inputs are candidate-bounded and AQE broadcasts. The id list is
-    # the bounded candidate relation projected to one bigint column.
-    e2s = e2.join(F.broadcast(candidates.select("d2").distinct()), "d2", "leftsemi")
     rescored = (
-        e1.join(F.broadcast(candidates), "d1")
-        .join(e2s, "d2")
+        candidates.join(e1, "d1")
+        .join(e2, "d2")
         .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
     )
     return (
