@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -287,6 +288,19 @@ def _advance_pointer(path: str, tmp: str, v: int) -> None:
                     current = int(f.read().strip() or -1)
             if v > current:
                 os.replace(tmp, latest)  # the atomic commit
+                # stamp SUPERSESSION time for every older version that
+                # lacks one (the just-displaced current, plus any
+                # never-published orphan below v): vacuum's grace
+                # period counts from this marker, so "age" means time
+                # since a version stopped being resolvable as latest —
+                # the same clock Delta's deletedFileRetentionDuration
+                # runs on — not time since it was written.
+                for old in _list_versions(path):
+                    if old < v:
+                        marker = os.path.join(path, f"v-{old}.superseded")
+                        if not os.path.exists(marker):
+                            with open(marker, "w") as mf:
+                                mf.write(str(v))
             else:
                 os.unlink(tmp)  # a newer version is already published
         finally:
@@ -327,15 +341,45 @@ def read_versioned(
     return spark.read.parquet(os.path.join(path, f"v-{version}"))
 
 
-def vacuum_versions(path: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest `keep` versions, never the committed
-    one. Returns the versions removed."""
+def vacuum_versions(
+    path: str, keep: int = 2, grace_seconds: float = 0.0
+) -> list[int]:
+    """Drop old versions, never the committed one, never a version
+    still inside its post-supersession GRACE PERIOD.
+
+    Retention contract (the gap between this sink and the
+    Delta/Iceberg semantics it mirrors, closed): a reader that
+    resolved `_LATEST` -> v-k holds no lock, so a concurrent vacuum
+    could otherwise delete v-k mid-read after newer commits land. The
+    rule production tables run (Delta's
+    deletedFileRetentionDuration): a version becomes vacuum-eligible
+    only `grace_seconds` AFTER it was superseded as latest (stamped
+    by the committing writer under the commit lock — `v-N.superseded`
+    marker mtime), and operators must set grace_seconds longer than
+    their longest-running reader. A version with NO marker is never
+    removed (it may be mid-commit or still current on a racing
+    pointer). The default grace of 0 preserves reclaim-now semantics
+    for tests and offline maintenance windows where no readers exist.
+
+    `keep` additionally retains the newest `keep` versions outright,
+    whatever their age. Returns the versions removed."""
     with open(os.path.join(path, "_LATEST")) as f:
         committed = int(f.read().strip())
     versions = _list_versions(path)
-    doomed = [v for v in versions[:-keep] if v != committed] if keep else []
+    now = time.time()
+    doomed = []
+    for v in versions[:-keep] if keep else []:
+        if v == committed:
+            continue
+        marker = os.path.join(path, f"v-{v}.superseded")
+        if not os.path.exists(marker):
+            continue  # never superseded -> not provably dead
+        if now - os.path.getmtime(marker) < grace_seconds:
+            continue  # a reader may still be inside its grace window
+        doomed.append(v)
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v-{v}"), ignore_errors=True)
+        os.unlink(os.path.join(path, f"v-{v}.superseded"))
     return doomed
 
 

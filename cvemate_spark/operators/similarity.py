@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+# observability for the angular-bound pruner (neardup_pairs_topk_semdedup):
+# set on every call — {cells, cell_pairs, survivors, L}. Read by tests and
+# the SCALE.md candidate-growth measurements; never consumed by query logic.
+LAST_PRUNE_STATS: dict | None = None
+
 COS_SPARK = (
     "aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)"
     " / (sqrt(aggregate(transform({a}, x -> double(x) * double(x)), 0D, (s, v) -> s + v))"
@@ -465,6 +470,199 @@ def neardup_pairs_topk(
         rescored.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
+    )
+
+
+def neardup_pairs_topk_semdedup(
+    embeddings: DataFrame,
+    k: int = 20,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """EXACT top-k most-similar distinct pairs via CLUSTER-BOUNDED GEMM
+    with angular-bound pruning — the sub-quadratic route for the same
+    question `neardup_pairs_topk` answers with deliberate all-pairs
+    work.
+
+    `neardup_pairs_topk` is quadratic BY CONTRACT (every block pair
+    meets). This variant bounds where expensive work happens with
+    SemDeDup-style coarse cells (the `semdedup` clustering stage) and
+    stays EXACT by a two-phase ball-tree-join argument instead of a
+    recall hope:
+
+    1. every vector is assigned to its nearest cell (broadcast
+       argmax — a partitioning, not a replication); the within-cell
+       GEMM + portable rescore yields k pairs whose k-th portable
+       cosine L is a LOWER bound on the global k-th best (adding
+       cross-cell pairs can only raise it). k rows to the driver —
+       bounded, the kmeans_fit precedent.
+    2. for each cell: its angular radius r = max member angle to its
+       centroid (one C-row aggregate). For a cell pair (a, b) with
+       centroid angle θ_ab, the spherical triangle inequality gives
+       every cross pair angle >= θ_ab - r_a - r_b, i.e. cosine
+       <= cos(max(0, θ_ab - r_a - r_b)) = ub(a, b). Cell pairs with
+       ub < L (safe-side ε margins on both sides) are PRUNED — no
+       member of those two cells can form a top-k pair, proven, not
+       assumed. Surviving cell pairs run the cross-cell GEMM with the
+       same ulp-margin top-2k cut, the union of both phases feeds the
+       portable-fold rescore, and the total order is bit-exact.
+
+    Work: within-cell n²/C plus cross work only where the similarity
+    structure demands it. On a near-dup-heavy corpus (the SemDeDup
+    regime this targets) L ≈ 1, so only near-overlapping cells
+    survive and total work is ~n²/C with C growing with the corpus —
+    genuinely sub-quadratic. On an unclustered corpus whose top-k
+    pairs are weak (cos ~0.4 — exactly what the sf* testdata is) most
+    cell pairs survive and the operator honestly degrades to blocked
+    all-pairs — the price of exactness, and the reason emb_neardup's
+    quadratic contract still exists. The gated query
+    (emb_neardup_semdedup) hash-checks this route against the EXACT
+    brute-force oracle, so a pruning-soundness bug fails the gate.
+
+    Centroids default to the oracle-expressible `stride_cents`
+    (deterministic); `kmeans_fit` centroids slot in for production.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    global LAST_PRUNE_STATS
+    k_emit = 2 * k
+    ANG_EPS = 1e-6  # safe-side slack on driver-side angle arithmetic
+    cents = stride_cents(embeddings, centroid_stride)
+    assigned = assign_cells(embeddings, cents).persist()
+
+    def diag_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"d1": [], "d2": []}).astype(
+                {"d1": "int64", "d2": "int64"}
+            )
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ m.T
+        ids = pdf["vec_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), 1)
+        li, rj, c = ids[ii], ids[jj], cos[ii, jj]
+        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+        if len(c) > k_emit:
+            # ulp-proof margin cut (see pair_groups): a dropped pair
+            # has >= k_emit cell-mates whose PORTABLE scores strictly
+            # beat it — provably outside the global top-k.
+            kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
+            keep = c >= kth - 1e-12
+            d1, d2 = d1[keep], d2[keep]
+        return pd.DataFrame({"d1": d1, "d2": d2})
+
+    cand_diag = assigned.groupBy("cent_id").applyInPandas(
+        diag_pairs, schema="d1 long, d2 long"
+    )
+    # phase-1 lower bound L: k-th best PORTABLE cosine among
+    # within-cell pairs (k rows to the driver; -inf when the corpus
+    # has fewer than k within-cell pairs — then nothing prunes)
+    phase1 = _portable_rescore(embeddings, cand_diag).persist()
+    top1 = (
+        phase1.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2")).limit(k).collect()
+    )
+    L = float(top1[-1]["cos"]) if len(top1) >= k else float("-inf")
+
+    # driver-side cell geometry: C centroids + C radii (bounded rows)
+    crows = cents.collect()
+    cent_ids = [int(r["cent_id"]) for r in crows]
+    cm = np.vstack([np.asarray(r["cent_emb"], dtype=np.float64) for r in crows])
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    radii_rows = (
+        assigned.join(
+            F.broadcast(cents), "cent_id"
+        )
+        .select("cent_id", cosine_col("embedding", "cent_emb").alias("cc"))
+        .groupBy("cent_id")
+        .agg(F.min("cc").alias("min_cos"))
+        .collect()
+    )
+    radius = {
+        int(r["cent_id"]): math.acos(max(-1.0, min(1.0, float(r["min_cos"]))))
+        + ANG_EPS
+        for r in radii_rows
+    }
+    survivors: list[tuple[int, int, int]] = []  # (group, cell_a, cell_b)
+    thetas = np.arccos(np.clip(cm @ cm.T, -1.0, 1.0))
+    for i in range(len(cent_ids)):
+        for j in range(i + 1, len(cent_ids)):
+            a, b = cent_ids[i], cent_ids[j]
+            gap = thetas[i, j] - radius.get(a, 0.0) - radius.get(b, 0.0) - ANG_EPS
+            ub = math.cos(max(0.0, gap))
+            if ub >= L - 1e-9:
+                survivors.append((len(survivors), a, b))
+    n_cells = len(cent_ids)
+    LAST_PRUNE_STATS = {
+        "cells": n_cells,
+        "cell_pairs": n_cells * (n_cells - 1) // 2,
+        "survivors": len(survivors),
+        "L": L,
+    }
+
+    if survivors:
+        spark = embeddings.sparkSession
+        surv = spark.createDataFrame(
+            [(g, a, 0) for g, a, _ in survivors]
+            + [(g, b, 1) for g, _, b in survivors],
+            "grp int, cent_id int, side int",
+        )
+        members = assigned.join(F.broadcast(surv), "cent_id").select(
+            "grp", "side", "vec_id", "embedding"
+        )
+
+        def cross_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            left = pdf[pdf["side"] == 0]
+            right = pdf[pdf["side"] == 1]
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"d1": [], "d2": []}).astype(
+                    {"d1": "int64", "d2": "int64"}
+                )
+            lm = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
+            rm = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
+            lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+            rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+            cos = lm @ rm.T
+            lid = left["vec_id"].to_numpy()
+            rid = right["vec_id"].to_numpy()
+            ii, jj = np.meshgrid(
+                np.arange(len(lid)), np.arange(len(rid)), indexing="ij"
+            )
+            li, rj, c = lid[ii.ravel()], rid[jj.ravel()], cos.ravel()
+            d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+            if len(c) > k_emit:
+                kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
+                keep = c >= kth - 1e-12
+                d1, d2 = d1[keep], d2[keep]
+            return pd.DataFrame({"d1": d1, "d2": d2})
+
+        cand_cross = members.groupBy("grp").applyInPandas(
+            cross_pairs, schema="d1 long, d2 long"
+        )
+        rescored = phase1.unionByName(
+            _portable_rescore(embeddings, cand_cross.distinct())
+        )
+    else:
+        rescored = phase1
+    return (
+        rescored.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        .limit(k)
+        .select("d1", "d2")
+    )
+
+
+def _portable_rescore(embeddings: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Attach the portable sequential-fold cosine to (d1, d2) candidate
+    pairs — the bit-exactness tail shared by the near-dup operators.
+    Candidates-first join order keeps one side candidate-bounded so
+    AQE broadcasts at runtime; no forced broadcast (plateau rule)."""
+    e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    return (
+        candidates.join(e1, "d1")
+        .join(e2, "d2")
+        .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
     )
 
 

@@ -44,44 +44,51 @@ REGISTRY = build_registry()
 # everything else in REGISTRY stays locally gated via tools/check.py
 # (same oracle machinery, full registry).
 #
-# Round-3 rotation (per VERDICT.md round 2, item 2): hard driver
-# evidence accumulates ACROSS rounds, so queries that are driver-green
-# in both CORRECTNESS_r01 and _r02 (e_asof, e_cube, e_hll,
-# e_quantiles, e_ranks, e_salted, e_udaf_rms) plus the judge-named
-# stable provers (q16, q17, s2_sliding) ceded their slots to ten
-# previously local-only capabilities: the merge delete leg, NAAJ,
-# recursive CTE, VARIANT, funnel, SCD2, incremental dedup, BM25,
-# SemDeDup and the two-exchange curation pipeline. Every rotated-out
-# query stays registered and locally gated (tools/check.py), and its
-# §2 operator row keeps its recorded r01/r02 driver-green evidence.
+# Rotation policy (VERDICT.md round 3, item 1): hard driver evidence
+# accumulates ACROSS rounds; a rotated-out query stays registered and
+# locally gated (tools/check.py), keeping its recorded driver-green
+# evidence. ANY query whose builder source (transitive, per
+# tests/test_registry.py::test_changed_builders_reenter_gate) diffs
+# since its last driver-green round re-enters the gate next round —
+# the pin lives in tests/gate_hashes.json, refreshed per round by
+# tools/update_gate_hashes.py (which requires a green local oracle
+# run before accepting a refresh).
+#
+# Round-4 rotation: twelve r03-driver-green stable provers
+# (src_redhat, src_epss, src_kev, src_metasploit, src_debian, q10,
+# q15, q18, q28, e_variant, e_funnel, t_langid) ceded slots to the
+# never-driver-proven set the round-3 verdict named: q06 (rewritten
+# after leaving the gate — its agg-below-join form re-proves here),
+# q34 (INTERSECT/EXCEPT ALL bag semantics), ann_ivf_trained (the
+# measured k-means recall gate), e_dq_audit, e_cms, e_rolling,
+# t_perplexity, t_dsir, dedup_paragraph, dedup_substring, src_pyds
+# (the Spark 4 Python DataSource, batch half), and the new
+# emb_neardup_semdedup (sub-quadratic cluster-bounded route for the
+# emb_neardup question).
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # §2.1 sources (all ten readers, incl. the XML UDTF and RedHat)
-    "src_nvd", "src_redhat", "src_cveorg_zip", "src_delta_log",
-    "src_exploitdb", "src_epss", "src_kev", "src_metasploit",
-    "src_debian", "src_cwe_xml",
+    # §2.1 sources (readers with r03-green siblings rotated out;
+    # src_pyds = Spark 4 Python DataSource enters for the first time)
+    "src_nvd", "src_cveorg_zip", "src_delta_log",
+    "src_exploitdb", "src_cwe_xml", "src_pyds",
     # composed pipelines + reference-shaped enrichment
     "cve_pipeline", "cwe_enrich",
-    # §2.2-2.8 relational core (unique provers; the rest of q01..q28
-    # stay locally gated — their operator classes are covered by the
-    # source/engine queries in this set)
-    "q05", "q10", "q11", "q15", "q18", "q19", "q21", "q28",
-    # r03 rotation: NAAJ + recursive CTE join the relational slots
-    "q31", "q32",
-    # engine surface (r03 rotation: delete-leg merge, VARIANT, funnel,
-    # SCD2 replace the r01+r02-proven e_* provers)
-    "e_merge_delete", "e_variant", "e_funnel", "e_scd2",
+    # §2.2-2.8 relational core (q06 re-proves its round-3
+    # agg-below-join rewrite; q34 proves INTERSECT/EXCEPT ALL)
+    "q05", "q06", "q11", "q19", "q21", "q31", "q32", "q34",
+    # engine surface (r04 rotation: DQ audit, count-min sketch,
+    # RANGE-interval rolling join the r03-proven merge/SCD2 slots)
+    "e_merge_delete", "e_scd2", "e_dq_audit", "e_cms", "e_rolling",
     # §2.9-2.11 streaming
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    # LLM-pipeline: dedup, similarity, text, multimodal. (ann_ivf — the
-    # single-query special case of ann_ivf_batch — ceded its slot to
-    # dedup_components, the clustering stage of the dedup pipeline; it
-    # stays locally gated.)
+    # LLM-pipeline: dedup, similarity, text, multimodal.
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_components", "dedup_incremental",
-    "q26", "ann_ivf_batch", "ann_lsh", "emb_neardup", "emb_semdedup",
+    "dedup_paragraph", "dedup_substring",
+    "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
+    "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
     "bm25_topk",
-    "t_langid", "t_quality", "t_tokens", "t_fingerprint",
+    "t_quality", "t_tokens", "t_fingerprint", "t_perplexity", "t_dsir",
     "curate_pipeline", "curate_pipeline2",
     "mm_features", "mm_frames",
 )

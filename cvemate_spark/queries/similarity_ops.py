@@ -198,6 +198,38 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_topk(emb, k=20)
 
 
+@REG.add(
+    "emb_neardup_semdedup",
+    f"""
+    SELECT d1, d2 FROM (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               {duck_cosine("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    ORDER BY cos DESC, d1 ASC, d2 ASC
+    LIMIT 20
+    """,
+    tags=("id-set",),
+    doc="The SAME top-20 near-dup question as emb_neardup, answered by "
+    "the cluster-bounded route: SemDeDup coarse cells partition the "
+    "corpus, within-cell GEMM establishes an exact lower bound L on "
+    "the k-th cosine, the spherical triangle inequality prunes every "
+    "cell PAIR whose angular upper bound cannot beat L, and only the "
+    "surviving cell pairs run the cross GEMM — provably EXACT (the "
+    "oracle is the brute-force answer), sub-quadratic on the "
+    "near-dup-heavy corpora SemDeDup targets (L ~ 1 prunes almost all "
+    "cell pairs), degrading to blocked all-pairs on weak-similarity "
+    "data like this testdata. The 100 TB user gets a gated exact path "
+    "whose work adapts to duplicate density, not just a quadratic-by-"
+    "contract warning on emb_neardup.",
+)
+def emb_neardup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import neardup_pairs_topk_semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_topk_semdedup(emb, k=20, centroid_stride=50)
+
+
 def _ann_lsh_oracle() -> str:
     from ..operators.similarity import lsh_signature_expr
 

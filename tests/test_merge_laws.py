@@ -187,6 +187,59 @@ def test_versioned_sink_commit_and_time_travel(spark, tmp_path):
     assert read_versioned(spark, path).first().x == "c"
 
 
+def test_versioned_sink_vacuum_grace_protects_live_readers(spark, tmp_path):
+    """Retention law (VERDICT r3 item 8): a reader that resolved
+    _LATEST -> v-k keeps working through a concurrent vacuum, as long
+    as the vacuum honors a grace period longer than the read — v-k is
+    only reclaimable grace_seconds AFTER being superseded. Also: a
+    never-superseded orphan dir is NEVER vacuumed (not provably dead),
+    and expiry is counted from supersession, not from write time."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([Row(id=1, x="a")]), path)
+    # reader resolves the CURRENT pointer (v-1) and holds the snapshot
+    reader_df = read_versioned(spark, path)
+    assert reader_df.first().x == "a"
+
+    # two newer commits supersede v-1 while the reader is "running"
+    write_versioned(spark.createDataFrame([Row(id=1, x="b")]), path)
+    write_versioned(spark.createDataFrame([Row(id=1, x="c")]), path)
+
+    # vacuum with keep=1 (< the reader's version gap) but a live grace
+    # window: v-1 was superseded moments ago, so it MUST survive...
+    assert vacuum_versions(path, keep=1, grace_seconds=3600) == []
+    assert os.path.isdir(f"{path}/v-1")
+    # ...and the in-flight reader's snapshot still fully reads
+    assert reader_df.first().x == "a"
+    assert read_versioned(spark, path, version=1).first().x == "a"
+
+    # an orphan (allocated dir, never committed, never superseded by a
+    # later pointer advance) is not provably dead -> never removed,
+    # whatever the grace setting (no marker = no supersession proof)
+    spark.createDataFrame([Row(id=1, x="orphan")]).write.parquet(f"{path}/v-9")
+    assert 9 not in vacuum_versions(path, keep=1, grace_seconds=3600)
+    assert os.path.isdir(f"{path}/v-9")
+
+    # once the grace window has elapsed SINCE SUPERSESSION, the old
+    # version is reclaimable (age the marker instead of sleeping)
+    os.utime(f"{path}/v-1.superseded", (0, 0))
+    removed = vacuum_versions(path, keep=1, grace_seconds=3600)
+    assert 1 in removed and not os.path.isdir(f"{path}/v-1")
+    # current snapshot unaffected throughout
+    assert read_versioned(spark, path).first().x == "c"
+    _ = _time  # (kept for symmetry with other timing-law tests)
+
+
 def test_versioned_sink_concurrent_writers_race(spark, tmp_path):
     """CAS commit law: N racing writers each allocate a DISTINCT
     version (O_EXCL claim), every committed version's data survives

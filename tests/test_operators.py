@@ -123,6 +123,48 @@ def test_neardup_pairs_blocked_kernel(spark):
     assert got == {(0, 9)}  # the only similar pair wins
 
 
+def test_neardup_semdedup_exact_and_prunes_clustered_data(spark):
+    """The angular-bound pruner: exact on ANY data, and on a
+    near-dup-heavy clustered corpus (the SemDeDup regime) it must
+    actually PRUNE most cell pairs — the sub-quadratic claim."""
+    import math
+
+    from cvemate_spark.operators import similarity
+    from cvemate_spark.operators.similarity import neardup_pairs_topk_semdedup
+
+    # 4 tight clusters on orthogonal axes, 25 vectors each, ids
+    # interleaved so stride-10 centroids land in every cluster; each
+    # member is its axis plus a tiny deterministic wobble.
+    rows = []
+    for i in range(100):
+        axis = i % 4
+        base = [0.0] * 8
+        base[axis] = 1.0
+        base[4 + axis] = 0.001 * ((i * 7) % 13)  # wobble, cluster-internal
+        rows.append(Row(vec_id=i, embedding=base))
+    emb = spark.createDataFrame(rows)
+    got = [tuple(r) for r in neardup_pairs_topk_semdedup(emb, k=10, centroid_stride=10).collect()]
+
+    # brute-force truth with the same portable ordering
+    data = {r.vec_id: r.embedding for r in rows}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    pairs = sorted(
+        ((cos(data[i], data[j]), i, j) for i in data for j in data if i < j),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:10]
+    assert got == [(i, j) for _, i, j in pairs]
+
+    stats = similarity.LAST_PRUNE_STATS
+    assert stats is not None and stats["cell_pairs"] > 0
+    # orthogonal tight clusters: cross-cluster cell pairs are provably
+    # unable to beat the within-cluster k-th cosine (~1.0), so the
+    # pruner must drop well over half of all cell pairs
+    assert stats["survivors"] <= stats["cell_pairs"] // 2, stats
+
+
 def test_multimodal_stub_boundary(spark):
     docs = spark.createDataFrame([Row(doc_id=0, text="hello")])
     media = multimodal.attach_payload(docs)
