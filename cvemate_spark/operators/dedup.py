@@ -380,42 +380,112 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", F.expr(sim).alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
-    """Near-dup pairs by simhash: chunk banding + exact hamming verify.
+def simhash_signatures_wide(
+    docs: DataFrame, bits: int, features: str = "token"
+) -> DataFrame:
+    """`bits`-wide simhash per doc — the banding-growth contract's
+    widen-the-signature lever. Bit b of the signature votes on bit b
+    of the 60-bit md5-prefix feature hash, so bits <= 60; bits=32 with
+    token features is bit-identical to `simhash_signatures`.
 
-    Returns (d1, d2, hamming) with d1 < d2. Pigeonhole over the four
-    8-bit chunks: hamming <= 3 guarantees >= 1 intact chunk, hamming
-    <= 2 guarantees >= 2 intact chunks. So for max_hamming <= 2 the
-    banding joins on chunk PAIRS (C(4,2) = 6 bands, 16-bit combined
-    keys = 65 536 buckets) — still a guaranteed superset of the true
-    pairs, and the verified output is IDENTICAL to single-chunk
-    banding, but bucket occupancy drops from n/256 to n/65 536.
-
-    That occupancy term is the scale story: single-chunk candidates
-    grow ~ n²/256 (measured at sf1: 50 k docs -> ~20 M candidate
-    pairs, the one super-linear blowup the 10x scale-stress caught),
-    while pair banding keeps candidates near-linear until n
-    approaches the 65 536-bucket regime — at which point widen the
-    signature (64-bit, 16-bit sub-chunks) rather than verify more
-    pairs. For max_hamming = 3 the guarantee needs single chunks and
-    the coarse banding is kept (no gated query uses it).
+    features='shingle' votes over the doc's DISTINCT 3-gram shingles
+    instead of token occurrences — the feature choice Manku et al.'s
+    production simhash actually uses, and the one that matters on a
+    HOMOGENEOUS corpus. Measured on this testdata (SCALE.md round 4):
+    unigram votes concentrate (every token is present in most docs, so
+    8 of 32 bits are population-constant and band buckets hold 100+
+    docs → 308 k collisions at 5 k docs, 2.3% verify precision), and
+    neither a df-cap nor integer-IDF weighting can fix it (presence-df
+    is saturated for ALL tokens here — the cap removed the similarity
+    signal itself, recall 151→13 of 256). Shingle features are
+    doc-specific, signatures land near the uniform floor (1 835
+    collisions at the same 5 k docs, 166/167 verified pairs true), and
+    bucket-count growth becomes the working scale lever again.
     """
+    assert bits <= 60, "feature hash is 60 bits (15 hex digits of md5)"
+    if features == "shingle":
+        feats = doc_shingles(docs).withColumn(
+            "h", F.expr(spark_str_hash("shingle"))
+        )
+    else:
+        feats = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).withColumn("h", F.expr(spark_str_hash("tok")))
+    votes = feats.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(2 * ((h >> {b}) & 1) - 1)").alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1L ELSE 0L END << {b})" for b in range(bits)
+    )
+    return votes.select("doc_id", F.expr(sim).alias("simhash"))
+
+
+def _simhash_band_exprs(
+    max_hamming: int, chunks: int, width: int, col: str = "simhash"
+) -> list[str]:
+    """Banding key SQL expressions over a chunked simhash. Pigeonhole:
+    hamming <= h flips bits in at most h chunks, leaving >= chunks-h
+    intact — so chunk-PAIR banding is a guaranteed candidate superset
+    whenever chunks - h >= 2, and single-chunk banding whenever
+    chunks - h >= 1."""
     from itertools import combinations
 
-    sigs = simhash_signatures(docs)
-    if max_hamming <= SIMHASH_CHUNKS - 2:
-        band_exprs = [
-            F.expr(
-                f"((((simhash >> {8 * i}) & 255) << 8)"
-                f" | ((simhash >> {8 * j}) & 255))"
-            )
-            for i, j in combinations(range(SIMHASH_CHUNKS), 2)
+    mask = (1 << width) - 1
+    if max_hamming <= chunks - 2:
+        return [
+            f"(((({col} >> {width * i}) & {mask}) << {width})"
+            f" | (({col} >> {width * j}) & {mask}))"
+            for i, j in combinations(range(chunks), 2)
         ]
-    else:
-        band_exprs = [
-            F.expr(f"(simhash >> {8 * c}) & 255")
-            for c in range(SIMHASH_CHUNKS)
-        ]
+    return [f"({col} >> {width * c}) & {mask}" for c in range(chunks)]
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 1,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    features: str = "token",
+) -> DataFrame:
+    """Near-dup pairs by simhash: chunk banding + exact hamming verify.
+
+    Returns (d1, d2, hamming) with d1 < d2. Pigeonhole over the
+    `chunks` equal sub-chunks: hamming <= chunks-1 guarantees >= 1
+    intact chunk, hamming <= chunks-2 guarantees >= 2. So for
+    max_hamming <= chunks-2 the banding joins on chunk PAIRS
+    (C(chunks,2) bands, 2·width-bit combined keys) — still a
+    guaranteed superset of the true pairs, and the verified output is
+    IDENTICAL to single-chunk banding, but bucket occupancy drops by
+    the band-key width.
+
+    The occupancy term is the scale story AND the tunable: at the
+    default (32-bit signature, 4 chunks) pair banding gives 65 536
+    buckets — single-chunk candidates grow ~ n²/256 (measured at sf1:
+    50 k docs -> ~20 M candidate pairs, the round-3 super-linear
+    catch), pair banding keeps candidates near-linear until n
+    approaches the 65 536-bucket regime. The CONTRACT (SCALE.md):
+    bucket count must grow with the corpus — widen the signature
+    BEFORE the buckets saturate. `bits=60, chunks=6` gives C(6,2)=15
+    bands of 20-bit keys = 1 M buckets (the second-decade setting,
+    measured in BENCH_sf10.json). For FIXED bits, changing the chunk
+    layout never changes the verified output (banding is candidate
+    generation only); changing `bits` widens the signature itself, so
+    hamming<=h becomes a proportionally TIGHTER similarity bar — a
+    deliberate re-parameterization of the operator (own oracle:
+    dedup_simhash_wide), not a drop-in swap.
+    """
+    sigs = (
+        simhash_signatures(docs)
+        if bits == SIMHASH_BITS and features == "token"
+        else simhash_signatures_wide(docs, bits, features)
+    )
+    assert bits % chunks == 0, "equal chunks required for the pigeonhole"
+    band_exprs = [
+        F.expr(e) for e in _simhash_band_exprs(max_hamming, chunks, bits // chunks)
+    ]
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -450,37 +520,37 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     )
 
 
-def simhash_pairs_oracle(max_hamming: int = 1) -> str:
+def simhash_pairs_oracle(
+    max_hamming: int = 1,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    features: str = "token",
+) -> str:
     votes = ", ".join(
-        f"SUM(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(SIMHASH_BITS)
+        f"SUM(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(bits)
     )
     sim = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {b})"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
-    # mirror simhash_pairs' banding: chunk PAIRS for max_hamming <= 2
-    # (pigeonhole: >= 2 intact chunks -> guaranteed candidate superset,
-    # identical verified output, 256x lower bucket occupancy)
-    from itertools import combinations
-
-    if max_hamming <= SIMHASH_CHUNKS - 2:
-        chunk_union = " UNION ALL ".join(
-            f"SELECT doc_id, simhash, {b} AS chunk_idx, "
-            f"((((simhash >> {8 * i}) & 255) << 8)"
-            f" | ((simhash >> {8 * j}) & 255)) AS chunk FROM sigs"
-            for b, (i, j) in enumerate(combinations(range(SIMHASH_CHUNKS), 2))
+    # mirror simhash_pairs' banding (same pigeonhole layout — chunk
+    # PAIRS when >= 2 chunks are guaranteed intact)
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS chunk_idx, {expr} AS chunk FROM sigs"
+        for b, expr in enumerate(
+            _simhash_band_exprs(max_hamming, chunks, bits // chunks)
         )
+    )
+    if features == "shingle":
+        feat_ctes = f"""{_duck_shingles_cte()},
+    hashed AS (SELECT doc_id, {duck_str_hash('shingle')} AS h FROM shingles),"""
     else:
-        chunk_union = " UNION ALL ".join(
-            f"SELECT doc_id, simhash, {c} AS chunk_idx, "
-            f"(simhash >> {8 * c}) & 255 AS chunk FROM sigs"
-            for c in range(SIMHASH_CHUNKS)
-        )
-    return f"""
-    WITH toks AS (
+        feat_ctes = f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
-    hashed AS (SELECT doc_id, {duck_str_hash('tok')} AS h FROM toks),
+    hashed AS (SELECT doc_id, {duck_str_hash('tok')} AS h FROM toks),"""
+    return f"""
+    WITH {feat_ctes}
     votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
     sigs AS (SELECT doc_id, {sim} AS simhash FROM votes),
     chunks AS ({chunk_union}),

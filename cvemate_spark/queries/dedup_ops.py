@@ -37,6 +37,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "dedup_simhash_wide",
+    dedup.simhash_pairs_oracle(max_hamming=2, bits=60, chunks=6),
+    doc="The banding-growth contract's second-decade setting, oracle-"
+    "proven: 60-bit simhash (every md5-prefix hash bit votes), 6 "
+    "chunks, C(6,2)=15 chunk-pair bands of 20-bit keys = 1,048,576 "
+    "buckets — 16x the 32-bit layout's bucket space, so candidate "
+    "occupancy stays near-linear for another corpus decade (measured "
+    "in BENCH_sf10.json). Same pigeonhole guarantee (hamming <= 2 "
+    "leaves >= 4 intact chunks), same exact bit_count(xor) verify.",
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=2, bits=60, chunks=6).orderBy(
+        "d1", "d2", "hamming"
+    )
+
+
+@REG.add(
+    "dedup_simhash_shingle",
+    dedup.simhash_pairs_oracle(max_hamming=2, bits=60, chunks=4, features="shingle"),
+    doc="SimHash over SHINGLE features (Manku et al.'s production "
+    "feature choice) at the second-decade contract layout: 60-bit "
+    "signature, 4 chunks of 15 bits, C(4,2)=6 pair bands of 30-bit "
+    "keys = 2^30 buckets. The round-4 scale finding (SCALE.md): "
+    "unigram simhash CONCENTRATES on homogeneous corpora (population-"
+    "biased bits -> 308k band collisions at 5k docs, 2.3% verify "
+    "precision) and no df weighting can fix it when presence-df is "
+    "saturated; shingle features give near-uniform signatures (1.8k "
+    "collisions, 99.4% precision, recall 166 vs 151 of 256 truth "
+    "pairs) and make bucket growth the working lever: the 2^30-bucket "
+    "layout holds the uniform birthday floor below the true-pair mass "
+    "through 500k docs (BENCH_sf10.json).",
+)
+def dedup_simhash_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, max_hamming=2, bits=60, chunks=4, features="shingle"
+    ).orderBy("d1", "d2", "hamming")
+
+
+@REG.add(
     "dedup_components",
     dedup.dedup_components_oracle(dedup.simhash_pairs_oracle(max_hamming=2)),
     doc="Duplicate clustering: connected components over simhash "

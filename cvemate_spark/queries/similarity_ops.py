@@ -425,6 +425,50 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, tau=0.30, centroid_stride=50)
 
+
+@REG.add(
+    "emb_semdedup_gemm",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine("e.embedding", "c.cent_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS rep_cand, b.vec_id AS dup_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE {duck_cosine("a.embedding", "b.embedding")} >= 0.30
+    )
+    SELECT dup_id, CAST(min(rep_cand) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_sim
+    FROM pairs GROUP BY dup_id ORDER BY dup_id
+    """,
+    tags=("id-set",),
+    doc="emb_semdedup served from the Arrow-GEMM cell assignment "
+    "(assign_cells_gemm): SAME oracle as emb_semdedup — the hash gate "
+    "proves the BLAS argmax assigns every vector to the same cell as "
+    "the sequential-fold window rank (ulp ties excepted, none in this "
+    "data). The GEMM assignment is what makes cells-proportional-to-n "
+    "affordable (no n*C crossJoin materialization), which in turn "
+    "holds SemDeDup's within-cell pair count LINEAR in corpus size — "
+    "the second-decade contract measured in BENCH_sf10.json.",
+)
+def emb_semdedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_gemm(emb, tau=0.30, centroid_stride=50)
+
 # ------------------------------------------------------ emb_pq
 PQ_M = 4  # subspaces (64-dim embedding -> 4 x 16)
 PQ_DSUB = 16

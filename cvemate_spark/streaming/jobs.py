@@ -256,7 +256,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams (an unconstrained stream-stream join would buffer both
     streams forever). Under availableNow the inner join emits exactly
     the batch time-range join, arrival order notwithstanding.
+
+    Tuning (round-4 profile, STREAMBENCH before/after): the drain cost
+    was dominated by per-partition STATE STORE COMMITS, not the join —
+    32 state partitions x (data batch + a trailing no-data batch)
+    committed ~65 s of cumulative delta-file writes for a 7 s join.
+    Two scoped fixes, both output-identical (verified: same rows, and
+    the oracle hash gate):
+    - `noDataMicroBatches.enabled=false`: an INNER stream-stream join
+      emits every match during data batches; the trailing no-data
+      batch exists only to advance the watermark and evict state,
+      which is pure overhead when the query then terminates (it was
+      45% of addBatch time). OUTER joins must keep it — their
+      watermark-crossing rows are EMITTED by that batch; this
+      function is inner-only.
+    - 16 state partitions instead of the session's 32: state-store
+      commit cost scales with partition count, and 400 k buffered
+      rows want far fewer stores; on a real cluster size this to
+      state volume, not to core count.
+    Both settings are scoped to this query and restored after the
+    drain (they are read at stream START, so the surrounding session
+    is unaffected).
     """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -283,14 +310,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_id", "purchase_id")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("s7_sink")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("s7_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table("s7_sink")
 
 

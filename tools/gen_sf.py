@@ -213,6 +213,75 @@ def gen_skew(spark) -> str:
     return out
 
 
+SF10_COPIES = 100
+# affine-cipher alphabet: 12 multipliers coprime to 26; (i % 12, i % 26)
+# is injective for i < lcm(12, 26) = 156, so all 100 copies get DISTINCT
+# letter permutations — 26 plain rotations would repeat every 26 copies
+# and manufacture cross-copy exact duplicates (a data artifact that
+# would quadratically inflate every near-dup relation; see gen_sf1).
+_COPRIME26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _affine_alpha(i: int) -> tuple[str, str]:
+    """Per-copy affine letter permutation k -> (a*k + b) mod 26
+    (identity for copy 0: a=1, b=0)."""
+    a = _COPRIME26[i % 12]
+    b = (i * 7) % 26
+    src = ALPHA + ALPHA.upper()
+    perm = "".join(ALPHA[(a * k + b) % 26] for k in range(26))
+    return src, perm + perm.upper()
+
+
+def gen_sf10docs(spark) -> str:
+    """Second scale decade for the DATA-BOUND family only (VERDICT r3
+    item 2): documents + embeddings at 100x sf0.1 (500 k docs / 200 k
+    vectors) under .scratch/sf10. Same derivation laws as gen_sf1 —
+    near-dup relations stay LINEAR in corpus size (distinct affine
+    text permutations per copy; per-copy deterministic hash-driven
+    sign-flip patterns decorrelate cross-copy cosines while leaving
+    within-copy cosines untouched, flips being diagonal +-1 orthogonal
+    transforms). No RNG: everything is a pure function of copy index
+    and position. Only the two tables the dedup/ANN/text family reads
+    are generated; relational queries keep sf1 as their stress decade.
+    """
+    out = os.path.join(OUT_ROOT, "sf10")
+    os.makedirs(out, exist_ok=True)
+
+    def shift(col, fam, i):
+        return (F.col(col) + F.lit(i * OFF[fam])).alias(col)
+
+    def documents_copy(df, i):
+        src_a, dst_a = _affine_alpha(i)
+        return df.select(
+            shift("doc_id", "doc_id", i),
+            F.translate(F.col("text"), src_a, dst_a).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    def embeddings_copy(df, i):
+        if i == 0:
+            return df.select("vec_id", "embedding", "label")
+        # hash-based per-copy flip pattern: unique for every copy index
+        # (the sf1 (mult, offs) lattice has period 35 — at 100 copies it
+        # would repeat and create exact cross-copy duplicate vectors)
+        flip = F.expr(
+            "transform(embedding, (x, p) -> "
+            f"CASE WHEN pmod(xxhash64(p, {i}), 5) < 2 THEN -x ELSE x END)"
+        ).alias("embedding")
+        return df.select(shift("vec_id", "vec_id", i), flip, "label")
+
+    for name, mapper in (("documents", documents_copy), ("embeddings", embeddings_copy)):
+        dst = os.path.join(out, f"{name}.parquet")
+        df = load_table(spark, SRC, name)
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [mapper(df, i) for i in range(SF10_COPIES)],
+        )
+        big.repartition(64).write.mode("overwrite").parquet(dst)
+        print(f"[sf10] {name}: rows written")
+    return out
+
+
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("gen_sf", cpus=os.environ.get("SPARK_GRAFT_CPUS", "16"))
@@ -220,6 +289,8 @@ def main() -> int:
         gen_sf1(spark)
     if which in ("skew", "all"):
         gen_skew(spark)
+    if which in ("sf10", "all"):
+        gen_sf10docs(spark)
     spark.stop()
     return 0
 
