@@ -159,6 +159,67 @@ def s5_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s9_outer_join",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    horizon AS (
+        -- the global streaming watermark is the MIN over both sides of
+        -- (max watermark-column value - 1h delay), each side computed
+        -- AFTER its event_type filter; a click null-emits only when
+        -- its whole 1h join window is below that
+        SELECT LEAST((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                     (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+               - INTERVAL 2 HOUR AS h
+    ),
+    matched AS (
+        SELECT c.user_id, c.click_id, p.purchase_id
+        FROM c JOIN p ON p.user_id = c.user_id
+         AND p.p_ts >= c.click_ts
+         AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+        FROM c, horizon
+        WHERE c.click_ts < horizon.h
+          AND NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.p_ts >= c.click_ts
+                AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+          )
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    doc="S9: watermarked stream-stream LEFT OUTER join. Inner matches "
+    "emit during data batches; the null-extended leg emits only when "
+    "the GLOBAL watermark proves a click can never match. The global "
+    "watermark is the min over both sides of (max event time - 1h "
+    "delay), each side's maximum taken AFTER its event_type filter — "
+    "so the horizon is LEAST(max click_ts, max p_ts) - 2h (verified "
+    "empirically: using max(ts) overall mispredicts by the click/"
+    "purchase tail gap). Null rows are emitted BY the trailing "
+    "no-data micro-batch, which is why s7's noDataMicroBatches=false "
+    "tuning is INNER-only. The oracle mirrors the horizon rule "
+    "exactly (NOT EXISTS + horizon filter), pinning both legs and "
+    "the emission boundary.",
+)
+def s9_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.stream_stream_left_join(spark, sf_dir).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+@REG.add(
     "s8_static_join",
     """
     SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt

@@ -327,6 +327,64 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("s7_sink")
 
 
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: watermarked stream-stream LEFT OUTER join — every click,
+    attributed to a purchase within [click, click + 1h] or emitted
+    null-extended once it provably cannot match.
+
+    The outer leg is what makes the no-data micro-batch LOAD-BEARING
+    (deliberately NOT disabled here, unlike the inner-only s7 tuning):
+    an unmatched click is emitted exactly when the watermark passes
+    the end of its join window — i.e. during the trailing watermark-
+    advancing batch, not during data processing. Determinism contract
+    under availableNow: the final global watermark is max(ts) - 1h
+    (both sides share the events table and a 1 h delay), so an
+    unmatched click null-emits iff its whole window [click_ts,
+    click_ts + 1h] lies below that — click_ts < max(ts) - 2h. Clicks
+    nearer the end of input stay buffered and are (correctly) never
+    emitted as unmatched: the stream cannot know a future purchase
+    won't arrive. The oracle mirrors exactly that horizon rule, so
+    the hash gate pins BOTH the inner matches (all of them) and the
+    outer emission boundary.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s9_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("s9_sink")
+
+
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: session_window(gap=30 min) per user — Structured Streaming's
     native sessionization (merging variable-length windows in the state
