@@ -113,6 +113,30 @@ def test_arrow_stages_where_declared(spark):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_new_r4_operators_plan_shapes(spark):
+    """Round-4 operators keep their scale shapes: the semdedup-GEMM
+    assignment is an Arrow MapInPandas stage (never BatchEvalPython,
+    never an n*C crossJoin+Window materialization), and the exact
+    pruned near-dup route keeps the no-forced-broadcast rule on its
+    candidate rescore (an exact-tie plateau can make candidates
+    quadratic in duplicate multiplicity)."""
+    plan = plan_of(spark, "emb_semdedup_gemm")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan  # the fold-based argmax rank is gone
+
+    df = REGISTRY.specs["emb_neardup_semdedup"].builder(spark, SF)
+    logical = analyzed_plan(df)
+    # centroid/survivor broadcasts are bounded-by-construction hints;
+    # the candidate relations (applyInPandas outputs) must carry none.
+    # They are the only FlatMapGroupsInPandas sources in this plan, so
+    # assert no hint sits directly above one.
+    import re
+
+    for m in re.finditer(r"ResolvedHint[^\n]*\n((?:.*\n){0,3})", logical):
+        assert "FlatMapGroupsInPandas" not in m.group(1)
+
+
 def test_asof_is_single_window_not_range_join(spark):
     plan = plan_of(spark, "e_asof")
     assert "CartesianProduct" not in plan
