@@ -59,12 +59,19 @@ def duck_minhash(hash_col: str, i: int) -> str:
     return f"min((CAST({a} AS BIGINT) * ({hash_col} % {PRIME}) + {b}) % {PRIME})"
 
 
-def band_signature_exprs(engine: str) -> list[str]:
-    """Concatenate each band's minhash rows into one signature string."""
-    rows = MINHASH_K // MINHASH_BANDS
+def band_signature_exprs(engine: str, n_bands: int = MINHASH_BANDS) -> list[str]:
+    """Concatenate each band's minhash rows into one signature string.
+
+    `n_bands` is the LSH recall/cost dial over the same MINHASH_K
+    hashes: (bands b, rows r = K/b) collides a pair of jaccard j with
+    p = 1 - (1 - j^r)^b. The default 4x3 layout has ~23% recall at
+    j = 0.4; the 6x2 layout (n_bands=6) raises that to ~65% at the
+    cost of more candidate volume (measured: DUPBENCH.json).
+    """
+    rows = MINHASH_K // n_bands
     sep = " || '-' || " if engine == "duck" else None
     out = []
-    for band in range(MINHASH_BANDS):
+    for band in range(n_bands):
         cols = [f"mh{band * rows + r}" for r in range(rows)]
         if engine == "duck":
             out.append(sep.join(f"CAST({c} AS VARCHAR)" for c in cols))

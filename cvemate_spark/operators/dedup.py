@@ -148,11 +148,12 @@ def minhash_signatures_local(sh_arr: DataFrame) -> DataFrame:
     return tmp.select("doc_id", *cols)
 
 
-def lsh_candidates(sigs: DataFrame) -> DataFrame:
+def lsh_candidates(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
     """Banded LSH candidate pairs (d1 < d2) from a signature relation —
     the pre-verification stage shared by minhash_pairs and the
-    banding-quality evaluation."""
-    band_exprs = band_signature_exprs("spark")
+    banding-quality evaluation. `n_bands` is the recall/cost dial
+    (see band_signature_exprs)."""
+    band_exprs = band_signature_exprs("spark", n_bands)
     banded = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias("band", "sig"),
@@ -175,10 +176,18 @@ def lsh_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.3,
+    n_bands: int = MINHASH_BANDS,
+) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard >= threshold.
 
     Returns (d1, d2, jaccard) with d1 < d2, jaccard rounded to 4.
+    `n_bands` picks the banding layout over the same 12 minhashes —
+    the LSH S-curve dial: 4x3 (default) is precision-lean, 6x2 raises
+    mid-jaccard recall ~0.23 -> ~0.65 at j=0.4 for more candidate
+    volume (both measured against planted truth in DUPBENCH.json).
     """
     # the shingle-array relation feeds signatures and both verify
     # sides — persist it instead of recomputing the scan 3x. The
@@ -189,7 +198,9 @@ def minhash_pairs(docs: DataFrame, jaccard_threshold: float = 0.3) -> DataFrame:
     # one row per doc and tiny (k ints) — persisting stops the band
     # self-join from running the md5 hash pass twice
     sigs = minhash_signatures_local(sh_arr).persist()
-    return _verify_jaccard(lsh_candidates(sigs), sh_arr, jaccard_threshold)
+    return _verify_jaccard(
+        lsh_candidates(sigs, n_bands), sh_arr, jaccard_threshold
+    )
 
 
 def minhash_pairs_incremental(
@@ -324,15 +335,18 @@ def _verify_jaccard(
     )
 
 
-def minhash_pairs_oracle(jaccard_threshold: float = 0.3) -> str:
+def minhash_pairs_oracle(
+    jaccard_threshold: float = 0.3, n_bands: int | None = None
+) -> str:
     """DuckDB SQL computing exactly minhash_pairs() (same seeds/hash)."""
+    nb = n_bands if n_bands is not None else MINHASH_BANDS
     mh_cols = ", ".join(
         f"min((CAST({a} AS BIGINT) * (h % {PRIME}) + {b}) % {PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_SEEDS)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {band} AS band, {expr} AS sig FROM sigs"
-        for band, expr in enumerate(band_signature_exprs("duck"))
+        for band, expr in enumerate(band_signature_exprs("duck", nb))
     )
     return f"""
     WITH {_duck_shingles_cte()},

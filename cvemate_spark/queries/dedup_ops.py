@@ -26,6 +26,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "dedup_minhash_highrecall",
+    dedup.minhash_pairs_oracle(jaccard_threshold=0.3, n_bands=6),
+    doc="MinHash+LSH at the HIGH-RECALL banding layout: the same 12 "
+    "minhashes laid out as 6 bands x 2 rows instead of 4 x 3 — the "
+    "LSH S-curve dial. At jaccard 0.4 collision probability rises "
+    "from 1-(1-0.4^3)^4 ~ 0.23 to 1-(1-0.4^2)^6 ~ 0.65 (measured "
+    "against planted truth in DUPBENCH.json) at the cost of more "
+    "candidate volume; the exact-Jaccard verify and threshold are "
+    "identical, so output differences are purely recall.",
+)
+def dedup_minhash_highrecall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(docs, jaccard_threshold=0.3, n_bands=6).orderBy(
+        "d1", "d2", "jaccard"
+    )
+
+
+@REG.add(
     "dedup_simhash",
     dedup.simhash_pairs_oracle(max_hamming=1),
     doc="SimHash near-dup pairs: 32-bit bit-vote signatures, 8-bit chunk "
