@@ -12,9 +12,15 @@ Spark-first design for 100 TB:
   high-cardinality, so the join has no hot keys). Candidate count
   scales with true near-dup density, not n².
 
-- **SimHash** (`simhash_pairs`): 32-bit signature per doc from token
-  hash bit votes; banding on 8-bit chunks turns the O(n^2) hamming
-  search into 4 equi-joins; verify with bit_count(xor) <= max_hamming.
+- **SimHash** (`simhash_pairs`): bit-vote signature per doc, chunk
+  banding turns the O(n^2) hamming search into equi-joins, exact
+  bit_count(xor) <= max_hamming verify. Parametrized along both scale
+  axes: (bits, chunks) is the bucket-count lever (32/4 default,
+  60/6 and 60/4 are the later-decade layouts — BENCH_sf10.json), and
+  features='shingle' replaces unigram votes with Manku-style shingle
+  votes — the fix for signature concentration on homogeneous corpora
+  (SCALE.md round 4; unigram signatures measured at 2.6% verify
+  precision against planted truth, shingle at ~90%).
 
 - **n-gram Jaccard** (`ngram_jaccard_pairs`): exact pairwise Jaccard,
   but only over pairs sharing at least one shingle (join on shingle),

@@ -65,6 +65,14 @@ REGISTRY = build_registry()
 # (the Spark 4 Python DataSource, batch half), and the new
 # emb_neardup_semdedup (sub-quadratic cluster-bounded route for the
 # emb_neardup question).
+#
+# Round-5 rotation shortlist (new local-green capabilities built late
+# in round 4, each with multi-scale + duplicate-corpus oracle
+# evidence): dedup_simhash_shingle (the concentration fix),
+# dedup_simhash_wide, dedup_minhash_highrecall (the S-curve dial),
+# emb_semdedup_gemm (BLAS cell assignment), s9_outer_join (outer
+# stream-stream horizon contract). Stable r04-green provers (e.g.
+# q21, q31, q32, cwe_enrich, mm_*) are the natural slot donors.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
     # §2.1 sources (readers with r03-green siblings rotated out;
