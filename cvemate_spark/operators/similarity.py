@@ -476,15 +476,20 @@ def neardup_pairs_topk(
         cos = lm @ rm.T
         lid = left["vec_id"].to_numpy()
         rid = right["vec_id"].to_numpy()
-        ii, jj = np.meshgrid(np.arange(len(lid)), np.arange(len(rid)), indexing="ij")
-        ii, jj = ii.ravel(), jj.ravel()
-        li, rj, c = lid[ii], rid[jj], cos.ravel()
         if b1 == b2:
-            keep = li < rj  # dedup within one block
-            li, rj, c = li[keep], rj[keep], c[keep]
-        # canonicalize (cross-block groups exist only for b1 < b2, so both
-        # id orderings occur and must map to (min, max))
-        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+            # one orientation per within-block pair: mask the lower
+            # triangle + diagonal in-place (-inf never survives the
+            # selection). Position-based masking + the id min/max
+            # canonicalization below yields the same unordered pair
+            # set as the previous explicit li<rj id filter.
+            cos[np.tri(len(lid), dtype=bool)] = -np.inf
+        c = cos.ravel()
+        # Threshold-select on the FLAT score array first and only then
+        # materialize ids for the survivors (idx -> row, col): the old
+        # meshgrid path built two m-row id arrays plus min/max/compare
+        # over all m = |left|*|right| pairs per group — at sf1 that is
+        # ~6M-row temporaries x several arrays x 36 groups of pure
+        # allocation for pairs the selection immediately discards.
         if len(c) > k_emit:
             # O(m) threshold selection with an ulp-proof margin: find
             # the k_emit-th largest GEMM cosine and keep EVERYTHING
@@ -505,8 +510,19 @@ def neardup_pairs_topk(
             # distributed rescore does the only ordering that counts.
             kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
             keep = c >= kth - 1e-12
-            d1, d2, c = d1[keep], d2[keep], c[keep]
-        return pd.DataFrame({"d1": d1, "d2": d2, "cos": c})
+        else:
+            keep = np.ones(len(c), dtype=bool)
+        # the kth value can be -inf when a diagonal group has fewer
+        # than k_emit VALID (upper-triangle) pairs, and -inf >= -inf
+        # passes the margin compare — masked entries must never emit
+        keep &= np.isfinite(c)
+        idx = np.nonzero(keep)[0]
+        ncols = len(rid)
+        li, rj = lid[idx // ncols], rid[idx % ncols]
+        # canonicalize (cross-block groups exist only for b1 < b2, so
+        # both id orderings occur and must map to (min, max))
+        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+        return pd.DataFrame({"d1": d1, "d2": d2, "cos": c[idx]})
 
     # replicate each vector to every block pair it participates in
     with_block = embeddings.select(
