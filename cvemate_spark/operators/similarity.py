@@ -642,16 +642,21 @@ def neardup_pairs_topk_semdedup(
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ m.T
         ids = pdf["vec_id"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), 1)
-        li, rj, c = ids[ii], ids[jj], cos[ii, jj]
-        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+        # flat selection before id materialization (see pair_groups):
+        # mask lower triangle + diagonal, threshold-cut on the flat
+        # score array with the same ulp-proof margin, then derive
+        # (row, col) ids for survivors only.
+        cos[np.tri(len(ids), dtype=bool)] = -np.inf
+        c = cos.ravel()
         if len(c) > k_emit:
-            # ulp-proof margin cut (see pair_groups): a dropped pair
-            # has >= k_emit cell-mates whose PORTABLE scores strictly
-            # beat it — provably outside the global top-k.
             kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
             keep = c >= kth - 1e-12
-            d1, d2 = d1[keep], d2[keep]
+        else:
+            keep = np.ones(len(c), dtype=bool)
+        keep &= np.isfinite(c)
+        idx = np.nonzero(keep)[0]
+        li, rj = ids[idx // len(ids)], ids[idx % len(ids)]
+        d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
         return pd.DataFrame({"d1": d1, "d2": d2})
 
     cand_diag = assigned.groupBy("cent_id").applyInPandas(
@@ -727,15 +732,14 @@ def neardup_pairs_topk_semdedup(
             cos = lm @ rm.T
             lid = left["vec_id"].to_numpy()
             rid = right["vec_id"].to_numpy()
-            ii, jj = np.meshgrid(
-                np.arange(len(lid)), np.arange(len(rid)), indexing="ij"
-            )
-            li, rj, c = lid[ii.ravel()], rid[jj.ravel()], cos.ravel()
-            d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+            c = cos.ravel()
             if len(c) > k_emit:
                 kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
-                keep = c >= kth - 1e-12
-                d1, d2 = d1[keep], d2[keep]
+                keep = np.nonzero(c >= kth - 1e-12)[0]
+            else:
+                keep = np.arange(len(c))
+            li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
+            d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
             return pd.DataFrame({"d1": d1, "d2": d2})
 
         cand_cross = members.groupBy("grp").applyInPandas(
