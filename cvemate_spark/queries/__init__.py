@@ -66,39 +66,47 @@ REGISTRY = build_registry()
 # emb_neardup_semdedup (sub-quadratic cluster-bounded route for the
 # emb_neardup question).
 #
-# Round-5 rotation shortlist (new local-green capabilities built late
-# in round 4, each with multi-scale + duplicate-corpus oracle
-# evidence): dedup_simhash_shingle (the concentration fix),
-# dedup_simhash_wide, dedup_minhash_highrecall (the S-curve dial),
-# emb_semdedup_gemm (BLAS cell assignment), s9_outer_join (outer
-# stream-stream horizon contract). Stable r04-green provers (e.g.
-# q21, q31, q32, cwe_enrich, mm_*) are the natural slot donors.
+# Round-4 late rotation: the round's OWN findings deserve driver
+# proof this round, not next — five unchanged-since-r03-green stable
+# provers (cwe_enrich, q21, src_delta_log, mm_features, mm_frames;
+# none of their builders diffed in round 4, so the re-entry policy
+# permits their exit) ceded slots to the five capabilities round 4
+# built and measured: dedup_simhash_shingle (the concentration fix),
+# dedup_simhash_wide (bucket-growth layout), dedup_minhash_highrecall
+# (the measured S-curve dial), emb_semdedup_gemm (BLAS cell
+# assignment, hash-identical to the fold path), s9_outer_join (the
+# outer stream-stream watermark-horizon contract). Each entrant is
+# oracle-green at sf0.001/0.01 (+ sf0.1 and the dup0.1 stress corpus
+# where applicable).
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
     # §2.1 sources (readers with r03-green siblings rotated out;
     # src_pyds = Spark 4 Python DataSource enters for the first time)
-    "src_nvd", "src_cveorg_zip", "src_delta_log",
+    "src_nvd", "src_cveorg_zip",
     "src_exploitdb", "src_cwe_xml", "src_pyds",
-    # composed pipelines + reference-shaped enrichment
-    "cve_pipeline", "cwe_enrich",
+    # composed pipelines
+    "cve_pipeline",
     # §2.2-2.8 relational core (q06 re-proves its round-3
     # agg-below-join rewrite; q34 proves INTERSECT/EXCEPT ALL)
-    "q05", "q06", "q11", "q19", "q21", "q31", "q32", "q34",
+    "q05", "q06", "q11", "q19", "q31", "q32", "q34",
     # engine surface (r04 rotation: DQ audit, count-min sketch,
     # RANGE-interval rolling join the r03-proven merge/SCD2 slots)
     "e_merge_delete", "e_scd2", "e_dq_audit", "e_cms", "e_rolling",
-    # §2.9-2.11 streaming
+    # §2.9-2.11 streaming (s9 = outer stream-stream horizon contract)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    # LLM-pipeline: dedup, similarity, text, multimodal.
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "s9_outer_join",
+    # LLM-pipeline: dedup, similarity, text.
+    "dedup_exact", "dedup_minhash", "dedup_minhash_highrecall",
+    "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_shingle", "dedup_simhash_wide",
     "dedup_components", "dedup_incremental",
     "dedup_paragraph", "dedup_substring",
     "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
     "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
+    "emb_semdedup_gemm",
     "bm25_topk",
     "t_quality", "t_tokens", "t_fingerprint", "t_perplexity", "t_dsir",
     "curate_pipeline", "curate_pipeline2",
-    "mm_features", "mm_frames",
 )
 
 

@@ -28,18 +28,23 @@ CRITICAL = (
     # streaming ladder (s2_sliding rotated out in r03 — driver-green in
     # r02; the sliding-window class keeps local-oracle coverage)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
+    "s9_outer_join",
     # text / curation (t_langid rotated out in r04 — driver-green r03)
     "t_quality", "t_tokens", "t_fingerprint", "t_perplexity", "t_dsir",
     "curate_pipeline", "curate_pipeline2",
-    # dedup surface
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    # dedup surface (r04 late rotation adds the round's own findings)
+    "dedup_exact", "dedup_minhash", "dedup_minhash_highrecall",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
+    "dedup_simhash_wide",
     "dedup_components", "dedup_incremental", "dedup_paragraph",
     "dedup_substring",
     # similarity / ANN
     "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
-    "emb_neardup", "emb_neardup_semdedup", "emb_semdedup", "bm25_topk",
-    # composed pipelines + reference shapes
-    "cve_pipeline", "cwe_enrich", "mm_features", "mm_frames",
+    "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
+    "emb_semdedup_gemm", "bm25_topk",
+    # composed pipelines (cwe_enrich / mm_* rotated out late in r04 —
+    # r03-driver-green, builders unchanged in r04, locally gated)
+    "cve_pipeline",
     # engine surface
     "e_merge_delete", "e_scd2", "e_dq_audit", "e_cms", "e_rolling",
     "q31", "q32", "q34",
@@ -50,6 +55,7 @@ CRITICAL = (
 # src_* readers rotated out with accumulated driver-green evidence
 # (round of last proof). They stay registered and locally gated.
 SRC_ROTATED_OUT = {
+    "src_delta_log": "r03",
     "src_redhat": "r03",
     "src_epss": "r03",
     "src_kev": "r03",
