@@ -160,6 +160,43 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "dedup_canonical_shingle",
+    dedup.dedup_canonical_oracle(
+        dedup.simhash_pairs_oracle(max_hamming=2, bits=60, chunks=4, features="shingle")
+    ),
+    doc="The composed fuzzy-dedup pass at the CONTRACT layout: "
+    "shingle-feature 60-bit simhash pairs (hamming <= 2, 2^30-bucket "
+    "pair banding — the concentration-proof second-decade setting) -> "
+    "connected components -> canonical survivor -> per-source corpus "
+    "shrinkage. Same composition as dedup_canonical, but the pair "
+    "stage is the one that stays near-linear at corpus scale "
+    "(BENCH_sf10.json); the recursive-CTE oracle proves the "
+    "propagation converged on the shingle pair relation too.",
+)
+def dedup_canonical_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(
+        docs, max_hamming=2, bits=60, chunks=4, features="shingle"
+    )
+    comp = dedup.dedup_components(pairs)
+    kept = F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select("source", kept.alias("kept"), n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source", "n_docs", "n_kept", "kept_tokens")
+    )
+
+
 NGRAM_DF_CAP = 200  # hot-shingle document-frequency cap (see dedup.py)
 
 
