@@ -261,6 +261,83 @@ def semdedup_gemm(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    cents: DataFrame | None = None,
+    centroid_stride: int = 50,
+) -> None:
+    """Materialize the IVF layout the scale docs promise: vectors
+    written PARTITIONED BY their cell id, centroids alongside.
+
+    Every in-memory IVF operator here notes "at 100 TB the assignment
+    is a write-time partition key, so a probe prunes partitions" —
+    this is that write. `path/vectors/cent_id=<c>/` holds each cell's
+    vectors (Hive-style partitioning, so a cent_id predicate becomes
+    PARTITION PRUNING — pruned directories are never listed, let alone
+    read); `path/centroids/` holds the bounded centroid relation the
+    probe side needs. Serving reads are `ivf_topk_indexed`, whose scan
+    provably touches only the probed cells
+    (tests/test_layout_sketch.py asserts inputFiles ⊂ probed dirs).
+    """
+    if cents is None:
+        cents = stride_cents(embeddings, centroid_stride)
+    assigned = assign_cells(embeddings, cents)
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/vectors"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Serve an IVF top-k FROM the partitioned index — the production
+    read path, where cell pruning happens in the filesystem layout
+    instead of a runtime filter over all rows.
+
+    The probe list comes from the bounded centroid relation (driver
+    k-row collect, the kmeans_fit precedent); `cent_id IN (probes)` on
+    a cent_id-partitioned table is satisfied by PartitionFilters at
+    scan planning: unprobed directories are never read. Output is
+    identical to `ivf_topk` over the same vectors/centroids (law in
+    tests/test_layout_sketch.py); the difference is the scan's
+    inputFiles — |probed cells| directories instead of the corpus.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    # the query vector is ONE row (in production it arrives with the
+    # request, not from the corpus) — fetch it driver-side so the
+    # serving plan's ONLY corpus scan is the probed-cells scan, which
+    # keeps the partition-pruning law assertable on inputFiles
+    qrow = (
+        vectors.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    probed = (
+        cents.withColumn("q", q_lit)
+        .select("cent_id", cosine_col("cent_emb", "q").alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cent_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_ids = [int(r["cent_id"]) for r in probed]
+    return (
+        vectors.filter(F.col("cent_id").isin(probe_ids))
+        .withColumn("q", q_lit)
+        .select("vec_id", cosine_col("embedding", "q").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,

@@ -165,3 +165,60 @@ def test_hll_sketch_rollup_is_mergeable_and_close(spark):
     true = tok.select("term").distinct().count()
     assert merged_est == global_est  # mergeability: same summary either way
     assert abs(merged_est - true) <= max(2.0, 0.05 * true)
+
+
+def test_ivf_index_partition_pruning_law(spark, tmp_path):
+    """The 100-TB IVF claim, demonstrated instead of asserted: vectors
+    written PARTITIONED BY cent_id; a probe's serving scan must (a)
+    return exactly what the in-memory ivf_topk returns over the same
+    centroids, and (b) physically read ONLY the probed cells' files —
+    partition pruning in the layout, not a runtime row filter."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        stride_cents,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    write_ivf_index(emb, path, centroid_stride=50)
+
+    got = ivf_topk_indexed(spark, path, query_vec_id=0, k=10, n_probe=3)
+    want = ivf_topk(emb, query_vec_id=0, k=10, centroid_stride=50, n_probe=3)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in want.collect()
+    ]
+
+    # the pruning law, read off the PHYSICAL scan (DataFrame.inputFiles
+    # deliberately ignores pruning — it lists the relation's whole file
+    # set): the FileSourceScanExec's selectedPartitions must cover at
+    # most n_probe cells, strictly fewer than the index holds
+    n_cells = (
+        spark.read.parquet(f"{path}/vectors")
+        .select("cent_id")
+        .distinct()
+        .count()
+    )
+    import re
+
+    jplan = got._jdf.queryExecution().executedPlan()
+    leaves = jplan.collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.length())
+        if "FileSourceScan" in leaves.apply(i).getClass().getSimpleName()
+    ]
+    assert scans, "expected a parquet scan leaf in the serving plan"
+    # the scan carries a PartitionFilters IN-list over cent_id — the
+    # filter FileSourceScan applies at FILE LISTING time (unprobed
+    # cent_id= directories are never read); it must name at most
+    # n_probe cells, strictly fewer than the index holds
+    m = re.search(
+        r"PartitionFilters: \[cent_id#\d+ IN \(([^)]*)\)", scans[0].toString()
+    )
+    assert m, scans[0].toString()
+    probed_cells = [c for c in m.group(1).split(",") if c.strip()]
+    assert len(probed_cells) <= 3 < n_cells, (probed_cells, n_cells)
