@@ -202,6 +202,10 @@ def assign_cells_gemm(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     import pandas as pd
 
     crows = cents.collect()  # bounded: one row per cell
+    if not crows:  # empty corpus -> empty assignment (totality)
+        return embeddings.limit(0).select(
+            "vec_id", F.lit(0).cast("int").alias("cent_id")
+        )
     cent_ids = np.array([int(r["cent_id"]) for r in crows])
     order = np.argsort(cent_ids)  # ASC cent_id for deterministic ties
     cent_ids = cent_ids[order]
@@ -750,6 +754,8 @@ def neardup_pairs_topk_semdedup(
 
     # driver-side cell geometry: C centroids + C radii (bounded rows)
     crows = cents.collect()
+    if not crows:  # empty corpus -> no cells, no pairs (totality)
+        return phase1.limit(0).select("d1", "d2")
     cent_ids = [int(r["cent_id"]) for r in crows]
     cm = np.vstack([np.asarray(r["cent_emb"], dtype=np.float64) for r in crows])
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)

@@ -1,0 +1,73 @@
+"""Empty-input totality: every core operator family must return an
+EMPTY result (never raise) on zero-row inputs.
+
+At 100 TB empty slices are routine — an empty incremental batch, a
+predicate that prunes everything, a new tenant's empty partition — and
+an operator that throws on them turns a no-op into a pipeline page.
+These tests run the batch operator surface over structurally-correct
+but empty DataFrames.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+
+
+@pytest.fixture()
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+
+def test_dedup_family_on_empty(empty_docs):
+    from cvemate_spark.operators import dedup
+
+    assert dedup.minhash_pairs(empty_docs).count() == 0
+    assert dedup.minhash_pairs_incremental(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs, max_hamming=2).count() == 0
+    assert dedup.simhash_pairs(
+        empty_docs, max_hamming=2, bits=60, chunks=4, features="shingle"
+    ).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, threshold=0.3).count() == 0
+    pairs = dedup.simhash_pairs(empty_docs, max_hamming=2)
+    assert dedup.dedup_components(pairs).count() == 0
+
+
+def test_similarity_family_on_empty(empty_emb):
+    from cvemate_spark.operators import similarity as sim
+
+    assert sim.brute_topk(empty_emb, 0, k=5).count() == 0
+    assert sim.neardup_pairs_topk(empty_emb, k=5).count() == 0
+    assert sim.neardup_pairs_topk_semdedup(empty_emb, k=5).count() == 0
+    assert sim.semdedup(empty_emb).count() == 0
+    assert sim.semdedup_gemm(empty_emb).count() == 0
+    assert sim.ivf_topk(empty_emb, 0, k=5).count() == 0
+    assert sim.lsh_topk_batch(empty_emb, n_queries=2, k=5).count() == 0
+
+
+def test_merge_on_empty(spark):
+    from cvemate_spark.operators.merge import merge_upsert
+
+    empty = spark.createDataFrame([], "id string, nvd string")
+    batch = spark.createDataFrame([Row(id="CVE-1", nvd="x")])
+    # empty target <- batch: all inserts
+    out = merge_upsert(empty, batch.select("id", F.col("nvd")), key="id")
+    assert out.count() == 1
+    # target <- empty batch: unchanged rows survive
+    out2 = merge_upsert(out.select("id", "nvd"), empty, key="id")
+    assert out2.count() == 1
+    # empty <- empty
+    assert merge_upsert(empty, empty, key="id").count() == 0
+
+
+def test_classifier_on_empty(spark, empty_docs):
+    from cvemate_spark.operators.classifier import N_BUCKETS, predict
+
+    assert predict(empty_docs, [0] * N_BUCKETS).count() == 0
