@@ -103,8 +103,8 @@ def main() -> int:
     # The engine side of these queries runs fine at sf1 (15-19 s,
     # label-propagation is edge-linear); they stay fully gated at the
     # driver scales and are skipped only in derived large-scale sweeps.
-    oracle_scale_bound = {"dedup_canonical", "dedup_components",
-                          "dedup_cluster_sizes"}
+    oracle_scale_bound = {"dedup_canonical", "dedup_canonical_shingle",
+                          "dedup_components", "dedup_cluster_sizes"}
     derived_dir = not sf_dir.startswith("/root/testdata/")
 
     names = only or sorted(REGISTRY.specs)
