@@ -114,3 +114,23 @@ def test_changed_builders_reenter_gate():
         f"{violating} — rotate them into DRIVER_GATE or refresh via "
         f"tools/update_gate_hashes.py after a green local oracle run"
     )
+
+
+def test_gate_hash_closure_and_sensitivity():
+    """The policy hash must (a) include operator/function modules the
+    builder's module transitively imports — the round-3 q06 incident
+    was an operator-layer rewrite invisible to the query module — and
+    (b) change when the oracle text changes."""
+    import dataclasses
+
+    from tools.gate_hash import _closure, builder_hash
+
+    deps = _closure("cvemate_spark.queries.dedup_ops")
+    assert "cvemate_spark.operators.dedup" in deps
+    assert "cvemate_spark.functions.text" in deps  # transitive (via dedup)
+
+    spec = REGISTRY.specs["q11"]
+    h = builder_hash(spec)
+    assert h == builder_hash(spec)  # deterministic
+    tweaked = dataclasses.replace(spec, oracle=spec.oracle + " ")
+    assert builder_hash(tweaked) != h
