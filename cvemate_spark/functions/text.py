@@ -68,6 +68,13 @@ def band_signature_exprs(engine: str, n_bands: int = MINHASH_BANDS) -> list[str]
     j = 0.4; the 6x2 layout (n_bands=6) raises that to ~65% at the
     cost of more candidate volume (measured: DUPBENCH.json).
     """
+    if MINHASH_K % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide MINHASH_K={MINHASH_K}: "
+            f"integer division would silently drop "
+            f"{MINHASH_K % n_bands} of the {MINHASH_K} minhashes from "
+            "every band signature, changing recall without saying so"
+        )
     rows = MINHASH_K // n_bands
     sep = " || '-' || " if engine == "duck" else None
     out = []

@@ -506,18 +506,18 @@ def simhash_pairs(
     band_exprs = [
         F.expr(e) for e in _simhash_band_exprs(max_hamming, chunks, bits // chunks)
     ]
-    chunks = sigs.select(
+    banded = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(F.array(*band_exprs)).alias("band", "key"),
     )
-    left = chunks.select(
+    left = banded.select(
         F.col("doc_id").alias("d1"),
         F.col("simhash").alias("h1"),
         "band",
         "key",
     )
-    right = chunks.select(
+    right = banded.select(
         F.col("doc_id").alias("d2"),
         F.col("simhash").alias("h2"),
         F.col("band").alias("b2"),

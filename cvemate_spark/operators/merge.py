@@ -295,8 +295,18 @@ def _advance_pointer(path: str, tmp: str, v: int) -> None:
                 # since a version stopped being resolvable as latest —
                 # the same clock Delta's deletedFileRetentionDuration
                 # runs on — not time since it was written.
+                # Only versions whose parquet job FINISHED (Spark's
+                # _SUCCESS sentinel) are stampable: a racer's v-<old>
+                # directory can exist while its write is still in
+                # flight, and stamping it would start the vacuum grace
+                # clock on a version that is mid-write — a write
+                # outlasting grace_seconds would then be rmtree'd under
+                # the writer. An unfinished racer gets its marker from
+                # whichever commit lands after it completes.
                 for old in _list_versions(path):
-                    if old < v:
+                    if old < v and os.path.exists(
+                        os.path.join(path, f"v-{old}", "_SUCCESS")
+                    ):
                         marker = os.path.join(path, f"v-{old}.superseded")
                         if not os.path.exists(marker):
                             with open(marker, "w") as mf:
@@ -362,24 +372,41 @@ def vacuum_versions(
     for tests and offline maintenance windows where no readers exist.
 
     `keep` additionally retains the newest `keep` versions outright,
-    whatever their age. Returns the versions removed."""
-    with open(os.path.join(path, "_LATEST")) as f:
-        committed = int(f.read().strip())
-    versions = _list_versions(path)
-    now = time.time()
-    doomed = []
-    for v in versions[:-keep] if keep else []:
-        if v == committed:
-            continue
-        marker = os.path.join(path, f"v-{v}.superseded")
-        if not os.path.exists(marker):
-            continue  # never superseded -> not provably dead
-        if now - os.path.getmtime(marker) < grace_seconds:
-            continue  # a reader may still be inside its grace window
-        doomed.append(v)
-    for v in doomed:
-        shutil.rmtree(os.path.join(path, f"v-{v}"), ignore_errors=True)
-        os.unlink(os.path.join(path, f"v-{v}.superseded"))
+    whatever their age. Returns the versions removed.
+
+    Runs under the same `_COMMITLOCK` flock the pointer advance takes,
+    so two concurrent vacuums serialize (each sees the other's
+    removals before selecting) and a vacuum never interleaves with a
+    pointer advance's supersession stamping; the marker unlink still
+    tolerates a missing file, because rmtree(ignore_errors) can leave
+    a half-removed state a later vacuum re-selects."""
+    import fcntl
+
+    with open(os.path.join(path, "_COMMITLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(os.path.join(path, "_LATEST")) as f:
+                committed = int(f.read().strip())
+            versions = _list_versions(path)
+            now = time.time()
+            doomed = []
+            for v in versions[:-keep] if keep else []:
+                if v == committed:
+                    continue
+                marker = os.path.join(path, f"v-{v}.superseded")
+                if not os.path.exists(marker):
+                    continue  # never superseded -> not provably dead
+                if now - os.path.getmtime(marker) < grace_seconds:
+                    continue  # a reader may still be in its grace window
+                doomed.append(v)
+            for v in doomed:
+                shutil.rmtree(os.path.join(path, f"v-{v}"), ignore_errors=True)
+                try:
+                    os.unlink(os.path.join(path, f"v-{v}.superseded"))
+                except FileNotFoundError:
+                    pass
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return doomed
 
 

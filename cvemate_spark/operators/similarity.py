@@ -323,6 +323,12 @@ def ivf_topk_indexed(
         .select("embedding")
         .first()
     )
+    if qrow is None:
+        raise ValueError(
+            f"ivf_topk_indexed: query vec_id={query_vec_id} not found in "
+            f"index at {path!r} — pass a vec_id present in the indexed "
+            "vectors (or serve an external query vector via ivf_topk)"
+        )
     q_lit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     probed = (
         cents.withColumn("q", q_lit)
@@ -530,9 +536,11 @@ def neardup_pairs_topk(
     q26 use), making the output bit-exact at any scale. The candidate
     relation is O(groups·k) PLUS any exact-tie plateau at the
     selection threshold — quadratic in duplicate multiplicity on a
-    duplicate-heavy corpus — so it is persisted (one GEMM pass feeds
-    both rescore joins) but never broadcast-hinted: AQE broadcasts it
-    at runtime when it is actually small and degrades to a shuffled
+    duplicate-heavy corpus. It has exactly ONE consumer in the final
+    plan (see the NOTE below: the second, d2-distinct semi-filter
+    subtree was removed, so no persist is needed — the GEMM stage runs
+    once per action) and it is never broadcast-hinted: AQE broadcasts
+    it at runtime when it is actually small and degrades to a shuffled
     join instead of an executor OOM when a plateau blows it up (the
     same no-forced-broadcast rule the dedup verify pins).
     """

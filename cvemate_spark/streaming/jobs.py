@@ -337,10 +337,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unmatched click is emitted exactly when the watermark passes
     the end of its join window — i.e. during the trailing watermark-
     advancing batch, not during data processing. Determinism contract
-    under availableNow: the final global watermark is max(ts) - 1h
-    (both sides share the events table and a 1 h delay), so an
+    under availableNow: the final GLOBAL watermark is the MIN over
+    both sides of (max watermark-column value - 1h delay), each
+    side's maximum taken AFTER its event_type filter — so an
     unmatched click null-emits iff its whole window [click_ts,
-    click_ts + 1h] lies below that — click_ts < max(ts) - 2h. Clicks
+    click_ts + 1h] lies below that:
+    click_ts < LEAST(max click_ts, max p_ts) - 2h. (Using max(ts)
+    over the unfiltered table mispredicts by the click/purchase tail
+    gap — the s9 oracle proved that empirically; do not "simplify"
+    this rule back to a single-side max.) Clicks
     nearer the end of input stay buffered and are (correctly) never
     emitted as unmatched: the stream cannot know a future purchase
     won't arrive. The oracle mirrors exactly that horizon rule, so

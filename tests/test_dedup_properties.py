@@ -88,3 +88,15 @@ def test_minhash_pairs_match_bruteforce_model(spark, corpus):
             corpus[i]
         ):
             assert (i, j) in got, f"identical docs {(i, j)} missed"
+
+
+def test_band_layout_rejects_non_divisor_band_count():
+    """n_bands must divide MINHASH_K: integer division would silently
+    drop minhashes from every band signature (ADVICE r4)."""
+    import pytest
+
+    from cvemate_spark.functions.text import MINHASH_K, band_signature_exprs
+
+    with pytest.raises(ValueError, match="must divide MINHASH_K"):
+        band_signature_exprs("spark", n_bands=5)
+    assert MINHASH_K % 5 != 0  # the guard is actually exercised above

@@ -222,3 +222,20 @@ def test_ivf_index_partition_pruning_law(spark, tmp_path):
     assert m, scans[0].toString()
     probed_cells = [c for c in m.group(1).split(",") if c.strip()]
     assert len(probed_cells) <= 3 < n_cells, (probed_cells, n_cells)
+
+
+def test_ivf_indexed_missing_query_id_raises_cleanly(spark, tmp_path):
+    """Serving a vec_id absent from the index must raise ValueError
+    naming the id, not AttributeError off a None row (ADVICE r4)."""
+    import pytest
+
+    from cvemate_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(20)
+    path = str(tmp_path / "ivfidx2")
+    write_ivf_index(emb, path, centroid_stride=5)
+    with pytest.raises(ValueError, match="vec_id=999999 not found"):
+        ivf_topk_indexed(spark, path, query_vec_id=999999, k=5, n_probe=2)

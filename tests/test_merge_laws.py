@@ -338,3 +338,37 @@ def test_diff_applied_through_merge_reproduces_v2(spark):
     ).drop("change")
     out = merge_upsert_deletes(v1, cdc, key="id", now=NOW).select("id", "v")
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in v2.collect()}
+
+
+def test_advance_pointer_never_stamps_unfinished_write(spark, tmp_path):
+    """A racer's version dir that exists but whose parquet job has not
+    finished (no _SUCCESS) must NOT receive a supersession marker from
+    a later commit — stamping it would start the vacuum grace clock on
+    a mid-write version (ADVICE r4). Once the write completes, the next
+    commit stamps it."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge import vacuum_versions, write_versioned
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([Row(id=1, x="a")]), path)
+
+    # simulate an in-flight racer: claimed + dir exists, _SUCCESS absent
+    os.close(os.open(f"{path}/v-5.claim", os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    spark.createDataFrame([Row(id=1, x="slow")]).write.parquet(f"{path}/v-5")
+    os.unlink(f"{path}/v-5/_SUCCESS")
+
+    v = write_versioned(spark.createDataFrame([Row(id=1, x="b")]), path)
+    assert v == 6
+    assert not os.path.exists(f"{path}/v-5.superseded")
+    # unmarked -> vacuum never selects it, even with zero grace
+    assert 5 not in vacuum_versions(path, keep=1, grace_seconds=0.0)
+    assert os.path.isdir(f"{path}/v-5")
+
+    # the racer finishes; the NEXT commit stamps it, making it reclaimable
+    open(f"{path}/v-5/_SUCCESS", "w").close()
+    write_versioned(spark.createDataFrame([Row(id=1, x="c")]), path)
+    assert os.path.exists(f"{path}/v-5.superseded")
+    assert 5 in vacuum_versions(path, keep=1, grace_seconds=0.0)
