@@ -220,6 +220,30 @@ def s9_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s10_tws",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS micros
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id, cnt, micros
+    """,
+    doc="S10: Spark 4 transformWithStateInPandas (stateful-processor "
+    "API, typed ValueState cells, RocksDB provider for column "
+    "families) — per-user running (count, micro-unit value sum); after "
+    "availableNow drains, the final state equals the batch aggregate. "
+    "Runs through the repo-root google/ protobuf bridge (see "
+    "google/__init__.py); round 4 this surface was a fail-closed "
+    "environment boundary with zero runtime evidence.",
+)
+def s10_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.tws_running_agg(spark, sf_dir).orderBy(
+        "user_id", "cnt", "micros"
+    )
+
+
+@REG.add(
     "s8_static_join",
     """
     SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt

@@ -453,7 +453,7 @@ def stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tws_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8: the Spark 4 stateful-processor API (transformWithState-
+    """S10: the Spark 4 stateful-processor API (transformWithState-
     InPandas) — the successor surface to applyInPandasWithState, with
     typed named state cells instead of one opaque tuple. A per-user
     ValueState holds (cnt, micros): event count + the micro-unit
@@ -466,21 +466,29 @@ def tws_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state size is |users|, never |events|, and the RocksDB provider
     (tools/streambench.py) keeps it off-heap.
 
-    ENVIRONMENT GATE: the transformWithState Python state server
-    speaks protobuf to the JVM; this container has no `protobuf`
-    package (and installs are out of scope), so the operator raises
-    NotImplementedError here — the same honest-boundary pattern as the
-    multimodal codec. The applyInPandasWithState form of the identical
-    aggregation is the driver-gated s5_stateful query; this function
-    is the forward-facing Spark 4 surface, runnable anywhere protobuf
-    exists. The gate (not the law) is pinned in tests.
+    ENVIRONMENT BOUNDARY, now bridged: the transformWithState Python
+    state server speaks protobuf to the JVM, and this container has no
+    `protobuf` pip package — through round 4 this operator failed
+    closed. Round 5 closed the boundary WITHOUT an install: the repo-
+    root `google/` package bridges google.protobuf onto the machine's
+    bundled pure-Python runtime 6.32.0 (google-cloud-sdk appengine
+    platform dir) and law-proves the 6.33-gencode-on-6.32-runtime
+    round-trip (see google/__init__.py). Every process that needs the
+    bridge — driver, TWS driver worker, executor workers — reaches it
+    through the repo root already on its sys.path (workers: the
+    daemon's cwd). On a machine with neither a protobuf package nor
+    the SDK runtime, the ImportError below still fails closed with the
+    same honest message. The operator itself is the driver-gated
+    s10_tws query; s5_stateful remains the applyInPandasWithState
+    form of the same aggregation.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "transformWithStateInPandas needs the protobuf runtime "
-            "(python package `protobuf`), absent in this container"
+            "transformWithStateInPandas needs a protobuf runtime: no "
+            "`protobuf` package and no bridgeable SDK runtime found "
+            "(see google/__init__.py for the bridge's search paths)"
         ) from e
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -513,18 +521,36 @@ def tws_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("s8_sink")
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState keeps each named state cell in its own column
+    # family — a RocksDB-provider feature (the default HDFS-backed
+    # provider is single-family and refuses). RocksDB is also the
+    # provider this state would run on at scale (off-heap, incremental
+    # checkpoints); scope it to this query and restore after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("s10_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     # final (largest) emission per user = fully drained state; both
     # cells are monotone (counts, and value >= 0 in this feed)
     return (
-        spark.table("s8_sink")
+        spark.table("s10_sink")
         .groupBy("user_id")
         .agg(F.max("cnt").alias("cnt"), F.max("micros").alias("micros"))
     )
