@@ -17,6 +17,9 @@ engine-surface gates for the count-min sketch and the z-order key:
                   sketch's overcounts are oracle-checked.
 - e_zorder        Morton z-value of two quantized event dimensions —
                   the clustering key behind operators/layout.py.
+- e_zorder_part   the partitioned z-bucket layout end-to-end: write
+                  partitionBy(z-bucket), read a query box through
+                  listing-time PartitionFilters (no manifest collect).
 
 All JVM-side (lambda folds, bit ops, regex); no Python in any scan.
 Every keep/threshold decision is integer arithmetic (e.g. mean word
@@ -665,4 +668,56 @@ def t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality").alias("quality_cutoff"),
         )
         .orderBy("source", "n_kept", "kept_tokens", "quality_cutoff")
+    )
+
+
+# ----------------------------------------------- e_zorder_part
+@REG.add(
+    "e_zorder_part",
+    """
+    SELECT event_id, x, y
+    FROM (
+        SELECT event_id,
+               user_id % 256 AS x,
+               CAST(floor(value / 2.0) AS BIGINT) AS y
+        FROM events
+    )
+    WHERE x BETWEEN 16 AND 47 AND y BETWEEN 8 AND 39
+    ORDER BY event_id, x, y
+    """,
+    doc="Partitioned z-bucket layout end-to-end (the VERDICT-r4 answer "
+    "to manifest pruning's driver file list): events quantized and "
+    "written partitionBy(coarse z-bucket), then a query-box read whose "
+    "bucket IN-list is O(n_buckets) driver arithmetic and prunes "
+    "DIRECTORIES at file-listing time (PartitionFilters; law in "
+    "tests/test_layout_sketch.py). Output must equal the plain "
+    "filtered scan the oracle runs.",
+)
+def e_zorder_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..operators.layout import (
+        read_pruned_partitioned,
+        write_zordered_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    quant = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("long").alias("x"),
+        F.floor(F.col("value") / 2.0).cast("long").alias("y"),
+    )
+    # deterministic per-input path: re-runs overwrite instead of leaking
+    path = os.path.join(
+        "/root/repo/.scratch",
+        f"zpart_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    write_zordered_partitioned(quant, path, "x", "y", n_buckets=64, bits=8)
+    return (
+        read_pruned_partitioned(
+            spark, path, "x", "y", (16, 47), (8, 39), n_buckets=64, bits=8
+        )
+        .select("event_id", "x", "y")
+        .orderBy("event_id", "x", "y")
     )

@@ -239,3 +239,94 @@ def test_ivf_indexed_missing_query_id_raises_cleanly(spark, tmp_path):
     write_ivf_index(emb, path, centroid_stride=5)
     with pytest.raises(ValueError, match="vec_id=999999 not found"):
         ivf_topk_indexed(spark, path, query_vec_id=999999, k=5, n_probe=2)
+
+
+def test_zbucket_partitioned_layout_prunes_at_listing_time(spark, tmp_path):
+    """The relational answer to prune_files' driver file list (VERDICT
+    r4 watch item): the coarse z-bucket is a write-time PARTITION key,
+    so a query-box read (a) equals the full filtered scan, (b) carries
+    the bucket IN-list as a PartitionFilter — unlisted directories are
+    never touched — and (c) plans with O(n_buckets) driver arithmetic,
+    no manifest collect. Also: zbuckets_for_box must match the
+    brute-force bucket set of every cell in the box (the quadtree
+    decode law)."""
+    import re
+
+    from cvemate_spark.operators.layout import (
+        read_pruned_partitioned,
+        write_zordered_partitioned,
+        zbuckets_for_box,
+    )
+
+    ev = _quantized_events(spark)
+    path = str(tmp_path / "zp")
+    write_zordered_partitioned(ev, path, "x", "y", n_buckets=64, bits=8)
+
+    # a box that straddles bucket boundaries (not quadtree-aligned)
+    box_x, box_y = (16, 47), (8, 39)
+    buckets = zbuckets_for_box(box_x, box_y, n_buckets=64, bits=8)
+
+    # quadtree decode law vs brute force over every cell in the box
+    shift = 2 * 8 - 6  # 64 buckets over 16 z bits
+    brute = set()
+    for x in range(box_x[0], box_x[1] + 1):
+        for y in range(box_y[0], box_y[1] + 1):
+            z = 0
+            for i in range(8):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            brute.add(z >> shift)
+    assert set(buckets) == brute
+    assert 0 < len(buckets) < 64  # the box genuinely prunes
+
+    got = read_pruned_partitioned(
+        spark, path, "x", "y", box_x, box_y, n_buckets=64, bits=8
+    )
+    want = ev.filter(
+        F.col("x").between(*box_x) & F.col("y").between(*box_y)
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+
+    # PartitionFilters carries the bucket IN-list: listing-time pruning
+    jplan = got._jdf.queryExecution().executedPlan()
+    leaves = jplan.collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.length())
+        if "FileSourceScan" in leaves.apply(i).getClass().getSimpleName()
+    ]
+    assert scans
+    s = scans[0].toString()
+    m = re.search(r"PartitionFilters: \[.*_zb#\d+ IN \(([^)]*)\)", s)
+    if m:  # multi-bucket IN-list
+        assert len(m.group(1).split(",")) == len(buckets)
+    else:  # Catalyst folds a 1-element IN to an equality
+        assert len(buckets) == 1 and re.search(
+            r"PartitionFilters: \[.*_zb#\d+ = ", s
+        ), s
+
+
+def test_prune_files_bounds_driver_list_with_fallback(spark, tmp_path):
+    """prune_files must refuse to materialize a surviving-file list
+    larger than max_files (returning None), and read_pruned must then
+    fall back to the whole-path scan with the row filter — same rows,
+    bounded driver state (VERDICT r4 watch item)."""
+    ev = _quantized_events(spark)
+    zpath = str(tmp_path / "zcap")
+    write_zordered(ev, zpath, "x", "y", n_files=8)
+    man = file_stats(spark, zpath, ["x", "y"])
+    wide = {"x": (0, 255), "y": (0, 255)}  # keeps every file
+
+    assert prune_files(man, wide, max_files=2) is None
+    kept = prune_files(man, wide, max_files=None)
+    assert isinstance(kept, list) and len(kept) == 8
+
+    import unittest.mock as mock
+
+    with mock.patch(
+        "cvemate_spark.operators.layout.prune_files", return_value=None
+    ):
+        got = read_pruned(spark, zpath, man, wide)
+    assert got.count() == ev.count()
