@@ -78,35 +78,55 @@ REGISTRY = build_registry()
 # outer stream-stream watermark-horizon contract). Each entrant is
 # oracle-green at sf0.001/0.01 (+ sf0.1 and the dup0.1 stress corpus
 # where applicable).
+#
+# Round-5 rotation (VERDICT r4 item 1: retire the never-driver-proven
+# tranche; target cumulative >= 110): twenty r4-green stable provers
+# ceded slots (src_nvd, src_cveorg_zip, src_exploitdb, src_cwe_xml,
+# src_pyds, q05, q06, q19, q31, q32, q34, e_dq_audit, e_cms,
+# e_rolling, dedup_paragraph, dedup_substring, dedup_simhash_wide,
+# dedup_minhash_highrecall, t_perplexity, t_dsir — exits whose
+# builders changed only through this round's advice fixes were
+# re-proven by the update_gate_hashes local-oracle pass) to twenty
+# entrants: seventeen never-driver-proven registry queries (q29 corr.
+# subquery, q30 EXISTS, q33 scalar subquery, e_pivot, e_unpivot,
+# e_gapfill, e_ivm_join, e_table_diff, e_hll_merge, g_pagerank,
+# t_winnow, t_chunk, emb_pq, ann_pq_batch, dedup_canonical_shingle,
+# src_orc, src_cwe_xml_udtf) plus this round's three new
+# capabilities: s10_tws (transformWithStateInPandas actually running
+# through the protobuf bridge), mm_png (real PNG decode), and
+# e_zorder_part (listing-time-pruned partitioned z-bucket layout).
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # §2.1 sources (readers with r03-green siblings rotated out;
-    # src_pyds = Spark 4 Python DataSource enters for the first time)
-    "src_nvd", "src_cveorg_zip",
-    "src_exploitdb", "src_cwe_xml", "src_pyds",
+    # §2.1 sources (r5: the ORC reader and the XML UDTF fallback —
+    # the two readers that never had driver evidence)
+    "src_orc", "src_cwe_xml_udtf",
     # composed pipelines
     "cve_pipeline",
-    # §2.2-2.8 relational core (q06 re-proves its round-3
-    # agg-below-join rewrite; q34 proves INTERSECT/EXCEPT ALL)
-    "q05", "q06", "q11", "q19", "q31", "q32", "q34",
-    # engine surface (r04 rotation: DQ audit, count-min sketch,
-    # RANGE-interval rolling join the r03-proven merge/SCD2 slots)
-    "e_merge_delete", "e_scd2", "e_dq_audit", "e_cms", "e_rolling",
-    # §2.9-2.11 streaming (s9 = outer stream-stream horizon contract)
+    # §2.2-2.8 relational core (r5: the subquery family enters —
+    # correlated aggregate q29, EXISTS q30, scalar subquery q33)
+    "q11", "q29", "q30", "q33",
+    # engine surface (r5: pivot/unpivot, gap-fill, incremental view
+    # maintenance, table diff, mergeable HLL rollup, graph pagerank,
+    # partitioned z-bucket layout)
+    "e_merge_delete", "e_scd2", "e_pivot", "e_unpivot", "e_gapfill",
+    "e_ivm_join", "e_table_diff", "e_hll_merge", "g_pagerank",
+    "e_zorder_part",
+    # §2.9-2.11 streaming (s10 = the Spark 4 stateful-processor API
+    # running for real, round-5 headline)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    "s9_outer_join",
-    # LLM-pipeline: dedup, similarity, text.
-    "dedup_exact", "dedup_minhash", "dedup_minhash_highrecall",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_shingle", "dedup_simhash_wide",
+    "s9_outer_join", "s10_tws",
+    # LLM-pipeline: dedup, similarity, text, multimodal.
+    "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
     "dedup_components", "dedup_incremental",
-    "dedup_paragraph", "dedup_substring",
+    "dedup_canonical_shingle",
     "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
     "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
-    "emb_semdedup_gemm",
+    "emb_semdedup_gemm", "emb_pq", "ann_pq_batch",
     "bm25_topk",
-    "t_quality", "t_tokens", "t_fingerprint", "t_perplexity", "t_dsir",
+    "t_quality", "t_tokens", "t_fingerprint", "t_winnow", "t_chunk",
     "curate_pipeline", "curate_pipeline2",
+    "mm_png",
 )
 
 

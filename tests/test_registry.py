@@ -26,30 +26,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CRITICAL = (
     # streaming ladder (s2_sliding rotated out in r03 — driver-green in
-    # r02; the sliding-window class keeps local-oracle coverage)
+    # r02; s10_tws = the Spark 4 stateful-processor API running for
+    # real through the protobuf bridge, round-5 headline)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    "s9_outer_join",
-    # text / curation (t_langid rotated out in r04 — driver-green r03)
-    "t_quality", "t_tokens", "t_fingerprint", "t_perplexity", "t_dsir",
+    "s9_outer_join", "s10_tws",
+    # text / curation (r05: t_perplexity/t_dsir rotated out r4-green;
+    # the never-proven winnow fingerprint + chunking enter)
+    "t_quality", "t_tokens", "t_fingerprint", "t_winnow", "t_chunk",
     "curate_pipeline", "curate_pipeline2",
-    # dedup surface (r04 late rotation adds the round's own findings)
-    "dedup_exact", "dedup_minhash", "dedup_minhash_highrecall",
+    # dedup surface (r05: paragraph/substring/wide/highrecall rotated
+    # out r4-green; the composed canonical pass at the contract
+    # shingle layout enters)
+    "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
-    "dedup_simhash_wide",
-    "dedup_components", "dedup_incremental", "dedup_paragraph",
-    "dedup_substring",
-    # similarity / ANN
+    "dedup_components", "dedup_incremental", "dedup_canonical_shingle",
+    # similarity / ANN (r05: the PQ family enters)
     "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
     "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
-    "emb_semdedup_gemm", "bm25_topk",
-    # composed pipelines (cwe_enrich / mm_* rotated out late in r04 —
-    # r03-driver-green, builders unchanged in r04, locally gated)
-    "cve_pipeline",
-    # engine surface
-    "e_merge_delete", "e_scd2", "e_dq_audit", "e_cms", "e_rolling",
-    "q31", "q32", "q34",
-    # re-proving the round-3 rewrite (the q06 incident)
-    "q06",
+    "emb_semdedup_gemm", "emb_pq", "ann_pq_batch", "bm25_topk",
+    # composed pipelines (cwe_enrich / mm_features / mm_frames rotated
+    # out r03-green; mm_png = the REAL PNG decode, new in r05)
+    "cve_pipeline", "mm_png",
+    # engine surface (r05: the subquery family q29/q30/q33 and the
+    # never-proven pivot/gapfill/IVM/diff/HLL-merge/pagerank/layout
+    # operators enter; q06/q31/q32/q34/e_dq_audit/e_cms/e_rolling
+    # rotate out r4-green)
+    "e_merge_delete", "e_scd2", "e_pivot", "e_unpivot", "e_gapfill",
+    "e_ivm_join", "e_table_diff", "e_hll_merge", "g_pagerank",
+    "e_zorder_part", "q29", "q30", "q33",
 )
 
 # src_* readers rotated out with accumulated driver-green evidence
@@ -61,9 +65,14 @@ SRC_ROTATED_OUT = {
     "src_kev": "r03",
     "src_metasploit": "r03",
     "src_debian": "r03",
-    # format-breadth / fallback readers, deliberately local-only:
-    "src_orc": "local",
-    "src_cwe_xml_udtf": "local",
+    # r05 rotation: the five r04-green readers cede their slots to the
+    # two that never had driver evidence (src_orc, src_cwe_xml_udtf —
+    # now IN the gate)
+    "src_nvd": "r04",
+    "src_cveorg_zip": "r04",
+    "src_exploitdb": "r04",
+    "src_cwe_xml": "r04",
+    "src_pyds": "r04",
 }
 
 
