@@ -270,6 +270,7 @@ def write_ivf_index(
     path: str,
     cents: DataFrame | None = None,
     centroid_stride: int = 50,
+    use_gemm: bool = False,
 ) -> None:
     """Materialize the IVF layout the scale docs promise: vectors
     written PARTITIONED BY their cell id, centroids alongside.
@@ -283,12 +284,28 @@ def write_ivf_index(
     probe side needs. Serving reads are `ivf_topk_indexed`, whose scan
     provably touches only the probed cells
     (tests/test_layout_sketch.py asserts inputFiles ⊂ probed dirs).
+
+    Scale knobs (the sf10 measurement, tools/ivf_sf10.py, forced
+    both): `use_gemm=True` computes the assignment as the Arrow-GEMM
+    argmax instead of the n·C crossJoin fold — at 200k vectors x 4k
+    cells the fold is an 800M-row exchange, the GEMM a 51-GFLOP
+    matmul (validated hash-identical at the gated scales,
+    emb_semdedup_gemm). The write always repartitions by cent_id
+    first, so each cell lands in ONE task -> ONE file per directory;
+    without it every write task emits a file into every cell it
+    holds — up to tasks x cells tiny files, the object-store killer.
     """
     if cents is None:
         cents = stride_cents(embeddings, centroid_stride)
-    assigned = assign_cells(embeddings, cents)
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{path}/vectors"
+    if use_gemm:
+        assigned = assign_cells_gemm(embeddings, cents).join(embeddings, "vec_id")
+    else:
+        assigned = assign_cells(embeddings, cents)
+    (
+        assigned.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{path}/vectors")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -355,6 +372,7 @@ def ivf_topk(
     centroid_stride: int = 50,
     n_probe: int = 3,
     cents: DataFrame | None = None,
+    use_gemm: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids, probe nearest cells, scan only those.
 
@@ -362,11 +380,16 @@ def ivf_topk(
     `stride_cents` (oracle-expressible); the plumbing — broadcast
     assign, cell pruning, in-cell top-k — is the production shape. Pass
     `cents` (cent_id, cent_emb) — e.g. from `kmeans_fit` — to serve
-    from trained centroids instead.
+    from trained centroids instead. `use_gemm=True` swaps the
+    assignment stage for the Arrow-GEMM argmax (the second-decade
+    setting; see write_ivf_index).
     """
     if cents is None:
         cents = stride_cents(embeddings, centroid_stride)
-    assigned = assign_cells(embeddings, cents)
+    if use_gemm:
+        assigned = assign_cells_gemm(embeddings, cents).join(embeddings, "vec_id")
+    else:
+        assigned = assign_cells(embeddings, cents)
     # the query probes its n_probe nearest centroids
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb")

@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Second-decade evidence for the persisted IVF index (VERDICT r4 item 4).
+
+The partition-pruning law (tests/test_layout_sketch.py) proves the
+serving scan touches only probed cells at sf0.001. This measures the
+same property at sf10 — 200k vectors, cells ∝ n (stride 50 → ~4000
+cells) — and records, per n_probe: files read, bytes read, and the
+fraction of the index touched, read from the EXECUTED scan's own
+metrics (numFiles/filesSize on the FileSourceScan after collect), not
+inferred from the filesystem. The scale claim being proven:
+files-read ∝ n_probe / C, independent of corpus size.
+
+Also re-asserts the serving law at this scale: ivf_topk_indexed ==
+in-memory ivf_topk over the same centroids.
+
+Writes IVFBENCH.json. Usage: python3 tools/ivf_sf10.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cvemate_spark.session import get_spark  # noqa: E402
+from cvemate_spark.tables import load_table  # noqa: E402
+
+
+def scan_metrics(df) -> dict:
+    """numFiles/filesSize of every FileSourceScan leaf after execution."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    leaves = jplan.collectLeaves()
+    out = {"numFiles": 0, "filesSize": 0}
+    for i in range(leaves.length()):
+        leaf = leaves.apply(i)
+        if "FileSourceScan" not in leaf.getClass().getSimpleName():
+            continue
+        m = leaf.metrics()
+        for key in out:
+            if m.contains(key):
+                out[key] += m.apply(key).value()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scratch", "sf10"))
+    ap.add_argument("--stride", type=int, default=50)
+    ap.add_argument("--out", default=os.path.join(REPO, "IVFBENCH.json"))
+    args = ap.parse_args()
+
+    from cvemate_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        stride_cents,
+        write_ivf_index,
+    )
+
+    spark = get_spark("ivf_sf10", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    n = emb.count()
+    idx_path = os.path.join(REPO, ".scratch", f"ivfidx_{os.path.basename(args.sf_dir)}")
+
+    t0 = time.time()
+    cents = stride_cents(emb, args.stride)
+    write_ivf_index(
+        emb, idx_path, cents=cents, centroid_stride=args.stride, use_gemm=True
+    )
+    build_s = round(time.time() - t0, 2)
+    n_cells = spark.read.parquet(f"{idx_path}/vectors").select(
+        "cent_id"
+    ).distinct().count()
+
+    # whole-index footprint for the denominators
+    total_files = 0
+    total_bytes = 0
+    for root, _dirs, files in os.walk(f"{idx_path}/vectors"):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_files += 1
+                total_bytes += os.path.getsize(os.path.join(root, f))
+
+    result = {
+        "metric": "persisted IVF index partition pruning at second decade",
+        "sf_dir": args.sf_dir,
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "stride": args.stride,
+        "index_build_s": build_s,
+        "index_files": total_files,
+        "index_bytes": total_bytes,
+        "probes": [],
+    }
+
+    for n_probe in (1, 3, 10):
+        t0 = time.time()
+        got = ivf_topk_indexed(
+            spark, idx_path, query_vec_id=0, k=10, n_probe=n_probe
+        )
+        got_ids = [r["vec_id"] for r in got.collect()]
+        serve_s = round(time.time() - t0, 3)
+        m = scan_metrics(got)
+        want_ids = [
+            r["vec_id"]
+            for r in ivf_topk(
+                emb,
+                query_vec_id=0,
+                k=10,
+                cents=cents,
+                n_probe=n_probe,
+                use_gemm=True,
+            ).collect()
+        ]
+        row = {
+            "n_probe": n_probe,
+            "serve_s": serve_s,
+            "files_read": m["numFiles"],
+            "bytes_read": m["filesSize"],
+            "files_frac": round(m["numFiles"] / max(total_files, 1), 5),
+            "bytes_frac": round(m["filesSize"] / max(total_bytes, 1), 5),
+            "probe_frac": round(n_probe / n_cells, 5),
+            "law_equals_in_memory": got_ids == want_ids,
+        }
+        result["probes"].append(row)
+        print(row)
+
+    # verdict: files-read fraction tracks n_probe/C within a small
+    # constant (file-count granularity: >=1 file per probed cell)
+    ok = all(
+        p["law_equals_in_memory"]
+        and p["files_read"] < total_files
+        and p["files_frac"] <= 5 * p["probe_frac"] + 5 / max(total_files, 1)
+        for p in result["probes"]
+    )
+    result["verdict"] = "PASS" if ok else "FAIL"
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(f"{result['verdict']} -> {args.out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
