@@ -95,6 +95,9 @@ REGISTRY = build_registry()
 # capabilities: s10_tws (transformWithStateInPandas actually running
 # through the protobuf bridge), mm_png (real PNG decode), and
 # e_zorder_part (listing-time-pruned partitioned z-bucket layout).
+# Late r5 addition: s11_recovery (kill-and-resume checkpoint
+# recovery — offset log + state store surviving a restart) enters;
+# t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
     # §2.1 sources (r5: the ORC reader and the XML UDTF fallback —
@@ -114,7 +117,7 @@ DRIVER_GATE: tuple[str, ...] = (
     # §2.9-2.11 streaming (s10 = the Spark 4 stateful-processor API
     # running for real, round-5 headline)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    "s9_outer_join", "s10_tws",
+    "s9_outer_join", "s10_tws", "s11_recovery",
     # LLM-pipeline: dedup, similarity, text, multimodal.
     "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
@@ -124,7 +127,7 @@ DRIVER_GATE: tuple[str, ...] = (
     "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
     "emb_semdedup_gemm", "emb_pq", "ann_pq_batch",
     "bm25_topk",
-    "t_quality", "t_tokens", "t_fingerprint", "t_winnow", "t_chunk",
+    "t_quality", "t_tokens", "t_winnow", "t_chunk",
     "curate_pipeline", "curate_pipeline2",
     "mm_png",
 )

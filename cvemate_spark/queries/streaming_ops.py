@@ -264,3 +264,28 @@ def s8_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.col("cnt").cast("long").alias("cnt"))
         .orderBy("c_mktsegment", "cnt")
     )
+
+
+@REG.add(
+    "s11_recovery",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type, cnt
+    """,
+    doc="S11: kill-and-resume recovery from the checkpoint — the same "
+    "query restarted against the same checkpointLocation after half "
+    "the input, with the other half landing between runs. The offset "
+    "log must skip already-processed files and the state store must "
+    "resume the aggregation (law: phase-2 numInputRows == |second "
+    "half|, tests/test_streaming.py), so the final complete-mode "
+    "emission equals the batch aggregate over ALL events. This is "
+    "the operational form of the reference's update_status watermark "
+    "table (mongodb_handler.py:212-225), subsumed by Structured "
+    "Streaming checkpoints.",
+)
+def s11_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.checkpoint_resume_counts(spark, sf_dir).orderBy(
+        "event_type", "cnt"
+    )

@@ -588,3 +588,95 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("s8_sink")
+
+
+def checkpoint_resume_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str | None = None,
+    collect_progress: list | None = None,
+) -> DataFrame:
+    """S11: kill-and-resume recovery from the checkpoint — the
+    operational form of the reference's `update_status` watermark
+    table (mongodb_handler.py:212-225: "how far did I get?"), which
+    Structured Streaming subsumes with its offset log + state store.
+
+    Two runs of the SAME query against the SAME checkpoint:
+      phase 1: the source dir holds the first half of events; the
+        complete-mode count aggregation drains it (availableNow),
+        commits state + offsets to the checkpoint, and the query
+        STOPS — the crash/restart boundary;
+      phase 2: the second half lands in the source dir; the restarted
+        query reads ONLY the new files (offset log) and resumes the
+        aggregation FROM CHECKPOINTED STATE (no reprocessing of phase
+        1, no lost counts).
+    The final complete-mode emission therefore equals the batch
+    aggregate over all events — true only if both the offset log and
+    the state store survive the restart, which is exactly the law.
+    foreachBatch lands each complete emission through the versioned
+    snapshot sink (atomic pointer commit), so a reader never sees a
+    half-written result — the same sink discipline s3 uses.
+
+    `workdir=None` uses content-keyed scratch dirs: a re-run finds the
+    drained checkpoint, both phases no-op on input, and the sink's
+    committed version still holds the full counts (idempotent).
+    `collect_progress` (tests) receives one {"phase", "rows"} dict per
+    phase, read from the query's own progress telemetry — the pytest
+    law asserts phase 2 processed exactly the second half.
+    """
+    import pyarrow.parquet as pq
+
+    from ..operators.merge import read_versioned, write_versioned
+
+    _ensure_session_confs(spark)
+    stage = _stage_events(sf_dir)
+    if workdir is None:
+        st = os.stat(f"{stage}/events.parquet")
+        key = hashlib.md5(
+            f"{stage}:{st.st_size}:{st.st_mtime_ns}:resume-v1".encode()
+        ).hexdigest()[:12]
+        workdir = f"{SCRATCH}/resume_{key}"
+    src_dir = f"{workdir}/source"
+    ckpt = f"{workdir}/checkpoint"
+    sink = f"{workdir}/sink"
+
+    tbl = pq.read_table(f"{stage}/events.parquet")
+    half = tbl.num_rows // 2
+
+    def ensure_chunk(name: str, part) -> None:
+        path = f"{src_dir}/{name}.parquet"
+        if not os.path.exists(path):
+            os.makedirs(src_dir, exist_ok=True)
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(part, tmp)
+            os.rename(tmp, path)
+
+    def run_phase(phase: int) -> None:
+        counts = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(src_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(lambda batch, _id: write_versioned(batch, sink))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if collect_progress is not None:
+            rows = sum(
+                int(p["numInputRows"]) for p in (q.recentProgress or [])
+            )
+            collect_progress.append({"phase": phase, "rows": rows})
+
+    ensure_chunk("chunk_a", tbl.slice(0, half))
+    run_phase(1)  # drain the first half, checkpoint, stop (the "crash")
+    ensure_chunk("chunk_b", tbl.slice(half))
+    run_phase(2)  # restart: offset log skips chunk_a, state resumes
+
+    return read_versioned(spark, sink).select(
+        "event_type", F.col("cnt").cast("long").alias("cnt")
+    )

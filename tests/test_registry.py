@@ -29,10 +29,10 @@ CRITICAL = (
     # r02; s10_tws = the Spark 4 stateful-processor API running for
     # real through the protobuf bridge, round-5 headline)
     "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    "s9_outer_join", "s10_tws",
+    "s9_outer_join", "s10_tws", "s11_recovery",
     # text / curation (r05: t_perplexity/t_dsir rotated out r4-green;
     # the never-proven winnow fingerprint + chunking enter)
-    "t_quality", "t_tokens", "t_fingerprint", "t_winnow", "t_chunk",
+    "t_quality", "t_tokens", "t_winnow", "t_chunk",
     "curate_pipeline", "curate_pipeline2",
     # dedup surface (r05: paragraph/substring/wide/highrecall rotated
     # out r4-green; the composed canonical pass at the contract

@@ -177,3 +177,37 @@ def test_tws_running_agg_gate_or_law(spark):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """The S11 recovery law, with the phase telemetry asserted: after
+    the restart, the offset log must admit ONLY the files that landed
+    while the query was down (no reprocessing of phase 1 — that would
+    double-count in complete mode with fresh state, or waste a full
+    re-read with restored state), and the resumed aggregation must
+    equal the batch aggregate over everything."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.streaming import jobs
+    from cvemate_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    prog: list[dict] = []
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in jobs.checkpoint_resume_counts(
+            spark, sf, workdir=str(tmp_path / "resume"), collect_progress=prog
+        ).collect()
+    }
+    total = load_table(spark, sf, "events").count()
+    assert [p["phase"] for p in prog] == [1, 2]
+    assert prog[0]["rows"] == total // 2
+    assert prog[1]["rows"] == total - total // 2  # ONLY the new files
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
