@@ -1590,3 +1590,59 @@ def e_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "exact_users", "within_10pct")
     )
+
+
+# ----------------------------------------------------- e_time_travel
+@REG.add(
+    "e_time_travel",
+    """
+    SELECT 1 AS version, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT 2 AS version, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY version, event_type, cnt
+    """,
+    doc="Versioned-snapshot time travel through the driver gate: two "
+    "commits to the manifest-pointer sink (operators/merge.py::"
+    "write_versioned — immutable v-N dirs, atomic _LATEST replace), "
+    "then BOTH versions read back via read_versioned(version=...), "
+    "proving commit monotonicity and that an old snapshot stays "
+    "byte-stable after later commits — the Delta/Iceberg time-travel "
+    "contract at filesystem scale. Oracle recomputes each version's "
+    "content from events (v1 = even event_ids, v2 = all). Scratch is "
+    "keyed by the source file identity, so a testdata regen rebuilds "
+    "instead of serving stale versions.",
+)
+def e_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..operators.merge import read_versioned, write_versioned
+
+    ev = load_table(spark, sf_dir, "events")
+    st = os.stat(f"{sf_dir}/events.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:tt-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/timetravel_{key}"
+
+    counts = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count("*").cast("long").alias("cnt")
+    )
+    if not os.path.exists(os.path.join(path, "_LATEST")):
+        write_versioned(counts(ev.filter(F.col("event_id") % 2 == 0)), path)
+        write_versioned(counts(ev), path)
+    v1 = read_versioned(spark, path, version=1).withColumn(
+        "version", F.lit(1).cast("int")
+    )
+    v2 = read_versioned(spark, path, version=2).withColumn(
+        "version", F.lit(2).cast("int")
+    )
+    return (
+        v1.unionByName(v2)
+        .select("version", "event_type", "cnt")
+        .orderBy("version", "event_type", "cnt")
+    )
