@@ -308,6 +308,20 @@ def write_ivf_index(
         .parquet(f"{path}/vectors")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # secondary index vec_id -> cent_id, RANGE-sorted by vec_id so a
+    # point lookup prunes to one file + one row group via parquet
+    # min/max stats — the corpus-internal query-row fetch in
+    # ivf_topk_indexed would otherwise scan the whole vectors table
+    # (vec_ids are scattered across cell dirs, so their per-file
+    # stats prune nothing). Payload is 2 longs/vector: ~16 B * n,
+    # negligible next to the vectors themselves.
+    (
+        assigned.select("vec_id", "cent_id")
+        .repartitionByRange(16, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vec_index")
+    )
 
 
 def ivf_topk_indexed(
@@ -329,17 +343,42 @@ def ivf_topk_indexed(
     tests/test_layout_sketch.py); the difference is the scan's
     inputFiles — |probed cells| directories instead of the corpus.
     """
+    import os
+
     cents = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
     # the query vector is ONE row (in production it arrives with the
     # request, not from the corpus) — fetch it driver-side so the
     # serving plan's ONLY corpus scan is the probed-cells scan, which
-    # keeps the partition-pruning law assertable on inputFiles
-    qrow = (
-        vectors.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()
-    )
+    # keeps the partition-pruning law assertable on inputFiles.
+    # Lookup path: the vec_id-sorted secondary index maps the query id
+    # to its cell (point filter -> one file/row group via parquet
+    # stats), then the embedding read is partition-pruned to that one
+    # cell — bounded I/O however large the corpus. Indexes written
+    # before the vec_index existed fall back to the full-table filter
+    # (correct, just unpruned).
+    if os.path.isdir(f"{path}/vec_index"):
+        idx_row = (
+            spark.read.parquet(f"{path}/vec_index")
+            .filter(F.col("vec_id") == query_vec_id)
+            .first()
+        )
+        qrow = (
+            None
+            if idx_row is None
+            else vectors.filter(
+                (F.col("cent_id") == idx_row["cent_id"])
+                & (F.col("vec_id") == query_vec_id)
+            )
+            .select("embedding")
+            .first()
+        )
+    else:
+        qrow = (
+            vectors.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .first()
+        )
     if qrow is None:
         raise ValueError(
             f"ivf_topk_indexed: query vec_id={query_vec_id} not found in "
