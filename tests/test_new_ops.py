@@ -371,3 +371,28 @@ def test_observe_metrics_ride_the_action(spark):
     assert 0 <= m["n_kept"] <= m["n_rows"]
     assert m["total_chars"] > 0
     assert n_en <= m["n_rows"]
+
+
+def test_png_codec_reads_apng_frame_count():
+    """APNG: the acTL chunk's num_frames is the n_frames the
+    frame-sampling stage fans out over; a plain PNG stays 1."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = bytes([0, 7])  # 1x1 gray, filter None
+    apng = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"acTL", struct.pack(">II", 12, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert multimodal.png_codec(apng) == {
+        "width": 1, "height": 1, "n_frames": 12,
+    }
