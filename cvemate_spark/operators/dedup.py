@@ -801,3 +801,57 @@ def ngram_jaccard_pairs_oracle(threshold: float = 0.3, df_cap: int | None = None
     WHERE common.c * 1.0 / (sa.n + sb.n - common.c) >= {threshold}
     ORDER BY d1, d2, jaccard
     """
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 64,
+    chunks: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Banded hamming near-dup join over PRECOMPUTED fixed-width
+    signatures — the simhash_pairs candidate machinery generalized to
+    any signature source (perceptual image hashes, external
+    fingerprints). Same pigeonhole contract: chunk/chunk-pair banding
+    is a guaranteed candidate superset for hamming <= chunks-1 (or
+    chunks-2 for pair banding), the exact bit_count verify makes the
+    output identical to the all-pairs join — never all-pairs in the
+    plan. Signed 64-bit hashes are fine: every band expression masks
+    to its chunk width after the shift, so the sign bit is just bit
+    63 of the top chunk. Returns (d1, d2, hamming) with d1 < d2."""
+    assert bits % chunks == 0, "equal chunks required for the pigeonhole"
+    band_exprs = [
+        F.expr(e)
+        for e in _simhash_band_exprs(max_hamming, chunks, bits // chunks, hash_col)
+    ]
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(F.array(*band_exprs)).alias("band", "key"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("d1"), F.col("h").alias("h1"), "band", "key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("d2"),
+        F.col("h").alias("h2"),
+        F.col("band").alias("b2"),
+        F.col("key").alias("k2"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("b2"))
+            & (F.col("key") == F.col("k2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.expr("bit_count(h1 ^ h2)").cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

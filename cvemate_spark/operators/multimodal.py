@@ -373,3 +373,53 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "digest"])
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def ahash64(pixels) -> int:
+    """64-bit average-hash (aHash) of an 8x8 grayscale tile: bit
+    (i*8+j) set iff pixel > mean. The standard perceptual-hash
+    baseline for image near-dup (the pHash family's simplest member):
+    resilient to re-encoding and small brightness-preserving edits,
+    and — unlike the byte digest — computed from DECODED pixels, so
+    two different encodings of the same image collide. Multi-channel
+    input is averaged to gray first; inputs must already be 8x8 (the
+    resize stage owns resampling). Mean and compares are exact in
+    float64 (sum of 64 uint8 < 2^14; /64 is a power-of-two divide),
+    so the hash is bit-deterministic across engines. Returns a SIGNED
+    int64 (bit 63 lands in the sign bit) for Spark LongType
+    friendliness."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    if a.shape != (8, 8):
+        raise ValueError(f"ahash64 expects an 8x8 tile, got {a.shape}")
+    bits = (a > a.mean()).ravel()  # row-major: bit index i*8+j
+    h = np.uint64(0)
+    for idx in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(idx)
+    return int(h.astype(np.int64))
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_frames(media: DataFrame) -> DataFrame:
+    """Decode each payload (format-sniffing REAL decode — png/bmp) to
+    pixels and emit its aHash: the first stage of image near-dup.
+    Arrow-batched like every other decode stage; at 100 TB this is a
+    pure map over the media scan, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(
+                        lambda b: ahash64(png_decode_pixels(bytes(b)))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)

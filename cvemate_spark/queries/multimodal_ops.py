@@ -185,3 +185,79 @@ def mm_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "n_frames")
         .orderBy("doc_id", "width", "height", "n_frames")
     )
+
+
+@REG.add(
+    "mm_phash",
+    """
+    WITH px AS (
+        SELECT doc_id, i, j,
+               (octet_length(encode(text)) + 13 * i + 7 * j) % 256 AS p
+        FROM documents, range(8) t1(i), range(8) t2(j)
+    ),
+    m AS (
+        SELECT doc_id, avg(p) AS mean FROM px GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT px.doc_id,
+               string_agg(CASE WHEN p > mean THEN '1' ELSE '0' END, ''
+                          ORDER BY i, j) AS bits
+        FROM px JOIN m ON px.doc_id = m.doc_id
+        GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(hamming(a.bits, b.bits) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE hamming(a.bits, b.bits) <= 2
+    ORDER BY d1, d2, hamming
+    """,
+    doc="Image near-dup via perceptual hash over REAL decoded pixels — "
+    "the crossover the PNG codec enables: per doc, a deterministic "
+    "8x8 gray pattern (pixel = (len + 13i + 7j) % 256) is encoded as "
+    "a genuine PNG, decoded back through png_decode_pixels "
+    "(inflate + de-filter), aHashed (mean-threshold 64-bit), and "
+    "near-dup pairs found by the pigeonhole-banded hamming join "
+    "(hamming_pairs, chunk-pair banding — never all-pairs in the "
+    "plan). The oracle recomputes the hash arithmetically and "
+    "verifies the FULL pair relation with string hamming, so the "
+    "pixel decode, the hash, and the banding superset are all pinned "
+    "at once. At 100 TB: decode+hash is a pure map; the pair join is "
+    "bucketed by band keys like every dedup candidate path.",
+)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import hamming_pairs
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_frames,
+        png_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_png(it):
+        i = np.arange(8).reshape(8, 1)
+        j = np.arange(8).reshape(1, 8)
+        base = 13 * i + 7 * j
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": [
+                        png_encode(((int(k) + base) % 256).astype(np.uint8))
+                        for k in n
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(to_png, schema=MEDIA_SCHEMA)
+    sigs = phash_frames(media)
+    return (
+        hamming_pairs(sigs, max_hamming=2, bits=64, chunks=4)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2", "hamming")
+    )

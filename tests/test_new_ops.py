@@ -396,3 +396,54 @@ def test_png_codec_reads_apng_frame_count():
     assert multimodal.png_codec(apng) == {
         "width": 1, "height": 1, "n_frames": 12,
     }
+
+
+def test_ahash64_threshold_and_channels():
+    import numpy as np
+
+    # half dark / half bright: bright half sets exactly those 32 bits
+    tile = np.zeros((8, 8), dtype=np.uint8)
+    tile[:, 4:] = 200
+    h = multimodal.ahash64(tile)
+    want = 0
+    for i in range(8):
+        for j in range(4, 8):
+            want |= 1 << (i * 8 + j)
+    assert h == np.int64(np.uint64(want)).item()
+    # channel mean first: RGB tile with the same gray projection
+    rgb = np.stack([tile, tile, tile], axis=2)
+    assert multimodal.ahash64(rgb) == h
+    with pytest.raises(ValueError, match="8x8"):
+        multimodal.ahash64(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_hamming_pairs_equals_brute_force(spark):
+    """The generalized banded hamming join (pigeonhole superset +
+    exact verify) must equal the all-pairs computation, including on
+    signed 64-bit hashes where bit 63 lives in the sign bit."""
+    import itertools
+
+    import numpy as np
+
+    from cvemate_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(-(2**62), 2**62, size=12, dtype=np.int64)
+    hashes = list(base)
+    # plant near-dups: flips of 1 and 2 bits, including bit 63
+    hashes.append(np.int64(np.uint64(base[0]) ^ np.uint64(1 << 63)))
+    hashes.append(np.int64(np.uint64(base[1]) ^ np.uint64(0b11)))
+    hashes.append(base[2])  # exact dup
+    sigs = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "doc_id long, phash long"
+    )
+    got = sorted(
+        (r["d1"], r["d2"], r["hamming"])
+        for r in hamming_pairs(sigs, max_hamming=2).collect()
+    )
+    brute = sorted(
+        (i, k, bin(np.uint64(hashes[i]) ^ np.uint64(hashes[k])).count("1"))
+        for i, k in itertools.combinations(range(len(hashes)), 2)
+        if bin(np.uint64(hashes[i]) ^ np.uint64(hashes[k])).count("1") <= 2
+    )
+    assert got == brute and got  # non-trivial: the planted pairs exist
