@@ -423,3 +423,186 @@ def phash_frames(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def resize_nn(pixels, rs_w: int, rs_h: int):
+    """Nearest-neighbor resample to (rs_h, rs_w) — integer floor
+    index mapping (src_i = out_i * src_h // rs_h), so the result is
+    bit-deterministic and independently checkable: output[i, j] ==
+    input[i*h//rs_h, j*w//rs_w] exactly. Closes the resize stage's
+    'actual pixel resample is stubbed' note: resize_plan computes the
+    letterbox dims, this produces the pixels."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    if rs_w <= 0 or rs_h <= 0:
+        raise ValueError("resize target must be positive")
+    rows = (np.arange(rs_h) * h) // rs_h
+    cols = (np.arange(rs_w) * w) // rs_w
+    return a[rows][:, cols]
+
+
+RESIZED_SCHEMA = "doc_id long, rs_w int, rs_h int, payload binary"
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """The full resize stage over real payloads: decode pixels
+    (png_decode_pixels), letterbox-fit to max_dim (same integer rule
+    as resize_plan), nearest-neighbor resample, re-encode as PNG.
+    Pure Arrow map — no shuffle at any scale; output payloads are
+    themselves valid PNGs (round-trip law-tested)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            rows.clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = png_decode_pixels(bytes(payload))
+                h, w = px.shape[:2]
+                denom = max(w, h, max_dim)
+                rs_w = max(1, w * max_dim // denom)
+                rs_h = max(1, h * max_dim // denom)
+                out = resize_nn(px, rs_w, rs_h)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "rs_w": rs_w,
+                        "rs_h": rs_h,
+                        "payload": png_encode(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rs_w", "rs_h", "payload"]
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# ------------------------------------------------------------- audio
+def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM little-endian, mono or
+    multi-channel from an (n,) or (n, channels) int16 array. The
+    audio fixture generator and shard writer, mirroring png_encode."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()  # interleaved row-major == WAV frame order
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_codec(payload: bytes) -> dict:
+    """REAL audio decoder header path: walk the RIFF chunk list,
+    require PCM-16 (format tag 1), return sample_rate / channels /
+    n_samples (frames per channel) / duration_ms. Raises ValueError
+    on malformed or non-PCM-16 payloads — same honest-failure rule as
+    the image codecs. Extends the multimodal surface from
+    image-only to audio with an actual codec instead of the stub."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + clen > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, block_align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV shape (format={tag}, bits={bits}): only "
+            "PCM-16 is implemented"
+        )
+    n_samples = data_len // block_align
+    return {
+        "sample_rate": int(rate),
+        "channels": int(ch),
+        "n_samples": int(n_samples),
+        "duration_ms": int(n_samples * 1000 // rate),
+    }
+
+
+def wav_decode_samples(payload: bytes):
+    """Full WAV decode to an (n_samples, channels) int16 array —
+    bytes to samples, the audio analogue of png_decode_pixels.
+    Round-trip law: wav_decode_samples(wav_encode(a)) == a."""
+    import struct
+
+    import numpy as np
+
+    meta = wav_codec(payload)  # validates structure
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            raw = payload[pos + 8 : pos + 8 + clen]
+            a = np.frombuffer(raw, dtype="<i2")
+            return a.reshape(meta["n_samples"], meta["channels"])
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("WAV missing data chunk")  # unreachable post-codec
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "peak long, energy long"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over real decoded samples: peak
+    (max |s|) and energy (sum of squares) — integer quantities, so
+    the oracle reproduces them exactly; duration/rate from the
+    header. Arrow-batched map, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = wav_codec(b)
+                s = wav_decode_samples(b).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": meta["sample_rate"],
+                        "channels": meta["channels"],
+                        "n_samples": meta["n_samples"],
+                        "peak": int(np.abs(s).max()) if s.size else 0,
+                        "energy": int((s * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "peak", "energy",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)

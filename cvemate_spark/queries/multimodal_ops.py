@@ -261,3 +261,165 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2", "hamming")
     )
+
+
+@REG.add(
+    "mm_wav",
+    """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS k,
+               octet_length(encode(text)) % 50 + 10 AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, unnest(range(n)) AS i FROM b
+    ),
+    sv AS (
+        SELECT doc_id, n,
+               (b.k * 31 + i * 17) % 65536 - 32768 AS v
+        FROM s JOIN b USING (doc_id, n)
+    )
+    SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM sv GROUP BY doc_id
+    ORDER BY doc_id, sample_rate, channels, n_samples, peak, energy
+    """,
+    doc="REAL audio decode through the multimodal plumbing: per doc a "
+    "genuine RIFF/WAVE payload (wav_encode, PCM-16) with samples "
+    "derived from the text's byte length, decoded back by wav_codec/"
+    "wav_decode_samples inside the Arrow audio_features stage — "
+    "header fields plus integer sample statistics (peak, energy) the "
+    "oracle recomputes arithmetically. Extends the multimodal surface "
+    "from image-only to audio with an actual codec; non-PCM-16 "
+    "payloads fail loudly (law-tested).",
+)
+def mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import MEDIA_SCHEMA, audio_features, wav_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_wav(it):
+        for pdf in it:
+            n_bytes = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n_bytes:
+                k = int(k)
+                i = np.arange(k % 50 + 10, dtype=np.int64)
+                s = ((k * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(wav_encode(s, sample_rate=16000))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(to_wav, schema=MEDIA_SCHEMA)
+    return audio_features(media).orderBy(
+        "doc_id", "sample_rate", "channels", "n_samples", "peak", "energy"
+    )
+
+
+@REG.add(
+    "mm_resize",
+    """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS k,
+               octet_length(encode(text)) % 5 + 1 AS h,
+               octet_length(encode(text)) % 9 + 1 AS w
+        FROM documents
+    ),
+    d AS (
+        SELECT *, greatest(w, h, 3) AS denom FROM b
+    ),
+    dims AS (
+        SELECT doc_id, k, h, w,
+               greatest(1, w * 3 // denom) AS rs_w,
+               greatest(1, h * 3 // denom) AS rs_h
+        FROM d
+    ),
+    ri AS (
+        SELECT *, unnest(range(rs_h)) AS i FROM dims
+    ),
+    rij AS (
+        SELECT *, unnest(range(rs_w)) AS j FROM ri
+    )
+    SELECT doc_id, CAST(any_value(rs_w) AS INT) AS rs_w,
+           CAST(any_value(rs_h) AS INT) AS rs_h,
+           CAST(sum((k + 13 * (i * h // rs_h) + 7 * (j * w // rs_w)) % 256)
+                AS BIGINT) AS pixsum
+    FROM rij
+    GROUP BY doc_id
+    ORDER BY doc_id, rs_w, rs_h, pixsum
+    """,
+    doc="REAL pixel resampling end-to-end: patterned PNGs decoded "
+    "(png_decode_pixels), letterbox-fit nearest-neighbor resampled "
+    "(resize_nn: out[i,j] = in[i*h//rs_h, j*w//rs_w] — integer floor "
+    "mapping, bit-deterministic), RE-ENCODED as PNG, then decoded "
+    "AGAIN to sum the resized pixels — so the oracle's arithmetic "
+    "recomputation of the resampled pixel sum pins the decoder, the "
+    "resampler, and the encoder in one relation. Closes resize_plan's "
+    "'actual pixel resample is stubbed' note.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_decode_pixels,
+        png_encode,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_png(it):
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n:
+                k = int(k)
+                h, w = k % 5 + 1, k % 9 + 1
+                i = np.arange(h).reshape(h, 1)
+                j = np.arange(w).reshape(1, w)
+                payloads.append(
+                    png_encode(((k + 13 * i + 7 * j) % 256).astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(to_png, schema=MEDIA_SCHEMA)
+    resized = resize_images(media, max_dim=3)
+
+    def pixsum(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rs_w": pdf["rs_w"],
+                    "rs_h": pdf["rs_h"],
+                    "pixsum": pdf["payload"].map(
+                        lambda b: int(png_decode_pixels(bytes(b)).sum())
+                    ),
+                }
+            )
+
+    return (
+        resized.mapInPandas(
+            pixsum, schema="doc_id long, rs_w int, rs_h int, pixsum long"
+        )
+        .orderBy("doc_id", "rs_w", "rs_h", "pixsum")
+    )

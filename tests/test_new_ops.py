@@ -447,3 +447,77 @@ def test_hamming_pairs_equals_brute_force(spark):
         if bin(np.uint64(hashes[i]) ^ np.uint64(hashes[k])).count("1") <= 2
     )
     assert got == brute and got  # non-trivial: the planted pairs exist
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """Audio codec laws: encode/decode round-trip exact for mono and
+    multi-channel PCM-16; malformed/non-PCM payloads fail loudly."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for shape in [(100,), (64, 2), (7, 3), (1, 1)]:
+        a = rng.randint(-32768, 32768, size=shape, dtype=np.int16)
+        b = multimodal.wav_encode(a, sample_rate=8000)
+        meta = multimodal.wav_codec(b)
+        want_ch = 1 if a.ndim == 1 else a.shape[-1]
+        assert meta["channels"] == want_ch
+        assert meta["sample_rate"] == 8000
+        assert meta["n_samples"] == a.shape[0]
+        back = multimodal.wav_decode_samples(b)
+        assert (back == (a[:, None] if a.ndim == 1 else a)).all()
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        multimodal.wav_codec(b"nope")
+    whole = multimodal.wav_encode(np.zeros(4, np.int16))
+    with pytest.raises(ValueError):
+        multimodal.wav_codec(whole[:20])  # truncated chunk list
+
+
+def test_resize_nn_floor_mapping_and_identity():
+    """Resample law: out[i,j] == in[i*h//rs_h, j*w//rs_w] exactly;
+    same-size resize is the identity; resized payloads from
+    resize_images are themselves valid PNGs of the planned dims."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    r = multimodal.resize_nn(a, 3, 5)
+    assert r.shape == (5, 3, 3)
+    for i in range(5):
+        for j in range(3):
+            assert (r[i, j] == a[i * 10 // 5, j * 6 // 3]).all()
+    assert (multimodal.resize_nn(a, 6, 10) == a).all()
+    with pytest.raises(ValueError):
+        multimodal.resize_nn(a, 0, 5)
+
+
+def test_resize_images_emits_valid_pngs(spark):
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, SF, "documents").limit(20)
+
+    def to_png(it):
+        for pdf in it:
+            n = pdf["text"].str.len().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": [
+                        multimodal.png_encode(
+                            np.full(
+                                (int(k) % 7 + 2, int(k) % 11 + 2, 3),
+                                int(k) % 256,
+                                dtype=np.uint8,
+                            )
+                        )
+                        for k in n
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(to_png, schema=multimodal.MEDIA_SCHEMA)
+    for r in multimodal.resize_images(media, max_dim=4).collect():
+        px = multimodal.png_decode_pixels(bytes(r["payload"]))
+        assert px.shape[:2] == (r["rs_h"], r["rs_w"])
+        assert 1 <= max(r["rs_h"], r["rs_w"]) <= 4
