@@ -423,3 +423,81 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rs_w", "rs_h", "pixsum")
     )
+
+
+@REG.add(
+    "mm_y4m",
+    """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS k,
+               octet_length(encode(text)) % 6 + 2 AS n,
+               ((octet_length(encode(text)) % 3) + 1) * 2 AS h,
+               ((octet_length(encode(text)) % 4) + 1) * 2 AS w
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, k, h, w, unnest(range(0, n, 2)) AS f FROM b
+    ),
+    ri AS (
+        SELECT *, unnest(range(h)) AS i FROM fr
+    ),
+    rij AS (
+        SELECT *, unnest(range(w)) AS j FROM ri
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(sum((k + 11 * f + 13 * i + 7 * j) % 256) AS BIGINT)
+               AS luma_sum
+    FROM rij
+    GROUP BY doc_id, f
+    ORDER BY doc_id, frame_idx, luma_sum
+    """,
+    doc="REAL video decode through the multimodal plumbing: per doc a "
+    "genuine YUV4MPEG2 stream (y4m_encode — the uncompressed "
+    "interchange format, parseable without codec libraries) with "
+    "patterned luma frames, decoded back by y4m_codec/"
+    "y4m_decode_luma inside the Arrow video_frame_features stage; "
+    "every stride-2 sampled frame emits its exact luma sum, which "
+    "the oracle recomputes arithmetically — frame count, frame "
+    "boundaries, and plane layout all pinned. Completes the "
+    "real-codec triad (PNG/BMP image, WAV audio, Y4M video); only "
+    "compressed formats needing external libraries (jpeg, h264) "
+    "remain environment boundaries.",
+)
+def mm_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_features,
+        y4m_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_y4m(it):
+        for pdf in it:
+            n_bytes = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n_bytes:
+                k = int(k)
+                n, h, w = k % 6 + 2, ((k % 3) + 1) * 2, ((k % 4) + 1) * 2
+                f = np.arange(n).reshape(n, 1, 1)
+                i = np.arange(h).reshape(1, h, 1)
+                j = np.arange(w).reshape(1, 1, w)
+                frames = ((k + 11 * f + 13 * i + 7 * j) % 256).astype(np.uint8)
+                payloads.append(y4m_encode(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video/y4m",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(to_y4m, schema=MEDIA_SCHEMA)
+    return (
+        video_frame_features(media, stride=2)
+        .select("doc_id", "frame_idx", "luma_sum")
+        .orderBy("doc_id", "frame_idx", "luma_sum")
+    )

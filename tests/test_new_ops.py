@@ -521,3 +521,50 @@ def test_resize_images_emits_valid_pngs(spark):
         px = multimodal.png_decode_pixels(bytes(r["payload"]))
         assert px.shape[:2] == (r["rs_h"], r["rs_w"])
         assert 1 <= max(r["rs_h"], r["rs_w"]) <= 4
+
+
+def test_y4m_codec_roundtrip_and_rejection():
+    """Video codec laws: luma round-trip exact across frame counts;
+    header fields parsed; malformed/truncated streams fail loudly."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    b = multimodal.y4m_encode(a, fps=30)
+    assert multimodal.y4m_codec(b) == {
+        "width": 8, "height": 6, "n_frames": 5, "fps_num": 30, "fps_den": 1,
+    }
+    assert (multimodal.y4m_decode_luma(b) == a).all()
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        multimodal.y4m_codec(b"nope")
+    with pytest.raises(ValueError):
+        multimodal.y4m_codec(b[:-5])  # truncated final frame
+    with pytest.raises(ValueError, match="even"):
+        multimodal.y4m_encode(np.zeros((1, 3, 4), dtype=np.uint8))
+
+
+def test_video_frame_features_hash_matches_independent_numpy(spark):
+    """The per-frame aHash pipeline (resize_nn 8x8 -> ahash64) must
+    match an independent numpy recomputation over the same frames —
+    pinning the part of the video stage the SQL oracle (luma sums)
+    does not cover."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(13)
+    vids = {d: rng.randint(0, 256, size=(4, 6, 8), dtype=np.uint8) for d in range(5)}
+    media = spark.createDataFrame(
+        [(d, "video/y4m", bytearray(multimodal.y4m_encode(v))) for d, v in vids.items()],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["luma_sum"], r["frame_hash"])
+        for r in multimodal.video_frame_features(media, stride=2).collect()
+    }
+    for d, v in vids.items():
+        for idx in range(0, 4, 2):
+            luma = v[idx]
+            want_hash = multimodal.ahash64(
+                multimodal.resize_nn(luma, 8, 8)[..., 0]
+            )
+            assert got[(d, idx)] == (int(luma.astype(np.int64).sum()), want_hash)
