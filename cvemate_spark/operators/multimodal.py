@@ -735,3 +735,56 @@ def video_frame_features(media: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+QUARANTINE_SCHEMA = (
+    "doc_id long, ok boolean, err string, width int, height int, n_frames int"
+)
+
+
+def safe_decode_features(media: DataFrame) -> DataFrame:
+    """Decode with QUARANTINE semantics: per-payload try/except, so a
+    corrupt blob yields (ok=false, err=<reason>, null dims) instead of
+    killing the task — at 100 TB corrupt media is routine (truncated
+    uploads, bit rot, mislabeled types) and a fail-loud decode stage
+    would mean one bad record aborts a multi-hour job. The loud path
+    (`extract_features`) remains for pipelines that WANT failure;
+    this is the curation-ingest form: decode what decodes, ship the
+    rest to a quarantine relation via `.filter(~ok)` with the error
+    preserved for triage. Error strings are the codec's own messages
+    truncated to one line — deterministic, so the relation is
+    oracle-comparable on (ok, err-class)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_image(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": True,
+                            "err": None,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "n_frames": d["n_frames"],
+                        }
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "ok": False,
+                            "err": str(e).splitlines()[0][:120],
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "err", "width", "height", "n_frames"],
+            )
+
+    return media.mapInPandas(batches, schema=QUARANTINE_SCHEMA)

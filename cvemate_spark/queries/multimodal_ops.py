@@ -501,3 +501,72 @@ def mm_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "luma_sum")
         .orderBy("doc_id", "frame_idx", "luma_sum")
     )
+
+
+@REG.add(
+    "mm_quarantine",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) % 17 != 0 AS ok,
+           CASE WHEN octet_length(encode(text)) % 17 = 0
+                THEN 'PNG chunk b''IDAT'' CRC mismatch' END AS err,
+           CASE WHEN octet_length(encode(text)) % 17 != 0
+                THEN CAST(octet_length(encode(text)) % 9 + 1 AS INT) END
+               AS width,
+           CASE WHEN octet_length(encode(text)) % 17 != 0
+                THEN CAST(octet_length(encode(text)) % 5 + 1 AS INT) END
+               AS height
+    FROM documents
+    ORDER BY doc_id, ok, err, width, height
+    """,
+    doc="Quarantine decode: a corpus where every 17th-by-length doc's "
+    "PNG is corrupted (IDAT CRC byte flipped) must decode the rest "
+    "and emit (ok=false, err=<codec message>) for the bad ones — one "
+    "corrupt blob must never kill the stage (at 100 TB corrupt media "
+    "is routine, and the loud extract_features path would abort the "
+    "job). The oracle recomputes the corruption rule, the expected "
+    "error string, and the valid docs' dims — pinning that decode "
+    "failures are (a) contained, (b) deterministic, (c) triageable.",
+)
+def mm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_encode,
+        safe_decode_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_png(it):
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n:
+                k = int(k)
+                png = png_encode(
+                    np.full(
+                        (k % 5 + 1, k % 9 + 1, 3), k % 256, dtype=np.uint8
+                    )
+                )
+                if k % 17 == 0:  # corrupt the IDAT CRC byte
+                    bad = bytearray(png)
+                    bad[-13] ^= 0xFF
+                    png = bytes(bad)
+                payloads.append(png)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(to_png, schema=MEDIA_SCHEMA)
+    return (
+        safe_decode_features(media)
+        .select("doc_id", "ok", "err", "width", "height")
+        .orderBy("doc_id", "ok", "err", "width", "height")
+    )

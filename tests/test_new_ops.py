@@ -568,3 +568,31 @@ def test_video_frame_features_hash_matches_independent_numpy(spark):
                 multimodal.resize_nn(luma, 8, 8)[..., 0]
             )
             assert got[(d, idx)] == (int(luma.astype(np.int64).sum()), want_hash)
+
+
+def test_safe_decode_quarantines_instead_of_failing(spark):
+    """One corrupt payload must not kill the stage: the quarantine
+    decode emits (ok=false, err) for the bad blob and real dims for
+    the rest — while the loud extract_features path raises on the
+    same input (both behaviors are contracts)."""
+    import numpy as np
+
+    good = multimodal.png_encode(np.zeros((2, 3, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[-13] ^= 0xFF
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(good)),
+            (2, "image/png", bad),
+            (3, "application/octet-stream", bytearray(b"\xff\xd8 jpeg-ish")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["doc_id"]: r for r in multimodal.safe_decode_features(media).collect()
+    }
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert not rows[2]["ok"] and "CRC mismatch" in rows[2]["err"]
+    assert not rows[3]["ok"] and "no built-in codec" in rows[3]["err"]
+    with pytest.raises(Exception):  # the loud path keeps failing loudly
+        multimodal.extract_features(media, codec=None).collect()
