@@ -456,9 +456,8 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     themselves valid PNGs (round-trip law-tested)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in it:
-            rows.clear()
+            rows = []  # fresh per batch: the yielded frame owns its data
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 px = png_decode_pixels(bytes(payload))
                 h, w = px.shape[:2]
