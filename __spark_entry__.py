@@ -20,14 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cvemate_spark.queries import driver_specs  # noqa: E402
+from cvemate_spark.queries import REGISTRY, driver_specs  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: TPC-H Q1 shape (scan → agg → sort)."""
-    return driver_specs()["q11"].builder(spark, SMOKE_SF_DIR)
+    """Flagship query on sf0.001: TPC-H Q1 shape (scan → agg → sort).
+
+    Pulled from the full registry (not the rotating driver gate, which
+    q11 ceded in round 6 after going driver-green in r5)."""
+    return REGISTRY.specs["q11"].builder(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

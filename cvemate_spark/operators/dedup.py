@@ -450,9 +450,19 @@ def _simhash_band_exprs(
     hamming <= h flips bits in at most h chunks, leaving >= chunks-h
     intact — so chunk-PAIR banding is a guaranteed candidate superset
     whenever chunks - h >= 2, and single-chunk banding whenever
-    chunks - h >= 1."""
+    chunks - h >= 1. Beyond that (h > chunks-1) NO chunk is guaranteed
+    intact and banding silently loses recall — raise instead of
+    returning a plausibly-complete but lossy pair relation (same
+    silent-recall class the MINHASH_K divisor guard closes)."""
     from itertools import combinations
 
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} with chunks={chunks} breaks the "
+            "pigeonhole superset guarantee (need max_hamming <= chunks-1 "
+            "for single-chunk banding, <= chunks-2 for pair banding): "
+            "increase chunks or widen the signature"
+        )
     mask = (1 << width) - 1
     if max_hamming <= chunks - 2:
         return [

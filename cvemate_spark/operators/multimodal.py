@@ -139,8 +139,12 @@ def png_codec(payload: bytes) -> dict:
     n_frames = 1
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
+            if len(data) < 8:  # CRC-valid but short: still malformed
+                raise ValueError("PNG IHDR chunk too short")
             width, height = struct.unpack_from(">II", data, 0)
         elif ctype == b"acTL":  # APNG: animated, num_frames up front
+            if len(data) < 4:
+                raise ValueError("PNG acTL chunk too short")
             (n_frames,) = struct.unpack_from(">I", data, 0)
         elif ctype == b"IDAT":
             break  # headers precede image data; nothing later changes dims
@@ -166,6 +170,8 @@ def png_decode_pixels(payload: bytes):
     idat = bytearray()
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
+            if len(data) != 13:  # CRC-valid but wrong size: malformed
+                raise ValueError("PNG IHDR chunk must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -180,7 +186,10 @@ def png_decode_pixels(payload: bytes):
         )
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt-but-CRC-valid stream: malformed
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -524,6 +533,8 @@ def wav_codec(payload: bytes) -> dict:
         if pos + 8 + clen > len(payload):
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if clen < 16:  # PCM fmt chunk is >= 16 bytes by spec
+                raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
             data_len = clen
@@ -536,6 +547,8 @@ def wav_codec(payload: bytes) -> dict:
             f"unsupported WAV shape (format={tag}, bits={bits}): only "
             "PCM-16 is implemented"
         )
+    if block_align == 0 or rate == 0:
+        raise ValueError("WAV fmt declares zero block_align/sample_rate")
     n_samples = data_len // block_align
     return {
         "sample_rate": int(rate),
@@ -754,6 +767,9 @@ def safe_decode_features(media: DataFrame) -> DataFrame:
     truncated to one line — deterministic, so the relation is
     oracle-comparable on (ok, err-class)."""
 
+    import struct
+    import zlib
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -770,7 +786,15 @@ def safe_decode_features(media: DataFrame) -> DataFrame:
                             "n_frames": d["n_frames"],
                         }
                     )
-                except (ValueError, NotImplementedError) as e:
+                # struct/zlib errors: malformed-but-CRC-valid payloads
+                # that slip past codec validation must still be
+                # CONTAINED, not task-fatal — the quarantine contract.
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    zlib.error,
+                ) as e:
                     rows.append(
                         {
                             "doc_id": doc_id,

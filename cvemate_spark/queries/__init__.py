@@ -100,36 +100,38 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # §2.1 sources (r5: the ORC reader and the XML UDTF fallback —
-    # the two readers that never had driver evidence)
-    "src_orc", "src_cwe_xml_udtf",
+    # ---- Round-6 rotation (VERDICT r5 items 1+6: the registry
+    # ENDGAME). All 50 round-5 gated queries are r5-driver-green and
+    # cede their slots; the entrants are EXACTLY the 50 registry
+    # queries that have never been driver-proven (cumulative driver
+    # evidence before this round: 117/167 across r01-r05; after a
+    # green r6 gate: 167/167 — the landing round, two rounds ahead of
+    # the ~17/round schedule the r5 verdict assumed). Every entrant is
+    # local-oracle-green (tools/check.py full-registry sweep, r5 and
+    # re-run this round after the round's operator edits).
     # composed pipelines
-    "cve_pipeline",
-    # §2.2-2.8 relational core (r5: the subquery family enters —
-    # correlated aggregate q29, EXISTS q30, scalar subquery q33)
-    "q11", "q29", "q30", "q33",
-    # engine surface (r5: pivot/unpivot, gap-fill, incremental view
-    # maintenance, table diff, mergeable HLL rollup, graph pagerank,
-    # partitioned z-bucket layout)
-    "e_merge_delete", "e_scd2", "e_pivot", "e_unpivot", "e_gapfill",
-    "e_ivm_join", "e_table_diff", "e_hll_merge", "g_pagerank",
-    "e_zorder_part",
-    # §2.9-2.11 streaming (s10 = the Spark 4 stateful-processor API
-    # running for real, round-5 headline)
-    "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
-    "s9_outer_join", "s10_tws", "s11_recovery",
-    # LLM-pipeline: dedup, similarity, text, multimodal.
-    "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
-    "dedup_components", "dedup_incremental",
-    "dedup_canonical_shingle",
-    "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
-    "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
-    "emb_semdedup_gemm", "emb_pq", "ann_pq_batch",
-    "bm25_topk",
-    "t_quality", "t_tokens", "t_winnow", "t_chunk",
-    "curate_pipeline", "curate_pipeline2",
-    "mm_png",
+    "cve_pipeline_fold",
+    # engine surface: the never-proven residue of the e_* family
+    "e_bloom_semi", "e_collect_sorted", "e_explode_outer",
+    "e_fuzzy_match", "e_grouping_sets", "e_interval_bin",
+    "e_quantiles_approx", "e_rollup_inc", "e_salted_join", "e_share",
+    "e_time_travel", "e_topn_group", "e_try_arith", "e_union_evolve",
+    "e_zorder",
+    # streaming: the three local-only stateful shapes
+    "s6_dedup", "s7_join", "s8_static_join",
+    # dedup/similarity residue
+    "ann_lsh_batch", "dedup_canonical", "dedup_cluster_sizes",
+    "dedup_eval", "emb_quantize", "mm_dedup",
+    # multimodal: the round-5 real-codec gates (r6 shortlist)
+    "mm_phash", "mm_quarantine", "mm_resize", "mm_wav", "mm_y4m",
+    # text/LLM-pipeline residue (t_compress has no SQL oracle form —
+    # the driver records its rows-only check; every other entrant is
+    # hash-gated)
+    "t_budget_select", "t_classify", "t_classify_grad", "t_colloc",
+    "t_compress", "t_decontam", "t_domain", "t_entropy", "t_gopher",
+    "t_length_hist", "t_novelty", "t_overlap", "t_pack", "t_phrase",
+    "t_redact", "t_repetition", "t_sample", "t_shuffle", "t_split",
+    "t_winnow_pairs",
 )
 
 

