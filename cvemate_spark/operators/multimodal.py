@@ -279,19 +279,25 @@ def decode_image(payload: bytes, codec: Callable[[bytes], dict] | None = None) -
 
     With no explicit codec, payloads are sniffed: PNG decodes for REAL
     (`png_codec`, CRC-verified chunk walk; pixels via
-    `png_decode_pixels`), BMP via `bmp_codec`. Other formats (jpeg,
-    video containers) still need a library this container lacks and
-    raise NotImplementedError — the remaining honest boundary, now
-    format-scoped instead of blanket."""
+    `png_decode_pixels`), JPEG for real too (`operators/jpeg.py` —
+    baseline sequential Huffman + dequant + IDCT, the round-6 closure
+    of the last compressed-image boundary), BMP via `bmp_codec`.
+    Compressed VIDEO codecs (h264 etc.) remain the one environment
+    boundary and raise NotImplementedError; raw Y4M video decodes via
+    `y4m_codec`."""
     if codec is None:
         if payload[: len(_PNG_SIG)] == _PNG_SIG:
             return png_codec(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_codec
+
+            return jpeg_codec(payload)
         if payload[:2] == b"BM":
             return bmp_codec(payload)
         raise NotImplementedError(
-            "no built-in codec for this payload format (png/bmp decode "
-            "natively; jpeg/video need a library absent here); pass "
-            "codec= explicitly"
+            "no built-in codec for this payload format (png/jpeg/bmp "
+            "decode natively; compressed video needs a library absent "
+            "here); pass codec= explicitly"
         )
     return codec(payload)
 

@@ -188,6 +188,87 @@ def mm_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "mm_jpeg",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 9 + 1) * 8 AS INT) AS width,
+           CAST((octet_length(encode(text)) % 5 + 1) * 8 AS INT) AS height,
+           CAST((2 * octet_length(encode(text))) % 256 AS INT) AS px_min,
+           CAST((2 * octet_length(encode(text))) % 256 AS INT) AS px_max
+    FROM documents
+    ORDER BY doc_id, width, height, px_min, px_max
+    """,
+    doc="REAL JPEG decode end-to-end (operators/jpeg.py, round-6 "
+    "closure of the last compressed-image boundary): per doc a genuine "
+    "baseline-sequential JPEG is encoded (constant gray, EVEN value "
+    "2k%256, 8-multiple dims from the text length k) and decoded back "
+    "to PIXELS — Huffman tables read from DHT, bit-unstuffing, "
+    "dequant, IDCT, level shift. Constant-even-gray DC-only blocks "
+    "round-trip BIT-EXACTLY at quality 50 (q00=16: quantized DC "
+    "(g-128)/2 is integral), so px_min = px_max = g pins the whole "
+    "chain with an integer oracle; a single wrong bit anywhere in the "
+    "codec chain breaks the hash. Dims pin SOF0 and the MCU layout. "
+    "Lossy-path laws (PSNR, 4:2:0, restart markers, SOF2 rejection) "
+    "live in tests/test_new_ops.py.",
+)
+def mm_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import jpeg_decode_pixels, jpeg_encode
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_jpeg(it):
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "payload": [
+                        jpeg_encode(
+                            np.full(
+                                ((int(k) % 5 + 1) * 8, (int(k) % 9 + 1) * 8),
+                                (2 * int(k)) % 256,
+                                dtype=np.uint8,
+                            )
+                        )
+                        for k in n
+                    ],
+                }
+            )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = jpeg_decode_pixels(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_min", "px_max"]
+            )
+
+    media = docs.mapInPandas(to_jpeg, schema=MEDIA_SCHEMA)
+    return (
+        media.mapInPandas(
+            decode,
+            schema="doc_id long, width int, height int, px_min int, px_max int",
+        )
+        .orderBy("doc_id", "width", "height", "px_min", "px_max")
+    )
+
+
+@REG.add(
     "mm_phash",
     """
     WITH px AS (
@@ -506,32 +587,40 @@ def mm_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "mm_quarantine",
     """
+    WITH k AS (
+        SELECT doc_id, octet_length(encode(text)) AS k FROM documents
+    )
     SELECT doc_id,
-           octet_length(encode(text)) % 17 != 0 AS ok,
-           CASE WHEN octet_length(encode(text)) % 17 = 0
-                THEN 'PNG chunk b''IDAT'' CRC mismatch' END AS err,
-           CASE WHEN octet_length(encode(text)) % 17 != 0
-                THEN CAST(octet_length(encode(text)) % 9 + 1 AS INT) END
-               AS width,
-           CASE WHEN octet_length(encode(text)) % 17 != 0
-                THEN CAST(octet_length(encode(text)) % 5 + 1 AS INT) END
-               AS height
-    FROM documents
+           k % 17 != 0 AS ok,
+           CASE WHEN k % 17 = 0 THEN
+               CASE WHEN k % 3 = 0
+                    THEN 'unsupported JPEG profile (SOF marker 0xFFC2): '
+                         || 'only baseline sequential (SOF0) is implemented'
+                    ELSE 'PNG chunk b''IDAT'' CRC mismatch' END
+           END AS err,
+           CASE WHEN k % 17 != 0 THEN CAST(k % 9 + 1 AS INT) END AS width,
+           CASE WHEN k % 17 != 0 THEN CAST(k % 5 + 1 AS INT) END AS height
+    FROM k
     ORDER BY doc_id, ok, err, width, height
     """,
-    doc="Quarantine decode: a corpus where every 17th-by-length doc's "
-    "PNG is corrupted (IDAT CRC byte flipped) must decode the rest "
-    "and emit (ok=false, err=<codec message>) for the bad ones — one "
-    "corrupt blob must never kill the stage (at 100 TB corrupt media "
-    "is routine, and the loud extract_features path would abort the "
-    "job). The oracle recomputes the corruption rule, the expected "
-    "error string, and the valid docs' dims — pinning that decode "
-    "failures are (a) contained, (b) deterministic, (c) triageable.",
+    doc="Quarantine decode across BOTH real image codecs: every "
+    "3rd-by-length doc carries a genuine JPEG (constant gray), the "
+    "rest PNGs; every 17th-by-length payload is corrupted — the PNG "
+    "leg by an IDAT CRC flip, the JPEG leg by rewriting SOF0 to SOF2 "
+    "(progressive, deliberately unimplemented). The stage must decode "
+    "the rest and emit (ok=false, err=<codec message>) for the bad "
+    "ones — one corrupt blob must never kill the stage (at 100 TB "
+    "corrupt media is routine, and the loud extract_features path "
+    "would abort the job). The oracle recomputes the corruption rule, "
+    "BOTH codecs' exact error strings, and the valid docs' dims — "
+    "pinning that decode failures are (a) contained, (b) "
+    "deterministic, (c) triageable, for png and jpeg alike.",
 )
 def mm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..operators.jpeg import jpeg_encode
     from ..operators.multimodal import (
         MEDIA_SCHEMA,
         png_encode,
@@ -540,31 +629,43 @@ def mm_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def to_png(it):
+    def to_media(it):
         for pdf in it:
             n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
             payloads = []
+            types = []
             for k in n:
                 k = int(k)
-                png = png_encode(
-                    np.full(
-                        (k % 5 + 1, k % 9 + 1, 3), k % 256, dtype=np.uint8
+                if k % 3 == 0:
+                    img = jpeg_encode(
+                        np.full(
+                            (k % 5 + 1, k % 9 + 1), (2 * k) % 256, dtype=np.uint8
+                        )
                     )
-                )
-                if k % 17 == 0:  # corrupt the IDAT CRC byte
-                    bad = bytearray(png)
-                    bad[-13] ^= 0xFF
-                    png = bytes(bad)
-                payloads.append(png)
+                    if k % 17 == 0:  # corrupt: baseline -> progressive
+                        img = img.replace(b"\xff\xc0", b"\xff\xc2", 1)
+                    types.append("image/jpeg")
+                else:
+                    img = png_encode(
+                        np.full(
+                            (k % 5 + 1, k % 9 + 1, 3), k % 256, dtype=np.uint8
+                        )
+                    )
+                    if k % 17 == 0:  # corrupt the IDAT CRC byte
+                        bad = bytearray(img)
+                        bad[-13] ^= 0xFF
+                        img = bytes(bad)
+                    types.append("image/png")
+                payloads.append(img)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": "image/png",
+                    "media_type": types,
                     "payload": payloads,
                 }
             )
 
-    media = docs.mapInPandas(to_png, schema=MEDIA_SCHEMA)
+    media = docs.mapInPandas(to_media, schema=MEDIA_SCHEMA)
     return (
         safe_decode_features(media)
         .select("doc_id", "ok", "err", "width", "height")

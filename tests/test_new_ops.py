@@ -73,9 +73,14 @@ def test_sample_frames_stride(spark):
 
 
 def test_decode_without_codec_is_format_scoped_stub():
-    """jpeg/video still need a library this container lacks: sniffing
-    an unknown format fails with the explicit boundary error."""
+    """Compressed video still needs a library this container lacks:
+    sniffing an unknown format fails with the explicit boundary error.
+    JPEG no longer hits the boundary (round-6 codec): a jpeg-magic
+    payload is dispatched to the real decoder, which rejects garbage
+    as malformed (ValueError), not as an environment gap."""
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00\x00\x00\x18ftypmp42 video-ish")
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
 
 
@@ -534,6 +539,92 @@ def test_malformed_but_structurally_valid_media_raises_valueerror():
     assert np is not None
 
 
+def test_jpeg_constant_gray_roundtrips_exactly():
+    """The exactness anchor the mm_jpeg gate rests on: constant gray,
+    EVEN value, 8-multiple dims -> DC-only blocks -> bit-exact through
+    the whole Huffman+DCT chain at quality 50 (q00=16)."""
+    import numpy as np
+
+    from cvemate_spark.operators import jpeg
+
+    for g in (0, 2, 56, 128, 200, 254):
+        for shape in [(8, 8), (16, 24), (40, 72)]:
+            b = jpeg.jpeg_encode(np.full(shape, g, np.uint8))
+            meta = jpeg.jpeg_codec(b)
+            assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+            assert meta["n_frames"] == 1
+            px = jpeg.jpeg_decode_pixels(b)
+            assert px.shape == (shape[0], shape[1], 1)
+            assert (px == g).all()
+
+
+def test_jpeg_lossy_roundtrip_quality_and_shapes():
+    """Decoder correctness on the lossy paths: constant RGB within the
+    DC-quantization error bound; smooth images at high PSNR; odd
+    (non-8-multiple) dims preserved; 4:2:0 subsampling; restart
+    markers decode identically to the unrestarted stream."""
+    import numpy as np
+
+    from cvemate_spark.operators import jpeg
+
+    rng = np.random.RandomState(0)
+    # constant RGB: per-channel error bounded by DC quant + rounding
+    for color in [(10, 200, 60), (255, 0, 0), (130, 130, 131)]:
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:] = color
+        px = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img))
+        assert np.abs(px.astype(int) - np.array(color)).max() <= 4
+    # smooth gradient: >= 35 dB at default quality
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    img = ((x * 2 + y * 3) % 256).astype(np.uint8)
+    px = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img))[:, :, 0]
+    mse = np.mean((px.astype(float) - img) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 35
+    # odd dims survive the MCU padding/cropping
+    img = rng.randint(0, 256, (37, 51, 3), np.uint8)
+    px = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img, quality=90))
+    assert px.shape == (37, 51, 3)
+    assert 10 * np.log10(
+        255**2 / np.mean((px.astype(float) - img) ** 2)
+    ) >= 25
+    # 4:2:0 chroma subsampling on a smooth image
+    smooth = np.zeros((32, 48, 3), np.uint8)
+    smooth[:, :, 0] = np.linspace(0, 255, 48, dtype=np.uint8)[None, :]
+    smooth[:, :, 1] = 100
+    smooth[:, :, 2] = 180
+    px = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(smooth, subsample=True))
+    assert px.shape == smooth.shape
+    assert 10 * np.log10(
+        255**2 / np.mean((px.astype(float) - smooth) ** 2)
+    ) >= 35
+    # restart markers: DRI/RSTn resync decodes to the identical image
+    img = rng.randint(0, 256, (24, 80), np.uint8)
+    p0 = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img))
+    p1 = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img, restart_interval=3))
+    assert (p0 == p1).all()
+
+
+def test_jpeg_rejects_malformed_and_unsupported_profiles():
+    """Honest-failure rule, same as the other codecs: progressive SOF2
+    is a scoped ValueError, truncation and garbage are ValueError —
+    and all of it is CONTAINED by the quarantine path (the error class
+    the quarantine handler catches)."""
+    import numpy as np
+
+    from cvemate_spark.operators import jpeg
+
+    good = jpeg.jpeg_encode(np.full((8, 8), 100, np.uint8))
+    with pytest.raises(ValueError, match="SOF marker 0xFFC2"):
+        jpeg.jpeg_codec(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode_pixels(good[:-30])
+    with pytest.raises(ValueError):
+        jpeg.jpeg_codec(b"not a jpeg")
+    # the decode_image sniffer dispatches jpeg magic to the real codec
+    meta = multimodal.decode_image(good)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 1)
+
+
 def test_hamming_banding_guard_refuses_recall_loss():
     """max_hamming > chunks-1 breaks the pigeonhole superset — the
     banding must refuse loudly rather than return a silently lossy
@@ -660,6 +751,7 @@ def test_safe_decode_quarantines_instead_of_failing(spark):
             (1, "image/png", bytearray(good)),
             (2, "image/png", bad),
             (3, "application/octet-stream", bytearray(b"\xff\xd8 jpeg-ish")),
+            (4, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42")),
         ],
         multimodal.MEDIA_SCHEMA,
     )
@@ -668,6 +760,8 @@ def test_safe_decode_quarantines_instead_of_failing(spark):
     }
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (3, 2)
     assert not rows[2]["ok"] and "CRC mismatch" in rows[2]["err"]
-    assert not rows[3]["ok"] and "no built-in codec" in rows[3]["err"]
+    # jpeg-magic garbage is now contained as MALFORMED JPEG (real codec)
+    assert not rows[3]["ok"] and "JPEG" in rows[3]["err"]
+    assert not rows[4]["ok"] and "no built-in codec" in rows[4]["err"]
     with pytest.raises(Exception):  # the loud path keeps failing loudly
         multimodal.extract_features(media, codec=None).collect()
