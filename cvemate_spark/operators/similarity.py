@@ -404,6 +404,116 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_indexed_batch(
+    spark,
+    path: str,
+    n_queries: int = 8,
+    k: int = 10,
+    n_probe: int = 3,
+    query_rows: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """AMORTIZED many-query serve over the PERSISTED index (VERDICT r5
+    item 4): one partition-pruned scan answers |Q| queries.
+
+    `ivf_topk_indexed` pays full Spark-job latency per query — correct
+    pruning, but listing + scheduling dominate when queries arrive in
+    batches (IVFBENCH r5: 6-13 s wall per probe set at sf10). Here the
+    batch shares ONE plan: the scan's PartitionFilters is the UNION of
+    every query's probe cells (still a literal IN-list, so pruning
+    happens at listing time — unprobed directories are never listed),
+    and per-query scoping rides a broadcast join against the
+    (q_id, cent_id, q_emb) probe relation (|Q|·n_probe rows). Listing,
+    scan, and scheduling amortize across the batch; files read ≤
+    |Q|·n_probe directories however large the corpus.
+
+    Query resolution (all BOUNDED driver work, resolved before the
+    returned plan so its only file scan is the pruned cells scan —
+    same structure as the single-query server):
+    1. query embeddings: |Q| rows via the vec_id-sorted secondary
+       index (point-pruned), or passed in as `query_rows` (the
+       production shape — queries arrive with the request);
+    2. per-query probe ranking: queries × centroids (bounded side)
+       computed Spark-side with the SAME cosine expression as the
+       in-memory path, so float ties break identically and the output
+       is law-equal to `ivf_topk_batch` (tests/test_layout_sketch.py).
+
+    Returns (q_id, vec_id), the per-query top-k.
+    """
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if query_rows is None:
+        # bounded fetch of the query vectors from the index itself
+        if os.path.isdir(f"{path}/vec_index"):
+            idx = (
+                spark.read.parquet(f"{path}/vec_index")
+                .filter(F.col("vec_id") < n_queries)
+                .collect()
+            )
+            qcells = sorted({int(r["cent_id"]) for r in idx})
+            qsrc = vectors.filter(
+                F.col("cent_id").isin(qcells) & (F.col("vec_id") < n_queries)
+            )
+        else:
+            qsrc = vectors.filter(F.col("vec_id") < n_queries)
+        query_rows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in qsrc.select("vec_id", "embedding").collect()
+        ]
+    if not query_rows:
+        raise ValueError("ivf_topk_indexed_batch: empty query batch")
+    qschema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("q_emb", ArrayType(DoubleType())),
+        ]
+    )
+    queries_df = spark.createDataFrame(query_rows, qschema)
+
+    # probe ranking: separate bounded job (queries × centroids), NOT
+    # part of the returned plan — mirrors the single-query server
+    cents = spark.read.parquet(f"{path}/centroids")
+    w_probe = W.partitionBy("q_id").orderBy(F.desc("qc"), F.asc("cent_id"))
+    probe_rows = (
+        cents.crossJoin(F.broadcast(queries_df))
+        .select(
+            "q_id",
+            "cent_id",
+            cosine_col("cent_emb", "q_emb").alias("qc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "cent_id")
+        .collect()
+    )
+    probe_cells = sorted({int(r["cent_id"]) for r in probe_rows})
+    pschema = StructType(
+        [StructField("q_id", LongType()), StructField("cent_id", LongType())]
+    )
+    probes_df = spark.createDataFrame(
+        [(int(r["q_id"]), int(r["cent_id"])) for r in probe_rows], pschema
+    )
+
+    w_topk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        vectors.filter(F.col("cent_id").isin(probe_cells))  # static pruning
+        .join(F.broadcast(probes_df), "cent_id")
+        .join(F.broadcast(queries_df), "q_id")
+        .select("q_id", "vec_id", cosine_col("embedding", "q_emb").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,

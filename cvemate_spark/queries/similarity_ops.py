@@ -133,6 +133,43 @@ def ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "ann_ivf_serve",
+    # the index-served batch answers EXACTLY what the in-memory batch
+    # answers (the amortization law) — same oracle as ann_ivf_batch
+    REG.specs["ann_ivf_batch"].oracle,
+    tags=("id-set",),
+    doc="Amortized batch serve over the PERSISTED IVF index (VERDICT r5 "
+    "item 4): the cell-partitioned index is built once into a "
+    "content-keyed scratch dir (write_ivf_index — Hive layout, one "
+    "file per cell), then 8 queries are answered in ONE "
+    "partition-pruned plan (ivf_topk_indexed_batch): the scan's "
+    "PartitionFilters is the literal union of all probe cells, "
+    "listing + scan amortize across the batch, files read ≤ "
+    "|Q|·n_probe. Oracle = the in-memory batched IVF (ann_ivf_batch's "
+    "SQL verbatim) — serving from the layout must change NOTHING "
+    "about the answer. Pruning law on the physical plan in "
+    "tests/test_layout_sketch.py.",
+)
+def ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..operators.similarity import ivf_topk_indexed_batch, write_ivf_index
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:ivfserve-s50".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/ivfserve_{key}"
+    if not os.path.isdir(f"{path}/vec_index"):  # last-written piece
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb, path, centroid_stride=50)
+    return ivf_topk_indexed_batch(
+        spark, path, n_queries=8, k=10, n_probe=3
+    ).orderBy("q_id", "vec_id")
+
+
+@REG.add(
     "ann_ivf_trained",
     f"""
     WITH q AS (

@@ -595,6 +595,9 @@ def checkpoint_resume_counts(
     sf_dir: str,
     workdir: str | None = None,
     collect_progress: list | None = None,
+    key_expr: str = "event_type",
+    collect_timings: list | None = None,
+    extra_restart: bool = False,
 ) -> DataFrame:
     """S11: kill-and-resume recovery from the checkpoint — the
     operational form of the reference's `update_status` watermark
@@ -623,6 +626,16 @@ def checkpoint_resume_counts(
     `collect_progress` (tests) receives one {"phase", "rows"} dict per
     phase, read from the query's own progress telemetry — the pytest
     law asserts phase 2 processed exactly the second half.
+
+    Bench knobs (tools/streambench.py's recovery-lag curve — the
+    question a 100-TB operator asks first: how long does a restart
+    take as state grows?): `key_expr` swaps the aggregation key (e.g.
+    ``user_id % 100000`` scales state cardinality; the output column
+    is still named event_type so the sink/read path is unchanged),
+    `collect_timings` receives per-phase wall seconds, and
+    `extra_restart=True` runs a THIRD phase with no new input — a
+    restart whose only work is offset-log replay + state restore + the
+    no-data commit, i.e. the isolated recovery lag.
     """
     import pyarrow.parquet as pq
 
@@ -652,10 +665,13 @@ def checkpoint_resume_counts(
             os.rename(tmp, path)
 
     def run_phase(phase: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         counts = (
             spark.readStream.schema(EVENTS_SCHEMA)
             .parquet(src_dir)
-            .groupBy("event_type")
+            .groupBy(F.expr(key_expr).alias("event_type"))
             .agg(F.count("*").alias("cnt"))
         )
         q = (
@@ -671,11 +687,17 @@ def checkpoint_resume_counts(
                 int(p["numInputRows"]) for p in (q.recentProgress or [])
             )
             collect_progress.append({"phase": phase, "rows": rows})
+        if collect_timings is not None:
+            collect_timings.append(
+                {"phase": phase, "seconds": round(_time.time() - t0, 3)}
+            )
 
     ensure_chunk("chunk_a", tbl.slice(0, half))
     run_phase(1)  # drain the first half, checkpoint, stop (the "crash")
     ensure_chunk("chunk_b", tbl.slice(half))
     run_phase(2)  # restart: offset log skips chunk_a, state resumes
+    if extra_restart:
+        run_phase(3)  # restart with NO new input: pure recovery lag
 
     return read_versioned(spark, sink).select(
         "event_type", F.col("cnt").cast("long").alias("cnt")

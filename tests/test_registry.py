@@ -145,6 +145,11 @@ def test_gate_hash_closure_and_sensitivity():
     deps = _closure("cvemate_spark.queries.dedup_ops")
     assert "cvemate_spark.operators.dedup" in deps
     assert "cvemate_spark.functions.text" in deps  # transitive (via dedup)
+    # `from pkg import submodule` must hash the SUBMODULE, not just the
+    # package __init__ (round-6 blind spot: `from ..streaming import
+    # jobs` behind an empty streaming/__init__.py hid jobs.py edits)
+    deps = _closure("cvemate_spark.queries.streaming_ops")
+    assert "cvemate_spark.streaming.jobs" in deps
 
     spec = REGISTRY.specs["q11"]
     h = builder_hash(spec)

@@ -36,7 +36,8 @@ PKG = REPO / "cvemate_spark"
 HASH_FILE = REPO / "tests" / "gate_hashes.json"
 
 _IMPORT_RE = re.compile(
-    r"^\s*from\s+(\.+)([\w.]*)\s+import|^\s*from\s+(cvemate_spark[\w.]*)\s+import",
+    r"^\s*from\s+(\.+)([\w.]*)\s+import\s+([\w ,]+)"
+    r"|^\s*from\s+(cvemate_spark[\w.]*)\s+import\s+([\w ,]+)",
     re.MULTILINE,
 )
 
@@ -78,12 +79,23 @@ def _imports_of(dotted: str, extra_src: str = "") -> set[str]:
         srcs.append(extra_src)
     for src in srcs:
         for m in _IMPORT_RE.finditer(src):
-            if m.group(3):  # absolute cvemate_spark import
-                out.add(m.group(3))
+            if m.group(4):  # absolute cvemate_spark import
+                base, names = m.group(4), m.group(5)
             else:
-                r = _resolve(dotted, m.group(1), m.group(2))
-                if r:
-                    out.add(r)
+                base = _resolve(dotted, m.group(1), m.group(2))
+                names = m.group(3)
+            if not base:
+                continue
+            out.add(base)
+            # `from pkg import submodule` names a MODULE, not a symbol:
+            # include it, or an edit to pkg/submodule.py is invisible
+            # behind an empty package __init__ (the round-6 jobs.py
+            # blind spot — `from ..streaming import jobs` hashed only
+            # streaming/__init__.py)
+            for n in (names or "").split(","):
+                cand = f"{base}.{n.strip()}"
+                if n.strip() and _module_path(cand) is not None:
+                    out.add(cand)
     return out
 
 

@@ -66,6 +66,66 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def dir_bytes(path: str) -> int:
+    total = 0
+    for r, _d, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(r, f))
+            except OSError:
+                pass
+    return total
+
+
+def recovery_curve(root, sf_dir: str) -> list[dict]:
+    """S11 kill-and-resume at scaled STATE CARDINALITY, both providers
+    (VERDICT r5 item 5): phase-1 drain (first half + checkpoint),
+    phase-2 restart (resume state + second half), and phase-3 restart
+    with NO new input — the isolated recovery lag (offset-log replay +
+    state restore + no-data commit), the number a 100-TB operator's
+    failover budget needs. State size scales via the aggregation key
+    ``user_id % K``; checkpoint state bytes are measured on disk."""
+    import shutil
+
+    from cvemate_spark.streaming import jobs
+
+    rows = []
+    for label, provider in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
+        for n_keys in (100, 10_000, 100_000):
+            s = root.newSession()
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+            workdir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scratch",
+                f"recbench_{label}_{n_keys}",
+            )
+            shutil.rmtree(workdir, ignore_errors=True)  # cold-start timing
+            timings: list[dict] = []
+            out = jobs.checkpoint_resume_counts(
+                s,
+                sf_dir,
+                workdir=workdir,
+                key_expr=f"user_id % {n_keys}",
+                collect_timings=timings,
+                extra_restart=True,
+            )
+            n_state_rows = out.count()
+            state_bytes = dir_bytes(os.path.join(workdir, "checkpoint", "state"))
+            row = {
+                "provider": label,
+                "keys_mod": n_keys,
+                "state_rows": n_state_rows,
+                "state_bytes": state_bytes,
+                "phase1_drain_s": timings[0]["seconds"],
+                "phase2_resume_s": timings[1]["seconds"],
+                "phase3_recovery_lag_s": timings[2]["seconds"],
+            }
+            rows.append(row)
+            print(row)
+            shutil.rmtree(workdir, ignore_errors=True)
+    return rows
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,11 +153,13 @@ def main() -> int:
         if out["hdfs"].get(name)
     }
 
+    recovery = recovery_curve(root, sf_dir)
+
     print(
         json.dumps(
             {"metric": "stream-state-suite", "unit": "sec", "providers": out,
              "rows_per_sec": rows_per_sec, "input_rows": input_rows,
-             "sf": sf_dir}
+             "recovery_curve": recovery, "sf": sf_dir}
         )
     )
     root.stop()
