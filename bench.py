@@ -16,6 +16,17 @@ and median alongside. This container's wall clock swings ±20-30% on
 zero guest load (BASELINE.md variance note), so a single reading is
 noise; min-of-N is the stable estimator of the plan's true cost and
 median shows the spread.
+
+Noise self-defense (VERDICT r5 item 2 — the committed BENCH_r05 was
+recorded on a loaded machine and read 43% above the same code's
+reproducible number, with nothing in the artifact saying so): the
+output now records the machine's loadavg and process count at start
+and end, and the median/min divergence ratio. When median exceeds min
+by more than the documented ±30% band, the harness AUTO-RETRIES up to
+two extra passes (min-of-N absorbs transient load if it clears) and,
+if the divergence persists, stamps "load_skewed": true into the
+artifact itself — a reading that can testify against its own
+recording conditions.
 """
 
 from __future__ import annotations
@@ -77,9 +88,13 @@ def main() -> int:
     spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
+    def load_context() -> dict:
+        la1, la5, la15 = os.getloadavg()
+        nproc = sum(1 for p in os.listdir("/proc") if p.isdigit())
+        return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
+                "nproc": nproc}
+
+    def run_pass(samples: dict[str, list[float]]) -> None:
         for name in HEADLINE:
             spec = REGISTRY.specs[name]
             t0 = time.time()
@@ -99,11 +114,33 @@ def main() -> int:
             # timed window, so it costs the metric nothing.
             spark.sparkContext._jvm.System.gc()
 
+    ctx_start = load_context()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        run_pass(samples)
+
+    # the documented noise band: median > 1.3x min across the suite
+    # means passes ran under materially different machine conditions
+    BAND = 1.30
+    MAX_EXTRA = 2
+
+    def divergence() -> float:
+        tot_min = sum(min(ts) for ts in samples.values())
+        tot_med = sum(statistics.median(ts) for ts in samples.values())
+        return tot_med / max(tot_min, 1e-9)
+
+    extra_passes = 0
+    while divergence() > BAND and extra_passes < MAX_EXTRA:
+        extra_passes += 1
+        run_pass(samples)  # min-of-N absorbs transient load if it clears
+
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
     median = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(best.values()), 3)
+    div = round(divergence(), 3)
     print(
         json.dumps(
             {
@@ -112,7 +149,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": best,
                 "queries_median": median,
-                "runs": n_runs,
+                "runs": n_runs + extra_passes,
+                "extra_passes_on_divergence": extra_passes,
+                "median_over_min": div,
+                "load_skewed": div > BAND,
+                "load_start": ctx_start,
+                "load_end": load_context(),
                 "sf": sf_dir,
             }
         )

@@ -192,21 +192,17 @@ def write_zordered_partitioned(
     )
 
 
-def zbuckets_for_box(
+def _zbuckets_for_box_scan(
     x_range: tuple[int, int],
     y_range: tuple[int, int],
     n_buckets: int = 256,
     bits: int = 8,
 ) -> list[int]:
-    """Bucket ids whose aligned z-range intersects the query box.
-
-    An aligned z-range [b<<s, (b+1)<<s) is a quadtree node: its low s
-    bits distribute ceil(s/2) to x (even bit positions) and floor(s/2)
-    to y, so the node covers the rectangle
-    [x0, x0 + 2^ceil(s/2) - 1] × [y0, y0 + 2^floor(s/2) - 1] where
-    (x0, y0) de-interleaves b<<s. Intersection is O(1) per bucket and
-    O(n_buckets) total — pure driver arithmetic, no manifest, no file
-    list, no data touched."""
+    """Reference enumeration: test every bucket's aligned rectangle
+    against the box — O(n_buckets) driver arithmetic. Kept as the law
+    oracle for the quadtree descent below (they must enumerate the
+    SAME set; tests/test_layout_sketch.py), and fine up to ~2^12
+    buckets; beyond that the descent wins (SCALE.md, round-6 row)."""
     shift = _zbucket_shift(n_buckets, bits)
     xlo, xhi = x_range
     ylo, yhi = y_range
@@ -221,6 +217,54 @@ def zbuckets_for_box(
             y0 |= ((z0 >> (2 * i + 1)) & 1) << i
         if x0 <= xhi and x0 + wx - 1 >= xlo and y0 <= yhi and y0 + wy - 1 >= ylo:
             out.append(b)
+    return out
+
+
+def zbuckets_for_box(
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    n_buckets: int = 256,
+    bits: int = 8,
+) -> list[int]:
+    """Bucket ids whose aligned z-range intersects the query box, by
+    QUADTREE DESCENT (VERDICT r5 item 7): walk the z-curve's implicit
+    binary tree from the root, pruning any node whose rectangle
+    misses the box — each fixed z-bit halves one dimension (odd bit
+    positions split y, even split x), so a node at depth L covers an
+    axis-aligned rectangle computable in O(1). Work is proportional to
+    the number of VISITED nodes, which is O(boundary buckets +
+    log n_buckets), not O(n_buckets): at 2^20 buckets a typical box
+    plans ~1000x faster than the linear scan (measured crossover ~2^12,
+    SCALE.md). Still pure driver arithmetic — no manifest, no file
+    list, no data touched; the result is identical to the reference
+    scan (law-tested)."""
+    shift = _zbucket_shift(n_buckets, bits)
+    depth = 2 * bits - shift  # prefix bits = log2(n_buckets)
+    xlo, xhi = x_range
+    ylo, yhi = y_range
+    out: list[int] = []
+    # iterative DFS; node = (level, prefix, x0, y0). Remaining z bits
+    # below the prefix distribute ceil(rem/2) to x, floor(rem/2) to y.
+    stack = [(0, 0, 0, 0)]
+    while stack:
+        level, prefix, x0, y0 = stack.pop()
+        rem = 2 * bits - level
+        wx = 1 << ((rem + 1) // 2)
+        wy = 1 << (rem // 2)
+        if x0 > xhi or x0 + wx - 1 < xlo or y0 > yhi or y0 + wy - 1 < ylo:
+            continue
+        if level == depth:
+            out.append(prefix)
+            continue
+        bitpos = 2 * bits - 1 - level  # next z bit to fix (MSB first)
+        i = bitpos // 2  # coordinate bit index
+        if bitpos % 2:  # odd z positions carry y bits
+            stack.append(((level + 1), (prefix << 1) | 1, x0, y0 | (1 << i)))
+            stack.append(((level + 1), (prefix << 1), x0, y0))
+        else:
+            stack.append(((level + 1), (prefix << 1) | 1, x0 | (1 << i), y0))
+            stack.append(((level + 1), (prefix << 1), x0, y0))
+    out.sort()
     return out
 
 

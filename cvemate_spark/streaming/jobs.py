@@ -694,10 +694,19 @@ def checkpoint_resume_counts(
 
     ensure_chunk("chunk_a", tbl.slice(0, half))
     run_phase(1)  # drain the first half, checkpoint, stop (the "crash")
-    ensure_chunk("chunk_b", tbl.slice(half))
-    run_phase(2)  # restart: offset log skips chunk_a, state resumes
     if extra_restart:
-        run_phase(3)  # restart with NO new input: pure recovery lag
+        # reserve the LAST row for a third restart: a no-data restart
+        # never schedules a batch (so state is never restored and the
+        # timing measures only the offset-log check); one fresh row
+        # forces the full recovery path — state restore + one commit —
+        # while keeping the final aggregate equal to the batch truth
+        ensure_chunk("chunk_b", tbl.slice(half, tbl.num_rows - half - 1))
+        run_phase(2)
+        ensure_chunk("chunk_c", tbl.slice(tbl.num_rows - 1, 1))
+        run_phase(3)  # isolated recovery lag: restore + 1-row commit
+    else:
+        ensure_chunk("chunk_b", tbl.slice(half))
+        run_phase(2)  # restart: offset log skips chunk_a, state resumes
 
     return read_versioned(spark, sink).select(
         "event_type", F.col("cnt").cast("long").alias("cnt")

@@ -136,6 +136,39 @@ def test_protobuf_bridge_pb2_roundtrip():
     assert api_implementation.Type() == "python"  # the SDK runtime, C-free
 
 
+def test_protobuf_bridge_defers_to_real_installs():
+    """VERDICT r5 item 8 (environment probe, committed): the repo-root
+    google/ bridge exists only because this container has no protobuf
+    pip package. Two laws: (a) when NO real install exists — the
+    probed state this round: `pip show protobuf` -> not found, no
+    site-packages google/protobuf — the bridge resolves to the SDK
+    runtime; (b) if a real install ever appears, it must WIN (its dirs
+    precede the SDK on the bridge's __path__ and the version-gate
+    softening disengages) — and the bridge directory should then be
+    deleted per its own docstring."""
+    import glob
+    import os
+    import sys
+
+    real = [
+        h
+        for p in sys.path
+        if "site-packages" in p or "dist-packages" in p
+        for h in glob.glob(os.path.join(p, "google", "protobuf"))
+    ]
+    try:
+        import google.protobuf as pb
+    except ImportError:
+        assert not real, "real protobuf present but not importable"
+        return  # no runtime anywhere: TWS fails closed, tested elsewhere
+    if real:
+        assert any(
+            pb.__file__.startswith(os.path.dirname(r)) for r in real
+        ), f"real install exists at {real} but bridge shadowed it: {pb.__file__}"
+    else:
+        assert "google-cloud-sdk" in pb.__file__  # the bridged SDK runtime
+
+
 def test_tws_running_agg_gate_or_law(spark):
     """Spark 4 stateful-processor surface (transformWithStateInPandas):
     where a protobuf runtime exists — including via the repo-root

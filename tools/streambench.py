@@ -80,11 +80,13 @@ def dir_bytes(path: str) -> int:
 def recovery_curve(root, sf_dir: str) -> list[dict]:
     """S11 kill-and-resume at scaled STATE CARDINALITY, both providers
     (VERDICT r5 item 5): phase-1 drain (first half + checkpoint),
-    phase-2 restart (resume state + second half), and phase-3 restart
-    with NO new input — the isolated recovery lag (offset-log replay +
-    state restore + no-data commit), the number a 100-TB operator's
-    failover budget needs. State size scales via the aggregation key
-    ``user_id % K``; checkpoint state bytes are measured on disk."""
+    phase-2 restart (resume state + second half minus one row), and
+    phase-3 restart with ONE fresh row — the isolated recovery lag
+    (offset-log replay + state restore + a single minimal commit; a
+    zero-input restart would never schedule a batch, so state would
+    never load), the number a 100-TB operator's failover budget needs.
+    State size scales via the aggregation key ``event_id % K``;
+    checkpoint state bytes are measured on disk."""
     import shutil
 
     from cvemate_spark.streaming import jobs
@@ -105,7 +107,7 @@ def recovery_curve(root, sf_dir: str) -> list[dict]:
                 s,
                 sf_dir,
                 workdir=workdir,
-                key_expr=f"user_id % {n_keys}",
+                key_expr=f"event_id % {n_keys}",
                 collect_timings=timings,
                 extra_restart=True,
             )
