@@ -448,6 +448,61 @@ def src_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ ORC
 @REG.add(
+    "src_binary",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 9 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 5 + 1 AS INT) AS height
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    ORDER BY doc_id, width, height
+    """,
+    doc="Object-store media ingestion: Spark's built-in binaryFile "
+    "source over a directory of REAL standalone PNG files "
+    "(landing.gen_png_files — one object per doc, the shape a 100-TB "
+    "multimodal corpus lands in), doc ids parsed from file paths, "
+    "payloads decoded by the real codec (png_codec) inside the Arrow "
+    "feature stage. At scale this is a parallel file listing + "
+    "map-only decode — no shuffle; binaryFile supports "
+    "pathGlobFilter/recursiveFileLookup for store-side pruning. "
+    "Oracle recomputes the construction rule for the first 200 docs "
+    "from the documents table.",
+)
+def src_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators.multimodal import png_codec
+
+    path = landing.gen_png_files(sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                d = png_codec(bytes(content))
+                rows.append(
+                    {"doc_id": doc_id, "width": d["width"], "height": d["height"]}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height"])
+
+    return (
+        files.mapInPandas(decode, schema="doc_id long, width int, height int")
+        .orderBy("doc_id", "width", "height")
+    )
+
+
+@REG.add(
     "src_orc",
     """
     SELECT source, lang,

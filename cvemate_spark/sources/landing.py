@@ -448,6 +448,42 @@ def gen_exploitdb_csv(sf_dir: str) -> str:
     return out
 
 
+def gen_png_files(sf_dir: str, limit: int = 200) -> str:
+    """A directory of REAL standalone PNG files, one per document (the
+    first `limit` by doc_id) — the landing shape a 100-TB multimodal
+    corpus actually has: media as individual objects in a store, not
+    rows in a table. Each file is named doc_<id>.png and encodes a
+    constant image whose dims/value derive from the doc's text length
+    (the mm_png construction rule), so an oracle can recompute every
+    decoded feature from the documents table. Written once per landing
+    fingerprint; the _DONE marker commits the whole directory."""
+    out = f"{landing_dir(sf_dir)}/png_files"
+    marker = f"{out}/_DONE"
+    if _done(marker):
+        return out
+    import numpy as np
+
+    from ..operators.multimodal import png_encode
+
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    t.sort(key=lambda r: r["doc_id"])
+    for r in t[:limit]:
+        k = len(r["text"].encode("utf-8"))
+        png = png_encode(
+            np.full((k % 5 + 1, k % 9 + 1, 3), k % 256, dtype=np.uint8)
+        )
+        tmp = f"{out}/doc_{r['doc_id']}.png.tmp"
+        with open(tmp, "wb") as f:
+            f.write(png)
+        os.rename(tmp, f"{out}/doc_{r['doc_id']}.png")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def gen_orc_documents(sf_dir: str) -> str:
     """ORC copy of the documents table (pyarrow ORC writer, done once
     per landing fingerprint) — the landing file for src_orc, proving
