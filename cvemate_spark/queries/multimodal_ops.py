@@ -409,6 +409,97 @@ def mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "mm_transcode",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 9 + 1) * 8 AS INT) AS width,
+           CAST((octet_length(encode(text)) % 5 + 1) * 8 AS INT) AS height,
+           CAST((2 * octet_length(encode(text))) % 256 AS INT) AS px,
+           TRUE AS lossless_chain
+    FROM documents
+    ORDER BY doc_id, width, height, px, lossless_chain
+    """,
+    doc="Format-normalization transcode — the standard corpus curation "
+    "stage (heterogeneous media in, one canonical format out), run "
+    "through BOTH real codecs chained: each doc's baseline JPEG "
+    "(constant even gray, 8-multiple dims) is DECODED to pixels "
+    "(jpeg_decode_pixels: Huffman/dequant/IDCT), RE-ENCODED as "
+    "canonical PNG (png_encode), then decoded AGAIN (png_decode_"
+    "pixels: inflate/de-filter) — three codec passes in one Arrow "
+    "map-only stage, no shuffle. On the constant-even-gray anchor the "
+    "whole chain is LOSSLESS (JPEG DC-only exactness, then PNG's "
+    "true losslessness), so the oracle pins dims + the exact pixel "
+    "value + a lossless_chain flag (decoded-after == decoded-before, "
+    "asserted per payload in the stage itself).",
+)
+def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import jpeg_decode_pixels, jpeg_encode
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        png_decode_pixels,
+        png_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_jpeg(it):
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "payload": [
+                        jpeg_encode(
+                            np.full(
+                                ((int(k) % 5 + 1) * 8, (int(k) % 9 + 1) * 8),
+                                (2 * int(k)) % 256,
+                                dtype=np.uint8,
+                            )
+                        )
+                        for k in n
+                    ],
+                }
+            )
+
+    def transcode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                before = jpeg_decode_pixels(bytes(payload))
+                png = png_encode(before[:, :, 0])  # canonical grayscale PNG
+                after = png_decode_pixels(png)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": before.shape[1],
+                        "height": before.shape[0],
+                        "px": int(after[0, 0, 0]),
+                        "lossless_chain": bool(
+                            (after[:, :, 0] == before[:, :, 0]).all()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "px", "lossless_chain"],
+            )
+
+    media = docs.mapInPandas(to_jpeg, schema=MEDIA_SCHEMA)
+    return (
+        media.mapInPandas(
+            transcode,
+            schema="doc_id long, width int, height int, px int, "
+            "lossless_chain boolean",
+        )
+        .orderBy("doc_id", "width", "height", "px", "lossless_chain")
+    )
+
+
+@REG.add(
     "mm_resize",
     """
     WITH b AS (
