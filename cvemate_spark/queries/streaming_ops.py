@@ -289,3 +289,32 @@ def s11_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.checkpoint_resume_counts(spark, sf_dir).orderBy(
         "event_type", "cnt"
     )
+
+
+@REG.add(
+    "s12_media",
+    """
+    WITH sel AS (
+        SELECT octet_length(encode(text)) AS k FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    )
+    SELECT CAST(k % 9 + 1 AS INT) AS width,
+           CAST(k % 5 + 1 AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM sel
+    GROUP BY width, height
+    ORDER BY width, height, n_docs
+    """,
+    doc="S12: streaming multimodal ingestion — a binaryFile STREAM "
+    "over the PNG landing directory (the object-store arrival shape: "
+    "files keep landing, the query keeps draining), each micro-batch "
+    "decoded by the REAL codec (png_codec) in an Arrow mapInPandas "
+    "stage, aggregated by decoded dimensions; maxFilesPerTrigger is "
+    "the backpressure knob, availableNow drains hermetically. The "
+    "streaming half of src_binary: oracle recomputes the "
+    "construction-rule dims histogram from the documents table.",
+)
+def s12_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.media_ingest_counts(spark, sf_dir).orderBy(
+        "width", "height", "n_docs"
+    )

@@ -711,3 +711,57 @@ def checkpoint_resume_counts(
     return read_versioned(spark, sink).select(
         "event_type", F.col("cnt").cast("long").alias("cnt")
     )
+
+
+def media_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: continuous multimodal ingestion — the streaming half of the
+    src_binary batch reader. A binaryFile STREAM over the PNG landing
+    directory (the object-store shape a 100-TB media corpus arrives
+    in: files keep landing, the query keeps draining), each
+    micro-batch decoded by the REAL codec inside an Arrow mapInPandas
+    stage, aggregated by decoded dimensions. maxFilesPerTrigger
+    bounds per-batch work (the production backpressure knob);
+    availableNow drains the backlog hermetically here. The decode is
+    map-only inside each micro-batch — the only stateful piece is the
+    tiny dims-count aggregation, so state is O(|distinct dims|)
+    regardless of corpus size."""
+    import pandas as pd
+
+    from ..operators.multimodal import png_codec
+    from ..sources.landing import gen_png_files
+
+    _ensure_session_confs(spark)
+    path = gen_png_files(sf_dir)
+    # file-source streams require an explicit schema; binaryFile's is
+    # fixed by the format
+    bf_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bf_schema)
+        .option("pathGlobFilter", "*.png")
+        .option("maxFilesPerTrigger", 64)
+        .load(path)
+        .select("content")
+    )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                d = png_codec(bytes(content))
+                rows.append({"width": d["width"], "height": d["height"]})
+            yield pd.DataFrame(rows, columns=["width", "height"])
+
+    dims = files.mapInPandas(decode, schema="width int, height int")
+    agg = dims.groupBy("width", "height").agg(F.count("*").alias("n_docs"))
+    _run_to_memory(agg, "s12_sink")
+    return spark.table("s12_sink").select(
+        "width", "height", F.col("n_docs").cast("long").alias("n_docs")
+    )
