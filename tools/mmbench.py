@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Multimodal decode-stage scale-stress: the map-only claim, measured.
+
+Runs every multimodal decode/feature stage (including the round-6 JPEG
+codec stages) at sf0.1 and sf1 (10x docs), min of 3 noop-sink passes
+each, and records per-query wall + the 10x-data scale ratio. The
+decode stages are Arrow mapInPandas map-only plans — no shuffle — so
+the expected scale is ~1x + amortized fixed overhead; a ratio
+approaching 10x would mean a stage went data-shuffling or driver-bound.
+
+mm_phash is excluded ON PURPOSE: it is a dedup operator, and on the
+10x-replicated sf1 corpus every synthetic image is a genuine 10-way
+duplicate, so its true pair relation is quadratic in multiplicity
+(see SCALE.md round-5 note).
+
+Writes MMBENCH.json. Usage: python3 tools/mmbench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cvemate_spark.queries import REGISTRY  # noqa: E402
+from cvemate_spark.session import get_spark  # noqa: E402
+
+MM_SET = [
+    "mm_meta", "mm_features", "mm_frames", "mm_dedup", "mm_png",
+    "mm_jpeg", "mm_transcode", "mm_wav", "mm_resize", "mm_y4m",
+    "mm_quarantine", "src_binary", "s12_media",
+]
+N_RUNS = 3
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in MM_SET:
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            REGISTRY.specs[name].builder(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        out[name] = round(best, 3)
+    out["total"] = round(sum(out.values()), 3)
+    return out
+
+
+def main() -> int:
+    spark = get_spark("mmbench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": f"{REPO}/.scratch/sf1"}
+    timings = {}
+    for label, d in dirs.items():
+        # warm untimed
+        REGISTRY.specs["mm_meta"].builder(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[label] = run_suite(spark, d)
+        print(label, timings[label])
+    scale = {
+        q: round(timings["sf1"][q] / timings["sf0.1"][q], 2)
+        for q in timings["sf0.1"]
+    }
+    doc = {
+        "metric": "multimodal decode-stage scale-stress (10x docs)",
+        "unit": "sec",
+        "protocol": f"min of {N_RUNS} per query, noop sink, local[32] "
+        "(tools/mmbench.py, round-6 refresh: adds the JPEG codec "
+        "stages mm_jpeg/mm_transcode and the binaryFile ingest pair "
+        "src_binary/s12_media)",
+        "timings": timings,
+        "scale_10x_data": scale,
+        "excluded": {
+            "mm_phash": "dedup-family operator: on the 10x-replicated "
+            "corpus every image is a genuine 10-way duplicate, so its "
+            "TRUE pair relation is quadratic in multiplicity — "
+            "measured separately (SCALE.md round-5 note)",
+        },
+        "note": "src_binary/s12_media read a 200-file landing dir whose "
+        "size is capped by construction, so their sf1 'scale' measures "
+        "fixed overhead, not data growth",
+    }
+    with open(os.path.join(REPO, "MMBENCH.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    worst = max(
+        (v, k) for k, v in scale.items()
+        if k not in ("total", "src_binary", "s12_media")
+    )
+    print(f"suite scale {scale['total']}x, worst {worst[1]} {worst[0]}x")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
