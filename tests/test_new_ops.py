@@ -604,6 +604,54 @@ def test_jpeg_lossy_roundtrip_quality_and_shapes():
     assert (p0 == p1).all()
 
 
+def test_jpeg_property_roundtrip_fuzz():
+    """Hypothesis fuzz over the codec laws: any uint8 image (gray or
+    RGB, arbitrary small dims) must encode to a stream the decoder
+    accepts with exact dims back, bounded error at quality 95, and a
+    byte-identical re-encode (determinism). Constant even-gray images
+    additionally round-trip exactly at quality 50 whatever the dims
+    (8-multiples or not — edge blocks are padded by replication, so
+    they stay constant)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from cvemate_spark.operators import jpeg
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, ch, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        img = rng.randint(0, 256, shape, np.uint8)
+        b = jpeg.jpeg_encode(img, quality=95)
+        assert b == jpeg.jpeg_encode(img, quality=95)  # deterministic
+        px = jpeg.jpeg_decode_pixels(b)
+        assert px.shape == (h, w, ch)
+        ref = img[:, :, None] if ch == 1 else img
+        # quality-95 luminance quantizers are tiny; random noise is the
+        # worst case, so the bound is loose but must hold
+        assert np.abs(px.astype(int) - ref.astype(int)).max() <= 64
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40), g=st.integers(0, 127))
+    def constant_exact(h, w, g):
+        img = np.full((h, w), 2 * g, np.uint8)
+        px = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode(img))
+        assert (px == 2 * g).all()
+
+    roundtrip()
+    constant_exact()
+
+
 def test_jpeg_rejects_malformed_and_unsupported_profiles():
     """Honest-failure rule, same as the other codecs: progressive SOF2
     is a scoped ValueError, truncation and garbage are ValueError —
