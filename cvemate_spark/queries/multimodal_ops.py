@@ -218,7 +218,13 @@ def mm_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.jpeg import jpeg_decode_pixels, jpeg_encode
     from ..operators.multimodal import MEDIA_SCHEMA
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the documents table lands as ONE parquet file at bench scales →
+    # one task; the codec stage is pure per-row CPU, so spread it
+    # across the cores first (at 100 TB the input arrives many-partitioned
+    # and this is a no-op-cost hash exchange of small rows)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def to_jpeg(it):
         for pdf in it:
@@ -443,7 +449,13 @@ def mm_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_encode,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the documents table lands as ONE parquet file at bench scales →
+    # one task; the codec stage is pure per-row CPU, so spread it
+    # across the cores first (at 100 TB the input arrives many-partitioned
+    # and this is a no-op-cost hash exchange of small rows)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def to_jpeg(it):
         for pdf in it:
