@@ -503,22 +503,35 @@ def _decode_block(
 
 def _parse_segments(payload: bytes):
     """Yield (marker, segment_payload, entropy_start) tuples; entropy
-    data after SOS is handled by the caller via the returned offset."""
+    data after SOS is handled by the caller via the returned offset.
+    Tolerates the spec's optional 0xFF fill bytes before a marker code
+    and the standalone (length-less) markers (TEM, RSTn) — streams
+    from other encoders may contain both."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
-        marker = payload[pos + 1]
+        p = pos + 1
+        while p < len(payload) and payload[p] == 0xFF:  # fill bytes
+            p += 1
+        if p >= len(payload):
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
+        marker = payload[p]
         if marker == 0xD9:  # EOI
             return
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        if seglen < 2 or pos + 2 + seglen > len(payload):
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos = p + 1
+            continue
+        if p + 3 > len(payload):
             raise ValueError("truncated JPEG segment")
-        data = payload[pos + 4 : pos + 2 + seglen]
-        yield marker, data, pos + 2 + seglen
-        pos += 2 + seglen
+        (seglen,) = struct.unpack_from(">H", payload, p + 1)
+        if seglen < 2 or p + 1 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        data = payload[p + 3 : p + 1 + seglen]
+        yield marker, data, p + 1 + seglen
+        pos = p + 1 + seglen
         if marker == 0xDA:
             return  # caller takes over at entropy_start
     raise ValueError("truncated JPEG (no EOI)")

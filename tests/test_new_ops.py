@@ -671,6 +671,11 @@ def test_jpeg_rejects_malformed_and_unsupported_profiles():
     # the decode_image sniffer dispatches jpeg magic to the real codec
     meta = multimodal.decode_image(good)
     assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 1)
+    # spec-valid streams from OTHER encoders: 0xFF fill bytes before a
+    # marker code must be skipped, not treated as corruption
+    filled = good.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    assert jpeg.jpeg_codec(filled)["width"] == 8
+    assert (jpeg.jpeg_decode_pixels(filled) == 100).all()
 
 
 def test_hamming_banding_guard_refuses_recall_loss():
