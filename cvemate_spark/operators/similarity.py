@@ -346,7 +346,13 @@ def ivf_topk_indexed(
     import os
 
     cents = spark.read.parquet(f"{path}/centroids")
-    vectors = spark.read.parquet(f"{path}/vectors")
+    try:
+        vectors = spark.read.parquet(f"{path}/vectors")
+    except Exception as e:  # empty-corpus index: no files, no schema
+        raise ValueError(
+            f"ivf_topk_indexed: index at {path!r} holds no vectors — "
+            f"query vec_id={query_vec_id} cannot exist"
+        ) from e
     # the query vector is ONE row (in production it arrives with the
     # request, not from the corpus) — fetch it driver-side so the
     # serving plan's ONLY corpus scan is the probed-cells scan, which
@@ -449,7 +455,20 @@ def ivf_topk_indexed_batch(
         StructType,
     )
 
-    vectors = spark.read.parquet(f"{path}/vectors")
+    try:
+        vectors = spark.read.parquet(f"{path}/vectors")
+    except Exception:
+        # an index written from an EMPTY corpus has no data files to
+        # infer a schema from — an empty batch answer, not a crash
+        # (empty slices are routine at 100 TB)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("q_id", LongType()), StructField("vec_id", LongType())]
+            ),
+        )
     if query_rows is None:
         # bounded fetch of the query vectors from the index itself
         if os.path.isdir(f"{path}/vec_index"):

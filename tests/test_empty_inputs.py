@@ -71,3 +71,35 @@ def test_classifier_on_empty(spark, empty_docs):
     from cvemate_spark.operators.classifier import N_BUCKETS, predict
 
     assert predict(empty_docs, [0] * N_BUCKETS).count() == 0
+
+
+def test_multimodal_codec_stages_on_empty(spark):
+    """The round-6 codec stages: an empty media relation must flow
+    through decode / quarantine / transcode-shaped mapInPandas stages
+    as an empty result with the right schema, never a raise."""
+    from cvemate_spark.operators import multimodal as mm
+
+    empty_media = spark.createDataFrame([], mm.MEDIA_SCHEMA)
+    feats = mm.extract_features(empty_media, codec=None)
+    assert feats.count() == 0
+    assert "width" in feats.columns
+    quar = mm.safe_decode_features(empty_media)
+    assert quar.count() == 0 and "err" in quar.columns
+    assert mm.audio_features(empty_media).count() == 0
+    assert mm.video_frame_features(empty_media).count() == 0
+
+
+def test_ivf_indexed_batch_on_empty_corpus(spark, tmp_path, empty_emb):
+    """An index written from an empty corpus must serve an external
+    query batch as an empty result (no cells to probe), not raise."""
+    from cvemate_spark.operators.similarity import (
+        ivf_topk_indexed_batch,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "empty_ivf")
+    write_ivf_index(empty_emb, path, centroid_stride=50)
+    got = ivf_topk_indexed_batch(
+        spark, path, k=3, n_probe=2, query_rows=[(0, [0.0] * 64)]
+    )
+    assert got.count() == 0
