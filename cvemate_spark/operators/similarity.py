@@ -587,6 +587,7 @@ def ivf_topk_batch(
     centroid_stride: int = 50,
     n_probe: int = 3,
     cents: DataFrame | None = None,
+    use_gemm: bool = False,
 ) -> DataFrame:
     """Batched IVF probe: N query vectors served in ONE plan.
 
@@ -607,11 +608,17 @@ def ivf_topk_batch(
 
     Pass `cents` (cent_id, cent_emb — e.g. from `kmeans_fit`) to serve
     from trained centroids; default is the oracle-expressible stride
-    quantizer.
+    quantizer. `use_gemm=True` swaps the n·C crossJoin-fold assignment
+    for the Arrow-GEMM argmax (the second-decade setting, same as
+    `ivf_topk`/`write_ivf_index` — validated hash-identical at the
+    gated scales).
     """
     if cents is None:
         cents = stride_cents(embeddings, centroid_stride)
-    assigned = assign_cells(embeddings, cents)
+    if use_gemm:
+        assigned = assign_cells_gemm(embeddings, cents).join(embeddings, "vec_id")
+    else:
+        assigned = assign_cells(embeddings, cents)
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
