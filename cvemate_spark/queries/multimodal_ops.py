@@ -415,6 +415,86 @@ def mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "mm_jpeg420",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 5 + 1) * 16 AS INT) AS width,
+           CAST((octet_length(encode(text)) % 3 + 1) * 16 AS INT) AS height,
+           CAST((2 * octet_length(encode(text))) % 256 AS INT) AS px_min,
+           CAST((2 * octet_length(encode(text))) % 256 AS INT) AS px_max
+    FROM documents
+    ORDER BY doc_id, width, height, px_min, px_max
+    """,
+    doc="The 4:2:0 SUBSAMPLED decode path through the hash gate — the "
+    "most intricate decoder code (interleaved MCUs: four Y blocks + "
+    "one Cb + one Cr per 16x16 MCU, chroma box-downsample on encode, "
+    "nearest-neighbor upsample on decode, three Huffman table pairs "
+    "in flight). Exactness anchor: constant gray-as-RGB with an EVEN "
+    "value — Cb=Cr=128 exactly when R=G=B (their DC is 0, immune to "
+    "the chroma quantizer), Y carries the even-gray DC-only exactness "
+    "— so every decoded RGB channel equals g bit-exactly and the "
+    "integer oracle pins the full interleave/upsample/color-convert "
+    "chain. 16-multiple dims exercise multi-MCU layouts both axes.",
+)
+def mm_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import jpeg_decode_pixels, jpeg_encode
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def to_jpeg(it):
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n:
+                k = int(k)
+                g = (2 * k) % 256
+                img = np.full(
+                    ((k % 3 + 1) * 16, (k % 5 + 1) * 16, 3), g, dtype=np.uint8
+                )
+                payloads.append(jpeg_encode(img, subsample=True))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = jpeg_decode_pixels(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "px_min", "px_max"]
+            )
+
+    media = docs.mapInPandas(to_jpeg, schema=MEDIA_SCHEMA)
+    return (
+        media.mapInPandas(
+            decode,
+            schema="doc_id long, width int, height int, px_min int, px_max int",
+        )
+        .orderBy("doc_id", "width", "height", "px_min", "px_max")
+    )
+
+
+@REG.add(
     "mm_transcode",
     """
     SELECT doc_id,

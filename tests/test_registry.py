@@ -92,7 +92,10 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 # Queries born THIS round, after the round's 50 gate slots were already
 # committed to the never-proven residue: local-oracle-green now, first
 # in line for the r7 rotation. Keep this list short and rotate it out.
-NEW_THIS_ROUND = {"mm_jpeg", "ann_ivf_serve", "src_binary", "mm_transcode", "s12_media"}
+NEW_THIS_ROUND = {
+    "mm_jpeg", "mm_jpeg420", "ann_ivf_serve", "src_binary", "mm_transcode",
+    "s12_media",
+}
 
 
 def test_driver_gate_covers_critical_families():
