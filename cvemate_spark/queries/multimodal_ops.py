@@ -768,6 +768,103 @@ def mm_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "mm_video_dedup",
+    """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS k,
+               octet_length(encode(text)) % 6 + 2 AS n,
+               ((octet_length(encode(text)) % 3) + 1) * 2 AS h,
+               ((octet_length(encode(text)) % 4) + 1) * 2 AS w
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, k, h, w, unnest(range(0, n, 2)) AS f FROM b
+    ),
+    ri AS (
+        SELECT *, unnest(range(h)) AS i FROM fr
+    ),
+    rij AS (
+        SELECT *, unnest(range(w)) AS j FROM ri
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, fpr FROM (
+            SELECT doc_id, f,
+                   sum((k + 11 * f + 13 * i + 7 * j) % 256) AS fpr
+            FROM rij GROUP BY doc_id, f
+        )
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fpr = b.fpr AND a.doc_id < b.doc_id
+    GROUP BY d1, d2
+    HAVING count(*) >= 2
+    ORDER BY d1, d2, n_shared
+    """,
+    doc="Cross-video near-dup by shared frame fingerprints — the "
+    "shot-overlap dedup a 100-TB video corpus runs FIRST: every "
+    "sampled frame's fingerprint (exact luma sum over the REAL "
+    "decoded plane, so the oracle recomputes it arithmetically) is "
+    "the banding key; videos sharing >= 2 distinct fingerprints pair "
+    "with their overlap count. The candidate join is "
+    "fingerprint-equality (hash-partitioned equi-join, never "
+    "all-pairs), the same superset-then-count shape as the text "
+    "dedup family — at scale the fingerprint relation is tiny next "
+    "to the video bytes (one row per sampled frame) and the hot-key "
+    "story follows dedup_minhash's banding analysis.",
+)
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_frame_features,
+        y4m_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_y4m(it):
+        for pdf in it:
+            n_bytes = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            payloads = []
+            for k in n_bytes:
+                k = int(k)
+                n, h, w = k % 6 + 2, ((k % 3) + 1) * 2, ((k % 4) + 1) * 2
+                f = np.arange(n).reshape(n, 1, 1)
+                i = np.arange(h).reshape(1, h, 1)
+                j = np.arange(w).reshape(1, 1, w)
+                frames = ((k + 11 * f + 13 * i + 7 * j) % 256).astype(np.uint8)
+                payloads.append(y4m_encode(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video/y4m",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(to_y4m, schema=MEDIA_SCHEMA)
+    fp = (
+        video_frame_features(media, stride=2)
+        .select("doc_id", F.col("luma_sum").alias("fpr"))
+        .distinct()
+    )
+    left = fp.select(F.col("doc_id").alias("d1"), "fpr")
+    right = fp.select(F.col("doc_id").alias("d2"), F.col("fpr").alias("fpr2"))
+    return (
+        left.join(
+            right, (F.col("fpr") == F.col("fpr2")) & (F.col("d1") < F.col("d2"))
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("d1", "d2", "n_shared")
+    )
+
+
+@REG.add(
     "mm_quarantine",
     """
     WITH k AS (
