@@ -31,8 +31,8 @@ from cvemate_spark.session import get_spark  # noqa: E402
 
 MM_SET = [
     "mm_meta", "mm_features", "mm_frames", "mm_dedup", "mm_png",
-    "mm_jpeg", "mm_transcode", "mm_wav", "mm_resize", "mm_y4m",
-    "mm_quarantine", "src_binary", "s12_media",
+    "mm_jpeg", "mm_jpeg420", "mm_transcode", "mm_wav", "mm_resize",
+    "mm_y4m", "mm_quarantine", "src_binary", "s12_media",
 ]
 N_RUNS = 3
 
@@ -84,6 +84,11 @@ def main() -> int:
             "corpus every image is a genuine 10-way duplicate, so its "
             "TRUE pair relation is quadratic in multiplicity — "
             "measured separately (SCALE.md round-5 note)",
+            "mm_video_dedup": "same dedup-family accounting: the "
+            "replicated corpus makes every video a genuine 10-way "
+            "duplicate, so the shared-fingerprint pair relation is "
+            "quadratic in multiplicity (measured 9.2x at 10x docs — "
+            "true-pair-bound, not candidate waste)",
         },
         "note": "src_binary/s12_media read a 200-file landing dir whose "
         "size is capped by construction, so their sf1 'scale' measures "
