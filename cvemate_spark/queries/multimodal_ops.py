@@ -865,6 +865,139 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "mm_curate",
+    """
+    WITH k AS (
+        SELECT doc_id, octet_length(encode(text)) AS k FROM documents
+    ),
+    ok AS (
+        -- the quarantine split: every 17th-by-length payload is corrupt
+        SELECT doc_id, k,
+               k % 3 = 0 AS is_jpeg,
+               CAST(k % 9 + 1 AS INT) AS width,
+               CAST(k % 5 + 1 AS INT) AS height,
+               -- payload bytes are a pure function of the construction
+               -- class: (format, dims, fill value) — byte-level digest
+               -- equality == class equality
+               CASE WHEN k % 3 = 0 THEN (2 * k) % 256 ELSE k % 256 END AS fill
+        FROM k WHERE k % 17 != 0
+    )
+    SELECT CASE WHEN is_jpeg THEN 'image/jpeg' ELSE 'image/png' END
+               AS media_type,
+           width, height,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dup
+    FROM ok
+    GROUP BY is_jpeg, width, height, fill
+    ORDER BY media_type, width, height, keep_id, n_dup
+    """,
+    doc="Composed MEDIA curation pipeline — the multimodal capstone "
+    "mirroring curate_pipeline's text form: one DAG runs (1) real "
+    "decode with QUARANTINE semantics over a mixed jpeg/png corpus "
+    "with planted corruption (corrupt payloads are dropped, not "
+    "fatal), then (2) byte-level exact dedup over the survivors "
+    "(md5 over the payload BYTES, computed in the same Arrow stage "
+    "that owns the payload), keeping the min doc_id per identical "
+    "payload with the reclaimable-duplicate count. The oracle "
+    "recomputes the quarantine rule and derives digest-equality "
+    "classes arithmetically (payload bytes are a pure function of "
+    "the construction class, so byte equality == class equality). "
+    "All stages map-only except the final dedup groupBy — one "
+    "shuffle on the digest, the 100-TB media-curation shape.",
+)
+def mm_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.jpeg import jpeg_encode
+    from ..operators.multimodal import png_encode
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    MEDIA_FEAT_SCHEMA = (
+        "doc_id long, media_type string, ok boolean, "
+        "width int, height int, digest string"
+    )
+
+    def decode_stage(it):
+        # build + decode in one Arrow stage: the digest is a by-product
+        # of the pass that owns the payload (no second scan)
+        from ..operators.multimodal import decode_image
+
+        for pdf in it:
+            n = pdf["text"].str.encode("utf-8").str.len().to_numpy()
+            rows = []
+            for doc_id, k in zip(pdf["doc_id"], n):
+                k = int(k)
+                if k % 3 == 0:
+                    payload = jpeg_encode(
+                        np.full(
+                            (k % 5 + 1, k % 9 + 1), (2 * k) % 256, dtype=np.uint8
+                        )
+                    )
+                    mtype = "image/jpeg"
+                    if k % 17 == 0:
+                        payload = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+                else:
+                    payload = png_encode(
+                        np.full(
+                            (k % 5 + 1, k % 9 + 1, 3), k % 256, dtype=np.uint8
+                        )
+                    )
+                    mtype = "image/png"
+                    if k % 17 == 0:
+                        bad = bytearray(payload)
+                        bad[-13] ^= 0xFF
+                        payload = bytes(bad)
+                try:
+                    d = decode_image(payload)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_type": mtype,
+                            "ok": True,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "digest": _hashlib.md5(payload).hexdigest(),
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_type": mtype,
+                            "ok": False,
+                            "width": None,
+                            "height": None,
+                            "digest": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "ok", "width", "height", "digest",
+                ],
+            )
+
+    feats = docs.mapInPandas(decode_stage, schema=MEDIA_FEAT_SCHEMA)
+    return (
+        feats.filter(F.col("ok"))  # quarantine: corrupt payloads drop out
+        .groupBy("media_type", "width", "height", "digest")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            (F.count("*") - 1).cast("long").alias("n_dup"),
+        )
+        .select("media_type", "width", "height", "keep_id", "n_dup")
+        .orderBy("media_type", "width", "height", "keep_id", "n_dup")
+    )
+
+
+@REG.add(
     "mm_quarantine",
     """
     WITH k AS (

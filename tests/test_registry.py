@@ -94,7 +94,7 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 # in line for the r7 rotation. Keep this list short and rotate it out.
 NEW_THIS_ROUND = {
     "mm_jpeg", "mm_jpeg420", "ann_ivf_serve", "src_binary", "mm_transcode",
-    "s12_media", "mm_video_dedup",
+    "s12_media", "mm_video_dedup", "mm_curate",
 }
 
 
