@@ -652,6 +652,53 @@ def test_jpeg_property_roundtrip_fuzz():
     constant_exact()
 
 
+def test_wav_y4m_property_roundtrip_fuzz():
+    """Property form of the lossless codec laws: ANY int16 sample
+    array round-trips WAV exactly; ANY uint8 frame stack round-trips
+    Y4M exactly — encoders and decoders are inverse bijections on
+    their whole domains, not just the fixed test vectors."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from cvemate_spark.operators import multimodal as mm
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 200),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, ch, rate, seed):
+        rng = np.random.RandomState(seed)
+        a = rng.randint(-32768, 32768, (n, ch), np.int16)
+        b = mm.wav_encode(a, sample_rate=rate)
+        meta = mm.wav_codec(b)
+        assert (meta["n_samples"], meta["channels"], meta["sample_rate"]) == (
+            n, ch, rate,
+        )
+        assert (mm.wav_decode_samples(b) == a).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 8),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def y4m_roundtrip(n, h, w, seed):
+        rng = np.random.RandomState(seed)
+        # Y4M 4:2:0 chroma planes need even dims; the encoder pads or
+        # requires even — mirror its contract by using even dims
+        frames = rng.randint(0, 256, (n, h * 2, w * 2), np.uint8)
+        b = mm.y4m_encode(frames)
+        back = mm.y4m_decode_luma(b)
+        assert (back == frames).all()
+
+    wav_roundtrip()
+    y4m_roundtrip()
+
+
 def test_jpeg_rejects_malformed_and_unsupported_profiles():
     """Honest-failure rule, same as the other codecs: progressive SOF2
     is a scoped ValueError, truncation and garbage are ValueError —
