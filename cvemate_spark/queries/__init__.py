@@ -23,6 +23,7 @@ def build_registry() -> Registry:
         "source_ops",
         "pipeline_ops",
         "graph_ops",
+        "stats_ops",
     ):
         try:
             mod = __import__(f"{__name__}.{mod_name}", fromlist=["REG"])

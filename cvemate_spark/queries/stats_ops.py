@@ -1,0 +1,561 @@
+"""Corpus-statistics / monitoring operators: drift detection, sketch
+set-cardinality, weighted sampling, hybrid retrieval fusion.
+
+The monitoring-and-mixing surface a 100-TB training-data pipeline runs
+on every ingest batch, alongside the dedup/quality passes:
+
+- `t_drift_ks`   — two-sample Kolmogorov-Smirnov distance between the
+  length distributions of two corpus slices, computed over a BOUNDED
+  equi-width histogram (the scale-honest formulation: the classic
+  sort-based KS needs a global sort of the pooled sample; the binned
+  form needs one map-side-combinable groupBy over <=64 bins).
+- `t_drift_psi`  — population-stability index over the same bins
+  (the drift score model-monitoring systems threshold on).
+- `e_kmv_intersect` — KMV (k-minimum-values / bottom-k) sketch
+  distinct-count and set-intersection estimation between two corpus
+  vocabularies (Bar-Yossef et al. 2002; Beyer et al. 2007). The sketch
+  is k rows NO MATTER the corpus size and merges by union+re-min, so
+  per-shard sketches roll up without touching raw data — the
+  complement to the count-min sketch in `operators/sketch.py` (point
+  frequency) and HLL (`e_hll`, distinct-only: KMV adds INTERSECTION).
+- `t_sample_weighted` — weighted reservoir sampling (Efraimidis &
+  Spirakis 2006, A-ES keys): reproducible hash-seeded top-k by
+  ln(u)/w, the data-mixing primitive for importance-weighted corpus
+  selection (complements the stratified-rate `t_sample`).
+- `retr_rrf` — hybrid retrieval: reciprocal-rank fusion (Cormack et
+  al. 2009) of a sparse BM25 leg and a dense cosine-ANN leg — the
+  standard RAG retrieval stack expressed as two bounded top-k legs
+  plus a k-row fusion aggregate.
+
+Reference parity: the reference's closest surfaces are its per-source
+document counters and the `updateinfo` freshness queries
+(mongodb_handler.py:154-175 aggregates per-collection counts); drift /
+sketch / fusion are the scale-side extensions this engine adds for
+corpus monitoring at sizes where exact global statistics are a luxury.
+
+Scale notes (100 TB):
+- the drift pair needs ONE scan + one bounded groupBy (<=64 bins,
+  partial-agg map-side); every window below the agg runs over <=64
+  rows on one reducer — constant work after the scan;
+- the KMV bottom-k per side is orderBy(h).limit(k) =
+  TakeOrderedAndProject: per-partition k-heaps, never a global sort;
+  the assembled sketch relation is <=2k rows;
+- weighted sampling is one scan + TakeOrderedAndProject(k) — the A-ES
+  key makes "weighted sample of the whole corpus" a top-k, not a
+  shuffle;
+- RRF fuses two ALREADY-BOUNDED top-k legs (20 rows each): the fusion
+  groupBy moves <=40 rows; leg cost is the legs' own scale story
+  (BM25 = tokenize+agg; dense = GEMM/IVF — here the brute baseline);
+- float portability: per-row transcendental contributions (ln) are
+  quantized to integer micro-units BEFORE any cross-row aggregate
+  (the bm25/t_perplexity pattern), so sums are order-independent;
+  pure-ratio divisions (KS, KMV estimates) stay exact-integer until
+  one final correctly-rounded double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import duck_str_hash, spark_str_hash
+from ..operators.similarity import cosine_col, duck_cosine
+from ..tables import load_table
+from .base import Registry
+
+REG = Registry()
+
+# ------------------------------------------------------------ drift
+# Slice A = English documents, slice B = everything else; the drifting
+# statistic is document length (n_chars). Equi-width bins, clamped to
+# a fixed bin count so the aggregate is bounded at ANY corpus size.
+KS_BIN_W = 16
+KS_NBINS = 64
+
+_DUCK_BINNED = f"""
+    binned AS (
+        SELECT least(CAST(floor(n_chars / {KS_BIN_W}) AS BIGINT),
+                     {KS_NBINS - 1}) AS bin,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(is_a) AS BIGINT) AS a_cnt,
+               CAST(sum(1 - is_a) AS BIGINT) AS b_cnt
+        FROM binned GROUP BY bin
+    )
+"""
+
+
+@REG.add(
+    "t_drift_ks",
+    f"""
+    WITH {_DUCK_BINNED},
+    cum AS (
+        SELECT bin,
+               sum(a_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(b_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               sum(a_cnt) OVER () AS n_a,
+               sum(b_cnt) OVER () AS n_b
+        FROM per_bin
+    ),
+    diffs AS (
+        SELECT bin, n_a, n_b,
+               abs(cum_a * n_b - cum_b * n_a) AS diff_u,
+               max(abs(cum_a * n_b - cum_b * n_a)) OVER () AS ks_u
+        FROM cum
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(max(ks_u) AS BIGINT) AS ks_u,
+           CAST(max(ks_u) AS DOUBLE) / (max(n_a) * max(n_b)) AS ks,
+           CAST(min(bin) AS BIGINT) AS ks_bin
+    FROM diffs WHERE diff_u = ks_u
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift distance between the "
+    "document-length distributions of the English and non-English "
+    "slices, over a fixed 64-bin equi-width histogram. The statistic "
+    "stays EXACT INTEGER until the final division: D*n_a*n_b = "
+    "max_bin |cumA*n_b - cumB*n_a|. One scan + one bounded groupBy "
+    "(map-side partial agg into <=64 bins); the CDF windows run over "
+    "the 64-row bin relation. ks_bin = first bin achieving the max "
+    "(where the distributions diverge most).",
+)
+def t_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_bin = _per_bin(spark, sf_dir)
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        F.sum("a_cnt").over(cum_w).alias("cum_a"),
+        F.sum("b_cnt").over(cum_w).alias("cum_b"),
+        F.sum("a_cnt").over(all_w).alias("n_a"),
+        F.sum("b_cnt").over(all_w).alias("n_b"),
+    )
+    diff_u = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    diffs = cum.select(
+        "bin", "n_a", "n_b",
+        diff_u.alias("diff_u"),
+        F.max(diff_u).over(all_w).alias("ks_u"),
+    )
+    return diffs.filter(F.col("diff_u") == F.col("ks_u")).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("ks_u").cast("long").alias("ks_u"),
+        (F.max("ks_u").cast("double") / (F.max("n_a") * F.max("n_b"))).alias("ks"),
+        F.min("bin").cast("long").alias("ks_bin"),
+    )
+
+
+PSI_SMOOTH = 1  # add-one smoothing so empty-on-one-side bins stay finite
+
+
+@REG.add(
+    "t_drift_psi",
+    f"""
+    WITH {_DUCK_BINNED},
+    tot AS (
+        SELECT sum(a_cnt) AS n_a, sum(b_cnt) AS n_b,
+               count(*) AS nbins FROM per_bin
+    ),
+    contrib AS (
+        SELECT CAST(floor(
+            ((a_cnt + {PSI_SMOOTH}) / (n_a + {PSI_SMOOTH} * nbins)
+             - (b_cnt + {PSI_SMOOTH}) / (n_b + {PSI_SMOOTH} * nbins))
+            * ln(((a_cnt + {PSI_SMOOTH}) / (n_a + {PSI_SMOOTH} * nbins))
+                 / ((b_cnt + {PSI_SMOOTH}) / (n_b + {PSI_SMOOTH} * nbins)))
+            * 1000000.0 + 0.5) AS BIGINT) AS c_u
+        FROM per_bin, tot
+    )
+    SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
+           CAST((SELECT nbins FROM tot) AS BIGINT) AS nbins,
+           CAST(sum(c_u) AS BIGINT) AS psi_u,
+           CAST(sum(c_u) AS DOUBLE) / 1000000.0 AS psi
+    FROM contrib
+    """,
+    doc="Population-stability index between the same two slices over "
+    "the same bounded histogram: sum_bin (pA-pB)*ln(pA/pB) with "
+    "add-one smoothing. Per-bin contributions are quantized to integer "
+    "micro-units BEFORE the sum (the bm25 portability pattern), so the "
+    "cross-engine aggregate is an exact integer sum. Same one-scan + "
+    "bounded-agg plan as t_drift_ks; PSI > 0.2 is the classic "
+    "'significant drift' monitoring threshold.",
+)
+def t_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_bin = _per_bin(spark, sf_dir)
+    tot = per_bin.agg(
+        F.sum("a_cnt").alias("n_a"),
+        F.sum("b_cnt").alias("n_b"),
+        F.count("*").alias("nbins"),
+    )
+    pa = (F.col("a_cnt") + PSI_SMOOTH) / (
+        F.col("n_a") + PSI_SMOOTH * F.col("nbins")
+    )
+    pb = (F.col("b_cnt") + PSI_SMOOTH) / (
+        F.col("n_b") + PSI_SMOOTH * F.col("nbins")
+    )
+    c_u = F.floor((pa - pb) * F.log(pa / pb) * F.lit(1000000.0) + F.lit(0.5))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a", "n_b", "nbins",
+            c_u.cast("long").alias("c_u"),
+        )
+        .groupBy("n_a", "n_b", "nbins")
+        .agg(
+            F.sum("c_u").cast("long").alias("psi_u"),
+            (F.sum("c_u").cast("double") / F.lit(1000000.0)).alias("psi"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("nbins").cast("long").alias("nbins"),
+            "psi_u", "psi",
+        )
+    )
+
+
+def _per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_a = F.when(F.col("lang") == "en", 1).otherwise(0)
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / KS_BIN_W).cast("long"),
+        F.lit(KS_NBINS - 1).cast("long"),
+    )
+    return (
+        docs.select(is_a.alias("is_a"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").cast("long").alias("a_cnt"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+        )
+    )
+
+
+# ----------------------------------------------------- KMV sketch
+KMV_K = 256
+HASH_SPACE = 1 << 60  # spark_str_hash/duck_str_hash range: [0, 2^60)
+
+_KMV_EST_DUCK = (
+    f"CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE) "
+    f"ELSE ({KMV_K - 1}.0 * {HASH_SPACE}.0) / CAST(u_k AS DOUBLE) END"
+)
+
+
+@REG.add(
+    "e_kmv_intersect",
+    f"""
+    WITH t AS (
+        SELECT doc_id % 2 AS side, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT side,
+               unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS s
+        FROM t
+    ),
+    dist AS (SELECT DISTINCT side, {duck_str_hash("s")} AS h FROM sh),
+    sk_a AS (SELECT h FROM dist WHERE side = 0 ORDER BY h LIMIT {KMV_K}),
+    sk_b AS (SELECT h FROM dist WHERE side = 1 ORDER BY h LIMIT {KMV_K}),
+    merged AS (
+        SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM sk_a
+            UNION ALL
+            SELECT h, 0 AS in_a, 1 AS in_b FROM sk_b
+        ) GROUP BY h
+    ),
+    bottom AS (SELECT * FROM merged ORDER BY h LIMIT {KMV_K}),
+    est AS (
+        SELECT count(*) AS n_seen, max(h) AS u_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM bottom
+    ),
+    exact AS (
+        SELECT CAST(sum(has_a) AS BIGINT) AS exact_a,
+               CAST(sum(has_b) AS BIGINT) AS exact_b,
+               CAST(sum(has_a * has_b) AS BIGINT) AS exact_inter
+        FROM (
+            SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS has_a,
+                   max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS has_b
+            FROM dist GROUP BY h
+        )
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(u_k AS BIGINT) AS u_k,
+           n_both,
+           {_KMV_EST_DUCK} AS est_union,
+           (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
+               * ({_KMV_EST_DUCK}) AS est_inter,
+           exact_a, exact_b, exact_inter
+    FROM est, exact
+    """,
+    doc="KMV (bottom-k) sketch set cardinality + INTERSECTION between "
+    "the word-trigram shingle sets of the even-id and odd-id document "
+    "shards (Beyer et al. 2007) — the cross-shard overlap a dedup "
+    "planner reads before scheduling a full pairwise pass. Keep the "
+    "k=256 smallest distinct 60-bit shingle hashes per shard "
+    "(distinct + orderBy+limit = TakeOrderedAndProject: per-partition "
+    "k-heaps, never a global sort), merge to the bottom-k of the "
+    "union, estimate |A u B| = (k-1)*M/U_(k) (exact n_seen when the "
+    "sketch never filled) and |A n B| = (n_both/n_seen)*est_union. "
+    "The sketch is k rows at ANY corpus size and merges by "
+    "union+re-min, so per-shard/day sketches roll up without raw "
+    "data. Exact distincts ride along so the result self-reports "
+    "sketch error; estimates stay integer until one final double "
+    "division. Operator core: operators/kmv.py.",
+)
+def e_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import bottom_k, union_intersect_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    # sequence(1, size-2) counts DOWN for size < 3 — guard short docs
+    # (duck's end-exclusive range is empty there, the t_novelty guard)
+    arr = F.when(F.size(toks) >= 3, tri).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        (F.col("doc_id") % 2).alias("side"), F.explode(arr).alias("s")
+    )
+    dist = sh.select("side", F.expr(spark_str_hash("s")).alias("h")).distinct()
+    sk_a = bottom_k(dist.filter(F.col("side") == 0), KMV_K)
+    sk_b = bottom_k(dist.filter(F.col("side") == 1), KMV_K)
+    est = union_intersect_estimate(sk_a, sk_b, KMV_K)
+    flags = dist.groupBy("h").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("has_b"),
+    )
+    exact = flags.agg(
+        F.sum(F.col("has_a")).cast("long").alias("exact_a"),
+        F.sum(F.col("has_b")).cast("long").alias("exact_b"),
+        F.sum(F.col("has_a") * F.col("has_b")).cast("long").alias("exact_inter"),
+    )
+    return est.crossJoin(exact)
+
+
+# -------------------------------------------- weighted reservoir
+WRS_K = 64
+
+
+@REG.add(
+    "t_sample_weighted",
+    f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(floor(ln(
+               ({duck_str_hash("'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+               / {HASH_SPACE}.0) * 1000000.0) AS BIGINT)
+               / CAST(n_chars AS DOUBLE) AS w_key
+    FROM documents
+    ORDER BY w_key DESC, doc_id ASC
+    LIMIT {WRS_K}
+    """,
+    doc="Weighted reservoir sampling (Efraimidis-Spirakis A-ES): each "
+    "document draws a reproducible uniform u from a salted 60-bit hash "
+    "of its id and gets key ln(u)/w with weight w = n_chars; the "
+    "weighted-without-replacement sample IS the top-k by key. "
+    "Hash-seeded keys make the sample reproducible and "
+    "cluster-size-independent; the plan is one scan + "
+    "TakeOrderedAndProject(k) — 'weighted sample of the corpus' "
+    "without any shuffle. ln(u) is quantized to integer micro-units "
+    "before the one exact double division by the integer weight, so "
+    "cross-engine ordering is deterministic (ties break on doc_id).",
+)
+def t_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_str_hash("concat('ws:', cast(doc_id as string))"))
+    u = (h + 1) / F.lit(float(HASH_SPACE))
+    lnu_u = F.floor(F.log(u) * F.lit(1000000.0))
+    key = lnu_u.cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("w_key"),
+        )
+        .orderBy(F.desc("w_key"), F.asc("doc_id"))
+        .limit(WRS_K)
+    )
+
+
+# ------------------------------------------------ hybrid retrieval
+# Sparse leg: the bm25_topk scoring (same 3 fixed terms, k1/b) — kept
+# self-contained here so this module's hash pin is independent of
+# retrieval_ops.py. Dense leg: brute cosine against the vec_id-0
+# embedding (embeddings.vec_id aligns 1:1 with documents.doc_id in the
+# driver testdata). RRF (Cormack et al. 2009): score(d) =
+# sum_legs 1/(C + rank_leg(d)), C = 60 — integer-exact via the
+# micro-unit floor division 10^6 DIV (C + rank).
+RRF_C = 60
+RRF_LEG_K = 20
+RRF_TERMS = ("spark", "merge", "dup")
+RRF_K1 = 1.2
+RRF_B = 0.75
+_RRF_TERMS_SQL = ", ".join(f"'{t}'" for t in RRF_TERMS)
+
+
+@REG.add(
+    "retr_rrf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM tok WHERE term IN ({_RRF_TERMS_SQL})
+        GROUP BY doc_id, dl, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS sum_dl
+        FROM documents
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * {RRF_K1 + 1.0})
+                   / (tf.tf + {RRF_K1} * ({1.0 - RRF_B} + {RRF_B} * tf.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS c_u
+        FROM tf JOIN df ON tf.term = df.term, stats s
+    ),
+    sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sum(c_u) DESC, doc_id ASC) AS rank
+        FROM contrib GROUP BY doc_id
+        ORDER BY rank LIMIT {RRF_LEG_K}
+    ),
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                   ORDER BY {duck_cosine("e.embedding", "q.q_emb")} DESC,
+                            e.vec_id ASC) AS rank
+        FROM embeddings e, q
+        ORDER BY rank LIMIT {RRF_LEG_K}
+    ),
+    fused AS (
+        SELECT doc_id, 1000000 // ({RRF_C} + rank) AS r_u FROM sparse
+        UNION ALL
+        SELECT doc_id, 1000000 // ({RRF_C} + rank) AS r_u FROM dense
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_legs,
+           CAST(sum(r_u) AS BIGINT) AS rrf_u,
+           CAST(sum(r_u) AS DOUBLE) / 1000000.0 AS rrf
+    FROM fused GROUP BY doc_id
+    ORDER BY rrf_u DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion: a sparse BM25 "
+    "top-20 leg (the bm25_topk scoring, integer-quantized "
+    "contributions) and a dense cosine top-20 leg against the vec_id-0 "
+    "query embedding, fused by RRF score sum(10^6 DIV (60 + rank)) — "
+    "exact integer arithmetic end-to-end. Both legs are bounded top-k "
+    "(TakeOrderedAndProject / 20-row windows); the fusion groupBy "
+    "moves <= 40 rows, so the cost IS the legs — each independently "
+    "scale-proven (BM25: tokenize+bounded-broadcast stats; dense: the "
+    "q26 brute baseline, upgradeable to the IVF index unchanged).",
+)
+def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # ---- sparse leg (bm25 scoring, top RRF_LEG_K ranks)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*RRF_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(RRF_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(RRF_K1)
+            * (F.lit(1.0 - RRF_B) + F.lit(RRF_B) * F.col("dl") / avgdl)
+        )
+    )
+    c_u = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", c_u.alias("c_u"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_u").alias("s_u"))
+    )
+    sparse = (
+        scored.orderBy(F.desc("s_u"), F.asc("doc_id"))
+        .limit(RRF_LEG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("s_u"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+    # ---- dense leg (brute cosine top RRF_LEG_K, q26 shape)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    dense_scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_col("embedding", "q_emb").alias("cos"),
+    )
+    dense = (
+        dense_scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(RRF_LEG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+    r_u = F.expr(f"1000000 div ({RRF_C} + rank)")
+    fused = sparse.select("doc_id", r_u.alias("r_u")).unionByName(
+        dense.select("doc_id", r_u.alias("r_u"))
+    )
+    return (
+        fused.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_legs"),
+            F.sum("r_u").cast("long").alias("rrf_u"),
+            (F.sum("r_u").cast("double") / F.lit(1000000.0)).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf_u"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -93,8 +93,14 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 # committed to the never-proven residue: local-oracle-green now, first
 # in line for the r7 rotation. Keep this list short and rotate it out.
 NEW_THIS_ROUND = {
+    # round 6 (the r6 driver gate was never recorded — no
+    # CORRECTNESS_r06.json landed — so the r6 endgame tranche HELD the
+    # gate for round 7 and these stay on the rotation shortlist)
     "mm_jpeg", "mm_jpeg420", "ann_ivf_serve", "src_binary", "mm_transcode",
     "s12_media", "mm_video_dedup", "mm_curate",
+    # round 7: corpus-statistics / monitoring surface (stats_ops)
+    "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "t_sample_weighted",
+    "retr_rrf",
 }
 
 

@@ -1,0 +1,184 @@
+"""Corpus-statistics surface (stats_ops): drift, KMV sketch, weighted
+sampling, RRF fusion — mathematical laws plus the plan-shape pins that
+make the ops safe at 100 TB (value correctness is the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cvemate_spark.plans.audit import assert_jvm_only, physical_plan
+from cvemate_spark.queries import REGISTRY
+from cvemate_spark.queries.stats_ops import KMV_K, KS_NBINS, WRS_K, _per_bin
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(spark, name):
+    return REGISTRY.specs[name].builder(spark, SF)
+
+
+def test_stats_surface_stays_jvm_side(spark):
+    for name in ("t_drift_ks", "t_drift_psi", "e_kmv_intersect",
+                 "t_sample_weighted", "retr_rrf"):
+        plan = physical_plan(run(spark, name))
+        assert_jvm_only(plan, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_drift_histogram_is_bounded(spark):
+    """The scale contract: everything after the scan is <= KS_NBINS rows."""
+    bins = _per_bin(spark, SF).collect()
+    assert 0 < len(bins) <= KS_NBINS
+    assert all(0 <= r.bin < KS_NBINS for r in bins)
+
+
+def test_ks_bounds_and_consistency(spark):
+    row = run(spark, "t_drift_ks").collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    # D in [0, 1], and the double is exactly the integer ratio
+    assert 0.0 <= row.ks <= 1.0
+    assert row.ks == row.ks_u / (row.n_a * row.n_b)
+    assert 0 <= row.ks_bin < KS_NBINS
+
+
+def test_ks_identical_slices_is_zero(spark):
+    """KS(X, X) = 0: split by a statistic-independent key (doc_id parity)
+    over the SAME distribution family still bounds above the planted
+    en/non-en drift? No — the sharper law: comparing a slice to itself
+    must give exactly 0."""
+    per_bin = _per_bin(spark, SF).selectExpr(
+        "bin", "a_cnt + b_cnt AS a_cnt", "a_cnt + b_cnt AS b_cnt"
+    )
+    from pyspark.sql.window import Window as W
+
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = per_bin.select(
+        F.sum("a_cnt").over(cum_w).alias("cum_a"),
+        F.sum("b_cnt").over(cum_w).alias("cum_b"),
+        F.sum("a_cnt").over(all_w).alias("n_a"),
+        F.sum("b_cnt").over(all_w).alias("n_b"),
+    )
+    mx = cum.agg(
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")))
+    ).collect()[0][0]
+    assert mx == 0
+
+
+def test_psi_nonnegative_and_consistent(spark):
+    row = run(spark, "t_drift_psi").collect()[0]
+    # each PSI term (pA-pB)ln(pA/pB) >= 0, so the quantized sum is too
+    assert row.psi_u >= 0
+    assert row.psi == row.psi_u / 1e6
+    assert row.nbins <= KS_NBINS
+
+
+def test_kmv_estimates_track_exact(spark):
+    """KMV relative error is ~1/sqrt(k-1) (~6% at k=256); assert a loose
+    4-sigma envelope so the law is sharp but not flaky, plus the
+    structural invariants (sketch fill, estimator identities)."""
+    row = run(spark, "e_kmv_intersect").collect()[0]
+    assert row.k == KMV_K
+    # the trigram shingle space is ~16k distinct at sf0.001: full sketch
+    assert row.n_seen == KMV_K
+    assert 0 <= row.n_both <= row.n_seen
+    exact_union = row.exact_a + row.exact_b - row.exact_inter
+    assert exact_union > KMV_K  # the estimator branch is exercised
+    sigma = 1.0 / math.sqrt(KMV_K - 1)
+    assert abs(row.est_union - exact_union) <= 4 * sigma * exact_union
+    # intersection estimate: looser (two estimators compound)
+    assert abs(row.est_inter - row.exact_inter) <= max(
+        8 * sigma * max(row.exact_inter, 1), 0.05 * exact_union
+    )
+    # the estimator identities hold exactly as computed
+    assert row.est_union == (KMV_K - 1) * float(1 << 60) / float(row.u_k)
+    assert row.est_inter == (row.n_both / float(row.n_seen)) * row.est_union
+
+
+def test_kmv_unfilled_sketch_is_exact(spark):
+    """When |A u B| < k the sketch never fills and the 'estimates' must
+    be EXACT (n_seen and the exact ratio) — the small-set degeneracy the
+    (k-1)/U_k formula gets wrong."""
+    from cvemate_spark.operators.kmv import bottom_k, union_intersect_estimate
+
+    a = spark.createDataFrame([(h,) for h in (5, 9, 13, 21)], "h: long")
+    b = spark.createDataFrame([(h,) for h in (9, 21, 40)], "h: long")
+    row = union_intersect_estimate(bottom_k(a, 16), bottom_k(b, 16), 16).collect()[0]
+    assert row.n_seen == 5  # |{5,9,13,21,40}|
+    assert row.est_union == 5.0
+    assert row.n_both == 2  # {9, 21}
+    assert row.est_inter == 2.0
+
+
+def test_kmv_merge_is_sketch_of_union(spark):
+    """Mergeability (the roll-up law): bottom-k of the merged sketches
+    equals the sketch built from the unioned raw sets."""
+    from cvemate_spark.operators.kmv import bottom_k, merge_flags
+
+    import random
+
+    rnd = random.Random(7)
+    xs = [(rnd.randrange(1 << 60),) for _ in range(500)]
+    ys = [(rnd.randrange(1 << 60),) for _ in range(500)]
+    a = spark.createDataFrame(xs, "h: long")
+    b = spark.createDataFrame(ys, "h: long")
+    k = 32
+    merged = sorted(
+        r.h for r in merge_flags(bottom_k(a, k), bottom_k(b, k)).orderBy("h")
+        .limit(k).collect()
+    )
+    direct = sorted(r.h for r in bottom_k(a.unionByName(b), k).collect())
+    assert merged == direct
+
+
+def test_kmv_bottom_k_is_distributed_topk(spark):
+    """Both per-side bottom-k legs must compile to TakeOrderedAndProject
+    (per-partition k-heaps) — never a global sort."""
+    plan = physical_plan(run(spark, "e_kmv_intersect"))
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_weighted_sample_is_exact_topk(spark):
+    """The A-ES law: the returned sample IS the global top-k by
+    ln(u)/w — recompute every key in pandas and compare sets."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars",
+        F.expr(
+            "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h"),
+    ).toPandas()
+    docs["key"] = (
+        (docs["h"] + 1) / float(1 << 60)
+    ).map(lambda u: math.floor(math.log(u) * 1e6)) / docs["n_chars"].astype(float)
+    expect = set(
+        docs.sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(WRS_K)["doc_id"]
+    )
+    got = [r.doc_id for r in run(spark, "t_sample_weighted").collect()]
+    assert len(got) == WRS_K
+    assert set(got) == expect
+
+
+def test_weighted_sample_plan_is_scan_plus_topk(spark):
+    plan = physical_plan(run(spark, "t_sample_weighted"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle: scan -> top-k only
+
+
+def test_rrf_fusion_laws(spark):
+    """Every fused doc comes from >= 1 leg; scores are the exact integer
+    RRF sums; a doc in BOTH legs at rank r beats a doc in one leg at the
+    same rank (the fusion monotonicity RRF exists for)."""
+    rows = run(spark, "retr_rrf").collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.n_legs in (1, 2)
+        assert r.rrf == r.rrf_u / 1e6
+        # max possible: two legs at rank 1
+        assert 0 < r.rrf_u <= 2 * (1000000 // 61)
+    # descending fused order
+    scores = [r.rrf_u for r in rows]
+    assert scores == sorted(scores, reverse=True)
