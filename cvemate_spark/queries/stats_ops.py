@@ -392,6 +392,61 @@ def t_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- streaming drift
+@REG.add(
+    "s13_drift",
+    """
+    WITH binned AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               least(CAST(floor(value / 16) AS BIGINT), 31) AS bin
+        FROM events
+    ),
+    win_hist AS (
+        SELECT win_start, bin, count(*) AS cnt
+        FROM binned GROUP BY win_start, bin
+    ),
+    ref AS (SELECT bin, count(*) AS ref_cnt FROM binned GROUP BY bin),
+    wins AS (SELECT DISTINCT win_start FROM win_hist),
+    spine AS (SELECT w.win_start, r.bin, r.ref_cnt FROM wins w, ref r),
+    joined AS (
+        SELECT s.win_start, s.bin, s.ref_cnt, coalesce(h.cnt, 0) AS cnt
+        FROM spine s LEFT JOIN win_hist h
+          ON s.win_start = h.win_start AND s.bin = h.bin
+    ),
+    cum AS (
+        SELECT win_start, bin,
+               sum(cnt) OVER (PARTITION BY win_start ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+               sum(ref_cnt) OVER (PARTITION BY win_start ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+               sum(cnt) OVER (PARTITION BY win_start) AS n_win,
+               sum(ref_cnt) OVER (PARTITION BY win_start) AS n_ref
+        FROM joined
+    )
+    SELECT win_start,
+           CAST(max(n_win) AS BIGINT) AS n_win,
+           CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(abs(cum_w * n_ref - cum_ref * n_win)) AS BIGINT) AS ks_u,
+           CAST(max(abs(cum_w * n_ref - cum_ref * n_win)) AS DOUBLE)
+               / (max(n_win) * max(n_ref)) AS ks
+    FROM cum GROUP BY win_start
+    ORDER BY win_start
+    """,
+    doc="S13: continuous distribution-drift monitoring — per event-time "
+    "day, the streamed `value` histogram (watermark + tumbling window "
+    "groupBy into <= 32 bounded bins, availableNow) is KS-scored "
+    "against the static full-corpus reference histogram. State is "
+    "|windows| x 32 rows, watermark-evicted; scoring is the exact-"
+    "integer KS over the bounded windows x bins spine. The streaming "
+    "face of t_drift_ks: streaming/drift.py.",
+)
+def s13_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import windowed_value_drift
+
+    return windowed_value_drift(spark, sf_dir).orderBy("win_start")
+
+
 # ------------------------------------------------ hybrid retrieval
 # Sparse leg: the bm25_topk scoring (same 3 fixed terms, k1/b) — kept
 # self-contained here so this module's hash pin is independent of

@@ -168,6 +168,19 @@ def test_weighted_sample_plan_is_scan_plus_topk(spark):
     assert "Exchange" not in plan  # no shuffle: scan -> top-k only
 
 
+def test_s13_drift_windows_partition_corpus(spark):
+    """Per-day KS rows: windows tile the corpus (sum n_win == n_ref),
+    every statistic in [0,1] and exactly the integer ratio."""
+    rows = run(spark, "s13_drift").collect()
+    assert rows
+    n_ref = rows[0].n_ref
+    assert all(r.n_ref == n_ref for r in rows)
+    assert sum(r.n_win for r in rows) == n_ref
+    for r in rows:
+        assert 0.0 <= r.ks <= 1.0
+        assert r.ks == r.ks_u / (r.n_win * r.n_ref)
+
+
 def test_rrf_fusion_laws(spark):
     """Every fused doc comes from >= 1 leg; scores are the exact integer
     RRF sums; a doc in BOTH legs at rank r beats a doc in one leg at the
