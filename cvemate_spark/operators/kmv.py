@@ -46,6 +46,28 @@ def bottom_k(hashes: DataFrame, k: int, col: str = "h") -> DataFrame:
     return hashes.select(col).distinct().orderBy(col).limit(k)
 
 
+def per_group_bottom_k(
+    dist: DataFrame, group_col: str, k: int, col: str = "h"
+) -> DataFrame:
+    """Per-group KMV sketches in ONE pass: row_number within each group
+    over hash order, kept <= k. The input must already be distinct on
+    (group, hash) so ranks are strict.
+
+    Scale: the window sorts within each group's hash partition — the
+    standard per-group top-k shape; output is |groups| x k rows. For a
+    handful of groups `bottom_k` per group (TakeOrderedAndProject) is
+    cheaper; this form wins when |groups| is large enough that one
+    shuffled pass beats |groups| jobs."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(group_col).orderBy(col)
+    return (
+        dist.select(group_col, col, F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def merge_flags(sk_a: DataFrame, sk_b: DataFrame, col: str = "h") -> DataFrame:
     """Union two sketches keeping side-membership flags (<= 2k rows)."""
     a = sk_a.select(col, F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))

@@ -347,6 +347,148 @@ def e_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+# ------------------------------------------- KMV overlap matrix
+KMV_MK = 128  # per-source sketch size for the pairwise matrix
+
+_KMV_MEST_DUCK = (
+    f"CASE WHEN n_seen < {KMV_MK} THEN CAST(n_seen AS DOUBLE) "
+    f"ELSE ({KMV_MK - 1}.0 * {HASH_SPACE}.0) / CAST(u_k AS DOUBLE) END"
+)
+
+
+@REG.add(
+    "e_kmv_matrix",
+    f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS s
+        FROM t
+    ),
+    dist AS (SELECT DISTINCT source, {duck_str_hash("s")} AS h FROM sh),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM dist
+        ) WHERE rn <= {KMV_MK}
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a, srcs b WHERE a.source < b.source
+    ),
+    cand AS (
+        SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.src_b
+    ),
+    merged AS (
+        SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM cand GROUP BY src_a, src_b, h
+    ),
+    bottom AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_a, src_b ORDER BY h) AS rn
+            FROM merged
+        ) WHERE rn <= {KMV_MK}
+    ),
+    est AS (
+        SELECT src_a, src_b, count(*) AS n_seen, max(h) AS u_k,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM bottom GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b,
+           CAST(n_seen AS BIGINT) AS n_seen, n_both,
+           {_KMV_MEST_DUCK} AS est_union,
+           (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
+               * ({_KMV_MEST_DUCK}) AS est_inter
+    FROM est
+    ORDER BY src_a, src_b
+    """,
+    doc="Sketch-powered cross-source overlap MATRIX: per-source KMV "
+    "sketches (k=128 smallest distinct trigram-shingle hashes, one "
+    "windowed pass over the distinct relation — operators/kmv.py::"
+    "per_group_bottom_k), then every source pair's union/intersection "
+    "estimated from the <= 2k merged sketch rows per pair. The "
+    "sublinear counterpart to t_overlap's exact pairwise Jaccard: "
+    "corpus-scale work is ONE distinct pass; the pairwise stage "
+    "touches |sources|^2 x k sketch rows only — at 100 TB the "
+    "sketches are the only thing that moves, and per-shard sketches "
+    "roll up by union+re-min without re-reading raw data. This is "
+    "the dedup-planning input: pairs with high estimated overlap "
+    "get the full MinHash pass first.",
+)
+def e_kmv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import per_group_bottom_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    arr = F.when(F.size(toks) >= 3, tri).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("source", F.explode(arr).alias("s"))
+    dist = sh.select("source", F.expr(spark_str_hash("s")).alias("h")).distinct()
+    sk = per_group_bottom_k(dist, "source", KMV_MK)
+
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    cand_a = pairs.join(sk, sk.source == pairs.src_a).select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    cand_b = pairs.join(sk, sk.source == pairs.src_b).select(
+        "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        cand_a.unionByName(cand_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    pair_w = W.partitionBy("src_a", "src_b").orderBy("h")
+    bottom = (
+        merged.select("*", F.row_number().over(pair_w).alias("rn"))
+        .filter(F.col("rn") <= KMV_MK)
+    )
+    est = bottom.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_seen"),
+        F.max("h").alias("u_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_seen") < KMV_MK, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_MK - 1))
+        * F.lit(float(HASH_SPACE))
+        / F.col("u_k").cast("double")
+    )
+    return est.select(
+        "src_a", "src_b",
+        F.col("n_seen").cast("long").alias("n_seen"),
+        "n_both",
+        est_union.alias("est_union"),
+        (
+            (F.col("n_both").cast("double") / F.col("n_seen").cast("double"))
+            * est_union
+        ).alias("est_inter"),
+    ).orderBy("src_a", "src_b")
+
+
 # -------------------------------------------- weighted reservoir
 WRS_K = 64
 
@@ -533,8 +675,12 @@ _RRF_TERMS_SQL = ", ".join(f"'{t}'" for t in RRF_TERMS)
 def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    dense = _dense_leg_brute(emb)
+    return _rrf_fuse(_sparse_leg(docs), dense)
 
-    # ---- sparse leg (bm25 scoring, top RRF_LEG_K ranks)
+
+def _sparse_leg(docs: DataFrame) -> DataFrame:
+    """BM25 top-RRF_LEG_K (doc_id, rank) for the fixed 3-term query."""
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
@@ -572,7 +718,7 @@ def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c_u").alias("s_u"))
     )
-    sparse = (
+    return (
         scored.orderBy(F.desc("s_u"), F.asc("doc_id"))
         .limit(RRF_LEG_K)
         .select(
@@ -583,13 +729,15 @@ def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # ---- dense leg (brute cosine top RRF_LEG_K, q26 shape)
+
+def _dense_leg_brute(emb: DataFrame) -> DataFrame:
+    """Brute cosine top-RRF_LEG_K (doc_id, rank) — the q26 shape."""
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     dense_scored = emb.crossJoin(F.broadcast(q)).select(
         F.col("vec_id").alias("doc_id"),
         cosine_col("embedding", "q_emb").alias("cos"),
     )
-    dense = (
+    return (
         dense_scored.orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(RRF_LEG_K)
         .select(
@@ -600,6 +748,8 @@ def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame) -> DataFrame:
     r_u = F.expr(f"1000000 div ({RRF_C} + rank)")
     fused = sparse.select("doc_id", r_u.alias("r_u")).unionByName(
         dense.select("doc_id", r_u.alias("r_u"))
@@ -614,3 +764,134 @@ def retr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_u"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# The same fusion with the dense leg served by the IVF cell-pruned
+# path (the ann_ivf shape: deterministic stride-50 coarse centroids,
+# 3-cell probe) — at 100 TB the dense leg reads n_probe partitions of
+# the persisted index (ann_ivf_serve) instead of scanning every
+# vector; the fusion stage is unchanged.
+_RRF_IVF_DENSE_SQL = f"""
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine("e.embedding", "c.cent_emb")} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT cent_id FROM cents c, q
+        ORDER BY {duck_cosine("c.cent_emb", "q.q_emb")} DESC, cent_id ASC
+        LIMIT 3
+    ),
+    dense AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+                   AS rank
+        FROM (
+            SELECT e.vec_id AS doc_id,
+                   {duck_cosine("e.embedding", "q.q_emb")} AS cos
+            FROM assigned e JOIN probed p ON e.cent_id = p.cent_id, q
+        )
+        ORDER BY rank LIMIT {RRF_LEG_K}
+    )
+"""
+
+
+@REG.add(
+    "retr_rrf_ivf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM tok WHERE term IN ({_RRF_TERMS_SQL})
+        GROUP BY doc_id, dl, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS sum_dl
+        FROM documents
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * {RRF_K1 + 1.0})
+                   / (tf.tf + {RRF_K1} * ({1.0 - RRF_B} + {RRF_B} * tf.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   * 1000000.0 + 0.5) AS BIGINT) AS c_u
+        FROM tf JOIN df ON tf.term = df.term, stats s
+    ),
+    sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sum(c_u) DESC, doc_id ASC) AS rank
+        FROM contrib GROUP BY doc_id
+        ORDER BY rank LIMIT {RRF_LEG_K}
+    ),
+    {_RRF_IVF_DENSE_SQL},
+    fused AS (
+        SELECT doc_id, 1000000 // ({RRF_C} + rank) AS r_u FROM sparse
+        UNION ALL
+        SELECT doc_id, 1000000 // ({RRF_C} + rank) AS r_u FROM dense
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_legs,
+           CAST(sum(r_u) AS BIGINT) AS rrf_u,
+           CAST(sum(r_u) AS DOUBLE) / 1000000.0 AS rrf
+    FROM fused GROUP BY doc_id
+    ORDER BY rrf_u DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="Hybrid RRF retrieval with the dense leg served by the IVF "
+    "cell-pruned path (ann_ivf shape: stride-50 coarse centroids, "
+    "3-cell probe) instead of the brute scan — the production serving "
+    "topology: at 100 TB the dense leg reads n_probe partitions of "
+    "the persisted index (ann_ivf_serve's layout) while the sparse "
+    "leg stays tokenize+bounded-broadcast; the integer-exact fusion "
+    "stage is IDENTICAL to retr_rrf (only the candidate generator "
+    "changed — the RRF contract).",
+)
+def retr_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_cells, stride_cents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = stride_cents(emb, 50)
+    assigned = assign_cells(emb, cents)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", cosine_col("cent_emb", "q_emb").alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cent_id"))
+        .limit(3)
+        .select("cent_id")
+    )
+    dense = (
+        assigned.join(F.broadcast(probed), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col("embedding", "q_emb").alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(RRF_LEG_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    return _rrf_fuse(_sparse_leg(docs), dense)

