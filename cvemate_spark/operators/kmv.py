@@ -93,12 +93,20 @@ def union_intersect_estimate(
     est = bottom.agg(
         F.count("*").alias("n_seen"),
         F.max(col).alias("u_k"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
     )
     est_union = F.when(
         F.col("n_seen") < k, F.col("n_seen").cast("double")
     ).otherwise(
         F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / F.col("u_k").cast("double")
+    )
+    # empty union sketch (both inputs empty): everything is exactly 0,
+    # never NULL — the empty-slice totality contract
+    est_inter = F.when(F.col("n_seen") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_both").cast("double") / F.col("n_seen").cast("double"))
+        * est_union
     )
     return est.select(
         F.lit(k).cast("long").alias("k"),
@@ -106,8 +114,5 @@ def union_intersect_estimate(
         F.col("u_k").cast("long").alias("u_k"),
         "n_both",
         est_union.alias("est_union"),
-        (
-            (F.col("n_both").cast("double") / F.col("n_seen").cast("double"))
-            * est_union
-        ).alias("est_inter"),
+        est_inter.alias("est_inter"),
     )

@@ -141,12 +141,24 @@ def t_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff_u.alias("diff_u"),
         F.max(diff_u).over(all_w).alias("ks_u"),
     )
-    return diffs.filter(F.col("diff_u") == F.col("ks_u")).agg(
-        F.max("n_a").cast("long").alias("n_a"),
-        F.max("n_b").cast("long").alias("n_b"),
-        F.max("ks_u").cast("long").alias("ks_u"),
-        (F.max("ks_u").cast("double") / (F.max("n_a") * F.max("n_b"))).alias("ks"),
-        F.min("bin").cast("long").alias("ks_bin"),
+    # groupBy (n_a, n_b are constant => one group) instead of a global
+    # agg so an EMPTY corpus yields an EMPTY result, not one NULL row
+    return (
+        diffs.filter(F.col("diff_u") == F.col("ks_u"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("ks_u").cast("long").alias("ks_u"),
+            F.min("bin").cast("long").alias("ks_bin"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "ks_u",
+            (F.col("ks_u").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "ks"
+            ),
+            "ks_bin",
+        )
     )
 
 
@@ -277,9 +289,9 @@ _KMV_EST_DUCK = (
         FROM bottom
     ),
     exact AS (
-        SELECT CAST(sum(has_a) AS BIGINT) AS exact_a,
-               CAST(sum(has_b) AS BIGINT) AS exact_b,
-               CAST(sum(has_a * has_b) AS BIGINT) AS exact_inter
+        SELECT CAST(COALESCE(sum(has_a), 0) AS BIGINT) AS exact_a,
+               CAST(COALESCE(sum(has_b), 0) AS BIGINT) AS exact_b,
+               CAST(COALESCE(sum(has_a * has_b), 0) AS BIGINT) AS exact_inter
         FROM (
             SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS has_a,
                    max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS has_b
@@ -340,9 +352,11 @@ def e_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("has_b"),
     )
     exact = flags.agg(
-        F.sum(F.col("has_a")).cast("long").alias("exact_a"),
-        F.sum(F.col("has_b")).cast("long").alias("exact_b"),
-        F.sum(F.col("has_a") * F.col("has_b")).cast("long").alias("exact_inter"),
+        F.coalesce(F.sum("has_a"), F.lit(0)).cast("long").alias("exact_a"),
+        F.coalesce(F.sum("has_b"), F.lit(0)).cast("long").alias("exact_b"),
+        F.coalesce(F.sum(F.col("has_a") * F.col("has_b")), F.lit(0))
+        .cast("long")
+        .alias("exact_inter"),
     )
     return est.crossJoin(exact)
 

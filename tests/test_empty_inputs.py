@@ -103,3 +103,56 @@ def test_ivf_indexed_batch_on_empty_corpus(spark, tmp_path, empty_emb):
         spark, path, k=3, n_probe=2, query_rows=[(0, [0.0] * 64)]
     )
     assert got.count() == 0
+
+
+def test_kmv_on_empty(spark):
+    """Empty hash relations: sketches are empty, estimates come back as
+    one row with n_seen=0 and NULL-free zero estimates? No — the honest
+    contract: an empty union sketch has no u_k; the estimate relation
+    is one row with n_seen=0 and est_union=0.0 (the n_seen<k exact
+    branch), never a raise."""
+    from cvemate_spark.operators.kmv import (
+        bottom_k,
+        merge_flags,
+        per_group_bottom_k,
+        union_intersect_estimate,
+    )
+
+    empty_h = spark.createDataFrame([], "h: long")
+    assert bottom_k(empty_h, 8).count() == 0
+    assert merge_flags(bottom_k(empty_h, 8), bottom_k(empty_h, 8)).count() == 0
+    row = union_intersect_estimate(
+        bottom_k(empty_h, 8), bottom_k(empty_h, 8), 8
+    ).collect()[0]
+    assert row.n_seen == 0 and row.n_both == 0
+    assert row.est_union == 0.0
+    empty_grouped = spark.createDataFrame([], "source string, h long")
+    assert per_group_bottom_k(empty_grouped, "source", 8).count() == 0
+
+
+def test_stats_queries_on_empty_docs(spark, empty_docs, tmp_path):
+    """The stats_ops query surface over an EMPTY documents table: the
+    bounded-histogram / sketch / sample / fusion shapes must all return
+    empty (or empty-consistent single-row) results, never raise."""
+    import os
+
+    d = str(tmp_path / "sfempty")
+    os.makedirs(d, exist_ok=True)
+    empty_docs.write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    from cvemate_spark.queries import REGISTRY
+
+    # drift: no rows -> no bins -> empty or zero-row aggregates
+    assert REGISTRY.specs["t_drift_ks"].builder(spark, d).count() == 0
+    assert REGISTRY.specs["t_drift_psi"].builder(spark, d).count() == 0
+    # sketch: one estimate row with n_seen=0, exact legs zero
+    kmv = REGISTRY.specs["e_kmv_intersect"].builder(spark, d).collect()
+    assert len(kmv) == 1 and kmv[0].n_seen == 0 and kmv[0].exact_a == 0
+    assert REGISTRY.specs["e_kmv_matrix"].builder(spark, d).count() == 0
+    # sampling / fusion: empty corpus -> empty sample, empty ranking
+    assert REGISTRY.specs["t_sample_weighted"].builder(spark, d).count() == 0
+    assert REGISTRY.specs["retr_rrf"].builder(spark, d).count() == 0
+    assert REGISTRY.specs["retr_rrf_ivf"].builder(spark, d).count() == 0
