@@ -909,3 +909,154 @@ def retr_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _rrf_fuse(_sparse_leg(docs), dense)
+
+
+# ---------------------------------------------- mixing capstone
+# Weighted data mixing + drift audit in ONE relation: pick a budgeted
+# sample weighted toward English (w = token_count x 2 for en, x1
+# otherwise — the A-ES keys make it a reproducible top-k), then score
+# the sample's length distribution against the corpus with the binned
+# KS statistic. This is the loop a data-mixing team runs on every
+# recipe change: "does the reweighted sample distort the shape?"
+MIX_K = 256
+
+
+@REG.add(
+    "curate_mix",
+    f"""
+    WITH weighted AS (
+        SELECT doc_id, n_chars, lang,
+               CAST(floor(ln(
+                   ({duck_str_hash("'mix:' || CAST(doc_id AS VARCHAR)")} + 1)
+                   / {HASH_SPACE}.0) * 1000000.0) AS BIGINT)
+                   / CAST(len(string_split(text, ' '))
+                          * (CASE WHEN lang = 'en' THEN 2 ELSE 1 END)
+                          AS DOUBLE) AS w_key
+        FROM documents
+    ),
+    sample AS (
+        SELECT doc_id, n_chars, lang FROM weighted
+        ORDER BY w_key DESC, doc_id ASC LIMIT {MIX_K}
+    ),
+    corpus_bins AS (
+        SELECT least(CAST(floor(n_chars / 16) AS BIGINT), 63) AS bin,
+               count(*) AS c_cnt
+        FROM documents GROUP BY bin
+    ),
+    sample_bins AS (
+        SELECT least(CAST(floor(n_chars / 16) AS BIGINT), 63) AS bin,
+               count(*) AS s_cnt
+        FROM sample GROUP BY bin
+    ),
+    joined AS (
+        SELECT c.bin, c.c_cnt, coalesce(s.s_cnt, 0) AS s_cnt
+        FROM corpus_bins c LEFT JOIN sample_bins s ON c.bin = s.bin
+    ),
+    cum AS (
+        SELECT sum(s_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+               sum(c_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+               sum(s_cnt) OVER () AS n_s,
+               sum(c_cnt) OVER () AS n_c
+        FROM joined
+    ),
+    ks AS (
+        SELECT max(n_s) AS n_sample, max(n_c) AS n_corpus,
+               max(abs(cum_s * n_c - cum_c * n_s)) AS ks_u
+        FROM cum
+    ),
+    enf AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS en_sample
+        FROM sample
+    ),
+    enc AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS en_corpus
+        FROM documents
+    )
+    SELECT CAST(n_sample AS BIGINT) AS n_sample,
+           CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(ks_u AS BIGINT) AS ks_u,
+           CAST(ks_u AS DOUBLE) / (n_sample * n_corpus) AS ks,
+           en_sample, en_corpus
+    FROM ks, enf, enc
+    """,
+    doc="Data-mixing capstone: a budgeted weighted sample (A-ES keys, "
+    "weight = token count, doubled for English — the language-"
+    "upweighting recipe) audited IN THE SAME RELATION by the binned "
+    "exact-integer KS of its length distribution against the corpus, "
+    "plus the en counts proving the upweighting engaged. The sample "
+    "is one scan + TakeOrderedAndProject(256); the audit adds two "
+    "bounded 64-bin aggregates — at 100 TB the recipe check costs "
+    "one extra scan, not a second pipeline.",
+)
+def curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_str_hash("concat('mix:', cast(doc_id as string))"))
+    lnu_u = F.floor(F.log((h + 1) / F.lit(float(HASH_SPACE))) * F.lit(1000000.0))
+    w = F.size(F.split("text", " ")) * F.when(
+        F.col("lang") == "en", F.lit(2)
+    ).otherwise(F.lit(1))
+    key = lnu_u.cast("double") / w.cast("double")
+    sample = (
+        docs.select("doc_id", "n_chars", "lang", key.alias("w_key"))
+        .orderBy(F.desc("w_key"), F.asc("doc_id"))
+        .limit(MIX_K)
+    )
+    bin_of = lambda c: F.least(  # noqa: E731
+        F.floor(F.col(c) / 16).cast("long"), F.lit(63).cast("long")
+    )
+    corpus_bins = (
+        docs.select(bin_of("n_chars").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    sample_bins = (
+        sample.select(bin_of("n_chars").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    joined = corpus_bins.join(sample_bins, "bin", "left").select(
+        "bin", "c_cnt", F.coalesce("s_cnt", F.lit(0)).alias("s_cnt")
+    )
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = joined.select(
+        F.sum("s_cnt").over(cum_w).alias("cum_s"),
+        F.sum("c_cnt").over(cum_w).alias("cum_c"),
+        F.sum("s_cnt").over(all_w).alias("n_s"),
+        F.sum("c_cnt").over(all_w).alias("n_c"),
+    )
+    ks = cum.agg(
+        F.max("n_s").alias("n_sample"),
+        F.max("n_c").alias("n_corpus"),
+        F.max(
+            F.abs(F.col("cum_s") * F.col("n_c") - F.col("cum_c") * F.col("n_s"))
+        ).alias("ks_u"),
+    )
+    enf = sample.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("en_sample")
+    )
+    enc = docs.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("en_corpus")
+    )
+    return (
+        ks.crossJoin(enf)
+        .crossJoin(enc)
+        .select(
+            F.col("n_sample").cast("long").alias("n_sample"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            F.col("ks_u").cast("long").alias("ks_u"),
+            (
+                F.col("ks_u").cast("double")
+                / (F.col("n_sample") * F.col("n_corpus"))
+            ).alias("ks"),
+            "en_sample", "en_corpus",
+        )
+    )

@@ -222,6 +222,20 @@ def test_rrf_ivf_same_fusion_contract(spark):
         assert r.n_legs in (1, 2)
 
 
+def test_curate_mix_upweights_english(spark):
+    """The mixing capstone: the weighted sample overrepresents English
+    (weights doubled for en), the KS audit is a valid statistic, and
+    the sample size is min(corpus, MIX_K)."""
+    from cvemate_spark.queries.stats_ops import MIX_K
+
+    row = run(spark, "curate_mix").collect()[0]
+    assert row.n_sample == min(row.n_corpus, MIX_K)
+    assert 0.0 <= row.ks <= 1.0
+    assert row.ks == row.ks_u / (row.n_sample * row.n_corpus)
+    # en fraction in the 2x-upweighted sample exceeds the corpus rate
+    assert row.en_sample / row.n_sample > row.en_corpus / row.n_corpus
+
+
 def test_rrf_fusion_laws(spark):
     """Every fused doc comes from >= 1 leg; scores are the exact integer
     RRF sums; a doc in BOTH legs at rank r beats a doc in one leg at the
