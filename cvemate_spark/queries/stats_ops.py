@@ -1060,3 +1060,118 @@ def curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "en_sample", "en_corpus",
         )
     )
+
+
+# ------------------------------------------- embedding-space drift
+# The embeddings modality joins the monitoring family: did a slice's
+# GEOMETRY shift? Statistic: cosine against a fixed reference
+# direction (the vec_id-0 embedding — at scale: yesterday's centroid),
+# histogrammed into 32 bounded bins over [-1, 1], KS between the
+# even-label and odd-label slices. The cosine is the engine's
+# portable sequential fold, so both engines bin identically.
+EMB_NBINS = 32
+
+
+@REG.add(
+    "emb_drift",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    binned AS (
+        SELECT least(CAST(floor(({duck_cosine("e.embedding", "q.q_emb")} + 1.0)
+                         / 2.0 * {EMB_NBINS}) AS BIGINT),
+                     {EMB_NBINS - 1}) AS bin,
+               CASE WHEN e.label % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM embeddings e, q
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(is_a) AS BIGINT) AS a_cnt,
+               CAST(sum(1 - is_a) AS BIGINT) AS b_cnt
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin,
+               sum(a_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(b_cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               sum(a_cnt) OVER () AS n_a,
+               sum(b_cnt) OVER () AS n_b
+        FROM per_bin
+    ),
+    diffs AS (
+        SELECT bin, n_a, n_b,
+               abs(cum_a * n_b - cum_b * n_a) AS diff_u,
+               max(abs(cum_a * n_b - cum_b * n_a)) OVER () AS ks_u
+        FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(max(ks_u) AS BIGINT) AS ks_u,
+           CAST(max(ks_u) AS DOUBLE) / (n_a * n_b) AS ks,
+           CAST(min(bin) AS BIGINT) AS ks_bin
+    FROM diffs WHERE diff_u = ks_u
+    GROUP BY n_a, n_b
+    """,
+    doc="Embedding-space drift: the cosine-to-reference-direction "
+    "distribution (vec_id-0 embedding as the fixed reference; at "
+    "scale, a persisted centroid) of the even-label slice KS-tested "
+    "against the odd-label slice over 32 bounded bins. One scan with "
+    "a broadcast 1-row reference, fold-based cosine (JVM codegen, "
+    "identical in both engines so binning is deterministic), then "
+    "the same exact-integer KS machinery as t_drift_ks. The geometry "
+    "watchdog for embedding pipelines: a model/version change shifts "
+    "this distribution before any downstream metric notices.",
+)
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = cosine_col("embedding", "q_emb")
+    bin_col = F.least(
+        F.floor((cos + F.lit(1.0)) / F.lit(2.0) * EMB_NBINS).cast("long"),
+        F.lit(EMB_NBINS - 1).cast("long"),
+    )
+    per_bin = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            bin_col.alias("bin"),
+            F.when(F.col("label") % 2 == 0, 1).otherwise(0).alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").cast("long").alias("a_cnt"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+        )
+    )
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        F.sum("a_cnt").over(cum_w).alias("cum_a"),
+        F.sum("b_cnt").over(cum_w).alias("cum_b"),
+        F.sum("a_cnt").over(all_w).alias("n_a"),
+        F.sum("b_cnt").over(all_w).alias("n_b"),
+    )
+    diff_u = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    diffs = cum.select(
+        "bin", "n_a", "n_b",
+        diff_u.alias("diff_u"),
+        F.max(diff_u).over(all_w).alias("ks_u"),
+    )
+    return (
+        diffs.filter(F.col("diff_u") == F.col("ks_u"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("ks_u").cast("long").alias("ks_u"),
+            F.min("bin").cast("long").alias("ks_bin"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "ks_u",
+            (F.col("ks_u").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "ks"
+            ),
+            "ks_bin",
+        )
+    )

@@ -222,6 +222,16 @@ def test_rrf_ivf_same_fusion_contract(spark):
         assert r.n_legs in (1, 2)
 
 
+def test_emb_drift_is_valid_statistic(spark):
+    row = run(spark, "emb_drift").collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0.0 <= row.ks <= 1.0
+    assert row.ks == row.ks_u / (row.n_a * row.n_b)
+    from cvemate_spark.queries.stats_ops import EMB_NBINS
+
+    assert 0 <= row.ks_bin < EMB_NBINS
+
+
 def test_curate_mix_upweights_english(spark):
     """The mixing capstone: the weighted sample overrepresents English
     (weights doubled for en), the KS audit is a valid statistic, and
