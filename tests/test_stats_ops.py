@@ -260,3 +260,54 @@ def test_rrf_fusion_laws(spark):
     # descending fused order
     scores = [r.rrf_u for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------- fuzz
+# Property fuzz for the KMV estimator (the codec-fuzz pattern: few
+# examples, Spark-backed, laws checked against python recomputation).
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+hash_sets = st.lists(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    min_size=0, max_size=400, unique=True,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=hash_sets, ys=hash_sets, k=st.sampled_from([4, 16, 64]))
+def test_kmv_laws_fuzz(spark, xs, ys, k):
+    """For ARBITRARY hash sets and k: (1) merge of sketches == sketch
+    of union; (2) n_both counts exactly the bottom-k members present in
+    both sides; (3) the unfilled branch is exact."""
+    from cvemate_spark.operators.kmv import (
+        bottom_k, merge_flags, union_intersect_estimate,
+    )
+
+    a = spark.createDataFrame([(h,) for h in xs] or [(0,)], "h: long")
+    b = spark.createDataFrame([(h,) for h in ys] or [(0,)], "h: long")
+    if not xs:
+        a = a.filter("h < 0")
+    if not ys:
+        b = b.filter("h < 0")
+    sk_a, sk_b = bottom_k(a, k), bottom_k(b, k)
+
+    merged = sorted(
+        r.h for r in merge_flags(sk_a, sk_b).orderBy("h").limit(k).collect()
+    )
+    direct = sorted(r.h for r in bottom_k(a.unionByName(b), k).collect())
+    assert merged == direct  # mergeability
+
+    row = union_intersect_estimate(sk_a, sk_b, k).collect()[0]
+    union = sorted(set(xs) | set(ys))
+    bottom = set(union[:k])
+    sa, sb = set(sorted(set(xs))[:k]), set(sorted(set(ys))[:k])
+    assert row.n_seen == len(bottom)
+    assert row.n_both == len(bottom & sa & sb)
+    if len(union) < k:  # unfilled => exact
+        assert row.est_union == float(len(union))
+        assert row.est_inter == (
+            0.0 if not bottom else row.n_both / row.n_seen * len(union)
+        )

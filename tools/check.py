@@ -37,6 +37,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # are Spark-style directories of part files
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # partial derived dirs (e.g. .scratch/sf10 ships only
+            # documents + embeddings) — register what exists; a query
+            # touching a missing table fails loudly at run time
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

@@ -26,12 +26,22 @@ QUERIES = [
 ]
 SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
 
+# Second decade (gen_sf.py sf10: 500k docs / 200k vectors; documents +
+# embeddings only, so the events-bound s13 stays at decade 1). Invoked
+# as `statsbench.py sf10 [runs]` -> STATSBENCH_sf10.json.
+QUERIES_SF10 = [
+    "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "e_kmv_matrix",
+    "t_sample_weighted", "retr_rrf", "retr_rrf_ivf", "curate_mix",
+    "emb_drift",
+]
+SCALES_SF10 = {"sf1": "/root/repo/.scratch/sf1", "sf10": "/root/repo/.scratch/sf10"}
 
-def bench_scale(spark, sf_dir: str, runs: int) -> dict[str, float]:
+
+def bench_scale(spark, sf_dir: str, runs: int, queries=None) -> dict[str, float]:
     from cvemate_spark.queries import REGISTRY
 
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries or QUERIES:
         spec = REGISTRY.specs[name]
         best = float("inf")
         for _ in range(runs):
@@ -79,20 +89,30 @@ def bench_kmv_sketch_only(spark, sf_dir: str, runs: int) -> float:
 
 
 def main() -> int:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "STATSBENCH.json"
+    args = [a for a in sys.argv[1:]]
+    second_decade = "sf10" in args
+    args = [a for a in args if a != "sf10"]
+    runs = int(args[0]) if args else 3
+    default_out = "STATSBENCH_sf10.json" if second_decade else "STATSBENCH.json"
+    out_path = args[1] if len(args) > 1 else default_out
+    queries = QUERIES_SF10 if second_decade else QUERIES
+    scale_dirs = SCALES_SF10 if second_decade else SCALES
+    lo, hi = (("sf1", "sf10") if second_decade else ("sf0.1", "sf1"))
     from cvemate_spark.session import get_spark
 
     spark = get_spark()
-    results = {label: bench_scale(spark, d, runs) for label, d in SCALES.items()}
-    for label, d in SCALES.items():
+    results = {
+        label: bench_scale(spark, d, runs, queries)
+        for label, d in scale_dirs.items()
+    }
+    for label, d in scale_dirs.items():
         results[label]["kmv_sketch_only"] = bench_kmv_sketch_only(spark, d, runs)
     scales = {
-        q: round(results["sf1"][q] / results["sf0.1"][q], 2)
-        for q in QUERIES + ["kmv_sketch_only"]
+        q: round(results[hi][q] / results[lo][q], 2)
+        for q in queries + ["kmv_sketch_only"]
     }
     doc = {
-        "metric": "stats_ops monitoring family across one data decade",
+        "metric": f"stats_ops monitoring family across one data decade ({lo} -> {hi})",
         "protocol": f"min of {runs} passes per query, warm session, local[32]",
         "data_ratio": 10,
         "budget": "PASS if per-query scale <= 2x linear (20x)",
