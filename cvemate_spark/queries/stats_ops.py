@@ -878,12 +878,16 @@ _RRF_IVF_DENSE_SQL = f"""
     "changed — the RRF contract).",
 )
 def retr_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import assign_cells, stride_cents
+    from ..operators.similarity import assign_cells_gemm, stride_cents
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     cents = stride_cents(emb, 50)
-    assigned = assign_cells(emb, cents)
+    # Arrow-GEMM cell assignment (argmax-identical to the fold path,
+    # r5-proven): the fold/window form materializes |vectors| x |cents|
+    # rows — 800M at sf10 — where the assignment is one BLAS matmul
+    # per Arrow batch. Keeps the query runnable at the second decade.
+    assigned = assign_cells_gemm(emb, cents).join(emb, "vec_id")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     probed = (
         cents.crossJoin(F.broadcast(q))
@@ -1175,3 +1179,56 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_bin",
         )
     )
+
+
+# ------------------------------------- streaming sketch state (S14)
+@REG.add(
+    "s14_kmv",
+    f"""
+    WITH h AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               {duck_str_hash("'u:' || CAST(user_id AS VARCHAR)")} AS h,
+               user_id
+        FROM events
+    ),
+    dist AS (SELECT DISTINCT win_start, h FROM h),
+    sk AS (
+        SELECT win_start, h FROM (
+            SELECT win_start, h,
+                   row_number() OVER (PARTITION BY win_start ORDER BY h) AS rn
+            FROM dist
+        ) WHERE rn <= 64
+    ),
+    est AS (
+        SELECT win_start, count(*) AS n_seen, max(h) AS u_k
+        FROM sk GROUP BY win_start
+    ),
+    exact AS (
+        SELECT win_start, count(DISTINCT user_id) AS exact_users
+        FROM h GROUP BY win_start
+    )
+    SELECT e.win_start,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(u_k AS BIGINT) AS u_k,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                ELSE (63.0 * {HASH_SPACE}.0) / CAST(u_k AS DOUBLE) END
+               AS est_users,
+           CAST(exact_users AS BIGINT) AS exact_users
+    FROM est e JOIN exact x ON e.win_start = x.win_start
+    ORDER BY e.win_start
+    """,
+    doc="S14: incremental KMV sketch maintenance as streaming state — "
+    "per event-time day, the distinct-user bottom-64 sketch is merged "
+    "across out-of-order micro-batches (the S3 foreachBatch-MERGE "
+    "landing) by union + re-bottom-k. The KMV merge law makes the "
+    "incremental state EXACTLY the batch sketch, so the oracle is the "
+    "direct batch KMV — the hash gate proves the streaming fold "
+    "changes nothing. State is |windows| x 64 rows FOREVER: distinct-"
+    "users-per-day stays queryable with no distinct shuffle over "
+    "history. Exact counts ride along; streaming/drift.py.",
+)
+def s14_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import incremental_kmv_users
+
+    return incremental_kmv_users(spark, sf_dir).orderBy("win_start")

@@ -107,3 +107,129 @@ def windowed_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# ------------------------------------------------------------- S14
+# Incremental KMV sketch maintenance as streaming state: the sketch
+# family (operators/kmv.py) meeting the foreachBatch-MERGE shape (S3).
+# Per event-time day, the distinct-user sketch is maintained across
+# micro-batches by union + re-bottom-k — the KMV merge law makes the
+# incremental result EXACTLY the batch sketch, so the estimate needs
+# no replay and the state is |windows| x k rows forever. This is how
+# a 100-TB ingest keeps "distinct users per day" queryable without a
+# distinct shuffle over history: the state table IS the answer.
+SKETCH_K = 64
+
+
+def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user KMV estimates from incrementally merged
+    micro-batch sketches (2-chunk out-of-order replay, the S3 landing),
+    with the exact distinct count riding along for self-validation.
+    """
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..functions.text import spark_str_hash
+    from ..operators.kmv import HASH_SPACE, per_group_bottom_k
+    from ..operators.merge import write_atomic
+    from .jobs import EVENTS_SCHEMA, SCRATCH, _ensure_session_confs, _stage_events
+
+    _ensure_session_confs(spark)
+    n_chunks = 2
+    stage = _stage_events(sf_dir)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    in_key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
+    ).hexdigest()[:12]
+    # the same chunked landing S3 builds (event_id % 2 interleaves in
+    # time = out-of-order arrival) — shared cache key, shared files
+    in_dir = f"{SCRATCH}/s3_in_{in_key}"
+    if not os.path.exists(in_dir):
+        tmp = f"{in_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = spark.read.parquet(stage)
+        chunks_dir = f"{tmp}/chunks"
+        ev.withColumn("__chunk", F.col("event_id") % n_chunks).repartition(
+            n_chunks, "__chunk"
+        ).write.partitionBy("__chunk").mode("overwrite").parquet(chunks_dir)
+        for i in range(n_chunks):
+            parts = sorted(_glob.glob(f"{chunks_dir}/__chunk={i}/part-*.parquet"))
+            for j, part in enumerate(parts):
+                shutil.copy(part, f"{tmp}/chunk{i}_{j}.parquet")
+        shutil.rmtree(chunks_dir)
+        try:
+            os.rename(tmp, in_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run_dir = f"{SCRATCH}/s14_{os.getpid()}"
+    state, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+
+    h_expr = F.expr(spark_str_hash("concat('u:', cast(user_id as string))"))
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        fresh = (
+            batch.select(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+                .alias("win_start"),
+                h_expr.alias("h"),
+            )
+            .distinct()
+        )
+        try:
+            current = ss.read.parquet(state)
+        except Exception:
+            current = fresh.limit(0)
+        # KMV merge law: union + re-bottom-k == sketch of the union
+        merged = per_group_bottom_k(
+            current.unionByName(fresh).distinct(), "win_start", SKETCH_K
+        )
+        write_atomic(merged, state)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sk = spark.read.parquet(state)
+    est = sk.groupBy("win_start").agg(
+        F.count("*").alias("n_seen"), F.max("h").alias("u_k")
+    )
+    est_users = F.when(
+        F.col("n_seen") < SKETCH_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(SKETCH_K - 1))
+        * F.lit(float(HASH_SPACE))
+        / F.col("u_k").cast("double")
+    )
+    exact = (
+        spark.read.parquet(stage)
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "user_id",
+        )
+        .groupBy("win_start")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "win_start")
+        .select(
+            "win_start",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("u_k").cast("long").alias("u_k"),
+            est_users.alias("est_users"),
+            "exact_users",
+        )
+    )

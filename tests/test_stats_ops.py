@@ -311,3 +311,20 @@ def test_kmv_laws_fuzz(spark, xs, ys, k):
         assert row.est_inter == (
             0.0 if not bottom else row.n_both / row.n_seen * len(union)
         )
+
+
+def test_s14_incremental_sketch_laws(spark):
+    """Incremental KMV streaming state: per-day rows, sketch bounded at
+    k, unfilled days exact, filled days inside the error envelope."""
+    from cvemate_spark.streaming.drift import SKETCH_K
+
+    rows = run(spark, "s14_kmv").collect()
+    assert rows
+    sigma = 1.0 / math.sqrt(SKETCH_K - 1)
+    for r in rows:
+        assert 0 < r.n_seen <= SKETCH_K
+        if r.n_seen < SKETCH_K:  # sketch never filled -> exact
+            assert r.est_users == float(r.n_seen)
+            assert r.n_seen == r.exact_users
+        else:
+            assert abs(r.est_users - r.exact_users) <= 6 * sigma * r.exact_users

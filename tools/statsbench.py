@@ -29,6 +29,11 @@ SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
 # Second decade (gen_sf.py sf10: 500k docs / 200k vectors; documents +
 # embeddings only, so the events-bound s13 stays at decade 1). Invoked
 # as `statsbench.py sf10 [runs]` -> STATSBENCH_sf10.json.
+# retr_rrf_ivf appears in the TIMING list only: its Spark side uses
+# the Arrow-GEMM cell assignment (feasible at 200k x 4000), but the
+# DuckDB ORACLE is the full fold crossJoin (800M cosine evals at
+# sf10) — hash evidence for it tops out at sf1; sf10 dense serving
+# from the persisted index is measured in IVFBENCH.json.
 QUERIES_SF10 = [
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "e_kmv_matrix",
     "t_sample_weighted", "retr_rrf", "retr_rrf_ivf", "curate_mix",
