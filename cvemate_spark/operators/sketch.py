@@ -90,6 +90,40 @@ def cms_estimate(
     )
 
 
+def cms_build_grouped(
+    tokens: DataFrame,
+    group_col: str,
+    col: str = "term",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Per-group (j, bucket, cnt) sketches in one pass — the kmv
+    `per_group_bottom_k` counterpart. Output is |groups| x depth x width
+    rows max; the groupBy partial-aggs map-side exactly like cms_build.
+    """
+    cell = F.expr(
+        f"transform(sequence(0, {depth - 1}), j -> named_struct("
+        f"'j', j, 'bucket', {_bucket_expr_spark(col, 'j', width)}))"
+    )
+    return (
+        tokens.select(group_col, F.explode(cell).alias("c"))
+        .select(group_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .groupBy(group_col, "j", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge_grouped(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Merge per-group sketches: counters ADD, so union + re-sum is
+    EXACTLY the sketch of the concatenated streams — the law that makes
+    incremental (per-micro-batch) maintenance lossless."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the same (depth, width): counters add."""
     out = sketches[0]

@@ -1336,3 +1336,64 @@ def e_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ------------------------------------- streaming CMS state (S15)
+def _s15_oracle() -> str:
+    from ..operators.sketch import _bucket_expr_duck
+    from ..streaming.drift import CMS_DEPTH, CMS_WIDTH
+
+    bucket = _bucket_expr_duck("term", "j", CMS_WIDTH)
+    return f"""
+    WITH tok AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               event_type AS term
+        FROM events
+    ),
+    js AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+    sketch AS (
+        SELECT win_start, j, {bucket} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok CROSS JOIN js
+        GROUP BY 1, 2, 3
+    ),
+    exact AS (
+        SELECT win_start, term, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM tok GROUP BY win_start, term
+    ),
+    probe AS (
+        SELECT win_start, term, true_cnt, j, {bucket} AS bucket
+        FROM exact CROSS JOIN js
+    )
+    SELECT p.win_start AS win_start, p.term AS term, p.true_cnt AS true_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS est,
+           CAST(min(s.cnt) - p.true_cnt AS BIGINT) AS overcount
+    FROM probe p JOIN sketch s
+      ON p.win_start = s.win_start AND p.j = s.j AND p.bucket = s.bucket
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, term
+    """
+
+
+@REG.add(
+    "s15_cms",
+    _s15_oracle(),
+    doc="S15: incremental COUNT-MIN maintenance as streaming state — "
+    "the frequency complement of s14_kmv. Per event-time day, the "
+    "(d=4, w=64) sketch of the event_type stream is merged across "
+    "out-of-order micro-batches (the S3 foreachBatch-MERGE landing) "
+    "by union + counter re-sum. Counters are ADDITIVE, so the "
+    "incremental state is EXACTLY the batch sketch: the oracle "
+    "rebuilds it directly and the hash gate proves the streaming "
+    "fold changes nothing — including the sketch's own overcounts. "
+    "State is |windows| x 256 rows FOREVER; per-day term frequencies "
+    "stay point-queryable with no replay and no per-term state at "
+    "any stream volume. streaming/drift.py; operators/sketch.py.",
+)
+def s15_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import incremental_cms_event_types
+
+    return incremental_cms_event_types(spark, sf_dir).orderBy(
+        "win_start", "term"
+    )

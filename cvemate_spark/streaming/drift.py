@@ -121,30 +121,22 @@ def windowed_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_K = 64
 
 
-def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day distinct-user KMV estimates from incrementally merged
-    micro-batch sketches (2-chunk out-of-order replay, the S3 landing),
-    with the exact distinct count riding along for self-validation.
-    """
+def _chunked_landing(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> str:
+    """The S3-style chunked event landing (event_id % n_chunks
+    interleaves in time = out-of-order arrival), content-keyed and
+    shared across S3/S14/S15 — built once per testdata generation."""
     import glob as _glob
     import hashlib
     import os
     import shutil
 
-    from ..functions.text import spark_str_hash
-    from ..operators.kmv import HASH_SPACE, per_group_bottom_k
-    from ..operators.merge import write_atomic
-    from .jobs import EVENTS_SCHEMA, SCRATCH, _ensure_session_confs, _stage_events
+    from .jobs import SCRATCH, _stage_events
 
-    _ensure_session_confs(spark)
-    n_chunks = 2
     stage = _stage_events(sf_dir)
     st = os.stat(f"{sf_dir}/events.parquet")
     in_key = hashlib.md5(
         f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
     ).hexdigest()[:12]
-    # the same chunked landing S3 builds (event_id % 2 interleaves in
-    # time = out-of-order arrival) — shared cache key, shared files
     in_dir = f"{SCRATCH}/s3_in_{in_key}"
     if not os.path.exists(in_dir):
         tmp = f"{in_dir}.tmp-{os.getpid()}"
@@ -163,6 +155,25 @@ def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, in_dir)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+    return in_dir
+
+
+def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user KMV estimates from incrementally merged
+    micro-batch sketches (2-chunk out-of-order replay, the S3 landing),
+    with the exact distinct count riding along for self-validation.
+    """
+    import os
+    import shutil
+
+    from ..functions.text import spark_str_hash
+    from ..operators.kmv import HASH_SPACE, per_group_bottom_k
+    from ..operators.merge import write_atomic
+    from .jobs import EVENTS_SCHEMA, SCRATCH, _ensure_session_confs, _stage_events
+
+    _ensure_session_confs(spark)
+    stage = _stage_events(sf_dir)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=2)
 
     run_dir = f"{SCRATCH}/s14_{os.getpid()}"
     state, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
@@ -232,4 +243,93 @@ def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_users.alias("est_users"),
             "exact_users",
         )
+    )
+
+
+# ------------------------------------------------------------- S15
+# Incremental COUNT-MIN maintenance as streaming state: the frequency
+# complement of S14 (distinct counts). Per event-time day, the CMS of
+# the event_type stream is maintained across out-of-order micro-batches
+# by union + counter re-sum in a foreachBatch MERGE. Counters are
+# ADDITIVE, so the incremental state is EXACTLY the batch sketch —
+# the oracle rebuilds it directly and the hash gate proves the
+# streaming fold changes nothing. State is |windows| x depth x width
+# rows forever: per-day term frequencies stay point-queryable with no
+# replay and no per-term state, at ANY stream volume.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def incremental_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event_type frequency estimates served from incrementally
+    merged micro-batch count-min sketches, exact counts riding along."""
+    import os
+    import shutil
+
+    from ..operators.merge import write_atomic
+    from ..operators.sketch import cms_build_grouped, cms_merge_grouped
+    from .jobs import EVENTS_SCHEMA, SCRATCH, _ensure_session_confs, _stage_events
+
+    _ensure_session_confs(spark)
+    stage = _stage_events(sf_dir)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=2)
+
+    run_dir = f"{SCRATCH}/s15_{os.getpid()}"
+    state, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        fresh = cms_build_grouped(
+            batch.select(day.alias("win_start"), F.col("event_type").alias("term")),
+            "win_start",
+            depth=CMS_DEPTH,
+            width=CMS_WIDTH,
+        )
+        try:
+            current = ss.read.parquet(state)
+        except Exception:
+            current = fresh.limit(0)
+        # CMS merge law: counters add, so incremental == batch sketch
+        write_atomic(cms_merge_grouped(current, fresh, "win_start"), state)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sk = spark.read.parquet(state)
+    ev = spark.read.parquet(stage)
+    exact = (
+        ev.select(day.alias("win_start"), F.col("event_type").alias("term"))
+        .groupBy("win_start", "term")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+    )
+    # probe every (day, term) actually present — bounded: |days| x |types|
+    from ..operators.sketch import _bucket_expr_spark
+
+    probe = exact.select(
+        "win_start", "term",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("j"),
+    ).withColumn("bucket", F.expr(_bucket_expr_spark("term", "j", CMS_WIDTH)))
+    est = (
+        probe.join(F.broadcast(sk), ["win_start", "j", "bucket"])
+        .groupBy("win_start", "term")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    return exact.join(est, ["win_start", "term"]).select(
+        "win_start",
+        "term",
+        "true_cnt",
+        "est",
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
     )

@@ -369,3 +369,68 @@ def test_quantile_2pass_histogram_is_bounded(spark):
     assert "CartesianProduct" not in plan
     # the histogram relation is structurally <= QUANT_BINS rows
     assert QUANT_BINS == 256
+
+
+def test_s15_incremental_cms_laws(spark):
+    """Incremental CMS streaming state: the estimate NEVER undercounts
+    (the one-sided CMS guarantee survives the streaming fold), and the
+    incremental state equals the direct batch sketch estimate-for-
+    estimate (counter additivity)."""
+    rows = run(spark, "s15_cms").collect()
+    assert rows
+    for r in rows:
+        assert r.est >= r.true_cnt
+        assert r.overcount == r.est - r.true_cnt
+
+    # direct batch rebuild must give the identical relation
+    from cvemate_spark.operators.sketch import cms_build_grouped
+    from cvemate_spark.streaming.drift import CMS_DEPTH, CMS_WIDTH
+    from cvemate_spark.operators.sketch import _bucket_expr_spark
+
+    from cvemate_spark.streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(SF)).selectExpr(
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss')"
+        " AS win_start",
+        "event_type AS term",
+    )
+    sk = cms_build_grouped(ev, "win_start", depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = ev.groupBy("win_start", "term").count()
+    probe = exact.select(
+        "win_start", "term",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("j"),
+    ).withColumn("bucket", F.expr(_bucket_expr_spark("term", "j", CMS_WIDTH)))
+    est = (
+        probe.join(F.broadcast(sk), ["win_start", "j", "bucket"])
+        .groupBy("win_start", "term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    batch = {(r.win_start, r.term): r.est for r in est.collect()}
+    assert {(r.win_start, r.term): r.est for r in rows} == batch
+
+
+def test_cms_grouped_merge_is_sketch_of_concatenation(spark):
+    """The law the streaming fold relies on: merging per-chunk grouped
+    sketches == the sketch of the concatenated stream, cell by cell."""
+    from cvemate_spark.operators.sketch import (
+        cms_build_grouped,
+        cms_merge_grouped,
+    )
+
+    toks = spark.createDataFrame(
+        [("g1", t) for t in "a b a c a b".split()]
+        + [("g2", t) for t in "x y x".split()],
+        "g string, term string",
+    )
+    a, b = toks.filter("term <= 'b' OR term = 'x'"), toks.filter(
+        "term > 'b' AND term != 'x'"
+    )
+    merged = cms_merge_grouped(
+        cms_build_grouped(a, "g", width=16),
+        cms_build_grouped(b, "g", width=16),
+        "g",
+    )
+    direct = cms_build_grouped(toks, "g", width=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
