@@ -1397,3 +1397,104 @@ def s15_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_cms_event_types(spark, sf_dir).orderBy(
         "win_start", "term"
     )
+
+
+# --------------------------------- exact-quota stratified sampling
+# t_sample (text_ops) keeps a RATE per stratum — the sample size then
+# fluctuates hypergeometrically. Training-data mixing usually needs the
+# dual: an EXACT total budget apportioned across strata proportionally
+# (largest-remainder / Hamilton method), each stratum filled by a
+# reproducible hash order. Sum of quotas == K exactly, every stratum
+# within 1 of its exact proportional share.
+STRAT_K = 120
+
+
+@REG.add(
+    "t_sample_stratified",
+    f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_g) AS n FROM counts),
+    appor AS (
+        SELECT lang, n_g,
+               ({STRAT_K} * n_g) // n AS base,
+               row_number() OVER (
+                   ORDER BY ({STRAT_K} * n_g) % n DESC, lang) AS rr,
+               {STRAT_K} - sum(({STRAT_K} * n_g) // n) OVER () AS deficit
+        FROM counts, tot
+    ),
+    q AS (
+        SELECT lang, n_g,
+               base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS quota
+        FROM appor
+    ),
+    sel AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {duck_str_hash("'samp:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS rn
+        FROM documents
+    )
+    SELECT s.lang AS lang, s.doc_id AS doc_id,
+           CAST(s.rn AS BIGINT) AS rn,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(q.n_g AS BIGINT) AS n_g
+    FROM sel s JOIN q ON s.lang = q.lang
+    WHERE s.rn <= q.quota
+    ORDER BY lang, rn
+    """,
+    doc="Exact-budget stratified sampling: a total budget of K=120 "
+    "documents apportioned across language strata by the largest-"
+    "remainder (Hamilton) method — sum of quotas == K EXACTLY, every "
+    "stratum within 1 of its exact proportional share — then each "
+    "stratum filled in reproducible salted-hash order (per-group "
+    "row_number <= quota). The dual of t_sample's per-stratum RATES "
+    "(whose realized size fluctuates): mixing pipelines that promise "
+    "'exactly K docs, proportionally stratified' need this form. "
+    "Scale: the apportionment runs on the |strata|-row count relation; "
+    "selection is one lang-partitioned window over (hash, id) pairs — "
+    "narrow rows, and at extreme stratum skew the same quota feeds a "
+    "threshold refinement (select h below the quota-th smallest, the "
+    "e_quantile_2pass bin trick) instead of a full in-group sort.",
+)
+def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_g"))
+    tot = counts.agg(F.sum("n_g").alias("n"))
+    rem_w = W.orderBy(
+        F.desc((F.lit(STRAT_K) * F.col("n_g")) % F.col("n")), F.asc("lang")
+    )
+    all_w = W.partitionBy()
+    appor = counts.join(F.broadcast(tot)).select(
+        "lang", "n_g",
+        F.expr(f"({STRAT_K} * n_g) DIV n").alias("base"),
+        F.row_number().over(rem_w).alias("rr"),
+    )
+    quota = appor.select(
+        "lang", "n_g",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rr") <= F.lit(STRAT_K) - F.sum("base").over(all_w), 1
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    h = F.expr(spark_str_hash("concat('samp:', cast(doc_id as string))"))
+    sel_w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    sel = docs.select(
+        "lang", "doc_id", F.row_number().over(sel_w).alias("rn")
+    )
+    return (
+        sel.join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "lang",
+            "doc_id",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("n_g").cast("long").alias("n_g"),
+        )
+        .orderBy("lang", "rn")
+    )

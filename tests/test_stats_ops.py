@@ -434,3 +434,25 @@ def test_cms_grouped_merge_is_sketch_of_concatenation(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_stratified_sample_exact_budget(spark):
+    """Largest-remainder apportionment laws: the realized sample is
+    EXACTLY K rows, per-stratum counts equal the quota, and every quota
+    is within 1 of the exact proportional share k*n_g/n."""
+    from cvemate_spark.queries.stats_ops import STRAT_K
+
+    rows = run(spark, "t_sample_stratified").collect()
+    assert len(rows) == STRAT_K
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+        assert 1 <= r.rn <= r.quota <= r.n_g
+    n = sum({r.lang: r.n_g for r in rows}[g] for g in per)
+    # n above counts only sampled strata; recompute from the corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    for g, grp in per.items():
+        quota, n_g = grp[0].quota, grp[0].n_g
+        assert len(grp) == quota
+        assert abs(quota - STRAT_K * n_g / n) < 1.0
