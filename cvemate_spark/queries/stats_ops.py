@@ -1498,3 +1498,110 @@ def t_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rn")
     )
+
+
+# --------------------------------- grouped 2-pass quantiles
+# The per-group form of e_quantile_2pass — the shape corpus-quality
+# dashboards actually run ("p50/p99 doc length per source"). Same
+# histogram-guided rank selection, with the group key carried through
+# every stage: the histogram is |groups| x 256 rows, bin location is a
+# per-group range join on that bounded relation, and the selection
+# window partitions by (group, target) so only in-bin rows sort.
+GQ_TARGETS = [("p50", 1, 2), ("p99", 99, 100)]
+
+_GQ_TARGET_DUCK = ", ".join(
+    f"('{name}', {num}, {den})" for name, num, den in GQ_TARGETS
+)
+
+
+@REG.add(
+    "e_quantile_grouped",
+    f"""
+    WITH v AS (SELECT source, n_chars AS v FROM documents),
+    tot AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    targets(q, num, den) AS (VALUES {_GQ_TARGET_DUCK}),
+    tr AS (
+        SELECT source, q, n, (n * num + den - 1) // den AS rank
+        FROM targets, tot
+    ),
+    ranked AS (
+        SELECT source, v,
+               row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+        FROM v
+    )
+    SELECT tr.source AS source, tr.q AS q,
+           CAST(tr.n AS BIGINT) AS n,
+           CAST(tr.rank AS BIGINT) AS rank,
+           CAST(r.v AS BIGINT) AS value
+    FROM tr JOIN ranked r ON r.source = tr.source AND r.rn = tr.rank
+    ORDER BY source, q
+    """,
+    doc="Per-source EXACT p50/p99 of document length WITHOUT sorting "
+    "any group: the grouped form of e_quantile_2pass. Pass 1 "
+    "aggregates (min, max, n) per source; pass 2 histograms into "
+    "|sources| x 256 bounded bins (map-side-combinable); each "
+    "(source, target) rank is located in its unique bin (cum_prev < "
+    "rank <= cum) by a broadcast range join on the bounded histogram; "
+    "pass 3 rank-selects inside that bin only, the selection window "
+    "partitioned by (source, target) so ~n_g/256 rows reach each "
+    "sort. Oracle = per-group sorted order statistics — the hash gate "
+    "proves the sort-free plan exact for every group. This is the "
+    "corpus-quality dashboard query ('length percentiles per source') "
+    "at 100 TB: per-group percentile() buffers whole groups; this "
+    "form's biggest materialized relation is |groups| x 256.",
+)
+def e_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").alias("v"))
+    stats = vals.groupBy("source").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    bin_expr = F.least(
+        F.expr(f"(v - lo) * {QUANT_BINS} DIV (hi - lo + 1)"),
+        F.lit(QUANT_BINS - 1).cast("long"),
+    )
+    hist = (
+        vals.join(F.broadcast(stats), "source")
+        .select("source", bin_expr.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum_w = (
+        W.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "source", "bin",
+        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(cum_w).alias("cum"),
+    )
+    targets = spark.createDataFrame(GQ_TARGETS, "q string, num int, den int")
+    tr = F.broadcast(stats).join(targets).select(
+        "source", "q", "n", F.expr("(n * num + den - 1) DIV den").alias("rank")
+    )
+    tb = tr.join(
+        F.broadcast(cum),
+        (tr["source"] == cum["source"])
+        & (F.col("cum_prev") < F.col("rank"))
+        & (F.col("rank") <= F.col("cum")),
+    ).select(tr["source"], "q", "n", "rank", "bin", "cum_prev")
+    sel_w = W.partitionBy("source", "q").orderBy("v")
+    return (
+        vals.join(F.broadcast(stats), "source")
+        .select("source", "v", bin_expr.alias("bin"))
+        .join(F.broadcast(tb), ["source", "bin"])
+        .select(
+            "source", "q", "n", "rank", "v",
+            F.row_number().over(sel_w).alias("rn"),
+        )
+        .filter(F.col("rn") == F.col("rank") - F.col("cum_prev"))
+        .select(
+            "source",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("v").cast("long").alias("value"),
+        )
+        .orderBy("source", "q")
+    )

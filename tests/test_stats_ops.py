@@ -456,3 +456,28 @@ def test_stratified_sample_exact_budget(spark):
         quota, n_g = grp[0].quota, grp[0].n_g
         assert len(grp) == quota
         assert abs(quota - STRAT_K * n_g / n) < 1.0
+
+
+def test_quantile_grouped_matches_per_group_order_statistic(spark):
+    """Grouped 2-pass: exact per-group order statistics at every
+    (source, target), verified against an in-memory per-group sort."""
+    from cvemate_spark.queries.stats_ops import GQ_TARGETS
+
+    rows = run(spark, "e_quantile_grouped").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    per = {}
+    for r in docs:
+        per.setdefault(r.source, []).append(r.n_chars)
+    assert {r.source for r in rows} == set(per)
+    assert len(rows) == len(per) * len(GQ_TARGETS)
+    by_key = {(r.source, r.q): r for r in rows}
+    for src, vals in per.items():
+        vals.sort()
+        for name, num, den in GQ_TARGETS:
+            rank = (len(vals) * num + den - 1) // den
+            r = by_key[(src, name)]
+            assert r.n == len(vals)
+            assert r.rank == rank
+            assert r.value == vals[rank - 1]
