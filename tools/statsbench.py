@@ -23,6 +23,8 @@ sys.path.insert(0, "/root/repo")
 QUERIES = [
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect",
     "t_sample_weighted", "retr_rrf", "s13_drift",
+    "e_quantile_2pass", "e_quantile_grouped", "t_sample_stratified",
+    "s15_cms",
 ]
 SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
 
@@ -37,7 +39,7 @@ SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
 QUERIES_SF10 = [
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "e_kmv_matrix",
     "t_sample_weighted", "retr_rrf", "retr_rrf_ivf", "curate_mix",
-    "emb_drift",
+    "emb_drift", "e_quantile_grouped", "t_sample_stratified",
 ]
 SCALES_SF10 = {"sf1": "/root/repo/.scratch/sf1", "sf10": "/root/repo/.scratch/sf10"}
 
