@@ -1605,3 +1605,74 @@ def e_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "q")
     )
+
+
+# --------------------------------------- cohort retention
+@REG.add(
+    "e_cohort_retention",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id
+    ),
+    cell AS (
+        SELECT f.cohort AS cohort, date_diff('day', f.cohort, a.day) AS off,
+               count(*) AS n_users
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    size AS (SELECT cohort, n_users AS cohort_size FROM cell WHERE off = 0)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(c.off AS BIGINT) AS off,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST((c.n_users * 10000) // s.cohort_size AS BIGINT) AS rate_bp
+    FROM cell c JOIN size s ON c.cohort = s.cohort
+    ORDER BY cohort_day, off
+    """,
+    doc="Cohort retention matrix (behavioral analytics): users are "
+    "cohorted by their FIRST event day; each (cohort, day-offset) "
+    "cell counts users active again at that offset, with the "
+    "retention rate in integer basis points against the offset-0 "
+    "cohort size. Counts come from the deduplicated (user, day) "
+    "activity relation, so no cell double-counts a user — count(*) "
+    "after the per-user first-day join IS the distinct count, with "
+    "no per-cell distinct shuffle. Scale: one map-side-combinable "
+    "distinct over (user, day), one user-keyed min-agg, one user-"
+    "keyed join, one (cohort, offset)-keyed agg — cells are at most "
+    "|days|^2 rows, the size leg a broadcast. At extreme user "
+    "cardinality the exact legs swap for the per-day KMV sketches "
+    "s14_kmv already maintains (union/intersection estimates per "
+    "cohort) without touching raw history.",
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(sf_dir))
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    cell = (
+        act.join(first, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("off"))
+        .agg(F.count("*").alias("n_users"))
+    )
+    size = cell.filter(F.col("off") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        cell.join(F.broadcast(size), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("off").cast("long").alias("off"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("(n_users * 10000) DIV cohort_size")
+            .cast("long")
+            .alias("rate_bp"),
+        )
+        .orderBy("cohort_day", "off")
+    )

@@ -102,7 +102,7 @@ NEW_THIS_ROUND = {
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "t_sample_weighted",
     "retr_rrf", "s13_drift", "e_kmv_matrix", "retr_rrf_ivf", "curate_mix",
     "emb_drift", "s14_kmv", "e_quantile_2pass", "s15_cms",
-    "t_sample_stratified", "e_quantile_grouped",
+    "t_sample_stratified", "e_quantile_grouped", "e_cohort_retention",
 }
 
 

@@ -481,3 +481,26 @@ def test_quantile_grouped_matches_per_group_order_statistic(spark):
             assert r.n == len(vals)
             assert r.rank == rank
             assert r.value == vals[rank - 1]
+
+
+def test_cohort_retention_laws(spark):
+    """Offset-0 cells are the cohort itself (rate == 10000 bp exactly),
+    no cell exceeds its cohort, and cohort sizes partition the user
+    base (every user is in exactly one cohort)."""
+    rows = run(spark, "e_cohort_retention").collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert 0 <= r.n_users <= r.cohort_size
+        assert r.rate_bp == (r.n_users * 10000) // r.cohort_size
+        if r.off == 0:
+            assert r.n_users == r.cohort_size
+            assert r.rate_bp == 10000
+            sizes[r.cohort_day] = r.cohort_size
+        assert r.off >= 0
+    from cvemate_spark.streaming.jobs import _stage_events
+
+    n_users = (
+        spark.read.parquet(_stage_events(SF)).select("user_id").distinct().count()
+    )
+    assert sum(sizes.values()) == n_users
