@@ -1676,3 +1676,149 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "off")
     )
+
+
+# --------------------------------------- event-path transitions
+@REG.add(
+    "e_path_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    pair AS (
+        SELECT src, dst, count(*) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+           CAST((n * 10000) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+               AS rate_bp
+    FROM pair
+    ORDER BY src, dst
+    """,
+    doc="Event-path transition matrix (behavioral analytics): for each "
+    "user's time-ordered event sequence (ties broken by event_id so "
+    "the sequence is total and engine-portable), count consecutive "
+    "event_type pairs and the per-source transition rate in integer "
+    "basis points — the first-order Markov model of user journeys. "
+    "Scale: ONE user-keyed window (the unavoidable sequence "
+    "reconstruction — a hash shuffle on user_id, sort within user "
+    "only) feeding a map-side-combinable pair count; everything "
+    "downstream is the <=|types|^2 transition relation, and the "
+    "normalizing window runs over that bounded relation, not the "
+    "events.",
+)
+def e_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(sf_dir))
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(seq_w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot_w = W.partitionBy("src")
+    return pair.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(tot_w).cast("long").alias("src_total"),
+        F.expr("n * 10000").cast("long").alias("_nr"),
+    ).select(
+        "src", "dst", "n", "src_total",
+        F.expr("_nr DIV src_total").cast("long").alias("rate_bp"),
+    ).orderBy("src", "dst")
+
+
+# --------------------------------------- volume anomaly detection
+ANOM_WIN = 7  # trailing days in the baseline window
+ANOM_MIN = 3  # minimum trailing days before a verdict
+
+
+@REG.add(
+    "e_anomaly_volume",
+    f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    trail AS (
+        SELECT day, n,
+               count(*) OVER w AS c,
+               sum(n) OVER w AS s,
+               sum(n * n) OVER w AS sq
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS c,
+           CAST(CASE WHEN c * sq - s * s = 0
+                     THEN CASE WHEN n * c - s = 0 THEN 0 ELSE -1 END
+                     ELSE ((n * c - s) * (n * c - s) * 100)
+                          // (c * (c * sq - s * s))
+                END AS BIGINT) AS z2_c,
+           CAST(CASE WHEN c * sq - s * s = 0
+                     THEN CASE WHEN n * c - s = 0 THEN 0 ELSE 1 END
+                     WHEN (n * c - s) * (n * c - s)
+                          > 9 * c * (c * sq - s * s) THEN 1
+                     ELSE 0
+                END AS BIGINT) AS is_anomaly
+    FROM trail
+    WHERE c >= {ANOM_MIN}
+    ORDER BY day
+    """,
+    doc="Daily-volume anomaly detection — the alerting face of the "
+    "monitoring family: each day's event count is z-scored against "
+    "its TRAILING 7-day window (mean/variance from integer sums), "
+    "flagged when |z| > 3. The entire statistic stays EXACT INTEGER: "
+    "z^2 = (n*c - s)^2 / (c*(c*sq - s^2)) is compared via cross-"
+    "multiplication, and z2_c reports z^2 in integer centi-units "
+    "(-1 = zero-variance baseline with a deviating day). Scale: ONE "
+    "map-side-combinable day agg over the corpus; the rolling window "
+    "runs over the |days| relation — constant work after the scan, "
+    "the t_drift_ks shape with time as the axis.",
+)
+def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(sf_dir))
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("day").rowsBetween(-ANOM_WIN, -1)
+    trail = daily.select(
+        "day", "n",
+        F.count("*").over(w).alias("c"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+    ).filter(F.col("c") >= ANOM_MIN)
+    varnum = F.col("c") * F.col("sq") - F.col("s") * F.col("s")
+    diff = F.col("n") * F.col("c") - F.col("s")
+    z2_c = F.when(
+        varnum == 0, F.when(diff == 0, F.lit(0)).otherwise(F.lit(-1))
+    ).otherwise(
+        F.expr(
+            f"((n * c - s) * (n * c - s) * 100) DIV (c * (c * sq - s * s))"
+        )
+    )
+    is_anom = F.when(
+        varnum == 0, F.when(diff == 0, F.lit(0)).otherwise(F.lit(1))
+    ).otherwise((diff * diff > F.lit(9) * F.col("c") * varnum).cast("int"))
+    return trail.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("c").cast("long").alias("c"),
+        z2_c.cast("long").alias("z2_c"),
+        is_anom.cast("long").alias("is_anomaly"),
+    ).orderBy("day")

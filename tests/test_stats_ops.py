@@ -504,3 +504,43 @@ def test_cohort_retention_laws(spark):
         spark.read.parquet(_stage_events(SF)).select("user_id").distinct().count()
     )
     assert sum(sizes.values()) == n_users
+
+
+def test_path_transitions_conservation(spark):
+    """Per-source totals and the global conservation law: every user
+    with k events contributes exactly k-1 transitions."""
+    rows = run(spark, "e_path_transitions").collect()
+    assert rows
+    from cvemate_spark.streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(SF))
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src, [0, r.src_total])
+        per_src[r.src][0] += r.n
+        assert 0 <= r.rate_bp <= 10000
+        assert r.rate_bp == (r.n * 10000) // r.src_total
+    for src, (s, tot) in per_src.items():
+        assert s == tot, src
+
+
+def test_anomaly_volume_flag_consistency(spark):
+    """Integer z-score laws: flags agree with the cross-multiplied
+    z^2 > 9 test, z2_c is the floored centi-unit z^2 (or the -1
+    zero-variance sentinel), every day with enough trailing history
+    gets a verdict."""
+    rows = run(spark, "e_anomaly_volume").collect()
+    assert rows
+    from cvemate_spark.queries.stats_ops import ANOM_MIN, ANOM_WIN
+
+    for r in rows:
+        assert ANOM_MIN <= r.c <= ANOM_WIN
+        assert r.is_anomaly in (0, 1)
+        assert r.z2_c >= -1
+        if r.z2_c == -1:
+            assert r.is_anomaly == 1  # zero-variance baseline, deviation
+        elif r.is_anomaly == 1:
+            assert r.z2_c >= 900  # z^2 > 9 => floor(100 z^2) >= 900
