@@ -1822,3 +1822,120 @@ def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         z2_c.cast("long").alias("z2_c"),
         is_anom.cast("long").alias("is_anomaly"),
     ).orderBy("day")
+
+
+# --------------------------------------- two-proportion A/B test
+@REG.add(
+    "e_ab_test",
+    """
+    WITH arm AS (
+        SELECT user_id % 2 AS grp,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                   AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+                   AS BIGINT) AS c_b
+        FROM arm
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           CAST((c_a * 10000) // n_a AS BIGINT) AS rate_a_bp,
+           CAST((c_b * 10000) // n_b AS BIGINT) AS rate_b_bp,
+           CAST(CASE WHEN (c_a + c_b) = 0
+                       OR (c_a + c_b) = (n_a + n_b) THEN 0
+                ELSE ((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+                      * (n_a + n_b) * 100)
+                     // (n_a * n_b * (c_a + c_b)
+                         * (n_a + n_b - c_a - c_b))
+                END AS BIGINT) AS z2_c,
+           CAST(CASE WHEN (c_a + c_b) = 0
+                       OR (c_a + c_b) = (n_a + n_b) THEN 0
+                WHEN (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+                     * (n_a + n_b) * 100
+                     > 384 * n_a * n_b * (c_a + c_b)
+                           * (n_a + n_b - c_a - c_b) THEN 1
+                ELSE 0
+                END AS BIGINT) AS significant
+    FROM agg
+    ORDER BY n_a
+    """,
+    doc="Two-proportion A/B significance test, EXACT INTEGER: users "
+    "split into arms by id parity (at scale: the experiment "
+    "assignment column), conversion = any 'purchase' event; the "
+    "pooled two-proportion z^2 = (ca*nb - cb*na)^2 (na+nb) / "
+    "(na*nb*(ca+cb)*(na+nb-ca-cb)) is reported in integer "
+    "centi-units and compared to the 95% chi-square bound 3.84 by "
+    "cross-multiplication — no floating point anywhere, so the "
+    "verdict is engine-portable and auditable. Scale: one user-keyed "
+    "conversion agg (map-side-combinable max), then a single 4-counter "
+    "row — the entire test after the scan is O(1). Degenerate pools "
+    "(0% or 100% conversion) return z^2 = 0, not a division error. "
+    "Int64 domain: the cross-product is diff^2*(na+nb)*100 with "
+    "diff <= |pa-pb|*na*nb, safe for ~30k users/arm at ANY effect "
+    "size and millions/arm at realistic (<5pp) effects; beyond that, "
+    "swap the four counters to DECIMAL(38,0) (Spark) / HUGEINT "
+    "(DuckDB) — the test itself stays a 4-counter O(1) row.",
+)
+def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(sf_dir))
+    arm = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("grp"), "converted")
+    agg = arm.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    num = (
+        (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+        * (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+        * (F.col("n_a") + F.col("n_b"))
+    )
+    den = (
+        F.col("n_a")
+        * F.col("n_b")
+        * (F.col("c_a") + F.col("c_b"))
+        * (F.col("n_a") + F.col("n_b") - F.col("c_a") - F.col("c_b"))
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    return agg.select(
+        "n_a", "n_b", "c_a", "c_b",
+        F.expr("(c_a * 10000) DIV n_a").cast("long").alias("rate_a_bp"),
+        F.expr("(c_b * 10000) DIV n_b").cast("long").alias("rate_b_bp"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.expr(
+            "((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)"
+            " * (n_a + n_b) * 100)"
+            " DIV (n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))"
+        ))
+        .cast("long")
+        .alias("z2_c"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(
+            (num * 100 > F.lit(384) * den).cast("int")
+        )
+        .cast("long")
+        .alias("significant"),
+    ).orderBy("n_a")

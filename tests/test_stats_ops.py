@@ -544,3 +544,28 @@ def test_anomaly_volume_flag_consistency(spark):
             assert r.is_anomaly == 1  # zero-variance baseline, deviation
         elif r.is_anomaly == 1:
             assert r.z2_c >= 900  # z^2 > 9 => floor(100 z^2) >= 900
+
+
+def test_ab_test_integer_identities(spark):
+    """The z^2 identity recomputed in exact Python bignums, plus the
+    structural counters (arms partition users, conversions bounded)."""
+    row = run(spark, "e_ab_test").collect()[0]
+    assert 0 <= row.c_a <= row.n_a and 0 <= row.c_b <= row.n_b
+    pool = row.c_a + row.c_b
+    tot = row.n_a + row.n_b
+    if pool in (0, tot):
+        assert row.z2_c == 0 and row.significant == 0
+    else:
+        diff = row.c_a * row.n_b - row.c_b * row.n_a
+        num = diff * diff * tot
+        den = row.n_a * row.n_b * pool * (tot - pool)
+        assert row.z2_c == (num * 100) // den
+        assert row.significant == int(num * 100 > 384 * den)
+    assert row.rate_a_bp == (row.c_a * 10000) // row.n_a
+    assert row.rate_b_bp == (row.c_b * 10000) // row.n_b
+    from cvemate_spark.streaming.jobs import _stage_events
+
+    n_users = (
+        spark.read.parquet(_stage_events(SF)).select("user_id").distinct().count()
+    )
+    assert row.n_a + row.n_b == n_users
