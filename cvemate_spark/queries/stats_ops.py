@@ -1835,27 +1835,29 @@ def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     agg AS (
-        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_a,
-               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_b,
-               CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)
-                   AS BIGINT) AS c_a,
-               CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)
-                   AS BIGINT) AS c_b
+        SELECT CAST(COALESCE(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_a,
+               CAST(COALESCE(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_b,
+               CAST(COALESCE(sum(CASE WHEN grp = 0 THEN converted
+                                      ELSE 0 END), 0) AS BIGINT) AS c_a,
+               CAST(COALESCE(sum(CASE WHEN grp = 1 THEN converted
+                                      ELSE 0 END), 0) AS BIGINT) AS c_b
         FROM arm
     )
     SELECT n_a, n_b, c_a, c_b,
-           CAST((c_a * 10000) // n_a AS BIGINT) AS rate_a_bp,
-           CAST((c_b * 10000) // n_b AS BIGINT) AS rate_b_bp,
-           CAST(CASE WHEN (c_a + c_b) = 0
+           CAST(CASE WHEN n_a = 0 THEN 0
+                ELSE (c_a * 10000) // n_a END AS BIGINT) AS rate_a_bp,
+           CAST(CASE WHEN n_b = 0 THEN 0
+                ELSE (c_b * 10000) // n_b END AS BIGINT) AS rate_b_bp,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR (c_a + c_b) = 0
                        OR (c_a + c_b) = (n_a + n_b) THEN 0
                 ELSE ((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
                       * (n_a + n_b) * 100)
                      // (n_a * n_b * (c_a + c_b)
                          * (n_a + n_b - c_a - c_b))
                 END AS BIGINT) AS z2_c,
-           CAST(CASE WHEN (c_a + c_b) = 0
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 OR (c_a + c_b) = 0
                        OR (c_a + c_b) = (n_a + n_b) THEN 0
                 WHEN (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
                      * (n_a + n_b) * 100
@@ -1893,16 +1895,26 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("converted")
     ).select((F.col("user_id") % 2).alias("grp"), "converted")
     agg = arm.agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_a"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_b"),
-        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("c_a"),
-        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("c_b"),
     )
@@ -1917,13 +1929,20 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("c_a") + F.col("c_b"))
         * (F.col("n_a") + F.col("n_b") - F.col("c_a") - F.col("c_b"))
     )
-    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
-        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b"))
     )
     return agg.select(
         "n_a", "n_b", "c_a", "c_b",
-        F.expr("(c_a * 10000) DIV n_a").cast("long").alias("rate_a_bp"),
-        F.expr("(c_b * 10000) DIV n_b").cast("long").alias("rate_b_bp"),
+        F.expr("CASE WHEN n_a = 0 THEN 0 ELSE (c_a * 10000) DIV n_a END")
+        .cast("long")
+        .alias("rate_a_bp"),
+        F.expr("CASE WHEN n_b = 0 THEN 0 ELSE (c_b * 10000) DIV n_b END")
+        .cast("long")
+        .alias("rate_b_bp"),
         F.when(degenerate, F.lit(0))
         .otherwise(F.expr(
             "((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)"

@@ -156,3 +156,56 @@ def test_stats_queries_on_empty_docs(spark, empty_docs, tmp_path):
     assert REGISTRY.specs["t_sample_weighted"].builder(spark, d).count() == 0
     assert REGISTRY.specs["retr_rrf"].builder(spark, d).count() == 0
     assert REGISTRY.specs["retr_rrf_ivf"].builder(spark, d).count() == 0
+
+
+def test_late_r7_analytics_on_empty(spark, empty_docs, tmp_path):
+    """The late round-7 batch surface over EMPTY tables: quantiles,
+    quota sampling, cohort/path/anomaly analytics and the A/B test
+    must return empty (or the empty-consistent zero-counter row),
+    never raise — an empty day / tenant / slice is routine at scale."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfempty2")
+    os.makedirs(d, exist_ok=True)
+    empty_docs.write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+
+    from cvemate_spark.queries import REGISTRY
+
+    for name in (
+        "e_quantile_2pass",
+        "e_quantile_grouped",
+        "t_sample_stratified",
+        "e_cohort_retention",
+        "e_path_transitions",
+        "e_anomaly_volume",
+    ):
+        assert REGISTRY.specs[name].builder(spark, d).count() == 0, name
+
+    ab = REGISTRY.specs["e_ab_test"].builder(spark, d).collect()
+    assert len(ab) == 1
+    assert ab[0].n_a == 0 and ab[0].n_b == 0
+    assert ab[0].z2_c == 0 and ab[0].significant == 0
+    assert ab[0].rate_a_bp == 0 and ab[0].rate_b_bp == 0
