@@ -1958,3 +1958,65 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("significant"),
     ).orderBy("n_a")
+
+
+# ------------------------------------- streaming histogram state (S16)
+@REG.add(
+    "s16_quantile",
+    f"""
+    WITH binned AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               least(CAST(floor(value / 16) AS BIGINT), 31) AS bin
+        FROM events
+    ),
+    hist AS (
+        SELECT win_start, bin, count(*) AS cnt
+        FROM binned GROUP BY win_start, bin
+    ),
+    cum AS (
+        SELECT win_start, bin,
+               sum(cnt) OVER (PARTITION BY win_start ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt AS cum_prev,
+               sum(cnt) OVER (PARTITION BY win_start ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(cnt) OVER (PARTITION BY win_start) AS n
+        FROM hist
+    ),
+    targets(q, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20)),
+    tq AS (
+        SELECT win_start, q, bin, cum_prev, cum, n,
+               (n * num + den - 1) // den AS rank
+        FROM cum, targets
+    )
+    SELECT win_start, q,
+           CAST(n AS BIGINT) AS n,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(bin * 16 AS BIGINT) AS lo
+    FROM tq
+    WHERE cum_prev < rank AND rank <= cum
+    ORDER BY win_start, q
+    """,
+    doc="S16: incremental HISTOGRAM maintenance as streaming state — "
+    "the distribution member of the sketch-state trio (s14 distinct, "
+    "s15 frequency, s16 quantiles). Per event-time day the bounded "
+    "32-bin histogram of `value` is merged across out-of-order "
+    "micro-batches by union + counter re-sum (additive, so "
+    "incremental == batch EXACTLY — the oracle rebuilds the histogram "
+    "directly); binned p50/p95 are then served from the state alone, "
+    "each rank ceil(p*n) located in the unique bin with cum_prev < "
+    "rank <= cum (the e_quantile_2pass trick, with the state already "
+    "BEING the histogram — no second data pass exists). State is "
+    "|windows| x 32 rows forever: per-day value quantiles stay "
+    "queryable with no replay at any stream volume, to bin "
+    "resolution (the production dial: more bins or the 2-pass "
+    "refinement over landed data when exactness is needed). "
+    "streaming/drift.py.",
+)
+def s16_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import incremental_value_quantiles
+
+    return incremental_value_quantiles(spark, sf_dir).orderBy("win_start", "q")

@@ -333,3 +333,100 @@ def incremental_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") - F.col("true_cnt")).cast("long").alias("overcount"),
     )
+
+
+# ------------------------------------------------------------- S16
+# Incremental HISTOGRAM maintenance as streaming state — the
+# distribution member of the sketch-state trio (S14 distinct counts,
+# S15 point frequencies, S16 quantiles). Per event-time day the
+# bounded 32-bin histogram of `value` is merged across out-of-order
+# micro-batches by union + counter re-sum (bin counters are ADDITIVE,
+# so incremental == batch exactly); binned quantiles are then served
+# from the state alone: rank ceil(p*n) located in the unique bin with
+# cum_prev < rank <= cum (the e_quantile_2pass bin trick, here on
+# state that already IS the histogram — no second data pass exists or
+# is needed). State is |windows| x 32 rows forever.
+
+
+def incremental_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day binned p50/p95 of `value`, served from incrementally
+    merged micro-batch histograms (2-chunk out-of-order replay)."""
+    import os
+    import shutil
+
+    from ..operators.merge import write_atomic
+    from .jobs import EVENTS_SCHEMA, SCRATCH, _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=2)
+
+    run_dir = f"{SCRATCH}/s16_{os.getpid()}"
+    state, ckpt = f"{run_dir}/state", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        fresh = (
+            batch.select(day.alias("win_start"), _bin_col("value").alias("bin"))
+            .groupBy("win_start", "bin")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        try:
+            current = ss.read.parquet(state)
+        except Exception:
+            current = fresh.limit(0)
+        # additive law: union + re-sum == the batch histogram
+        merged = (
+            current.unionByName(fresh)
+            .groupBy("win_start", "bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        write_atomic(merged, state)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sk = spark.read.parquet(state)
+    cum_w = (
+        W.partitionBy("win_start")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    all_w = W.partitionBy("win_start")
+    cum = sk.select(
+        "win_start", "bin",
+        (F.sum("cnt").over(cum_w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(all_w).alias("n"),
+    )
+    targets = spark.createDataFrame(
+        [("p50", 1, 2), ("p95", 19, 20)], "q string, num int, den int"
+    )
+    tq = cum.join(F.broadcast(targets)).select(
+        "win_start", "q", "bin", "cum_prev", "cum", "n",
+        F.expr("(n * num + den - 1) DIV den").alias("rank"),
+    )
+    return (
+        tq.filter(
+            (F.col("cum_prev") < F.col("rank")) & (F.col("rank") <= F.col("cum"))
+        )
+        .select(
+            "win_start",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * DRIFT_BIN_W).cast("long").alias("lo"),
+        )
+    )

@@ -103,7 +103,7 @@ NEW_THIS_ROUND = {
     "retr_rrf", "s13_drift", "e_kmv_matrix", "retr_rrf_ivf", "curate_mix",
     "emb_drift", "s14_kmv", "e_quantile_2pass", "s15_cms",
     "t_sample_stratified", "e_quantile_grouped", "e_cohort_retention",
-    "e_path_transitions", "e_anomaly_volume", "e_ab_test",
+    "e_path_transitions", "e_anomaly_volume", "e_ab_test", "s16_quantile",
 }
 
 

@@ -569,3 +569,44 @@ def test_ab_test_integer_identities(spark):
         spark.read.parquet(_stage_events(SF)).select("user_id").distinct().count()
     )
     assert row.n_a + row.n_b == n_users
+
+
+def test_s16_incremental_histogram_laws(spark):
+    """S16: two rows per day (p50, p95), rank within [1, n], the p95
+    bin never below the p50 bin, and the served bin really is the
+    rank's bin against a direct batch histogram."""
+    rows = run(spark, "s16_quantile").collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert 1 <= r.rank <= r.n
+        assert 0 <= r.bin < 32
+        assert r.lo == r.bin * 16
+        per.setdefault(r.win_start, {})[r.q] = r
+    from cvemate_spark.streaming.jobs import _stage_events
+
+    ev = spark.read.parquet(_stage_events(SF)).selectExpr(
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss')"
+        " AS win_start",
+        "least(cast(floor(value / 16) as long), 31) AS bin",
+    ).collect()
+    hist = {}
+    for e in ev:
+        hist.setdefault(e.win_start, {}).setdefault(e.bin, 0)
+        hist[e.win_start][e.bin] += 1
+    assert set(per) == set(hist)
+    for day, qs in per.items():
+        assert set(qs) == {"p50", "p95"}
+        assert qs["p50"].bin <= qs["p95"].bin
+        n = sum(hist[day].values())
+        for name, num, den in (("p50", 1, 2), ("p95", 19, 20)):
+            r = qs[name]
+            assert r.n == n
+            assert r.rank == (n * num + den - 1) // den  # ceil(p*n)
+            cum = 0
+            for b in sorted(hist[day]):
+                prev = cum
+                cum += hist[day][b]
+                if prev < r.rank <= cum:
+                    assert r.bin == b
+                    break
