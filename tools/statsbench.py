@@ -24,7 +24,7 @@ QUERIES = [
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect",
     "t_sample_weighted", "retr_rrf", "s13_drift",
     "e_quantile_2pass", "e_quantile_grouped", "t_sample_stratified",
-    "s15_cms", "e_cohort_retention", "e_path_transitions",
+    "s15_cms", "s16_quantile", "e_cohort_retention", "e_path_transitions",
     "e_anomaly_volume", "e_ab_test",
 ]
 SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
