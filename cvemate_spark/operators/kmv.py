@@ -15,10 +15,11 @@ This is the set-operation complement to the count-min sketch
 (`operators/sketch.py`, point frequencies) and HLL (`e_hll`,
 distinct-only: KMV adds intersection and any boolean combination).
 
-Reference parity: the reference keeps exact per-collection counters
-(mongodb_handler.py:154-175); KMV is the sublinear counterpart for
-cross-shard vocabulary overlap at sizes where exact distinct joins are
-a full shuffle of the corpus.
+Reference parity: the reference logs exact per-batch document counts
+in its upsert path (mongodb_handler.py:141-195 _process_request) and
+tracks per-source freshness rows (mongodb_handler.py:212-307); KMV is
+the sublinear counterpart for cross-shard vocabulary overlap at sizes
+where exact distinct joins are a full shuffle of the corpus.
 
 100-TB notes:
 - `bottom_k` compiles to distinct + orderBy(h).limit(k) =

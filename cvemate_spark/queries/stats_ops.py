@@ -28,10 +28,12 @@ on every ingest batch, alongside the dedup/quality passes:
   plus a k-row fusion aggregate.
 
 Reference parity: the reference's closest surfaces are its per-source
-document counters and the `updateinfo` freshness queries
-(mongodb_handler.py:154-175 aggregates per-collection counts); drift /
-sketch / fusion are the scale-side extensions this engine adds for
-corpus monitoring at sizes where exact global statistics are a luxury.
+status/freshness bookkeeping (mongodb_handler.py:212-307 —
+update_status / get_last_update_time / update_source_status) and the
+per-batch insert/update counts it logs in _process_request
+(mongodb_handler.py:141-195); drift / sketch / fusion are the
+scale-side extensions this engine adds for corpus monitoring at sizes
+where exact global statistics are a luxury.
 
 Scale notes (100 TB):
 - the drift pair needs ONE scan + one bounded groupBy (<=64 bins,
@@ -60,6 +62,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import duck_str_hash, spark_str_hash
 from ..operators.similarity import cosine_col, duck_cosine
+from ..streaming.drift import DRIFT_BIN_W, DRIFT_NBINS, SKETCH_K
 from ..tables import load_table
 from .base import Registry
 
@@ -108,12 +111,13 @@ _DUCK_BINNED = f"""
                max(abs(cum_a * n_b - cum_b * n_a)) OVER () AS ks_u
         FROM cum
     )
-    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
-           CAST(max(n_b) AS BIGINT) AS n_b,
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
            CAST(max(ks_u) AS BIGINT) AS ks_u,
-           CAST(max(ks_u) AS DOUBLE) / (max(n_a) * max(n_b)) AS ks,
+           CAST(max(ks_u) AS DOUBLE) / (n_a * n_b) AS ks,
            CAST(min(bin) AS BIGINT) AS ks_bin
     FROM diffs WHERE diff_u = ks_u
+    GROUP BY n_a, n_b
     """,
     doc="Two-sample Kolmogorov-Smirnov drift distance between the "
     "document-length distributions of the English and non-English "
@@ -174,7 +178,7 @@ PSI_SMOOTH = 1  # add-one smoothing so empty-on-one-side bins stay finite
                count(*) AS nbins FROM per_bin
     ),
     contrib AS (
-        SELECT CAST(floor(
+        SELECT n_a, n_b, nbins, CAST(floor(
             ((a_cnt + {PSI_SMOOTH}) / (n_a + {PSI_SMOOTH} * nbins)
              - (b_cnt + {PSI_SMOOTH}) / (n_b + {PSI_SMOOTH} * nbins))
             * ln(((a_cnt + {PSI_SMOOTH}) / (n_a + {PSI_SMOOTH} * nbins))
@@ -182,12 +186,13 @@ PSI_SMOOTH = 1  # add-one smoothing so empty-on-one-side bins stay finite
             * 1000000.0 + 0.5) AS BIGINT) AS c_u
         FROM per_bin, tot
     )
-    SELECT CAST((SELECT n_a FROM tot) AS BIGINT) AS n_a,
-           CAST((SELECT n_b FROM tot) AS BIGINT) AS n_b,
-           CAST((SELECT nbins FROM tot) AS BIGINT) AS nbins,
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(nbins AS BIGINT) AS nbins,
            CAST(sum(c_u) AS BIGINT) AS psi_u,
            CAST(sum(c_u) AS DOUBLE) / 1000000.0 AS psi
     FROM contrib
+    GROUP BY n_a, n_b, nbins
     """,
     doc="Population-stability index between the same two slices over "
     "the same bounded histogram: sum_bin (pA-pB)*ln(pA/pB) with "
@@ -229,6 +234,20 @@ def t_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_u", "psi",
         )
     )
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micros-staged events with the session confs pinned.
+
+    The behavioral-analytics builders truncate to UTC day boundaries
+    (date_trunc / date_format); a non-UTC session would silently
+    diverge from the UTC-naive DuckDB oracle, so pin the timezone the
+    way every load_table-based query does."""
+    from ..streaming.jobs import _stage_events
+    from ..tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    return spark.read.parquet(_stage_events(sf_dir))
 
 
 def _per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +304,7 @@ _KMV_EST_DUCK = (
     bottom AS (SELECT * FROM merged ORDER BY h LIMIT {KMV_K}),
     est AS (
         SELECT count(*) AS n_seen, max(h) AS u_k,
-               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+               CAST(COALESCE(sum(in_a * in_b), 0) AS BIGINT) AS n_both
         FROM bottom
     ),
     exact AS (
@@ -303,8 +322,9 @@ _KMV_EST_DUCK = (
            CAST(u_k AS BIGINT) AS u_k,
            n_both,
            {_KMV_EST_DUCK} AS est_union,
-           (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
-               * ({_KMV_EST_DUCK}) AS est_inter,
+           CASE WHEN n_seen = 0 THEN 0.0
+                ELSE (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
+                     * ({_KMV_EST_DUCK}) END AS est_inter,
            exact_a, exact_b, exact_inter
     FROM est, exact
     """,
@@ -551,11 +571,12 @@ def t_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- streaming drift
 @REG.add(
     "s13_drift",
-    """
+    f"""
     WITH binned AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
                    AS win_start,
-               least(CAST(floor(value / 16) AS BIGINT), 31) AS bin
+               least(CAST(floor(value / {DRIFT_BIN_W}) AS BIGINT),
+                     {DRIFT_NBINS - 1}) AS bin
         FROM events
     ),
     win_hist AS (
@@ -1198,7 +1219,7 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT win_start, h,
                    row_number() OVER (PARTITION BY win_start ORDER BY h) AS rn
             FROM dist
-        ) WHERE rn <= 64
+        ) WHERE rn <= {SKETCH_K}
     ),
     est AS (
         SELECT win_start, count(*) AS n_seen, max(h) AS u_k
@@ -1211,8 +1232,9 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.win_start,
            CAST(n_seen AS BIGINT) AS n_seen,
            CAST(u_k AS BIGINT) AS u_k,
-           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
-                ELSE (63.0 * {HASH_SPACE}.0) / CAST(u_k AS DOUBLE) END
+           CASE WHEN n_seen < {SKETCH_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE ({SKETCH_K - 1}.0 * {HASH_SPACE}.0)
+                     / CAST(u_k AS DOUBLE) END
                AS est_users,
            CAST(exact_users AS BIGINT) AS exact_users
     FROM est e JOIN exact x ON e.win_start = x.win_start
@@ -1648,9 +1670,7 @@ def e_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort) without touching raw history.",
 )
 def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import _stage_events
-
-    ev = spark.read.parquet(_stage_events(sf_dir))
+    ev = _staged_events(spark, sf_dir)
     act = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
@@ -1712,9 +1732,7 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events.",
 )
 def e_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import _stage_events
-
-    ev = spark.read.parquet(_stage_events(sf_dir))
+    ev = _staged_events(spark, sf_dir)
     seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
     pair = (
         ev.select(
@@ -1789,9 +1807,7 @@ ANOM_MIN = 3  # minimum trailing days before a verdict
     "the t_drift_ks shape with time as the axis.",
 )
 def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import _stage_events
-
-    ev = spark.read.parquet(_stage_events(sf_dir))
+    ev = _staged_events(spark, sf_dir)
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("n"))
@@ -1852,16 +1868,22 @@ def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE (c_b * 10000) // n_b END AS BIGINT) AS rate_b_bp,
            CAST(CASE WHEN n_a = 0 OR n_b = 0 OR (c_a + c_b) = 0
                        OR (c_a + c_b) = (n_a + n_b) THEN 0
-                ELSE ((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+                ELSE ((CAST(c_a AS HUGEINT) * n_b
+                       - CAST(c_b AS HUGEINT) * n_a)
+                      * (CAST(c_a AS HUGEINT) * n_b
+                         - CAST(c_b AS HUGEINT) * n_a)
                       * (n_a + n_b) * 100)
-                     // (n_a * n_b * (c_a + c_b)
+                     // (CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
                          * (n_a + n_b - c_a - c_b))
                 END AS BIGINT) AS z2_c,
            CAST(CASE WHEN n_a = 0 OR n_b = 0 OR (c_a + c_b) = 0
                        OR (c_a + c_b) = (n_a + n_b) THEN 0
-                WHEN (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+                WHEN (CAST(c_a AS HUGEINT) * n_b
+                      - CAST(c_b AS HUGEINT) * n_a)
+                     * (CAST(c_a AS HUGEINT) * n_b
+                        - CAST(c_b AS HUGEINT) * n_a)
                      * (n_a + n_b) * 100
-                     > 384 * n_a * n_b * (c_a + c_b)
+                     > 384 * CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
                            * (n_a + n_b - c_a - c_b) THEN 1
                 ELSE 0
                 END AS BIGINT) AS significant
@@ -1879,16 +1901,17 @@ def e_anomaly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion agg (map-side-combinable max), then a single 4-counter "
     "row — the entire test after the scan is O(1). Degenerate pools "
     "(0% or 100% conversion) return z^2 = 0, not a division error. "
-    "Int64 domain: the cross-product is diff^2*(na+nb)*100 with "
-    "diff <= |pa-pb|*na*nb, safe for ~30k users/arm at ANY effect "
-    "size and millions/arm at realistic (<5pp) effects; beyond that, "
-    "swap the four counters to DECIMAL(38,0) (Spark) / HUGEINT "
-    "(DuckDB) — the test itself stays a 4-counter O(1) row.",
+    "Numeric domain: the cross-product diff^2*(na+nb)*100 (diff <= "
+    "na*nb) runs in DECIMAL(38,0) on the Spark side and HUGEINT in "
+    "the DuckDB oracle, so it is exact to ~1e38 — ~1.4e7 users/arm at "
+    "ANY effect size (200*N^5 < 1e38) and ~4.6e7/arm at realistic "
+    "(<5pp) effects, vs the old int64 path's ~3e4 ceiling "
+    "(tests/test_stats_ops.py::test_ab_test_decimal_domain proves a "
+    "counter set that overflows int64). The final z2_c/significant "
+    "values are small integers, so the OUTPUT stays BIGINT.",
 )
 def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.jobs import _stage_events
-
-    ev = spark.read.parquet(_stage_events(sf_dir))
+    ev = _staged_events(spark, sf_dir)
     arm = ev.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -1918,17 +1941,23 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c_b"),
     )
-    num = (
-        (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
-        * (F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
-        * (F.col("n_a") + F.col("n_b"))
-    )
-    den = (
-        F.col("n_a")
-        * F.col("n_b")
-        * (F.col("c_a") + F.col("c_b"))
-        * (F.col("n_a") + F.col("n_b") - F.col("c_a") - F.col("c_b"))
-    )
+    return _ab_stats(agg).orderBy("n_a")
+
+
+def _ab_stats(agg: DataFrame) -> DataFrame:
+    """Pooled two-proportion z^2 from a 4-counter relation
+    (n_a, n_b, c_a, c_b — BIGINT). All cross-products run in
+    DECIMAL(38,0) so the statistic is exact far beyond the int64
+    ceiling (the DuckDB oracle mirrors this with HUGEINT); the
+    outputs are small integers, cast back to BIGINT."""
+    # one decimal cast per counter; Spark promotes the rest of the
+    # expression tree to decimal, and DIV on decimals returns BIGINT
+    dec = "CAST({} AS DECIMAL(38,0))"
+    d_ca, d_cb = dec.format("c_a"), dec.format("c_b")
+    d_na = dec.format("n_a")
+    diff = f"({d_ca} * n_b - {d_cb} * n_a)"
+    num = f"({diff} * {diff} * (n_a + n_b) * 100)"
+    den = f"({d_na} * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))"
     degenerate = (
         (F.col("n_a") == 0)
         | (F.col("n_b") == 0)
@@ -1944,20 +1973,18 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_b_bp"),
         F.when(degenerate, F.lit(0))
-        .otherwise(F.expr(
-            "((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)"
-            " * (n_a + n_b) * 100)"
-            " DIV (n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b))"
-        ))
+        .otherwise(F.expr(f"{num} DIV {den}"))
         .cast("long")
         .alias("z2_c"),
         F.when(degenerate, F.lit(0))
         .otherwise(
-            (num * 100 > F.lit(384) * den).cast("int")
+            # z^2 > 3.84  <=>  (diff^2*(n)*100) > 384*den — exact
+            # integer cross-multiplication, the oracle's form verbatim
+            (F.expr(num) > F.expr(f"384 * {den}")).cast("int")
         )
         .cast("long")
         .alias("significant"),
-    ).orderBy("n_a")
+    )
 
 
 # ------------------------------------- streaming histogram state (S16)
@@ -1967,7 +1994,8 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH binned AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
                    AS win_start,
-               least(CAST(floor(value / 16) AS BIGINT), 31) AS bin
+               least(CAST(floor(value / {DRIFT_BIN_W}) AS BIGINT),
+                     {DRIFT_NBINS - 1}) AS bin
         FROM events
     ),
     hist AS (
@@ -1995,7 +2023,7 @@ def e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            CAST(rank AS BIGINT) AS rank,
            CAST(bin AS BIGINT) AS bin,
-           CAST(bin * 16 AS BIGINT) AS lo
+           CAST(bin * {DRIFT_BIN_W} AS BIGINT) AS lo
     FROM tq
     WHERE cum_prev < rank AND rank <= cum
     ORDER BY win_start, q

@@ -122,40 +122,12 @@ SKETCH_K = 64
 
 
 def _chunked_landing(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> str:
-    """The S3-style chunked event landing (event_id % n_chunks
-    interleaves in time = out-of-order arrival), content-keyed and
-    shared across S3/S14/S15 — built once per testdata generation."""
-    import glob as _glob
-    import hashlib
-    import os
-    import shutil
+    """Shared S3-style chunked event landing — the single producer
+    lives in streaming/jobs.py (replay_merge consumes the same cache
+    dir, so layout and key can never diverge)."""
+    from .jobs import _chunked_landing as _producer
 
-    from .jobs import SCRATCH, _stage_events
-
-    stage = _stage_events(sf_dir)
-    st = os.stat(f"{sf_dir}/events.parquet")
-    in_key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
-    ).hexdigest()[:12]
-    in_dir = f"{SCRATCH}/s3_in_{in_key}"
-    if not os.path.exists(in_dir):
-        tmp = f"{in_dir}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ev = spark.read.parquet(stage)
-        chunks_dir = f"{tmp}/chunks"
-        ev.withColumn("__chunk", F.col("event_id") % n_chunks).repartition(
-            n_chunks, "__chunk"
-        ).write.partitionBy("__chunk").mode("overwrite").parquet(chunks_dir)
-        for i in range(n_chunks):
-            parts = sorted(_glob.glob(f"{chunks_dir}/__chunk={i}/part-*.parquet"))
-            for j, part in enumerate(parts):
-                shutil.copy(part, f"{tmp}/chunk{i}_{j}.parquet")
-        shutil.rmtree(chunks_dir)
-        try:
-            os.rename(tmp, in_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return in_dir
+    return _producer(spark, sf_dir, n_chunks=n_chunks)
 
 
 def incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:

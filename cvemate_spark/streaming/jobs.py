@@ -80,6 +80,44 @@ def _stage_events(sf_dir: str) -> str:
     return stage
 
 
+def _chunked_landing(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> str:
+    """The S3-style chunked event landing (event_id % n_chunks
+    interleaves in time = out-of-order arrival), content-keyed and
+    shared across S3/S14/S15/S16 — built once per testdata generation.
+
+    This is the ONLY producer of the ``s3_in_<key>`` cache dir: the
+    replay/merge job and every sketch-state stream (streaming/drift.py)
+    consume the same landing, so the chunk layout and cache key can
+    never diverge between producers.
+    """
+    stage = _stage_events(sf_dir)
+    st = os.stat(f"{sf_dir}/events.parquet")
+    in_key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
+    ).hexdigest()[:12]
+    in_dir = f"{SCRATCH}/s3_in_{in_key}"
+    if not os.path.exists(in_dir):
+        tmp = f"{in_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = spark.read.parquet(stage)  # micros-normalized
+        # one partitioned write (not one job per chunk); the partition
+        # dirs then become the arrival-ordered landing files
+        chunks_dir = f"{tmp}/chunks"
+        ev.withColumn("__chunk", F.col("event_id") % n_chunks).repartition(
+            n_chunks, "__chunk"
+        ).write.partitionBy("__chunk").mode("overwrite").parquet(chunks_dir)
+        for i in range(n_chunks):
+            parts = sorted(glob.glob(f"{chunks_dir}/__chunk={i}/part-*.parquet"))
+            for j, part in enumerate(parts):
+                shutil.copy(part, f"{tmp}/chunk{i}_{j}.parquet")
+        shutil.rmtree(chunks_dir)
+        try:
+            os.rename(tmp, in_dir)
+        except OSError:  # concurrent builder won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return in_dir
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     """File-source stream over the staged events parquet."""
     _ensure_session_confs(spark)
@@ -150,34 +188,8 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     _ensure_session_confs(spark)
     # The chunked landing files are pure test scaffolding (the stand-in
     # for out-of-order feed arrival), deterministic given (source,
-    # n_chunks) — stage them ONCE keyed by the source's size/mtime
-    # fingerprint instead of re-running the partitioned write per call
-    # (same cache rule as _events_stream / the landing generator).
-    stage = _stage_events(sf_dir)
-    st = os.stat(f"{sf_dir}/events.parquet")
-    in_key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:{n_chunks}:us-v2".encode()
-    ).hexdigest()[:12]
-    in_dir = f"{SCRATCH}/s3_in_{in_key}"
-    if not os.path.exists(in_dir):
-        tmp = f"{in_dir}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ev = spark.read.parquet(stage)  # micros-normalized
-        # one partitioned write (not one job per chunk); the partition
-        # dirs then become the arrival-ordered landing files
-        chunks_dir = f"{tmp}/chunks"
-        ev.withColumn("__chunk", F.col("event_id") % n_chunks).repartition(
-            n_chunks, "__chunk"
-        ).write.partitionBy("__chunk").mode("overwrite").parquet(chunks_dir)
-        for i in range(n_chunks):
-            parts = sorted(glob.glob(f"{chunks_dir}/__chunk={i}/part-*.parquet"))
-            for j, part in enumerate(parts):
-                shutil.copy(part, f"{tmp}/chunk{i}_{j}.parquet")
-        shutil.rmtree(chunks_dir)
-        try:
-            os.rename(tmp, in_dir)
-        except OSError:  # concurrent builder won the rename — use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+    # n_chunks) — staged ONCE by the shared content-keyed producer.
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
 
     # per-run state: pid-keyed so a concurrent oracle check and pytest
     # run don't race on the same target/checkpoint paths (observed as a

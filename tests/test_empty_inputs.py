@@ -209,3 +209,64 @@ def test_late_r7_analytics_on_empty(spark, empty_docs, tmp_path):
     assert ab[0].n_a == 0 and ab[0].n_b == 0
     assert ab[0].z2_c == 0 and ab[0].significant == 0
     assert ab[0].rate_a_bp == 0 and ab[0].rate_b_bp == 0
+
+
+def test_oracle_spark_agree_on_empty_slices(spark, empty_docs, tmp_path):
+    """The DUCKDB ORACLES must mirror the Spark empty-slice shapes —
+    an oracle that emits a NULL row where Spark emits zero rows (or
+    vice versa) would surface as an opaque gate-hash failure on a
+    degenerate slice. Runs both sides on a fully-empty sf dir and
+    compares row counts and zero-consistent values."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sfempty3")
+    os.makedirs(d, exist_ok=True)
+    empty_docs.write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+
+    from cvemate_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{d}/{t}.parquet/*.parquet')"
+            if os.path.isdir(f"{d}/{t}.parquet")
+            else f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{d}/{t}.parquet')"
+        )
+    for name in (
+        "t_drift_ks", "t_drift_psi", "e_kmv_intersect",
+        "e_cohort_retention", "e_path_transitions", "e_anomaly_volume",
+        "e_ab_test",
+    ):
+        spec = REGISTRY.specs[name]
+        srows = spec.builder(spark, d).collect()
+        orows = con.execute(spec.oracle).fetchall()
+        assert len(srows) == len(orows), (
+            f"{name}: spark={len(srows)} oracle={len(orows)} on empty"
+        )
+    # the two single-row shapes agree on the zero-consistent values
+    kmv = con.execute(REGISTRY.specs["e_kmv_intersect"].oracle).df()
+    assert int(kmv.n_both[0]) == 0 and float(kmv.est_inter[0]) == 0.0
+    ab = con.execute(REGISTRY.specs["e_ab_test"].oracle).df()
+    assert int(ab.z2_c[0]) == 0 and int(ab.significant[0]) == 0

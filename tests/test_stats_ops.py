@@ -571,6 +571,46 @@ def test_ab_test_integer_identities(spark):
     assert row.n_a + row.n_b == n_users
 
 
+def test_ab_test_decimal_domain(spark):
+    """The DECIMAL(38,0) z^2 path is exact on counters whose
+    cross-products overflow int64 (the old ~30k-users/arm ceiling):
+    1e6 users/arm at a 90%-vs-10% effect gives diff^2 = 6.4e23 >>
+    2^63. Verified against exact Python bignum arithmetic, including
+    a boundary pair straddling the 3.84 significance threshold."""
+    from cvemate_spark.queries.stats_ops import _ab_stats
+
+    cases = [
+        (1_000_000, 1_000_000, 900_000, 100_000),   # diff^2 ~ 6.4e23
+        (10_000_000, 10_000_000, 5_000_100, 5_000_000),  # tiny effect
+        (2_000_000, 1_000_000, 3, 0),               # near-degenerate
+        (1_000_000, 1_000_000, 501_386, 500_000),   # just significant
+        (1_000_000, 1_000_000, 501_385, 500_000),   # just below
+    ]
+    agg = spark.createDataFrame(
+        [(int(a), int(b), int(c), int(d)) for a, b, c, d in cases],
+        "n_a long, n_b long, c_a long, c_b long",
+    )
+    rows = {
+        (r.n_a, r.n_b, r.c_a, r.c_b): r for r in _ab_stats(agg).collect()
+    }
+    for n_a, n_b, c_a, c_b in cases:
+        r = rows[(n_a, n_b, c_a, c_b)]
+        pool, tot = c_a + c_b, n_a + n_b
+        diff = c_a * n_b - c_b * n_a
+        num = diff * diff * tot * 100
+        den = n_a * n_b * pool * (tot - pool)
+        assert num > 2**63 or den > 2**63 or abs(diff) ** 2 > 2**63 or (
+            (n_a, n_b, c_a, c_b) == cases[2]
+        ), "case does not exercise the >int64 domain"
+        assert r.z2_c == num // den
+        assert r.significant == int(num > 384 * den)
+        assert r.rate_a_bp == (c_a * 10000) // n_a
+        assert r.rate_b_bp == (c_b * 10000) // n_b
+    # the straddling pair really does disagree on significance
+    assert rows[(1_000_000, 1_000_000, 501_386, 500_000)].significant == 1
+    assert rows[(1_000_000, 1_000_000, 501_385, 500_000)].significant == 0
+
+
 def test_s16_incremental_histogram_laws(spark):
     """S16: two rows per day (p50, p95), rank within [1, n], the p95
     bin never below the p50 bin, and the served bin really is the
