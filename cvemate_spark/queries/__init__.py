@@ -101,38 +101,33 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-6 rotation (VERDICT r5 items 1+6: the registry
-    # ENDGAME). All 50 round-5 gated queries are r5-driver-green and
-    # cede their slots; the entrants are EXACTLY the 50 registry
-    # queries that have never been driver-proven (cumulative driver
-    # evidence before this round: 117/167 across r01-r05; after a
-    # green r6 gate: 167/167 — the landing round, two rounds ahead of
-    # the ~17/round schedule the r5 verdict assumed). Every entrant is
-    # local-oracle-green (tools/check.py full-registry sweep, r5 and
-    # re-run this round after the round's operator edits).
-    # composed pipelines
-    "cve_pipeline_fold",
-    # engine surface: the never-proven residue of the e_* family
-    "e_bloom_semi", "e_collect_sorted", "e_explode_outer",
-    "e_fuzzy_match", "e_grouping_sets", "e_interval_bin",
-    "e_quantiles_approx", "e_rollup_inc", "e_salted_join", "e_share",
-    "e_time_travel", "e_topn_group", "e_try_arith", "e_union_evolve",
-    "e_zorder",
-    # streaming: the three local-only stateful shapes
-    "s6_dedup", "s7_join", "s8_static_join",
-    # dedup/similarity residue
-    "ann_lsh_batch", "dedup_canonical", "dedup_cluster_sizes",
-    "dedup_eval", "emb_quantize", "mm_dedup",
-    # multimodal: the round-5 real-codec gates (r6 shortlist)
-    "mm_phash", "mm_quarantine", "mm_resize", "mm_wav", "mm_y4m",
-    # text/LLM-pipeline residue (t_compress has no SQL oracle form —
-    # the driver records its rows-only check; every other entrant is
-    # hash-gated)
-    "t_budget_select", "t_classify", "t_classify_grad", "t_colloc",
-    "t_compress", "t_decontam", "t_domain", "t_entropy", "t_gopher",
-    "t_length_hist", "t_novelty", "t_overlap", "t_pack", "t_phrase",
-    "t_redact", "t_repetition", "t_sample", "t_shuffle", "t_split",
-    "t_winnow_pairs",
+    # ---- Round-8 rotation (VERDICT r7 item 1). The round-6 endgame
+    # tranche — which HELD the gate through r7 because no
+    # CORRECTNESS_r06 ever landed — is finally recorded green in
+    # CORRECTNESS_r07.json (49 hash-green + the documented t_compress
+    # rows-only row), so all 50 cede. Entrants: EXACTLY the 28
+    # never-driver-proven round-6/7 additions (the r7 verdict's
+    # NEW_THIS_ROUND list) — a green r8 gate closes cumulative driver
+    # evidence at 194/195 hash-proven + t_compress rows-only = every
+    # registry query driver-recorded. The other 22 slots begin the
+    # endgame re-entry-vehicle phase (COVERAGE.md): the bench.py
+    # headline suite re-proves each round (all r1–r4 driver-green;
+    # cve_pipeline_fold sits out, being r7-green already).
+    # --- entrants: round-6 multimodal/serving additions (8)
+    "ann_ivf_serve", "mm_curate", "mm_jpeg", "mm_jpeg420",
+    "mm_transcode", "mm_video_dedup", "s12_media", "src_binary",
+    # --- entrants: round-7 monitoring / sketch / analytics (20)
+    "curate_mix", "e_ab_test", "e_anomaly_volume", "e_cohort_retention",
+    "e_kmv_intersect", "e_kmv_matrix", "e_path_transitions",
+    "e_quantile_2pass", "e_quantile_grouped", "emb_drift",
+    "retr_rrf", "retr_rrf_ivf", "s13_drift", "s14_kmv", "s15_cms",
+    "s16_quantile", "t_drift_ks", "t_drift_psi",
+    "t_sample_stratified", "t_sample_weighted",
+    # --- re-entries: the headline suite (22)
+    "q01", "q05", "q06", "q07", "q10", "q11", "q13", "q15", "q17",
+    "q19", "q24", "q27", "e_asof", "dedup_minhash", "curate_pipeline",
+    "dedup_exact", "q26", "ann_lsh", "emb_neardup", "mm_meta",
+    "s1_tumbling", "s3_merge_replay",
 )
 
 

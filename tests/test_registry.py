@@ -90,21 +90,10 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 
 
 # Queries born THIS round, after the round's 50 gate slots were already
-# committed to the never-proven residue: local-oracle-green now, first
-# in line for the r7 rotation. Keep this list short and rotate it out.
-NEW_THIS_ROUND = {
-    # round 6 (the r6 driver gate was never recorded — no
-    # CORRECTNESS_r06.json landed — so the r6 endgame tranche HELD the
-    # gate for round 7 and these stay on the rotation shortlist)
-    "mm_jpeg", "mm_jpeg420", "ann_ivf_serve", "src_binary", "mm_transcode",
-    "s12_media", "mm_video_dedup", "mm_curate",
-    # round 7: corpus-statistics / monitoring surface (stats_ops)
-    "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "t_sample_weighted",
-    "retr_rrf", "s13_drift", "e_kmv_matrix", "retr_rrf_ivf", "curate_mix",
-    "emb_drift", "s14_kmv", "e_quantile_2pass", "s15_cms",
-    "t_sample_stratified", "e_quantile_grouped", "e_cohort_retention",
-    "e_path_transitions", "e_anomaly_volume", "e_ab_test", "s16_quantile",
-}
+# committed: local-oracle-green now, first in line for the next
+# rotation. Keep this list short and rotate it out. (The 28 round-6/7
+# additions that accumulated here all entered the round-8 gate.)
+NEW_THIS_ROUND: set[str] = set()
 
 
 def test_driver_gate_covers_critical_families():
