@@ -410,6 +410,176 @@ def vacuum_versions(
     return doomed
 
 
+# ------------------------------------- bucket-scoped (partition) merge
+# The reference applies updates as per-key point writes
+# (mongodb_handler.py:141-195 — each UpdateOne touches only the
+# documents whose keys appear in the batch). `merge_upsert` +
+# `write_atomic` is semantically equal but rewrites the WHOLE target
+# directory per merge — cost ∝ |target|, which at 100 TB turns a 1 GB
+# nightly batch into a 100 TB write. The bucket-scoped layout restores
+# the reference's point-update economics at file granularity: the
+# table lives as hash(key)-bucketed partition directories
+# (`path/bucket=<i>/`), a merge computes the ≤ n_buckets bucket ids its
+# batch touches (a bounded collect), joins ONLY those buckets, and
+# swaps ONLY those directories — cost ∝ |batch| × bucket size, and an
+# untouched bucket's files are never opened, rewritten, or moved.
+# Atomicity is per-bucket (two renames each, the write_atomic
+# protocol); cross-bucket atomicity is the manifest upgrade
+# (`write_versioned`) or Delta's log commit in production.
+BUCKET_META = "_BUCKETS"  # leading underscore: invisible to Spark scans
+
+
+def bucket_expr(key: str, n_buckets: int) -> F.Column:
+    """Deterministic bucket id: pmod(xxhash64(key-as-string), n).
+    xxhash64 is a fixed algorithm (stable across sessions/versions), so
+    every merge recomputes the same bucket for the same key."""
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+
+
+def write_bucket_table(
+    df: DataFrame, path: str, key: str = "id", n_buckets: int = 16
+) -> None:
+    """Initial (full) load of a bucket-scoped table: one partitioned
+    write, then the bucket dirs are published under `path` with the
+    layout metadata (`_BUCKETS`: key, n_buckets, format version) that
+    later merges validate against."""
+    import json
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    (
+        df.withColumn("bucket", bucket_expr(key, n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, BUCKET_META), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets, "v": 1}, f)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_bucket_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the whole table (partition discovery over bucket=<i> dirs;
+    the synthetic bucket column is dropped)."""
+    return spark.read.parquet(path).drop("bucket")
+
+
+def read_bucket_for_key(spark: SparkSession, path: str, value) -> DataFrame:
+    """Point-lookup read: prune to the ONE bucket dir that can hold
+    `value` — listing-time pruning, the same economics as the
+    reference's indexed point query (ensure_index_on_id,
+    mongodb_handler.py:229-259)."""
+    import json
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    spark_ = spark
+    b = (
+        spark_.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string")),
+                F.lit(meta["n_buckets"]),
+            ).alias("b")
+        )
+        .collect()[0][0]
+    )
+    bdir = os.path.join(path, f"bucket={b}")
+    if not os.path.isdir(bdir):
+        return None
+    return spark.read.parquet(bdir).filter(F.col(meta["key"]) == F.lit(value))
+
+
+def merge_scoped(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    now=None,
+    deleted_col: str | None = None,
+) -> dict:
+    """Bucket-scoped OP-MERGE: upsert `updates` into the bucket table
+    at `path`, rewriting ONLY the bucket directories the batch touches.
+
+    Returns the scoping stats the merge-cost contract is measured on:
+    {n_buckets, buckets_touched, files_rewritten, files_total} —
+    buckets_touched ≤ min(|batch keys|, n_buckets) by construction, so
+    merge cost is bounded by the batch, not the target. With
+    `deleted_col`, tombstone rows delete their keys (the
+    merge_upsert_deletes leg); a bucket whose last row is deleted has
+    its directory removed.
+    """
+    import glob as _glob
+    import json
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    b = bucket_expr(key, n_buckets)
+
+    # bounded driver-side state: ≤ n_buckets ints, never row data
+    touched = sorted(
+        r[0] for r in updates.select(b.alias("__b")).distinct().collect()
+    )
+    files_total = len(_glob.glob(f"{path}/bucket=*/*.parquet"))
+    if not touched:
+        return {
+            "n_buckets": n_buckets, "buckets_touched": 0,
+            "files_rewritten": 0, "files_total": files_total,
+        }
+
+    existing = [
+        f"{path}/bucket={i}"
+        for i in touched
+        if os.path.isdir(f"{path}/bucket={i}")
+    ]
+    target = spark.read.parquet(*existing) if existing else None
+    if deleted_col is not None:
+        merged = merge_upsert_deletes(
+            target, updates, key=key, deleted_col=deleted_col, now=now
+        )
+    else:
+        merged = merge_upsert(target, updates, key=key, now=now)
+
+    tmp = f"{path}/.merge-tmp-{uuid.uuid4().hex[:8]}"
+    (
+        # co-locate each bucket in one task so a rewritten bucket dir
+        # is ONE file (not shuffle-partitions-many shards per bucket);
+        # at cluster scale pair this with maxRecordsPerFile to split
+        # oversized buckets back into target-sized files
+        merged.withColumn("bucket", b)
+        .repartition(len(touched), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    files_rewritten = bytes_rewritten = 0
+    for i in touched:
+        src, dst = f"{tmp}/bucket={i}", f"{path}/bucket={i}"
+        old = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(src):
+            new_files = _glob.glob(f"{src}/*.parquet")
+            files_rewritten += len(new_files)
+            bytes_rewritten += sum(os.path.getsize(f) for f in new_files)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(src, dst)
+        elif os.path.exists(dst):  # every row of this bucket deleted
+            os.rename(dst, old)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_buckets": n_buckets,
+        "buckets_touched": len(touched),
+        "files_rewritten": files_rewritten,
+        "bytes_rewritten": bytes_rewritten,
+        "files_total": files_total,
+    }
+
+
 def merge_many(
     batches: dict[str, DataFrame],
     key: str = "id",

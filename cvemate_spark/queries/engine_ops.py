@@ -1658,3 +1658,104 @@ def e_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "event_type", "cnt")
         .orderBy("version", "event_type", "cnt")
     )
+
+
+# ----------------------------------------------------- e_merge_scoped
+T_MERGE = "2026-01-01 00:00:00"
+MS_BUCKETS = 32
+INS_OFFSET = 900_000_000  # synthetic insert keys, disjoint from orders
+
+
+@REG.add(
+    "e_merge_scoped",
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 1.0, 'N'
+        FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_totalprice, t.o_totalprice) AS price,
+               COALESCE(u.o_orderstatus, t.o_orderstatus) AS status
+        FROM orders t FULL OUTER JOIN upd u
+          ON t.o_orderkey = u.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    doc="Bucket-scoped OP-MERGE (operators/merge.py::merge_scoped): the "
+    "orders table is laid out as 32 hash(key)-bucketed partition "
+    "directories, then a mixed update+insert batch (every 97th key "
+    "repriced, every 997th key's synthetic twin inserted) is merged by "
+    "rewriting ONLY the bucket dirs the batch touches — the "
+    "reference's point-update economics (mongodb_handler.py:141-195, "
+    "each UpdateOne touches only matched documents) at file "
+    "granularity, vs write_atomic's whole-table rewrite. The returned "
+    "aggregate proves the merged CONTENT equals the plain full-outer "
+    "merge the oracle computes; the scoping law (untouched buckets "
+    "physically untouched, cost ∝ batch) is pinned in "
+    "tests/test_merge_laws.py and measured in MERGEBENCH.json. At "
+    "100 TB this bounds nightly-merge writes by the batch footprint, "
+    "not the corpus.",
+)
+def e_merge_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import (
+        merge_scoped, merge_upsert, read_bucket_table, write_bucket_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:ms-v2".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/mscope_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        # initial load through merge_upsert(None, ...) so every bucket
+        # file carries the audit columns from day one — merged and
+        # untouched buckets then share one schema (no parquet
+        # schema-merge dependence on which file the reader samples)
+        write_bucket_table(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        batch = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 0).select(
+                    (F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                    F.lit(1.0).alias("o_totalprice"),
+                    F.lit("N").alias("o_orderstatus"),
+                )
+            )
+        )
+        stats = merge_scoped(spark, path, batch, now=T_MERGE)
+        assert 0 < stats["buckets_touched"] <= MS_BUCKETS
+        with open(done, "w") as f:
+            f.write(str(stats))
+    return (
+        read_bucket_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("status")
+    )

@@ -372,3 +372,128 @@ def test_advance_pointer_never_stamps_unfinished_write(spark, tmp_path):
     write_versioned(spark.createDataFrame([Row(id=1, x="c")]), path)
     assert os.path.exists(f"{path}/v-5.superseded")
     assert 5 in vacuum_versions(path, keep=1, grace_seconds=0.0)
+
+
+# ----------------------------------------- bucket-scoped merge laws
+def _bucket_files(path):
+    """{bucket_dir: {file: mtime_ns}} — the physical-identity snapshot
+    the scoping law compares."""
+    import glob
+    import os
+
+    out = {}
+    for d in glob.glob(f"{path}/bucket=*"):
+        out[os.path.basename(d)] = {
+            os.path.basename(f): os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{d}/*.parquet")
+        }
+    return out
+
+
+def test_scoped_merge_equals_global_merge(spark, tmp_path):
+    """Semantics: merge_scoped over the bucketed layout produces
+    exactly the merge_upsert result (same rows, same audit columns)."""
+    from cvemate_spark.operators.merge import (
+        merge_upsert, merge_scoped, read_bucket_table, write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    target = merge_upsert(None, base, now=T0)
+    path = str(tmp_path / "bt")
+    write_bucket_table(target, path, key="id", n_buckets=8)
+
+    batch = _batch(spark, "nvd", {"CVE-3": "n3x", "CVE-900": "new"})
+    stats = merge_scoped(spark, path, batch, now=T1)
+    assert stats["buckets_touched"] >= 1
+
+    got = {
+        r["id"]: (r["nvd"], str(r["created_at"]), str(r["updated_at"]))
+        for r in read_bucket_table(spark, path).collect()
+    }
+    want = {
+        r["id"]: (r["nvd"], str(r["created_at"]), str(r["updated_at"]))
+        for r in merge_upsert(target, batch, now=T1).collect()
+    }
+    assert got == want
+
+
+def test_scoped_merge_cost_is_bounded_by_batch(spark, tmp_path):
+    """The 100-TB contract: a merge touches at most |batch-keys|
+    buckets, and every UNTOUCHED bucket's files are physically
+    untouched (same names, same mtimes — never rewritten or moved)."""
+    from cvemate_spark.operators.merge import (
+        merge_upsert, merge_scoped, write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(200)})
+    path = str(tmp_path / "bt2")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=16)
+    before = _bucket_files(path)
+    assert len(before) > 4  # the layout really is spread over buckets
+
+    batch = _batch(spark, "nvd", {"CVE-7": "x"})
+    stats = merge_scoped(spark, path, batch, now=T1)
+    assert stats["buckets_touched"] == 1
+    assert stats["files_rewritten"] < stats["files_total"]
+    after = _bucket_files(path)
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1  # exactly the one touched bucket moved
+
+
+def test_scoped_merge_idempotent_and_delete_leg(spark, tmp_path):
+    """Idempotence (same batch twice = same table) and the tombstone
+    leg (deleted keys vanish; deleting an absent key is a no-op)."""
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge import (
+        merge_upsert, merge_scoped, read_bucket_table, write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "bt3")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=4)
+    batch = _batch(spark, "nvd", {"CVE-1": "v2"})
+    merge_scoped(spark, path, batch, now=T1)
+    once = sorted(
+        (r["id"], r["nvd"]) for r in read_bucket_table(spark, path).collect()
+    )
+    merge_scoped(spark, path, batch, now=T1)
+    twice = sorted(
+        (r["id"], r["nvd"]) for r in read_bucket_table(spark, path).collect()
+    )
+    assert once == twice
+
+    tomb = spark.createDataFrame([
+        Row(id="CVE-2", nvd=None, _deleted=True),
+        Row(id="CVE-nonexistent", nvd=None, _deleted=True),
+        Row(id="CVE-3", nvd="n3x", _deleted=False),
+    ])
+    merge_scoped(spark, path, tomb, now=T2, deleted_col="_deleted")
+    m = {r["id"]: r["nvd"] for r in read_bucket_table(spark, path).collect()}
+    assert "CVE-2" not in m and "CVE-nonexistent" not in m
+    assert m["CVE-3"] == "n3x" and m["CVE-1"] == "v2"
+
+
+def test_bucket_point_lookup_prunes_to_one_dir(spark, tmp_path):
+    """read_bucket_for_key reads exactly one bucket directory (the
+    listing-time pruning contract) and returns the right row."""
+    from cvemate_spark.operators.merge import (
+        merge_upsert, read_bucket_for_key, write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(50)})
+    path = str(tmp_path / "bt4")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=8)
+    df = read_bucket_for_key(spark, path, "CVE-17")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["nvd"] == "n17"
+    # the scan's file list is confined to one bucket dir
+    scan_files = [
+        f.path if hasattr(f, "path") else f
+        for f in df.inputFiles()
+    ]
+    assert scan_files and all("bucket=" in f for f in scan_files)
+    assert len({f.split("bucket=")[1].split("/")[0] for f in scan_files}) == 1

@@ -93,7 +93,10 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 # committed: local-oracle-green now, first in line for the next
 # rotation. Keep this list short and rotate it out. (The 28 round-6/7
 # additions that accumulated here all entered the round-8 gate.)
-NEW_THIS_ROUND: set[str] = set()
+NEW_THIS_ROUND: set[str] = {
+    # round 8: bucket-scoped merge (merge cost ∝ batch, not target)
+    "e_merge_scoped",
+}
 
 
 def test_driver_gate_covers_critical_families():
