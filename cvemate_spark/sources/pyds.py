@@ -56,12 +56,41 @@ class PagedFeedDataSource(DataSource):
         return PagedFeedStreamReader(self.options)
 
 
+def _read_page(page_file: str, page_idx: int, options):
+    """Load one page under the connector's rate-limit/retry hook
+    (sources/ratelimit.py — the reference's @limits + bounded-retry
+    loop, per task). Options: rate_calls/rate_period (per-task token
+    bucket), retry_limit/retry_delay (bounded transient retry), and
+    inject_fail_n — the deterministic stand-in for a throttling feed
+    (first N attempts raise the transient 503-class error), exactly as
+    the page FILES stand in for HTTP responses."""
+    from .ratelimit import RetryableFeedError, fetch_with_retry, reader_hooks
+
+    limiter, retries, delay = reader_hooks(options)
+    inject = int(options.get("inject_fail_n", 0) or 0)
+    attempts = {"n": 0}
+
+    def fetch():
+        attempts["n"] += 1
+        if attempts["n"] <= inject:
+            raise RetryableFeedError(status=503)
+        with open(page_file) as f:
+            return json.load(f)
+
+    page = fetch_with_retry(fetch, retries=retries, delay=delay, limiter=limiter)
+    for v in page.get("vulnerabilities", []):
+        cve = v.get("cve", {})
+        if cve.get("id") is not None:
+            yield (cve["id"], cve.get("vendor"), page_idx)
+
+
 class PagedFeedReader(DataSourceReader):
     def __init__(self, options) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("cvemate_paged_feed requires option('path', ...)")
         self.path = path
+        self.options = dict(options)
 
     def partitions(self):
         # one InputPartition per page file — the cluster-side analog of
@@ -74,12 +103,7 @@ class PagedFeedReader(DataSourceReader):
 
     def read(self, partition):
         page_idx, page_file = partition.value
-        with open(page_file) as f:
-            page = json.load(f)
-        for v in page.get("vulnerabilities", []):
-            cve = v.get("cve", {})
-            if cve.get("id") is not None:
-                yield (cve["id"], cve.get("vendor"), page_idx)
+        yield from _read_page(page_file, page_idx, self.options)
 
 
 def register(spark) -> None:
@@ -189,6 +213,7 @@ class PagedFeedStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("cvemate_paged_feed requires option('path', ...)")
         self.path = path
+        self.options = dict(options)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -212,12 +237,7 @@ class PagedFeedStreamReader(DataSourceStreamReader):
 
     def read(self, partition):
         page_idx, page_file = partition.value
-        with open(page_file) as f:
-            page = json.load(f)
-        for v in page.get("vulnerabilities", []):
-            cve = v.get("cve", {})
-            if cve.get("id") is not None:
-                yield (cve["id"], cve.get("vendor"), page_idx)
+        yield from _read_page(page_file, page_idx, self.options)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; nothing external

@@ -1,0 +1,111 @@
+"""Rate limiting + bounded retry for the paginated-feed connector.
+
+The reference throttles its page fetches with a rolling-window rate
+limit and retries throttle/unavailable responses with a fixed delay
+(`datasources/nvd_handler copy.py:64-85` — @sleep_and_retry +
+@limits(calls, period) around the request, bounded retry on 403/503;
+`datasources/redhat_handler.py:62-65` likewise). This module is the
+Spark-side form of that hook.
+
+Distribution model: the reference's limiter is process-wide — correct
+for its single-process thread pool, meaningless on a 1000-executor
+cluster where no shared counter exists. The Spark form is a PER-TASK
+token bucket: the operator divides the provider's total budget by the
+source's max concurrent tasks (= number of page partitions in flight,
+bounded by cluster slots) and sets `rate_calls`/`rate_period`
+accordingly. Every task then self-paces with no coordination, and the
+cluster-wide request rate is bounded by tasks x per-task rate — the
+only coordination-free bound that exists, and the same one every
+distributed HTTP ingester (e.g. connector frameworks' per-task quotas)
+ships.
+
+Both pieces take injectable clock/sleep so the laws are tested with a
+fake clock (no wall-clock sleeps in the suite).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from collections.abc import Callable
+
+
+class RetryableFeedError(Exception):
+    """A transient fetch failure (the 403/503 class): retry with
+    backoff up to the bound, then re-raise."""
+
+    def __init__(self, message: str = "", status: int | None = None) -> None:
+        super().__init__(message or f"transient feed error (status={status})")
+        self.status = status
+
+
+class RateLimiter:
+    """Rolling-window token bucket: at most `calls` acquisitions per
+    `period` seconds. acquire() blocks (via the injected sleep) until
+    a slot frees — the @limits(calls, period) + @sleep_and_retry
+    semantics of the reference, per task."""
+
+    def __init__(
+        self,
+        calls: int,
+        period: float,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        if calls < 1 or period <= 0:
+            raise ValueError("rate limit needs calls >= 1 and period > 0")
+        self.calls, self.period = calls, float(period)
+        self._clock, self._sleep = clock, sleep
+        self._stamps: deque[float] = deque()
+
+    def acquire(self) -> float:
+        """Block until a request slot is available; returns the wait
+        imposed (0.0 when under budget)."""
+        waited = 0.0
+        while True:
+            now = self._clock()
+            while self._stamps and now - self._stamps[0] >= self.period:
+                self._stamps.popleft()
+            if len(self._stamps) < self.calls:
+                self._stamps.append(now)
+                return waited
+            delay = self.period - (now - self._stamps[0])
+            delay = max(delay, 1e-6)
+            self._sleep(delay)
+            waited += delay
+
+
+def fetch_with_retry(
+    fetch: Callable[[], object],
+    retries: int = 3,
+    delay: float = 30.0,
+    limiter: RateLimiter | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Run `fetch` under the limiter, retrying RetryableFeedError up to
+    `retries` attempts with `delay` between them (the reference's
+    bounded 403/503 loop). Non-retryable exceptions propagate at once;
+    exhausting the bound re-raises the last transient error (fail
+    loudly, never silently drop a page)."""
+    last: Exception | None = None
+    for _ in range(max(retries, 1)):
+        if limiter is not None:
+            limiter.acquire()
+        try:
+            return fetch()
+        except RetryableFeedError as e:
+            last = e
+            sleep(delay)
+    raise last  # type: ignore[misc]
+
+
+def reader_hooks(options) -> tuple[RateLimiter | None, int, float]:
+    """Parse the connector options into (limiter, retries, delay).
+    All optional — absent options mean no pacing and a single attempt,
+    so the default read path has zero overhead."""
+    calls = int(options.get("rate_calls", 0) or 0)
+    period = float(options.get("rate_period", 0) or 0)
+    retries = int(options.get("retry_limit", 1) or 1)
+    delay = float(options.get("retry_delay", 0.05) or 0.05)
+    limiter = RateLimiter(calls, period) if calls > 0 and period > 0 else None
+    return limiter, retries, delay

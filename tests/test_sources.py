@@ -393,3 +393,109 @@ def test_pyds_stream_reader_incremental_with_checkpoint_restart(spark, tmp_path)
 
     # nothing new: a third restart appends nothing (no replay)
     assert len(drain()) == 6
+
+
+# ------------------------------------- connector rate limit / retry
+def test_rate_limiter_bounds_request_cadence():
+    """The @limits(calls, period) law with a FAKE clock: no window of
+    `period` seconds ever admits more than `calls` acquisitions, and
+    under-budget acquisitions never sleep."""
+    from cvemate_spark.sources.ratelimit import RateLimiter
+
+    t = {"now": 0.0}
+    slept = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        slept.append(s)
+        t["now"] += s
+
+    rl = RateLimiter(calls=2, period=10.0, clock=clock, sleep=sleep)
+    stamps = []
+    for _ in range(6):
+        rl.acquire()
+        stamps.append(t["now"])
+        t["now"] += 1.0  # 1s of work between requests
+    # cadence bound: any 10s window holds <= 2 request stamps
+    for s in stamps:
+        in_window = [x for x in stamps if s <= x < s + 10.0]
+        assert len(in_window) <= 2
+    # the first two were free; later ones had to wait
+    assert slept and all(s > 0 for s in slept)
+    # total elapsed >= (ceil(6/2) - 1) * period = 20s
+    assert t["now"] >= 20.0
+
+
+def test_fetch_retry_recovers_and_bounds():
+    """The reference's bounded 403/503 loop: two transient failures
+    recover under retry_limit=3 (sleeping retry_delay between), a
+    third consecutive failure under retry_limit=2 re-raises, and a
+    non-retryable error propagates immediately with no sleep."""
+    import pytest
+
+    from cvemate_spark.sources.ratelimit import (
+        RetryableFeedError, fetch_with_retry,
+    )
+
+    calls = {"n": 0}
+    slept = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RetryableFeedError(status=503)
+        return {"ok": True}
+
+    out = fetch_with_retry(flaky, retries=3, delay=7.0, sleep=slept.append)
+    assert out == {"ok": True} and calls["n"] == 3
+    assert slept == [7.0, 7.0]
+
+    calls["n"] = -10  # 12 failures ahead — exhausts any small bound
+    with pytest.raises(RetryableFeedError):
+        fetch_with_retry(flaky, retries=2, delay=0.0, sleep=lambda s: None)
+
+    def broken():
+        raise ValueError("bad json")
+
+    slept2 = []
+    with pytest.raises(ValueError):
+        fetch_with_retry(broken, retries=3, delay=1.0, sleep=slept2.append)
+    assert slept2 == []  # non-retryable: no backoff, fail now
+
+
+def test_pyds_reader_retries_injected_503s(spark):
+    """End-to-end through the Spark connector: every page partition
+    raises the transient 503-class error twice (inject_fail_n=2);
+    with retry_limit=3 the read recovers and returns exactly the
+    clean-run rows; with retry_limit=2 the job fails loudly."""
+    import pytest
+
+    from cvemate_spark.sources import landing, pyds
+
+    pages_dir = landing.gen_nvd_pages("/root/testdata/sf0.001")
+    pyds.register(spark)
+    clean = sorted(
+        tuple(r) for r in spark.read.format(pyds.FORMAT_NAME)
+        .option("path", pages_dir).load().collect()
+    )
+    recovered = sorted(
+        tuple(r) for r in spark.read.format(pyds.FORMAT_NAME)
+        .option("path", pages_dir)
+        .option("inject_fail_n", "2")
+        .option("retry_limit", "3")
+        .option("retry_delay", "0.01")
+        .option("rate_calls", "100")
+        .option("rate_period", "1")
+        .load().collect()
+    )
+    assert recovered == clean and len(clean) > 0
+
+    with pytest.raises(Exception):
+        spark.read.format(pyds.FORMAT_NAME) \
+            .option("path", pages_dir) \
+            .option("inject_fail_n", "5") \
+            .option("retry_limit", "2") \
+            .option("retry_delay", "0.01") \
+            .load().collect()
