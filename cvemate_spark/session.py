@@ -25,6 +25,8 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    from .config import env_conf_overrides
+
     cpus = str(cpus or DEFAULT_CPUS)
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
@@ -42,6 +44,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # precedence: explicit extra_conf argument > env override > default
+    # (the reference's os.getenv(NAME, ini_default) chain,
+    # config_handler.py:27-37, applied to session confs)
+    for k, v in env_conf_overrides().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
