@@ -121,6 +121,38 @@ def test_compress_ratio_orders_repetition(spark, tmp_path):
     assert out == again
 
 
+def test_compress_aggregate_matches_python_oracle(spark):
+    """The oracle-adjacent pin for the registry's one rows-only gate
+    query: the per-corpus aggregate (row count, sum of byte counts,
+    sum of permille ratios) from the Spark mapInPandas pass must equal
+    a plain-Python zlib recomputation over the same parquet — the
+    value-level proof SQL engines can't express for zlib."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from cvemate_spark.queries.text_ops import t_compress
+
+    sf = "/root/testdata/sf0.001"
+    got = t_compress(spark, sf).groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("nb"),
+        F.sum("z_bytes").alias("zb"),
+        F.sum("ratio_pm").alias("rp"),
+    ).collect()[0]
+
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    n = nb = zb = rp = 0
+    for txt in tbl.column("text").to_pylist():
+        raw = txt.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        n += 1
+        nb += len(raw)
+        zb += z
+        rp += (z * 1000) // len(raw)
+    assert (got["n"], got["nb"], got["zb"], got["rp"]) == (n, nb, zb, rp)
+
+
 def test_orc_roundtrip_is_value_exact(spark):
     from cvemate_spark.sources.landing import gen_orc_documents
     from cvemate_spark.tables import load_table
