@@ -580,6 +580,51 @@ def merge_scoped(
     }
 
 
+def compact_buckets(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 1,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction for the bucket table (the OPTIMIZE /
+    bin-packing maintenance pass every file-based table needs at
+    100 TB: a long merge history leaves each bucket with many small
+    files, and scan cost degrades with file COUNT, not bytes).
+
+    Rewrites — with the same per-bucket two-rename swap merge_scoped
+    uses — only the buckets holding more than `min_files_to_compact`
+    files, coalescing each to `max_files_per_bucket`. Content is
+    byte-for-byte row-preserving (no merge logic runs); buckets
+    already compact are not opened. Returns
+    {buckets_compacted, files_before, files_after}."""
+    import glob as _glob
+
+    bdirs = sorted(_glob.glob(f"{path}/bucket=*"))
+    files_before = sum(len(_glob.glob(f"{d}/*.parquet")) for d in bdirs)
+    todo = [
+        d for d in bdirs
+        if len(_glob.glob(f"{d}/*.parquet")) > max(min_files_to_compact, 1)
+    ]
+    for d in todo:
+        tmp = f"{d}.compact-{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(d).coalesce(max_files_per_bucket).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = f"{d}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+    files_after = sum(
+        len(_glob.glob(f"{d}/*.parquet"))
+        for d in sorted(_glob.glob(f"{path}/bucket=*"))
+    )
+    return {
+        "buckets_compacted": len(todo),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def merge_many(
     batches: dict[str, DataFrame],
     key: str = "id",

@@ -497,3 +497,48 @@ def test_bucket_point_lookup_prunes_to_one_dir(spark, tmp_path):
     ]
     assert scan_files and all("bucket=" in f for f in scan_files)
     assert len({f.split("bucket=")[1].split("/")[0] for f in scan_files}) == 1
+
+
+def test_compact_buckets_preserves_content_and_reduces_files(spark, tmp_path):
+    """Compaction is content-neutral maintenance: rows identical
+    before/after, file counts reduced to the target, already-compact
+    buckets not touched (same names + mtimes)."""
+    import glob
+    import os
+
+    from cvemate_spark.operators.merge import (
+        compact_buckets, merge_upsert, read_bucket_table, write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(100)})
+    path = str(tmp_path / "bt5")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=4)
+    # fragment two buckets: append extra files directly (the shape a
+    # long small-batch merge history leaves behind)
+    frag_dirs = sorted(glob.glob(f"{path}/bucket=*"))[:2]
+    for d in frag_dirs:
+        df = spark.read.parquet(d)
+        df.limit(0).write.mode("append").parquet(d)  # schema-only shard
+        df.repartition(3).write.mode("append").parquet(d)
+    # the appended copy duplicates rows — rebuild expectation from disk
+    before_rows = sorted(
+        tuple(r) for r in read_bucket_table(spark, path).collect()
+    )
+    before = _bucket_files(path)
+    assert any(len(v) > 2 for v in before.values())
+
+    stats = compact_buckets(spark, path, max_files_per_bucket=1)
+    after = _bucket_files(path)
+    after_rows = sorted(
+        tuple(r) for r in read_bucket_table(spark, path).collect()
+    )
+    assert after_rows == before_rows            # content-neutral
+    assert stats["buckets_compacted"] == len(frag_dirs)
+    assert stats["files_after"] < stats["files_before"]
+    for d, files in after.items():
+        full = os.path.join(path, d)
+        if full not in frag_dirs:
+            assert files == before[d]           # untouched bucket: identical
+        else:
+            assert len(files) == 1              # compacted to target

@@ -270,7 +270,23 @@ def gen_sf10docs(spark) -> str:
         ).alias("embedding")
         return df.select(shift("vec_id", "vec_id", i), flip, "label")
 
-    for name, mapper in (("documents", documents_copy), ("embeddings", embeddings_copy)):
+    def events_copy(df, i):
+        # round 8 (VERDICT r7 item 5): second decade for the
+        # events-bound behavioral/sketch family. Same law as sf1 —
+        # ts UNCHANGED (the day axis must not grow: cohort/transition
+        # state is |days|-bounded by design and the decade contract
+        # measures data volume, not calendar span), user/event keys
+        # shifted per copy so user-keyed cardinalities scale 100x.
+        return df.select(
+            shift("event_id", "event_id", i), "ts",
+            shift("user_id", "user_id", i), "event_type", "value", "props",
+        )
+
+    for name, mapper in (
+        ("documents", documents_copy),
+        ("embeddings", embeddings_copy),
+        ("events", events_copy),
+    ):
         dst = os.path.join(out, f"{name}.parquet")
         df = load_table(spark, SRC, name)
         big = reduce(

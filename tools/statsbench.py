@@ -29,8 +29,8 @@ QUERIES = [
 ]
 SCALES = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/root/repo/.scratch/sf1"}
 
-# Second decade (gen_sf.py sf10: 500k docs / 200k vectors; documents +
-# embeddings only, so the events-bound s13 stays at decade 1). Invoked
+# Second decade (gen_sf.py sf10: 500k docs / 200k vectors / 10M
+# events — events added round 8 per VERDICT r7 item 5). Invoked
 # as `statsbench.py sf10 [runs]` -> STATSBENCH_sf10.json.
 # retr_rrf_ivf appears in the TIMING list only: its Spark side uses
 # the Arrow-GEMM cell assignment (feasible at 200k x 4000), but the
@@ -41,6 +41,12 @@ QUERIES_SF10 = [
     "t_drift_ks", "t_drift_psi", "e_kmv_intersect", "e_kmv_matrix",
     "t_sample_weighted", "retr_rrf", "retr_rrf_ivf", "curate_mix",
     "emb_drift", "e_quantile_grouped", "t_sample_stratified",
+    # events-bound behavioral analytics + the sketch-state pair whose
+    # decade evidence previously stopped at sf1 (10M events at sf10;
+    # e_quantile_2pass stays at decade 1 — it reads lineitem, which
+    # sf10 does not ship)
+    "e_cohort_retention", "e_path_transitions", "e_anomaly_volume",
+    "e_ab_test", "s13_drift", "s14_kmv",
 ]
 SCALES_SF10 = {"sf1": "/root/repo/.scratch/sf1", "sf10": "/root/repo/.scratch/sf10"}
 
