@@ -47,6 +47,7 @@ extension surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 
 from ..functions.text import (
@@ -865,3 +866,123 @@ def hamming_pairs(
         "d2",
         F.expr("bit_count(h1 ^ h2)").cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------- prefix filtering
+def prefix_filter_pairs(
+    docs: DataFrame, num: int = 3, den: int = 10
+) -> DataFrame:
+    """Exact Jaccard >= num/den via PREFIX FILTERING — the
+    candidate-pruning upgrade over the all-shared-shingles join
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant WWW'07
+    'scaling up all pairs similarity search' — public literature).
+
+    The theorem: order every doc's shingle set by a GLOBAL order
+    (here: document frequency ascending, shingle ascending — rare
+    first), keep only the first p = |d| - ceil(t*|d|) + 1 shingles
+    (the prefix); any pair with Jaccard >= t MUST share at least one
+    prefix shingle. So the candidate join runs over prefixes only —
+    lossless (unlike the df_cap heuristic, which trades recall), and
+    because prefixes are rare-first, the hot shingles that make the
+    naive join quadratic never enter the join at all unless a doc is
+    almost ENTIRELY hot shingles.
+
+    Threshold is a rational num/den so the verify step is exact
+    integer cross-multiplication: keep iff c*den >= num*(n1+n2-c).
+
+    Scale: one shingle scan, one df groupBy, one per-doc window (hash
+    shuffle on doc_id, sort within doc only), the prefix self-join
+    (bounded per-key by the df of PREFIX shingles), then the verify
+    join back to full shingle sets restricted to candidates. Every
+    step is an equi-join / bounded window; candidates are a subset of
+    the shared-shingle join's, with recall 1.0 by the theorem (law:
+    result == ngram_jaccard_pairs at the same threshold)."""
+    shingles = doc_shingles(docs).persist()
+    df_rel = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        shingles.join(df_rel, "shingle")
+        .select(
+            "doc_id", "shingle", "df",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    # p = sz - ceil(t*sz) + 1, ceil via integer arithmetic
+    p = F.col("sz") - F.expr(f"(sz * {num} + {den} - 1) DIV {den}") + 1
+    prefix = ranked.filter(F.col("rn") <= p).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    s1 = shingles.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = shingles.select(
+        F.col("doc_id").alias("d2b"), F.col("shingle").alias("sh2")
+    )
+    common = (
+        cand.join(s1, "d1")
+        .join(
+            s2,
+            (F.col("d2") == F.col("d2b")) & (F.col("shingle") == F.col("sh2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(n1, "d1")
+        .join(n2, "d2")
+        .filter(
+            F.col("c") * den >= num * (F.col("n1") + F.col("n2") - F.col("c"))
+        )
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def prefix_filter_pairs_oracle(num: int = 3, den: int = 10) -> str:
+    return f"""
+    WITH {_duck_shingles_cte()},
+    dfrel AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    ranked AS (
+        SELECT s.doc_id, s.shingle,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df, s.shingle) AS rn,
+               count(*) OVER (PARTITION BY s.doc_id) AS sz
+        FROM shingles s JOIN dfrel d ON s.shingle = d.shingle
+    ),
+    prefix AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= sz - ((sz * {num} + {den} - 1) // {den}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT cd.d1, cd.d2, count(*) AS c
+        FROM cand cd
+        JOIN shingles s1 ON s1.doc_id = cd.d1
+        JOIN shingles s2 ON s2.doc_id = cd.d2 AND s2.shingle = s1.shingle
+        GROUP BY cd.d1, cd.d2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
+    SELECT common.d1, common.d2,
+           ROUND(common.c * 1.0 / (sa.n + sb.n - common.c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.d1
+    JOIN sizes sb ON sb.doc_id = common.d2
+    WHERE common.c * {den} >= {num} * (sa.n + sb.n - common.c)
+    ORDER BY common.d1, common.d2
+    """

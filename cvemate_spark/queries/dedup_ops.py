@@ -215,6 +215,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2", "jaccard")
 
 
+@REG.add(
+    "dedup_prefix",
+    dedup.prefix_filter_pairs_oracle(num=3, den=10),
+    doc="Exact Jaccard >= 0.3 via PREFIX FILTERING (Chaudhuri et al. "
+    "ICDE'06 / Bayardo et al. WWW'07): shingles globally ordered "
+    "rare-first; each doc joins only on its length-derived prefix, "
+    "and the theorem guarantees every qualifying pair shares a "
+    "prefix shingle — LOSSLESS candidate pruning (the df_cap "
+    "heuristic in dedup_ngram_jaccard trades recall; this trades "
+    "nothing). Verify is exact integer cross-multiplication against "
+    "the rational threshold. Law: equals the uncapped shared-shingle "
+    "join exactly (tests/test_dedup_properties.py). Scale: hot "
+    "shingles never enter the candidate join unless a doc is almost "
+    "entirely hot — the stop-phrase quadratic dies without a recall "
+    "trade.",
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, num=3, den=10).orderBy(
+        "d1", "d2", "jaccard"
+    )
+
+
 SPAN_K = 8  # window length (tokens) for repeated-substring detection
 
 

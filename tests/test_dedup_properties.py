@@ -100,3 +100,68 @@ def test_band_layout_rejects_non_divisor_band_count():
     with pytest.raises(ValueError, match="must divide MINHASH_K"):
         band_signature_exprs("spark", n_bands=5)
     assert MINHASH_K % 5 != 0  # the guard is actually exercised above
+
+
+def test_prefix_filter_is_lossless_vs_shared_shingle_join(spark):
+    """The prefix-filtering theorem, checked end-to-end: at the same
+    rational threshold, the prefix-pruned join returns EXACTLY the
+    pairs of the uncapped all-shared-shingles join (recall 1.0 — the
+    pruning is provably lossless, unlike df_cap), while generating no
+    more candidates than it."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.dedup import (
+        doc_shingles, ngram_jaccard_pairs, prefix_filter_pairs,
+    )
+    from cvemate_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in prefix_filter_pairs(docs, num=3, den=10).collect()
+    )
+    want = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, df_cap=None).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the efficiency claim: prefix candidates are a strict subset of
+    # the shared-shingle candidate space on this corpus
+    sh = doc_shingles(docs)
+    all_cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    df_rel = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = sh.join(df_rel, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(sz * 3 + 9) DIV 10") + 1
+    ).select("doc_id", "shingle")
+    pref_cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert pref_cand < all_cand

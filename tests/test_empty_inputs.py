@@ -36,6 +36,7 @@ def test_dedup_family_on_empty(empty_docs):
         empty_docs, max_hamming=2, bits=60, chunks=4, features="shingle"
     ).count() == 0
     assert dedup.ngram_jaccard_pairs(empty_docs, threshold=0.3).count() == 0
+    assert dedup.prefix_filter_pairs(empty_docs).count() == 0
     pairs = dedup.simhash_pairs(empty_docs, max_hamming=2)
     assert dedup.dedup_components(pairs).count() == 0
 

@@ -96,6 +96,8 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 NEW_THIS_ROUND: set[str] = {
     # round 8: bucket-scoped merge (merge cost ∝ batch, not target)
     "e_merge_scoped",
+    # round 8: lossless prefix-filtering similarity join
+    "dedup_prefix",
 }
 
 
