@@ -500,6 +500,7 @@ def merge_scoped(
     updates: DataFrame,
     now=None,
     deleted_col: str | None = None,
+    merger=None,
 ) -> dict:
     """Bucket-scoped OP-MERGE: upsert `updates` into the bucket table
     at `path`, rewriting ONLY the bucket directories the batch touches.
@@ -537,7 +538,13 @@ def merge_scoped(
         if os.path.isdir(f"{path}/bucket={i}")
     ]
     target = spark.read.parquet(*existing) if existing else None
-    if deleted_col is not None:
+    if merger is not None:
+        # custom merge semantics over the touched buckets (e.g. the
+        # keep-latest CDC law: late rows must LOSE the per-key ordering,
+        # which coalesce-upsert can't express) — the callable sees only
+        # the touched-bucket slice and the batch, scoping unchanged
+        merged = merger(target, updates)
+    elif deleted_col is not None:
         merged = merge_upsert_deletes(
             target, updates, key=key, deleted_col=deleted_col, now=now
         )

@@ -72,6 +72,34 @@ def s3_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s17_scoped_replay",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S17: the S3 out-of-order replay landing through BUCKET-SCOPED "
+    "merges (operators/merge.py::merge_scoped with the keep-latest "
+    "merger) — CDC into a hash(user_id)-bucketed table where each "
+    "micro-batch reads/re-ranks/swaps ONLY its users' bucket dirs. "
+    "Same convergence oracle as S3 (batch Q20 keep-latest): the hash "
+    "gate proves that scoping the rewrite changes nothing, while "
+    "per-batch merge cost is bounded by the batch's bucket footprint "
+    "— at 100 TB the difference between a nightly CDC landing that "
+    "rewrites gigabytes and one that rewrites the table. "
+    "streaming/jobs.py::scoped_replay.",
+)
+def s17_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.scoped_replay(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s4_session",
     """
     WITH flagged AS (

@@ -227,6 +227,70 @@ def replay_merge(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFra
     )
 
 
+def scoped_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFrame:
+    """S17: the S3 out-of-order replay landing through BUCKET-SCOPED
+    merges — the CDC-into-a-bucketed-table shape a 100 TB ingest runs.
+
+    Same chunked landing and keep-latest CDC semantics as S3, but the
+    target is the hash(user_id)-bucketed table and each micro-batch
+    merges via `merge_scoped`: only the bucket directories holding the
+    batch's users are read, re-ranked, and swapped. Scoping is sound
+    for the per-(user_id, event_type) keep-latest window because the
+    bucket key (user_id) FUNCTIONALLY DETERMINES the window partition
+    key's bucket: every row that can compete with a batch row lives in
+    that row's own bucket, so the touched-slice window is complete.
+    Convergence law unchanged: the merge is commutative across batch
+    orderings, so the replayed table equals the batch Q20 keep-latest
+    (the same oracle S3 uses); merge cost per micro-batch is bounded
+    by the batch's bucket footprint, not the table.
+    """
+    from ..operators.merge import (
+        keep_latest_merge, merge_scoped, read_bucket_table, write_bucket_table,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s17_{os.getpid()}"
+    target, ckpt = f"{run_dir}/target", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    # empty bucket table, keyed on user_id (16 buckets at test scale;
+    # at 100 TB: n_buckets ∝ table size, same layout)
+    empty = spark.createDataFrame([], EVENTS_SCHEMA)
+    write_bucket_table(empty, target, key="user_id", n_buckets=16)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        merge_scoped(
+            batch.sparkSession,
+            target,
+            batch,
+            merger=lambda cur, b: keep_latest_merge(
+                cur,
+                b,
+                keys=["user_id", "event_type"],
+                order_by=[F.desc("ts"), F.desc("event_id")],
+            ),
+        )
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_bucket_table(spark, target).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: streaming deduplication — dropDuplicates on the key columns
     with state-store backing, the streaming form of the exact-dedup

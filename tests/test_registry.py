@@ -98,6 +98,8 @@ NEW_THIS_ROUND: set[str] = {
     "e_merge_scoped",
     # round 8: lossless prefix-filtering similarity join
     "dedup_prefix",
+    # round 8: out-of-order CDC replay through bucket-scoped merges
+    "s17_scoped_replay",
 }
 
 
