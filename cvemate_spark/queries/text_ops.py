@@ -518,6 +518,102 @@ def t_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- t_decontam_containment
+DECON_NUM, DECON_DEN = 1, 10  # containment threshold 10% (rational)
+
+
+@REG.add(
+    "t_decontam_containment",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               {duck_str_hash("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+               unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 5
+    ),
+    bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE bucket >= 95),
+    bsize AS (SELECT bench_doc, count(*) AS bench_sz FROM bench GROUP BY bench_doc),
+    train AS (SELECT doc_id, gram FROM g WHERE bucket < 90),
+    hits AS (
+        SELECT t.doc_id, b.bench_doc, count(*) AS n_common
+        FROM train t JOIN bench b ON t.gram = b.gram
+        GROUP BY t.doc_id, b.bench_doc
+    )
+    SELECT h.doc_id, h.bench_doc,
+           CAST(h.n_common AS BIGINT) AS n_common,
+           CAST(s.bench_sz AS BIGINT) AS bench_sz,
+           CAST((h.n_common * 1000) // s.bench_sz AS BIGINT) AS containment_pm
+    FROM hits h JOIN bsize s ON h.bench_doc = s.bench_doc
+    WHERE h.n_common * {DECON_DEN} >= {DECON_NUM} * s.bench_sz
+    ORDER BY h.doc_id, h.bench_doc
+    """,
+    doc="Fuzzy benchmark decontamination by CONTAINMENT: for every "
+    "(training doc, benchmark doc) pair, the fraction of the BENCHMARK "
+    "doc's distinct 5-grams present in the training doc, kept when "
+    ">= 10% (integer cross-multiplication against the rational "
+    "threshold; containment reported in exact permille). This is the "
+    "graded form of t_decontam's any-shared-gram flag — the statistic "
+    "LLM pipelines actually threshold on, since one common idiom "
+    "should not evict a document but a leaked eval item (high "
+    "containment) must. Scale: identical to t_decontam — the bench "
+    "side is a fixed-size suite, its gram relation broadcast; the "
+    "per-pair agg is bounded by |bench grams| x hit docs, never a "
+    "corpus self-join.",
+)
+def t_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+        ),
+    )
+    arr = F.when(F.size(toks) >= 5, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    bucket = F.expr(f"{spark_str_hash('cast(doc_id as string)')} % 100")
+    g = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(F.array_distinct(arr)).alias("gram"),
+    )
+    bench = g.filter(F.col("bucket") >= 95).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    bsize = bench.groupBy("bench_doc").agg(F.count("*").alias("bench_sz"))
+    train = g.filter(F.col("bucket") < 90).select("doc_id", "gram")
+    hits = (
+        train.join(bench, "gram")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        hits.join(bsize, "bench_doc")
+        .filter(
+            F.col("n_common") * DECON_DEN >= DECON_NUM * F.col("bench_sz")
+        )
+        .select(
+            "doc_id",
+            "bench_doc",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("bench_sz").cast("long").alias("bench_sz"),
+            F.expr("(n_common * 1000) DIV bench_sz")
+            .cast("long")
+            .alias("containment_pm"),
+        )
+        .orderBy("doc_id", "bench_doc")
+    )
+
+
 # ------------------------------------------------------ t_repetition
 @REG.add(
     "t_repetition",

@@ -100,6 +100,8 @@ NEW_THIS_ROUND: set[str] = {
     "dedup_prefix",
     # round 8: out-of-order CDC replay through bucket-scoped merges
     "s17_scoped_replay",
+    # round 8: containment-threshold fuzzy decontamination
+    "t_decontam_containment",
 }
 
 
