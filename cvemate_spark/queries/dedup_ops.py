@@ -238,6 +238,26 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "dedup_prefix_neardup",
+    dedup.prefix_filter_pairs_oracle(num=4, den=5),
+    doc="The prefix-filter join in its STRONG-PRUNING regime: exact "
+    "Jaccard >= 0.8, the near-duplicate threshold production dedup "
+    "actually runs. At t=0.8 the prefix keeps only ~20% of each "
+    "doc's shingles (p = sz - ceil(0.8*sz) + 1), so candidate volume "
+    "collapses while recall stays exactly 1.0 by the theorem — this "
+    "is where prefix filtering beats both the df_cap heuristic "
+    "(recall loss) and MinHash-LSH (probabilistic recall) outright. "
+    "Same operator, same integer cross-mult verify "
+    "(operators/dedup.py::prefix_filter_pairs).",
+)
+def dedup_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, num=4, den=5).orderBy(
+        "d1", "d2", "jaccard"
+    )
+
+
 SPAN_K = 8  # window length (tokens) for repeated-substring detection
 
 

@@ -102,6 +102,8 @@ NEW_THIS_ROUND: set[str] = {
     "s17_scoped_replay",
     # round 8: containment-threshold fuzzy decontamination
     "t_decontam_containment",
+    # round 8: prefix join at the production near-dup threshold
+    "dedup_prefix_neardup",
 }
 
 
