@@ -57,8 +57,15 @@ _SCRATCH = os.path.join(
 UNIFORM = os.path.join(_SCRATCH, "ctrl0.1")
 SKEWED = os.path.join(_SCRATCH, "skew0.1")
 
-# join/agg shapes keyed on the remapped columns (o_custkey, user_id)
-SUITE = ["q06", "q07", "q13", "q27", "e_pivot", "e_funnel", "e_salted"]
+# join/agg shapes keyed on the remapped columns (o_custkey, user_id);
+# round 8 adds the user-keyed behavioral analytics: e_path_transitions
+# carries THE skew-sensitive shape (a per-user ordering window — one
+# hot user serializes into one task), e_cohort_retention a user-keyed
+# distinct+join, e_ab_test a map-combinable user agg (the control)
+SUITE = [
+    "q06", "q07", "q13", "q27", "e_pivot", "e_funnel", "e_salted",
+    "e_path_transitions", "e_cohort_retention", "e_ab_test",
+]
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
 
 
