@@ -460,6 +460,10 @@ def write_bucket_table(
         os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+    # seed the freshness manifest over every written bucket
+    _update_stats(
+        df.sparkSession, path, key, n_buckets, list(range(n_buckets))
+    )
 
 
 def read_bucket_table(spark: SparkSession, path: str) -> DataFrame:
@@ -578,6 +582,7 @@ def merge_scoped(
             os.rename(dst, old)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    _update_stats(spark, path, key, n_buckets, touched)
     return {
         "n_buckets": n_buckets,
         "buckets_touched": len(touched),
@@ -585,6 +590,111 @@ def merge_scoped(
         "bytes_rewritten": bytes_rewritten,
         "files_total": files_total,
     }
+
+
+BUCKET_STATS = "_STATS"  # per-bucket freshness manifest (underscore: invisible to scans)
+
+
+def _load_stats(path: str) -> dict:
+    import json
+
+    p = os.path.join(path, BUCKET_STATS)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_stats(path: str, stats: dict) -> None:
+    import json
+
+    tmp = os.path.join(path, f"{BUCKET_STATS}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=0, sort_keys=True)
+    os.replace(tmp, os.path.join(path, BUCKET_STATS))  # atomic file swap
+
+
+def _update_stats(
+    spark: SparkSession, path: str, key: str, n_buckets: int,
+    touched: list[int],
+) -> None:
+    """Advance the per-bucket freshness manifest for the touched
+    buckets only: {bucket: {rows, max_updated_at}} — the table-side
+    form of the reference's per-source watermark
+    (mongodb_handler.py:261-289 get_last_update_time). Reads the
+    POST-SWAP bucket directories (never a pre-swap lineage, whose
+    re-execution would chase renamed files); bounded work: one agg
+    over the touched slice, <= |touched| rows collected. Tables
+    without an updated_at column skip freshness (rows still
+    recorded)."""
+    dirs = [
+        f"{path}/bucket={i}" for i in touched
+        if os.path.isdir(f"{path}/bucket={i}")
+    ]
+    stats = _load_stats(path)
+    per_bucket: dict[int, dict] = {}
+    if dirs:
+        df = spark.read.parquet(*dirs)
+        aggs = [F.count("*").alias("rows")]
+        has_updated = "updated_at" in df.columns
+        if has_updated:
+            aggs.append(
+                F.date_format(
+                    F.max("updated_at"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("max_upd")
+            )
+        b = bucket_expr(key, n_buckets)
+        per_bucket = {
+            int(r["bucket"]): r
+            for r in df.withColumn("bucket", b).groupBy("bucket").agg(*aggs).collect()
+        }
+    else:
+        has_updated = False
+    for i in touched:
+        r = per_bucket.get(i)
+        if r is None:  # bucket emptied (delete leg) or never written
+            stats.pop(str(i), None)
+            continue
+        stats[str(i)] = {
+            "rows": int(r["rows"]),
+            **({"max_updated_at": r["max_upd"]} if has_updated else {}),
+        }
+    _store_stats(path, stats)
+
+
+def changed_buckets_since(path: str, since: str) -> list[int]:
+    """Bucket ids whose max_updated_at is strictly later than `since`
+    ('yyyy-MM-dd HH:mm:ss') — pure manifest arithmetic, no scan."""
+    return sorted(
+        int(k)
+        for k, v in _load_stats(path).items()
+        if v.get("max_updated_at") is not None and v["max_updated_at"] > since
+    )
+
+
+def read_changed_since(
+    spark: SparkSession, path: str, since: str
+) -> DataFrame | None:
+    """Incremental downstream consumption: read ONLY the bucket dirs
+    whose freshness watermark advanced past `since`, then filter to
+    the actually-newer rows. Listing cost = |changed buckets|; an
+    up-to-date consumer reads NOTHING. This is the reference's
+    incremental-refresh contract (update_status / get_last_update_time
+    per source) applied to the merged table itself: downstream jobs
+    checkpoint a timestamp and pay only for what moved."""
+    changed = changed_buckets_since(path, since)
+    if not changed:
+        return None
+    dirs = [
+        f"{path}/bucket={i}"
+        for i in changed
+        if os.path.isdir(f"{path}/bucket={i}")
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).filter(
+        F.col("updated_at") > F.lit(since).cast("timestamp")
+    )
 
 
 def compact_buckets(

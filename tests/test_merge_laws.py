@@ -542,3 +542,53 @@ def test_compact_buckets_preserves_content_and_reduces_files(spark, tmp_path):
             assert files == before[d]           # untouched bucket: identical
         else:
             assert len(files) == 1              # compacted to target
+
+
+def test_incremental_consumption_via_freshness_manifest(spark, tmp_path):
+    """The downstream-consumer contract: after a scoped merge, exactly
+    the touched buckets advance their max_updated_at watermark, and
+    read_changed_since(checkpoint) returns precisely the rows written
+    after it — an up-to-date consumer reads nothing at all (None, no
+    scan). The reference's get_last_update_time incremental refresh,
+    applied to the merged table itself."""
+    from cvemate_spark.operators.merge import (
+        changed_buckets_since, merge_scoped, merge_upsert,
+        read_changed_since, write_bucket_table, _load_stats,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(60)})
+    path = str(tmp_path / "bt6")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=8)
+    # freshness seeded everywhere at T0: nothing changed since T0
+    assert changed_buckets_since(path, T0) == []
+    assert read_changed_since(spark, path, T0) is None
+
+    batch = _batch(spark, "nvd", {"CVE-5": "v2", "CVE-777": "new"})
+    stats = merge_scoped(spark, path, batch, now=T1)
+    changed = changed_buckets_since(path, T0)
+    assert len(changed) == stats["buckets_touched"]
+
+    got = {
+        (r["id"], r["nvd"])
+        for r in read_changed_since(spark, path, T0).collect()
+    }
+    assert got == {("CVE-5", "v2"), ("CVE-777", "new")}
+    # consumer checkpointed at T1: nothing newer exists
+    assert read_changed_since(spark, path, T1) is None
+
+    # manifest row counts stay exact (60 base + 1 insert)
+    manifest = _load_stats(path)
+    assert sum(v["rows"] for v in manifest.values()) == 61
+
+    # compaction is content-neutral: the manifest stays valid
+    from cvemate_spark.operators.merge import compact_buckets
+
+    compact_buckets(spark, path, max_files_per_bucket=1,
+                    min_files_to_compact=0)
+    assert sum(v["rows"] for v in _load_stats(path).values()) == 61
+    got2 = {
+        (r["id"], r["nvd"])
+        for r in read_changed_since(spark, path, T0).collect()
+    }
+    assert got2 == got
