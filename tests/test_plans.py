@@ -577,3 +577,24 @@ def test_minhash_verify_is_array_local(spark):
     # formatted plan); the signature path contributes none
     assert plan.count("HashAggregate") <= 4, plan
     assert "array_intersect" in plan, plan
+
+
+def test_round8_ops_plan_shapes(spark):
+    """Round-8 gates keep their scale shapes: the prefix-filter join
+    and containment decontamination stay all-JVM with no pathological
+    joins; dedup_prefix's candidate legs are equi-joins (never a
+    cartesian); t_decontam_containment's bench side arrives by
+    broadcast at test scale (a fixed-size suite at any scale)."""
+    for name in ("dedup_prefix", "dedup_prefix_neardup",
+                 "t_decontam_containment", "e_merge_scoped"):
+        plan = plan_of(spark, name)
+        assert_jvm_only(plan, name)
+        assert_no_pathological_join(plan, name)
+
+    p = plan_of(spark, "t_decontam_containment")
+    assert "BroadcastHashJoin" in p, p
+    # the prefix join verifies via integer cross-multiplication: no
+    # float comparison enters the filter (jaccard is output-only)
+    p = plan_of(spark, "dedup_prefix")
+    assert "round(" in p.lower()  # the output column
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
