@@ -165,3 +165,44 @@ def test_prefix_filter_is_lossless_vs_shared_shingle_join(spark):
         .count()
     )
     assert pref_cand < all_cand
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_st)
+def test_prefix_filter_matches_bruteforce_model(spark, corpus):
+    """Prefix filtering against an INDEPENDENT brute-force model
+    (python set arithmetic over all pairs, not the shingle-join
+    implementation): the result must be EXACTLY every pair with true
+    Jaccard >= num/den — recall 1.0 AND precision 1.0, the lossless
+    contract, on arbitrary small corpora including degenerate ones
+    (empty docs, identical docs, all-disjoint docs)."""
+    from cvemate_spark.operators.dedup import prefix_filter_pairs
+
+    num, den = 1, 2
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, num=num, den=den).collect()
+    }
+    truth = {}
+    for i in range(len(corpus)):
+        for j in range(i + 1, len(corpus)):
+            sa, sb = _shingle_set(corpus[i]), _shingle_set(corpus[j])
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            # integer cross-mult, exactly the operator's verify rule
+            if union and inter * den >= num * union:
+                truth[(i, j)] = inter / union
+    assert set(got) == set(truth), (
+        f"pair set mismatch: extra={set(got) - set(truth)}, "
+        f"missed={set(truth) - set(got)}"
+    )
+    for pair, jac in got.items():
+        assert abs(jac - truth[pair]) < 5e-5, (pair, jac, truth[pair])
