@@ -517,6 +517,7 @@ def merge_scoped(
     merge_upsert_deletes leg); a bucket whose last row is deleted has
     its directory removed.
     """
+    import fcntl
     import glob as _glob
     import json
 
@@ -535,6 +536,33 @@ def merge_scoped(
             "n_buckets": n_buckets, "buckets_touched": 0,
             "files_rewritten": 0, "files_total": files_total,
         }
+
+    # Concurrent mergers serialize on a table-level commit lock (the
+    # write_versioned/vacuum flock pattern): the read-merge-swap-stats
+    # sequence must see a stable table, or two writers would each
+    # merge against the other's pre-swap state and the later swap
+    # would silently drop the earlier batch. Lock-free concurrency at
+    # scale is the manifest-pointer sink or Delta's optimistic commit;
+    # at file granularity the lock IS the correct semantics (merges
+    # against the same table are order-dependent only in timestamps,
+    # so serializing them preserves every batch).
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        return _merge_scoped_locked(
+            spark, path, updates, key, n_buckets, b, touched, files_total,
+            now, deleted_col, merger,
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+
+
+def _merge_scoped_locked(
+    spark, path, updates, key, n_buckets, b, touched, files_total,
+    now, deleted_col, merger,
+) -> dict:
+    import glob as _glob
 
     existing = [
         f"{path}/bucket={i}"

@@ -592,3 +592,51 @@ def test_incremental_consumption_via_freshness_manifest(spark, tmp_path):
         for r in read_changed_since(spark, path, T0).collect()
     }
     assert got2 == got
+
+
+def test_concurrent_scoped_merges_serialize_and_keep_both(spark, tmp_path):
+    """Two mergers racing on the SAME table: the commit lock
+    serializes the read-merge-swap sequence, so both batches land
+    (neither swap clobbers the other's) and the freshness manifest
+    stays exact. Without the lock, the later writer would merge
+    against the earlier writer's pre-swap state and silently drop its
+    rows whenever their buckets overlap."""
+    import threading
+
+    from cvemate_spark.operators.merge import (
+        merge_scoped, merge_upsert, read_bucket_table, write_bucket_table,
+        _load_stats,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    path = str(tmp_path / "bt7")
+    # n_buckets=1: EVERY merge touches the same bucket — the maximal
+    # collision case
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=1)
+
+    batches = [
+        _batch(spark, "nvd", {"CVE-1": "left", "CVE-800": "L"}),
+        _batch(spark, "nvd", {"CVE-2": "right", "CVE-900": "R"}),
+    ]
+    errs = []
+
+    def run(i):
+        try:
+            merge_scoped(spark, path, batches[i], now=T1)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+    m = {r["id"]: r["nvd"] for r in read_bucket_table(spark, path).collect()}
+    # both batches' updates AND inserts landed
+    assert m["CVE-1"] == "left" and m["CVE-2"] == "right"
+    assert m["CVE-800"] == "L" and m["CVE-900"] == "R"
+    assert len(m) == 32
+    assert sum(v["rows"] for v in _load_stats(path).values()) == 32
