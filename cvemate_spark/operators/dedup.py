@@ -986,3 +986,49 @@ def prefix_filter_pairs_oracle(num: int = 3, den: int = 10) -> str:
     WHERE common.c * {den} >= {num} * (sa.n + sb.n - common.c)
     ORDER BY common.d1, common.d2
     """
+
+
+def dedup_canonical_best_oracle(pairs_sql: str) -> str:
+    """DuckDB oracle for the QUALITY-AWARE canonical pass: survivor =
+    the longest doc (n_chars, ties to min doc_id) per component, not
+    the min id — the selection production pipelines run (keep the
+    best copy, drop the rest). Window runs over the comp relation
+    only, mirroring the Spark plan."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT a AS node, a AS comp FROM edges
+        UNION
+        SELECT e.a AS node, r.comp
+        FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node),
+    best AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        ) WHERE rn = 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id IS NULL OR b.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN c.doc_id IS NULL OR b.doc_id IS NOT NULL
+                         THEN len(string_split(d.text, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN c.doc_id IS NULL OR b.doc_id IS NOT NULL
+                         THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN best b ON d.doc_id = b.doc_id
+    GROUP BY d.source
+    ORDER BY source, n_docs, n_kept, kept_tokens
+    """

@@ -548,3 +548,57 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size", "n_clusters", "removable_docs")
     )
+
+
+@REG.add(
+    "dedup_canonical_best",
+    dedup.dedup_canonical_best_oracle(dedup.simhash_pairs_oracle(max_hamming=2)),
+    doc="Quality-aware canonical selection: same simhash near-dup "
+    "components as dedup_canonical, but the survivor is the BEST doc "
+    "per cluster (longest by n_chars, ties to min doc_id) — the "
+    "selection production pipelines actually run, since the min-id "
+    "copy may be the truncated one. The argmax window runs over the "
+    "near-dup-density-sized component relation ONLY (never a "
+    "corpus-wide window — singletons survive without entering it); "
+    "the law suite pins kept_chars >= the min-id selection's. One "
+    "corpus scan + two doc_id-keyed left joins downstream.",
+)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=2)
+    comp = dedup.dedup_components(pairs)
+    # argmax(n_chars, -doc_id) per component — over paired docs only
+    from pyspark.sql.window import Window as W
+
+    paired = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("is_best"))
+    )
+    kept = F.col("component").isNull() | F.col("is_best").isNotNull()
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "source", kept.alias("kept"), n_tok.alias("n_tok"), "n_chars"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source", "n_docs", "n_kept", "kept_tokens")
+    )

@@ -206,3 +206,57 @@ def test_prefix_filter_matches_bruteforce_model(spark, corpus):
     )
     for pair, jac in got.items():
         assert abs(jac - truth[pair]) < 5e-5, (pair, jac, truth[pair])
+
+
+def test_quality_canonical_dominates_min_id_selection(spark):
+    """Same components, same number of survivors per source — but the
+    quality-aware selection keeps at least as many characters as the
+    min-id selection (it argmaxes n_chars per cluster), and each
+    cluster's survivor really is its longest member."""
+    from cvemate_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    minid = {
+        r["source"]: r
+        for r in REGISTRY.specs["dedup_canonical"].builder(spark, sf).collect()
+    }
+    best = {
+        r["source"]: r
+        for r in REGISTRY.specs["dedup_canonical_best"].builder(spark, sf).collect()
+    }
+    assert set(minid) == set(best)
+    for src in minid:
+        assert best[src]["n_docs"] == minid[src]["n_docs"]
+    # one survivor per cluster under EITHER selection — identical
+    # totals, though a cluster's best copy may live in a different
+    # SOURCE than its min-id copy, so per-source counts may differ
+    assert sum(r["n_kept"] for r in best.values()) == sum(
+        r["n_kept"] for r in minid.values()
+    )
+    assert sum(r["n_docs"] for r in best.values()) > 0
+
+    # character dominance needs the min-id selection's kept_chars,
+    # which dedup_canonical doesn't emit — recompute both from the
+    # component relation directly
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.dedup import dedup_components, simhash_pairs
+    from cvemate_spark.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    comp = dedup_components(simhash_pairs(docs, max_hamming=2))
+    joined = docs.join(comp, "doc_id", "left").select(
+        "doc_id", "n_chars",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    rows = joined.collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append((r["n_chars"], r["doc_id"]))
+    minid_chars = best_chars = 0
+    for members in by_comp.values():
+        minid_chars += min(members, key=lambda t: t[1])[0]
+        best_chars += max(members, key=lambda t: (t[0], -t[1]))[0]
+    assert best_chars >= minid_chars
+    got_best = sum(r["kept_chars"] for r in best.values())
+    assert got_best == best_chars  # the query really argmaxes n_chars

@@ -104,6 +104,8 @@ NEW_THIS_ROUND: set[str] = {
     "t_decontam_containment",
     # round 8: prefix join at the production near-dup threshold
     "dedup_prefix_neardup",
+    # round 8: quality-aware canonical selection (argmax per cluster)
+    "dedup_canonical_best",
 }
 
 

@@ -109,6 +109,7 @@ def main() -> int:
     # label-propagation is edge-linear); they stay fully gated at the
     # driver scales and are skipped only in derived large-scale sweeps.
     oracle_scale_bound = {"dedup_canonical", "dedup_canonical_shingle",
+                          "dedup_canonical_best",
                           "dedup_components", "dedup_cluster_sizes"}
     derived_dir = not sf_dir.startswith("/root/testdata/")
 
