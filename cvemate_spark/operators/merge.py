@@ -666,9 +666,13 @@ def _update_stats(
         aggs = [F.count("*").alias("rows")]
         has_updated = "updated_at" in df.columns
         if has_updated:
+            # full microsecond precision: a whole-second watermark
+            # truncates merges landing later within the same second as
+            # a consumer's checkpoint, and the strict '>' comparison in
+            # changed_buckets_since would then skip those rows forever
             aggs.append(
                 F.date_format(
-                    F.max("updated_at"), "yyyy-MM-dd HH:mm:ss"
+                    F.max("updated_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
                 ).alias("max_upd")
             )
         b = bucket_expr(key, n_buckets)
@@ -690,13 +694,32 @@ def _update_stats(
     _store_stats(path, stats)
 
 
+def _canon_ts(s: str) -> str:
+    """Canonical microsecond form for watermark string comparison:
+    'yyyy-MM-dd HH:mm:ss[.f+]' -> fraction right-padded to >= 6 digits
+    ('.000000' when absent), so a whole-second checkpoint compares
+    EQUAL to (not less than) the same instant stored at full
+    precision, and mixed-precision manifests (pre-/post-upgrade)
+    order correctly."""
+    if "." not in s:
+        return s + ".000000"
+    head, frac = s.split(".", 1)
+    return f"{head}.{frac.ljust(6, '0')}"
+
+
 def changed_buckets_since(path: str, since: str) -> list[int]:
     """Bucket ids whose max_updated_at is strictly later than `since`
-    ('yyyy-MM-dd HH:mm:ss') — pure manifest arithmetic, no scan."""
+    — pure manifest arithmetic, no scan. Watermarks are stored at full
+    microsecond precision ('yyyy-MM-dd HH:mm:ss.SSSSSS'): a merge
+    landing later within the same second as a consumer's checkpoint
+    still advances the watermark, so its rows are never silently
+    skipped. Both sides are canonicalized before the string compare."""
+    cutoff = _canon_ts(since)
     return sorted(
         int(k)
         for k, v in _load_stats(path).items()
-        if v.get("max_updated_at") is not None and v["max_updated_at"] > since
+        if v.get("max_updated_at") is not None
+        and _canon_ts(v["max_updated_at"]) > cutoff
     )
 
 
@@ -741,28 +764,43 @@ def compact_buckets(
     files, coalescing each to `max_files_per_bucket`. Content is
     byte-for-byte row-preserving (no merge logic runs); buckets
     already compact are not opened. Returns
-    {buckets_compacted, files_before, files_after}."""
+    {buckets_compacted, files_before, files_after}.
+
+    Serializes on the table's _MERGELOCK: compaction is the same
+    read-then-swap sequence as merge_scoped, so an unlocked compaction
+    racing a concurrent merge could snapshot a bucket, lose the race,
+    and swap its stale pre-merge copy back in — silently dropping the
+    merged batch. (write_bucket_table's full-republish path replaces
+    the whole table dir — including the lock file's inode — and is an
+    initial-load operation, documented as not concurrency-safe.)"""
+    import fcntl
     import glob as _glob
 
-    bdirs = sorted(_glob.glob(f"{path}/bucket=*"))
-    files_before = sum(len(_glob.glob(f"{d}/*.parquet")) for d in bdirs)
-    todo = [
-        d for d in bdirs
-        if len(_glob.glob(f"{d}/*.parquet")) > max(min_files_to_compact, 1)
-    ]
-    for d in todo:
-        tmp = f"{d}.compact-{uuid.uuid4().hex[:8]}"
-        spark.read.parquet(d).coalesce(max_files_per_bucket).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        old = f"{d}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old, ignore_errors=True)
-    files_after = sum(
-        len(_glob.glob(f"{d}/*.parquet"))
-        for d in sorted(_glob.glob(f"{path}/bucket=*"))
-    )
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        bdirs = sorted(_glob.glob(f"{path}/bucket=*"))
+        files_before = sum(len(_glob.glob(f"{d}/*.parquet")) for d in bdirs)
+        todo = [
+            d for d in bdirs
+            if len(_glob.glob(f"{d}/*.parquet")) > max(min_files_to_compact, 1)
+        ]
+        for d in todo:
+            tmp = f"{d}.compact-{uuid.uuid4().hex[:8]}"
+            spark.read.parquet(d).coalesce(max_files_per_bucket).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            old = f"{d}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+        files_after = sum(
+            len(_glob.glob(f"{d}/*.parquet"))
+            for d in sorted(_glob.glob(f"{path}/bucket=*"))
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
     return {
         "buckets_compacted": len(todo),
         "files_before": files_before,

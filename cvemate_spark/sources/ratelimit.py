@@ -9,13 +9,14 @@ Spark-side form of that hook.
 
 Distribution model: the reference's limiter is process-wide — correct
 for its single-process thread pool, meaningless on a 1000-executor
-cluster where no shared counter exists. The Spark form is a PER-TASK
-token bucket: the operator divides the provider's total budget by the
-source's max concurrent tasks (= number of page partitions in flight,
-bounded by cluster slots) and sets `rate_calls`/`rate_period`
-accordingly. Every task then self-paces with no coordination, and the
-cluster-wide request rate is bounded by tasks x per-task rate — the
-only coordination-free bound that exists, and the same one every
+cluster where no shared counter exists. The Spark form is a PER-WORKER
+token bucket (shared_limiter: one rolling window per Python worker
+process, carried across the tasks that worker runs): the operator
+divides the provider's total budget by the source's max concurrent
+workers (bounded by cluster slots) and sets `rate_calls`/`rate_period`
+accordingly. Every worker then self-paces with no coordination, and
+the cluster-wide request rate is bounded by workers x per-worker rate
+— the only coordination-free bound that exists, and the same one every
 distributed HTTP ingester (e.g. connector frameworks' per-task quotas)
 ships.
 
@@ -88,24 +89,48 @@ def fetch_with_retry(
     exhausting the bound re-raises the last transient error (fail
     loudly, never silently drop a page)."""
     last: Exception | None = None
-    for _ in range(max(retries, 1)):
+    attempts = max(retries, 1)
+    for i in range(attempts):
         if limiter is not None:
             limiter.acquire()
         try:
             return fetch()
         except RetryableFeedError as e:
             last = e
-            sleep(delay)
+            if i + 1 < attempts:  # no sleep before the final re-raise:
+                sleep(delay)  # an exhausted retry must fail loudly NOW,
+                # not after one more reference-scale (30 s) delay
     raise last  # type: ignore[misc]
+
+
+# One limiter per (calls, period) per PROCESS. Spark reuses Python
+# worker processes across tasks, so consecutive page fetches executed
+# by the same worker share one rolling window — without this, a fresh
+# limiter per partition read (each of which fetches exactly one page)
+# would never throttle first attempts and the per-task budget would be
+# fiction. Cluster-wide bound: concurrent workers x per-worker rate.
+_SHARED_LIMITERS: dict[tuple[int, float], RateLimiter] = {}
+
+
+def shared_limiter(calls: int, period: float) -> RateLimiter:
+    """Process-wide limiter for the given budget (see module comment);
+    Python workers are single-threaded, so no lock is needed."""
+    key = (calls, float(period))
+    lim = _SHARED_LIMITERS.get(key)
+    if lim is None:
+        lim = _SHARED_LIMITERS[key] = RateLimiter(calls, period)
+    return lim
 
 
 def reader_hooks(options) -> tuple[RateLimiter | None, int, float]:
     """Parse the connector options into (limiter, retries, delay).
     All optional — absent options mean no pacing and a single attempt,
-    so the default read path has zero overhead."""
+    so the default read path has zero overhead. The limiter is the
+    process-shared one, so a worker running many page tasks paces them
+    against a single rolling window."""
     calls = int(options.get("rate_calls", 0) or 0)
     period = float(options.get("rate_period", 0) or 0)
     retries = int(options.get("retry_limit", 1) or 1)
     delay = float(options.get("retry_delay", 0.05) or 0.05)
-    limiter = RateLimiter(calls, period) if calls > 0 and period > 0 else None
+    limiter = shared_limiter(calls, period) if calls > 0 and period > 0 else None
     return limiter, retries, delay

@@ -640,3 +640,101 @@ def test_concurrent_scoped_merges_serialize_and_keep_both(spark, tmp_path):
     assert m["CVE-800"] == "L" and m["CVE-900"] == "R"
     assert len(m) == 32
     assert sum(v["rows"] for v in _load_stats(path).values()) == 32
+
+
+def test_subsecond_merges_never_lost_by_watermark(spark, tmp_path):
+    """ADVICE r8: the freshness watermark must carry microsecond
+    precision. A consumer checkpoints the watermark it just observed;
+    a later merge landing WITHIN THE SAME SECOND must still surface
+    through read_changed_since — under whole-second truncation the
+    stored watermark compared equal and the batch was silently
+    skipped forever."""
+    from cvemate_spark.operators.merge import (
+        changed_buckets_since, merge_scoped, merge_upsert,
+        read_changed_since, write_bucket_table, _load_stats,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "bt8")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=4)
+
+    ta = "2024-01-05 10:00:00.250000"
+    tb = "2024-01-05 10:00:00.750000"  # same second, later
+    merge_scoped(spark, path, _batch(spark, "nvd", {"CVE-3": "a"}), now=ta)
+    # consumer checkpoints the exact watermark it observed (full
+    # precision, straight from the manifest)
+    wm = max(
+        v["max_updated_at"] for v in _load_stats(path).values()
+        if "max_updated_at" in v
+    )
+    assert wm.endswith("00.250000")  # stored at full precision
+    assert read_changed_since(spark, path, wm) is None  # up to date
+
+    merge_scoped(spark, path, _batch(spark, "nvd", {"CVE-7": "b"}), now=tb)
+    got = {
+        (r["id"], r["nvd"])
+        for r in read_changed_since(spark, path, wm).collect()
+    }
+    assert got == {("CVE-7", "b")}  # the same-second batch surfaces
+
+    # mixed precision: a whole-second checkpoint sees both merges and
+    # an equal-instant sub-second checkpoint sees neither
+    whole = {
+        (r["id"], r["nvd"])
+        for r in read_changed_since(spark, path, "2024-01-05 10:00:00").collect()
+    }
+    assert whole == {("CVE-3", "a"), ("CVE-7", "b")}
+    assert changed_buckets_since(path, tb) == []
+
+
+def test_compact_buckets_waits_for_the_merge_lock(spark, tmp_path):
+    """ADVICE r8: compaction is a read-then-swap on bucket dirs, so it
+    must serialize on the same _MERGELOCK as merge_scoped — an
+    unlocked compaction racing a merge can swap a stale pre-merge
+    snapshot back in. Deterministic check: while the lock is held,
+    compact_buckets must NOT complete; it proceeds on release."""
+    import fcntl
+    import os
+    import threading
+    import time
+
+    from cvemate_spark.operators.merge import (
+        compact_buckets, merge_upsert, read_bucket_table,
+        write_bucket_table,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "bt9")
+    write_bucket_table(merge_upsert(None, base, now=T0), path,
+                       key="id", n_buckets=2)
+    # fragment one bucket so compaction has real work
+    import glob as _glob
+    d = sorted(_glob.glob(f"{path}/bucket=*"))[0]
+    spark.read.parquet(d).limit(0).write.mode("append").parquet(d)
+    spark.read.parquet(d).repartition(3).write.mode("append").parquet(d)
+    before_rows = sorted(
+        tuple(r) for r in read_bucket_table(spark, path).collect()
+    )
+
+    holder = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    done = {}
+
+    def run():
+        done["stats"] = compact_buckets(spark, path, max_files_per_bucket=1)
+
+    t = threading.Thread(target=run)
+    t.start()
+    deadline = time.monotonic() + 1.0
+    while time.monotonic() < deadline:
+        assert "stats" not in done, "compact_buckets ignored _MERGELOCK"
+        time.sleep(0.05)
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    t.join(timeout=120)
+    assert done["stats"]["buckets_compacted"] >= 1
+    after_rows = sorted(
+        tuple(r) for r in read_bucket_table(spark, path).collect()
+    )
+    assert after_rows == before_rows

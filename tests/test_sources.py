@@ -499,3 +499,63 @@ def test_pyds_reader_retries_injected_503s(spark):
             .option("retry_limit", "2") \
             .option("retry_delay", "0.01") \
             .load().collect()
+
+
+def test_fetch_retry_skips_sleep_before_final_reraise():
+    """ADVICE r8: an exhausted retry bound must fail loudly NOW — no
+    retry_delay sleep after the last failed attempt (with the
+    reference's 30 s delays that wasted one full delay per partition
+    before the job could fail)."""
+    import pytest
+
+    from cvemate_spark.sources.ratelimit import (
+        RetryableFeedError, fetch_with_retry,
+    )
+
+    slept = []
+
+    def always_503():
+        raise RetryableFeedError(status=503)
+
+    with pytest.raises(RetryableFeedError):
+        fetch_with_retry(always_503, retries=3, delay=30.0,
+                         sleep=slept.append)
+    assert slept == [30.0, 30.0]  # retries-1 sleeps, none after the last
+
+    with pytest.raises(RetryableFeedError):
+        fetch_with_retry(always_503, retries=1, delay=30.0,
+                         sleep=slept.append)
+    assert slept == [30.0, 30.0]  # single attempt: zero sleeps
+
+
+def test_rate_limiter_shared_across_page_reads():
+    """ADVICE r8: the per-worker budget is only real if consecutive
+    page fetches in the same Python worker share ONE rolling window.
+    reader_hooks must hand back the same process-wide limiter for the
+    same (rate_calls, rate_period) budget — a fresh limiter per
+    partition read would never throttle first attempts."""
+    from cvemate_spark.sources.ratelimit import (
+        _SHARED_LIMITERS, reader_hooks, shared_limiter,
+    )
+
+    _SHARED_LIMITERS.clear()
+    a, _, _ = reader_hooks({"rate_calls": "2", "rate_period": "10"})
+    b, _, _ = reader_hooks({"rate_calls": "2", "rate_period": "10"})
+    assert a is b is shared_limiter(2, 10.0)
+    c, _, _ = reader_hooks({"rate_calls": "5", "rate_period": "10"})
+    assert c is not a  # distinct budget, distinct window
+
+    # the shared window actually carries state across "reads": two
+    # acquisitions consume the budget, the third (fresh reader_hooks
+    # call, same options) must wait
+    t = {"now": 0.0}
+    waits = []
+    lim = shared_limiter(2, 10.0)
+    lim._clock = lambda: t["now"]
+    lim._sleep = lambda s: (waits.append(s), t.__setitem__("now", t["now"] + s))
+    lim.acquire()
+    lim.acquire()
+    again, _, _ = reader_hooks({"rate_calls": "2", "rate_period": "10"})
+    again.acquire()
+    assert waits and sum(waits) >= 10.0 - 1e-6
+    _SHARED_LIMITERS.clear()
