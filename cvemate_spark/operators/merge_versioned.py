@@ -1,0 +1,365 @@
+"""Versioned bucket table: cross-bucket atomic scoped merges + time travel.
+
+Composes the two sink protocols `operators/merge.py` ships separately:
+
+* `merge_scoped` — merge cost ∝ batch (only touched bucket dirs are
+  rewritten), but its per-bucket two-rename swaps commit one bucket at
+  a time: a reader scanning during a multi-bucket merge can observe
+  bucket 3 post-merge and bucket 7 pre-merge, and a crash mid-swap
+  leaves that mix on disk.
+* `write_versioned` — an atomic manifest-pointer commit with time
+  travel, but each version is a full snapshot: write cost ∝ table.
+
+This module gives both properties at once — the production story a
+cluster user doing concurrent scoped merges plus time travel needs
+(the reference's point-update economics, mongodb_handler.py:141-195,
+under a snapshot-isolation commit). Same design as Delta/Iceberg:
+data files are IMMUTABLE, commits only add files and atomically
+publish a new manifest.
+
+Layout under `path/`:
+    _BUCKETS                   layout meta {key, n_buckets, versioned}
+    _LATEST                    the committed version number (pointer FILE)
+    _COMMITLOCK / _MERGELOCK   flock files (pointer advance / merger serialization)
+    v-<n>.json                 immutable manifest: {bucket id -> generation dir}
+    v-<n>.superseded           vacuum grace marker (stamped when displaced)
+    bucket=<i>/g-<hex>/        immutable per-bucket generation (parquet)
+
+A scoped merge writes NEW generation dirs for the touched buckets only
+(never mutating an existing one), writes manifest v-(n+1) mapping the
+touched buckets to the new generations and every untouched bucket to
+its previous generation, then atomically replaces `_LATEST`. Readers
+resolve the pointer -> one manifest -> one consistent set of
+generations: they see all of a merge or none of it, a crash anywhere
+before the pointer replace is invisible, and every prior version stays
+readable until vacuumed. Merge write cost stays ∝ batch: untouched
+buckets are carried by manifest REFERENCE, zero bytes copied.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .merge import (
+    BUCKET_META,
+    bucket_expr,
+    merge_upsert,
+    merge_upsert_deletes,
+)
+
+
+def _manifest_path(path: str, v: int) -> str:
+    return os.path.join(path, f"v-{v}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("v-") and d.endswith(".json"):
+            mid = d[2:-5]
+            if mid.isdigit():
+                out.append(int(mid))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int:
+    with open(os.path.join(path, "_LATEST")) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(path: str, v: int) -> dict[str, str]:
+    with open(_manifest_path(path, v)) as f:
+        return json.load(f)["buckets"]
+
+
+def _write_manifest(path: str, v: int, buckets: dict[str, str]) -> None:
+    tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"v": v, "buckets": buckets}, f, indent=0, sort_keys=True)
+    os.replace(tmp, _manifest_path(path, v))
+
+
+def _commit(path: str, v: int, buckets: dict[str, str]) -> None:
+    """The commit: publish manifest v AND advance `_LATEST` to it,
+    both under `_COMMITLOCK`. The manifest lands only here — a merger
+    crashing anywhere earlier leaves NO manifest, so its generations
+    are unreferenced orphans (vacuumable) and its version number was
+    never part of the readable history. The pointer replace (os.replace
+    of a FILE, atomic on POSIX) is monotonic, same rule as
+    merge.py::_advance_pointer; older manifests get a supersession
+    marker so vacuum's grace clock runs on time-since-displaced."""
+    import fcntl
+
+    tmp = os.path.join(path, f"_LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    with open(os.path.join(path, "_COMMITLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = -1
+            latest = os.path.join(path, "_LATEST")
+            if os.path.exists(latest):
+                with open(latest) as f:
+                    current = int(f.read().strip() or -1)
+            if v > current:
+                _write_manifest(path, v, buckets)
+                os.replace(tmp, latest)
+                for old in _list_versions(path):
+                    if old < v:
+                        marker = os.path.join(path, f"v-{old}.superseded")
+                        if not os.path.exists(marker):
+                            with open(marker, "w") as mf:
+                                mf.write(str(v))
+            else:
+                os.unlink(tmp)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def write_bucket_table_versioned(
+    df: DataFrame, path: str, key: str = "id", n_buckets: int = 16
+) -> int:
+    """Initial (full) load: generation dirs for every non-empty bucket,
+    manifest v-1, pointer published. Returns the committed version."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, BUCKET_META), "w") as f:
+        json.dump(
+            {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
+        )
+    gens = _write_generations(df, path, key, n_buckets)
+    _commit(path, 1, gens)
+    return 1
+
+
+def _write_generations(
+    df: DataFrame, path: str, key: str, n_buckets: int,
+    buckets: list[int] | None = None,
+) -> dict[str, str]:
+    """One Spark job: bucket the rows, land each written bucket as an
+    immutable `bucket=<i>/g-<hex>` generation dir (a rename off the
+    job's staging dir — new names, nothing swapped). Restricting to
+    `buckets` keeps the repartition width = |touched|. Returns
+    {bucket id -> generation name} for the buckets that got rows."""
+    gen = f"g-{uuid.uuid4().hex[:12]}"
+    staging = f"{path}/.stage-{gen}"
+    b = bucket_expr(key, n_buckets)
+    staged = df.withColumn("bucket", b)
+    width = len(buckets) if buckets is not None else n_buckets
+    (
+        staged.repartition(max(width, 1), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    out: dict[str, str] = {}
+    candidates = (
+        buckets if buckets is not None else range(n_buckets)
+    )
+    for i in candidates:
+        src = f"{staging}/bucket={i}"
+        if os.path.isdir(src):
+            os.makedirs(f"{path}/bucket={i}", exist_ok=True)
+            os.rename(src, f"{path}/bucket={i}/{gen}")
+            out[str(i)] = gen
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def merge_scoped_versioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    now=None,
+    deleted_col: str | None = None,
+    merger=None,
+) -> dict:
+    """Bucket-scoped OP-MERGE with an atomic cross-bucket commit.
+
+    Write cost ∝ batch (new generations only for the touched buckets);
+    commit = one manifest + one pointer replace, so readers never see a
+    half-merged table and every pre-merge version remains time-
+    travelable. Concurrent mergers serialize on `_MERGELOCK` (the
+    read-merge-commit sequence is order-dependent only in timestamps,
+    so serializing preserves every batch); a merger that crashes after
+    writing generations but before the pointer replace leaves only
+    unreferenced orphan dirs — readers stay on the old version and
+    `vacuum_bucket_versions` reclaims the orphans.
+
+    Returns {version, n_buckets, buckets_touched, files_rewritten,
+    bytes_rewritten}.
+    """
+    import fcntl
+    import glob as _glob
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key, n_buckets = meta["key"], meta["n_buckets"]
+    b = bucket_expr(key, n_buckets)
+
+    # bounded driver-side state: ≤ n_buckets ints, never row data
+    touched = sorted(
+        r[0] for r in updates.select(b.alias("__b")).distinct().collect()
+    )
+    if not touched:
+        return {
+            "version": latest_version(path), "n_buckets": n_buckets,
+            "buckets_touched": 0, "files_rewritten": 0, "bytes_rewritten": 0,
+        }
+
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        manifest = dict(_load_manifest(path, cur))
+        existing = [
+            f"{path}/bucket={i}/{manifest[str(i)]}"
+            for i in touched
+            if str(i) in manifest
+        ]
+        target = spark.read.parquet(*existing) if existing else None
+        if target is not None and "bucket" in target.columns:
+            target = target.drop("bucket")
+        if merger is not None:
+            merged = merger(target, updates)
+        elif deleted_col is not None:
+            merged = merge_upsert_deletes(
+                target, updates, key=key, deleted_col=deleted_col, now=now
+            )
+        else:
+            merged = merge_upsert(target, updates, key=key, now=now)
+
+        new_gens = _write_generations(merged, path, key, n_buckets, touched)
+        files = bytes_ = 0
+        for i in touched:
+            g = new_gens.get(str(i))
+            if g is None:  # every row of this bucket deleted
+                manifest.pop(str(i), None)
+                continue
+            manifest[str(i)] = g
+            for fpath in _glob.glob(f"{path}/bucket={i}/{g}/*.parquet"):
+                files += 1
+                bytes_ += os.path.getsize(fpath)
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(path, v, manifest)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v, "n_buckets": n_buckets,
+        "buckets_touched": len(touched),
+        "files_rewritten": files, "bytes_rewritten": bytes_,
+    }
+
+
+def read_bucket_table_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot, or a pinned `version` (time
+    travel). One manifest resolves to one consistent generation set —
+    a concurrent merge's commit flips the whole table at once."""
+    committed = latest_version(path)
+    v = committed if version is None else version
+    if v > committed:
+        raise ValueError(
+            f"version {v} of {path} is not committed (latest={committed})"
+        )
+    manifest = _load_manifest(path, v)
+    if not manifest:
+        raise FileNotFoundError(f"version {v} of {path} is empty")
+    dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(manifest.items())]
+    df = spark.read.parquet(*dirs)
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
+def read_bucket_for_key_versioned(
+    spark: SparkSession, path: str, value, version: int | None = None
+) -> DataFrame | None:
+    """Point lookup: prune to the ONE generation dir that can hold
+    `value` under the pinned (or latest) version."""
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    v = latest_version(path) if version is None else version
+    manifest = _load_manifest(path, v)
+    bid = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string")),
+                F.lit(meta["n_buckets"]),
+            ).alias("b")
+        )
+        .collect()[0][0]
+    )
+    g = manifest.get(str(bid))
+    if g is None:
+        return None
+    return spark.read.parquet(f"{path}/bucket={bid}/{g}").filter(
+        F.col(meta["key"]) == F.lit(value)
+    )
+
+
+def vacuum_bucket_versions(
+    path: str, keep: int = 2, grace_seconds: float = 0.0
+) -> dict:
+    """Reclaim storage: drop manifests older than the newest `keep`
+    (never the committed one, never inside their post-supersession
+    grace window — merge.py::vacuum_versions' retention contract),
+    then delete generation dirs no surviving manifest references and
+    whose mtime is older than `grace_seconds` (covers orphans from
+    crashed merges without racing one that just finished writing).
+
+    Takes BOTH locks: _COMMITLOCK so no pointer advance interleaves,
+    _MERGELOCK so no merger is mid-flight (its not-yet-referenced
+    generations would otherwise look like orphans)."""
+    import fcntl
+    import glob as _glob
+
+    removed_versions: list[int] = []
+    removed_gens: list[str] = []
+    with open(os.path.join(path, "_MERGELOCK"), "w") as mlock:
+        fcntl.flock(mlock, fcntl.LOCK_EX)
+        with open(os.path.join(path, "_COMMITLOCK"), "w") as clock_:
+            fcntl.flock(clock_, fcntl.LOCK_EX)
+            try:
+                committed = latest_version(path)
+                versions = _list_versions(path)
+                now = time.time()
+                for v in versions[:-keep] if keep else versions:
+                    if v == committed:
+                        continue
+                    marker = os.path.join(path, f"v-{v}.superseded")
+                    if not os.path.exists(marker):
+                        continue  # never displaced -> not provably dead
+                    if now - os.path.getmtime(marker) < grace_seconds:
+                        continue
+                    os.unlink(_manifest_path(path, v))
+                    os.unlink(marker)
+                    removed_versions.append(v)
+                referenced = set()
+                for v in _list_versions(path):
+                    for i, g in _load_manifest(path, v).items():
+                        referenced.add(f"{path}/bucket={i}/{g}")
+                for gdir in _glob.glob(f"{path}/bucket=*/g-*"):
+                    if gdir in referenced:
+                        continue
+                    if now - os.path.getmtime(gdir) < grace_seconds:
+                        continue
+                    shutil.rmtree(gdir, ignore_errors=True)
+                    removed_gens.append(gdir)
+            finally:
+                fcntl.flock(clock_, fcntl.LOCK_UN)
+        fcntl.flock(mlock, fcntl.LOCK_UN)
+    return {
+        "removed_versions": removed_versions,
+        "removed_gens": removed_gens,
+    }

@@ -101,33 +101,39 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-8 rotation (VERDICT r7 item 1). The round-6 endgame
-    # tranche — which HELD the gate through r7 because no
-    # CORRECTNESS_r06 ever landed — is finally recorded green in
-    # CORRECTNESS_r07.json (49 hash-green + the documented t_compress
-    # rows-only row), so all 50 cede. Entrants: EXACTLY the 28
-    # never-driver-proven round-6/7 additions (the r7 verdict's
-    # NEW_THIS_ROUND list) — a green r8 gate closes cumulative driver
-    # evidence at 194/195 hash-proven + t_compress rows-only = every
-    # registry query driver-recorded. The other 22 slots begin the
-    # endgame re-entry-vehicle phase (COVERAGE.md): the bench.py
-    # headline suite re-proves each round (all r1–r4 driver-green;
-    # cve_pipeline_fold sits out, being r7-green already).
-    # --- entrants: round-6 multimodal/serving additions (8)
-    "ann_ivf_serve", "mm_curate", "mm_jpeg", "mm_jpeg420",
-    "mm_transcode", "mm_video_dedup", "s12_media", "src_binary",
-    # --- entrants: round-7 monitoring / sketch / analytics (20)
-    "curate_mix", "e_ab_test", "e_anomaly_volume", "e_cohort_retention",
-    "e_kmv_intersect", "e_kmv_matrix", "e_path_transitions",
-    "e_quantile_2pass", "e_quantile_grouped", "emb_drift",
-    "retr_rrf", "retr_rrf_ivf", "s13_drift", "s14_kmv", "s15_cms",
-    "s16_quantile", "t_drift_ks", "t_drift_psi",
-    "t_sample_stratified", "t_sample_weighted",
-    # --- re-entries: the headline suite (22)
-    "q01", "q05", "q06", "q07", "q10", "q11", "q13", "q15", "q17",
-    "q19", "q24", "q27", "e_asof", "dedup_minhash", "curate_pipeline",
-    "dedup_exact", "q26", "ann_lsh", "emb_neardup", "mm_meta",
-    "s1_tumbling", "s3_merge_replay",
+    # ---- Round-9 rotation (VERDICT r8 item 1). The r8 gate went green
+    # 50/50 in CORRECTNESS_r08.json, so its 44 non-headline members
+    # cede. Entrants: the 6 never-driver-proven round-8 additions (the
+    # r8 verdict's shortlist — a green row for each closes cumulative
+    # driver evidence at 200/201 + t_compress rows-only) plus this
+    # round's new capability (e_merge_scoped_versioned). The remaining
+    # slots follow the re-entry policy: this round's merge.py /
+    # ratelimit.py semantic edits pull the merge family and the
+    # connector-backed sources back in; the long-unproven-since-r5
+    # streaming set re-enters; the bench.py headline suite re-proves as
+    # the standing re-entry vehicle. Every other changed-hash query is
+    # re-proven locally by tools/update_gate_hashes.py before its pin
+    # refreshes (the policy's documented alternative to a gate slot).
+    # --- entrants: round-8 additions, first driver proof (6)
+    "dedup_canonical_best", "dedup_prefix", "dedup_prefix_neardup",
+    "e_merge_scoped", "s17_scoped_replay", "t_decontam_containment",
+    # --- entrants: round-9 new capability (1)
+    "e_merge_scoped_versioned",
+    # --- re-entries: merge-family builders changed this round (6)
+    "q05", "s3_merge_replay", "cve_pipeline_fold", "e_time_travel",
+    "e_merge_delete", "e_table_diff",
+    # --- re-entries: connector/source paths changed this round (4)
+    "src_pyds", "src_nvd", "src_epss", "src_binary",
+    # --- re-entries: streaming surface (last driver-proven r5-r7) (9)
+    "s2_sliding", "s4_session", "s5_stateful", "s6_dedup", "s7_join",
+    "s8_static_join", "s9_outer_join", "s10_tws", "s11_recovery",
+    # --- re-entries: the headline suite (20)
+    "q01", "q06", "q07", "q10", "q11", "q13", "q15", "q17", "q19",
+    "q24", "q26", "q27", "e_asof", "dedup_minhash", "dedup_exact",
+    "curate_pipeline", "ann_lsh", "emb_neardup", "mm_meta",
+    "s1_tumbling",
+    # --- re-entries: changed-hash engine ops rounding out the 50 (4)
+    "e_hll_merge", "e_cube", "e_scd2", "e_salted_join",
 )
 
 

@@ -1759,3 +1759,151 @@ def e_merge_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ------------------------------------------- e_merge_scoped_versioned
+@REG.add(
+    "e_merge_scoped_versioned",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 1.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 1.0, 'N'
+        FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    v2 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM base t FULL OUTER JOIN upd_a u ON t.k = u.k
+    ),
+    upd_b AS (
+        SELECT o_orderkey AS k, o_totalprice + 2.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 499 <> 0
+    ),
+    v3 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM v2 t FULL OUTER JOIN upd_b u ON t.k = u.k
+        WHERE COALESCE(u.k, t.k) NOT IN (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 499 = 0
+        )
+    ),
+    hist AS (
+        SELECT 1 AS version, status, price FROM base
+        UNION ALL SELECT 2, status, price FROM v2
+        UNION ALL SELECT 3, status, price FROM v3
+    )
+    SELECT version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY version, status ORDER BY version, status
+    """,
+    doc="Versioned bucket table (operators/merge_versioned.py): scoped "
+    "merges with a cross-bucket ATOMIC commit + time travel — the "
+    "composition of merge_scoped's batch-bounded write cost with "
+    "write_versioned's manifest-pointer snapshot protocol (VERDICT r8 "
+    "item 2; the reference's point-update economics, "
+    "mongodb_handler.py:141-195, under snapshot isolation). Three "
+    "committed versions are built (initial orders load; an "
+    "update+insert merge; an update+DELETE merge through the tombstone "
+    "leg), then ALL THREE are read back via time travel and "
+    "aggregated with a version column — so the oracle hash proves both "
+    "the merged content of each commit and that superseded versions "
+    "replay exactly. Data files are immutable per-bucket generation "
+    "dirs; only touched buckets gain generations (untouched buckets "
+    "carried by manifest reference, zero bytes copied), so at 100 TB "
+    "a nightly batch commits in batch-sized writes plus one atomic "
+    "pointer replace. Laws (crash-before-commit invisibility, "
+    "concurrent-merger serialization, vacuum grace/reference safety) "
+    "in tests/test_merge_versioned.py.",
+)
+def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:msv-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/msver_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        batch_a = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 0).select(
+                    (F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                    F.lit(1.0).alias("o_totalprice"),
+                    F.lit("N").alias("o_orderstatus"),
+                )
+            )
+        )
+        s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
+        batch_b = (
+            orders.filter(
+                (F.col("o_orderkey") % 89 == 0)
+                & (F.col("o_orderkey") % 499 != 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+            .withColumn("_deleted", F.lit(False))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 499 == 0).select(
+                    "o_orderkey",
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(True).alias("_deleted"),
+                )
+            )
+        )
+        s2 = merge_scoped_versioned(
+            spark, path, batch_b, now=T_MERGE, deleted_col="_deleted"
+        )
+        assert (s1["version"], s2["version"]) == (2, 3)
+        with open(done, "w") as f:
+            f.write(f"{s1}\n{s2}\n")
+    hist = None
+    for v in (1, 2, 3):
+        snap = read_bucket_table_versioned(spark, path, version=v).select(
+            F.lit(v).alias("version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = snap if hist is None else hist.unionByName(snap)
+    return (
+        hist.groupBy("version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("version", "status")
+    )

@@ -1,0 +1,226 @@
+"""Laws for the versioned bucket table (VERDICT r8 item 2): scoped
+merges with a cross-bucket atomic commit + time travel.
+
+The composition contract: merge cost stays ∝ batch (only touched
+buckets gain new generation dirs), yet the commit is all-or-nothing —
+a crash between generation writes and the pointer replace leaves
+readers on the old version, and every superseded version stays
+readable until vacuumed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+
+from pyspark.sql import Row
+
+from cvemate_spark.operators.merge import merge_upsert
+from cvemate_spark.operators.merge_versioned import (
+    latest_version,
+    merge_scoped_versioned,
+    read_bucket_for_key_versioned,
+    read_bucket_table_versioned,
+    vacuum_bucket_versions,
+    write_bucket_table_versioned,
+)
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+T2 = "2024-01-03 00:00:00"
+
+
+def _batch(spark, src, rows):
+    return spark.createDataFrame(
+        [Row(id=k, **{src: v}) for k, v in rows.items()]
+    )
+
+
+def _as_map(df):
+    return {r["id"]: r["nvd"] for r in df.collect()}
+
+
+def _gens(path):
+    return sorted(glob.glob(f"{path}/bucket=*/g-*"))
+
+
+def test_versioned_scoped_merge_time_travel_and_scoping(spark, tmp_path):
+    """Each merge commits a new version; old versions replay exactly;
+    only touched buckets gain generations (untouched carried by
+    manifest reference, zero bytes copied)."""
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(60)})
+    path = str(tmp_path / "vbt1")
+    v1 = write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    assert v1 == 1 and latest_version(path) == 1
+    gens_v1 = _gens(path)
+    snap1 = _as_map(read_bucket_table_versioned(spark, path))
+
+    stats = merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-5": "v2", "CVE-777": "new"}),
+        now=T1,
+    )
+    assert stats["version"] == 2 and latest_version(path) == 2
+    assert 0 < stats["buckets_touched"] <= 2
+    # scoping law: exactly |touched| NEW generation dirs; every v1
+    # generation is still on disk, untouched
+    gens_v2 = _gens(path)
+    assert set(gens_v1) <= set(gens_v2)
+    assert len(gens_v2) == len(gens_v1) + stats["buckets_touched"]
+
+    m2 = _as_map(read_bucket_table_versioned(spark, path))
+    assert m2["CVE-5"] == "v2" and m2["CVE-777"] == "new"
+    assert len(m2) == 61
+    # time travel: version 1 replays the pre-merge table exactly
+    assert _as_map(read_bucket_table_versioned(spark, path, version=1)) == snap1
+
+    # point lookup prunes to one generation dir, per version
+    assert read_bucket_for_key_versioned(
+        spark, path, "CVE-5"
+    ).collect()[0]["nvd"] == "v2"
+    assert read_bucket_for_key_versioned(
+        spark, path, "CVE-5", version=1
+    ).collect()[0]["nvd"] == "n5"
+
+
+def test_versioned_merge_delete_leg(spark, tmp_path):
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt2")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(id="CVE-1", nvd="upd", _deleted=False),
+            Row(id="CVE-2", nvd=None, _deleted=True),
+        ]
+    )
+    merge_scoped_versioned(spark, path, batch, now=T1, deleted_col="_deleted")
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "upd" and "CVE-2" not in m and len(m) == 19
+    # the tombstoned key is still present in version 1 (time travel)
+    assert "CVE-2" in _as_map(read_bucket_table_versioned(spark, path, 1))
+
+
+def test_crash_before_pointer_leaves_readers_on_old_version(
+    spark, tmp_path, monkeypatch
+):
+    """The item-2 law: a merger dying between generation writes and the
+    pointer replace must be invisible — readers resolve the old
+    manifest, the next merge proceeds from the old version, and vacuum
+    reclaims the orphan generations."""
+    import pytest
+
+    from cvemate_spark.operators import merge_versioned as mv
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    path = str(tmp_path / "vbt3")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    snap1 = _as_map(read_bucket_table_versioned(spark, path))
+    gens_v1 = set(_gens(path))
+
+    def boom(path_, v, buckets):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(mv, "_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_scoped_versioned(
+            spark, path, _batch(spark, "nvd", {"CVE-3": "LOST"}), now=T1
+        )
+    monkeypatch.undo()
+
+    # readers: old pointer, old content — the failed batch is invisible
+    assert latest_version(path) == 1
+    assert _as_map(read_bucket_table_versioned(spark, path)) == snap1
+
+    # the next merge commits normally on top of v1 (the crashed
+    # merger's manifest number is allocated past, never published)
+    stats = merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-7": "ok"}), now=T2
+    )
+    assert latest_version(path) == stats["version"]
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-7"] == "ok" and m["CVE-3"] == "n3"  # LOST never landed
+
+    # vacuum reclaims the crashed merger's orphan generations but no
+    # generation any surviving manifest references
+    out = vacuum_bucket_versions(path, keep=len(mv._list_versions(path)))
+    assert out["removed_versions"] == []
+    assert out["removed_gens"]  # the orphans
+    assert gens_v1 <= set(_gens(path))
+    assert _as_map(read_bucket_table_versioned(spark, path)) == m
+
+
+def test_concurrent_versioned_mergers_serialize_and_keep_both(
+    spark, tmp_path
+):
+    """Two mergers racing on the same table: both batches land, the
+    committed history is linear (distinct versions), and the final
+    content equals the sequential result."""
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    path = str(tmp_path / "vbt4")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    batches = [
+        _batch(spark, "nvd", {"CVE-1": "left", "CVE-800": "L"}),
+        _batch(spark, "nvd", {"CVE-2": "right", "CVE-900": "R"}),
+    ]
+    results, errs = [], []
+
+    def run(i):
+        try:
+            results.append(
+                merge_scoped_versioned(spark, path, batches[i], now=T1)
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["version"] for r in results) == [2, 3]
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "left" and m["CVE-2"] == "right"
+    assert m["CVE-800"] == "L" and m["CVE-900"] == "R"
+    assert len(m) == 32
+    # the intermediate version holds exactly the first committed batch
+    mid = _as_map(read_bucket_table_versioned(spark, path, version=2))
+    assert len(mid) == 31
+
+
+def test_vacuum_respects_keep_grace_and_references(spark, tmp_path):
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt5")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    for k, t in (("CVE-1", T1), ("CVE-2", T2)):
+        merge_scoped_versioned(
+            spark, path, _batch(spark, "nvd", {k: f"{k}-upd"}), now=t
+        )
+    assert latest_version(path) == 3
+
+    # long grace: superseded versions survive (readers may be inside)
+    out = vacuum_bucket_versions(path, keep=1, grace_seconds=3600)
+    assert out == {"removed_versions": [], "removed_gens": []}
+
+    out = vacuum_bucket_versions(path, keep=1, grace_seconds=0.0)
+    assert out["removed_versions"] == [1, 2]
+    latest = _as_map(read_bucket_table_versioned(spark, path))
+    assert latest["CVE-1"] == "CVE-1-upd" and latest["CVE-2"] == "CVE-2-upd"
+    # every surviving generation is referenced by the surviving manifest
+    from cvemate_spark.operators.merge_versioned import _load_manifest
+
+    referenced = {
+        f"{path}/bucket={i}/{g}"
+        for i, g in _load_manifest(path, 3).items()
+    }
+    assert set(_gens(path)) == referenced

@@ -106,6 +106,9 @@ NEW_THIS_ROUND: set[str] = {
     "dedup_prefix_neardup",
     # round 8: quality-aware canonical selection (argmax per cluster)
     "dedup_canonical_best",
+    # round 9: versioned bucket table — scoped merges under an atomic
+    # cross-bucket manifest commit, with time travel (VERDICT r8 item 2)
+    "e_merge_scoped_versioned",
 }
 
 
