@@ -598,3 +598,64 @@ def test_round8_ops_plan_shapes(spark):
     p = plan_of(spark, "dedup_prefix")
     assert "round(" in p.lower()  # the output column
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_unbounded_bnlj_policy_trips_and_passes(spark):
+    """P3 pin (VERDICT r8 item 5): the plan audit's named invariant
+    "BroadcastNestedLoopJoin only when the broadcast side is bounded
+    by construction" must actually FIRE on a deliberately unbounded
+    BNLJ (broadcasting a raw parquet relation under a non-equi join)
+    and stay silent on the three bounded shapes the fleet uses: a
+    Range spine, a scalar aggregate, and driver-materialized rows."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import unbounded_bnlj_count
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+
+    # unbounded: broadcast side scans a data relation with no bound
+    bad = o.join(c.hint("broadcast"), o.o_totalprice > c.c_acctbal)
+    assert unbounded_bnlj_count(bad) == 1
+
+    # bounded: small Range spine
+    assert unbounded_bnlj_count(o.crossJoin(F.broadcast(spark.range(5)))) == 0
+    # bounded: scalar aggregate (one row by construction)
+    avg1 = c.agg(F.avg("c_acctbal").alias("a"))
+    assert unbounded_bnlj_count(
+        o.join(F.broadcast(avg1), o.o_totalprice > avg1.a)
+    ) == 0
+    # bounded: driver-materialized rows (the collected-centroids shape)
+    local = spark.createDataFrame([(1.0,), (2.0,)], ["t"])
+    assert unbounded_bnlj_count(
+        o.join(F.broadcast(local), o.o_totalprice > local.t)
+    ) == 0
+    # bounded: a LIMIT over a data relation
+    assert unbounded_bnlj_count(
+        o.join(c.limit(10).hint("broadcast"), o.o_totalprice > c.c_acctbal)
+    ) == 0
+
+
+def test_unbounded_bnlj_allowance_pins(spark):
+    """The P3 allowance ledger: every pinned query's structural count
+    equals its pin EXACTLY (a drop means the pin should shrink, a rise
+    is a violation), and audit_one fires on an unpinned query with an
+    unbounded BNLJ."""
+    from tools.plan_audit import (
+        P3_DOMAIN_BOUNDED, audit_one, unbounded_bnlj_count,
+    )
+
+    for name, (allowed, _why) in sorted(P3_DOMAIN_BOUNDED.items()):
+        df = REGISTRY.specs[name].builder(spark, SF)
+        assert unbounded_bnlj_count(df) == allowed, name
+
+    class FakeSpec:
+        @staticmethod
+        def builder(spark_, sf_dir):
+            o = spark_.read.parquet(f"{sf_dir}/orders.parquet")
+            c = spark_.read.parquet(f"{sf_dir}/customer.parquet")
+            return o.join(c.hint("broadcast"), o.o_totalprice > c.c_acctbal)
+
+    res = audit_one(spark, FakeSpec, SF, name="not_pinned")
+    assert res["unbounded_bnlj"] == 1
+    assert any(v.startswith("P3") for v in res["violations"])

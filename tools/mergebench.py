@@ -1,20 +1,35 @@
 #!/usr/bin/env python3
 """Merge-cost scaling bench: bucket-scoped merge vs whole-table rewrite.
 
-The contract under measurement (VERDICT r7 item 3): with the
-bucket-scoped layout, merge cost is bounded by the BATCH footprint
+The contract under measurement (VERDICT r7 item 3, r8 items 3/6): with
+the bucket-scoped layout, merge cost is bounded by the BATCH footprint
 (buckets touched x bucket size), not the TARGET size — the reference's
 point-update economics (mongodb_handler.py:141-195) at file
 granularity. The old `merge_upsert` + `write_atomic` path rewrites the
 whole target directory per merge regardless of batch size.
 
-Usage: python3 tools/mergebench.py [sf_dir] [n_buckets]
-Writes MERGEBENCH.json: per-batch-size wall clock + files_rewritten
-for the scoped path, plus the whole-rewrite baseline.
+Measured per run:
+  * the batch-size ladder (uniform keys) — bytes_rewritten ∝ batch
+  * a HOT-BUCKET batch (all keys hashing into ~1% of buckets, the
+    zipf worst case): same row count as a uniform rung, so the skew
+    delta is isolated (r8 item 6)
+  * one merge through the VERSIONED commit (merge_scoped_versioned) —
+    the atomicity premium over the in-place scoped swap
+  * compact_buckets cost after the ladder fragments the table
+  * freshness-manifest amortization: read_changed_since(checkpoint)
+    vs a full-table scan after a small merge
+  * the write_atomic whole-rewrite baseline
+
+Usage: python3 tools/mergebench.py [sf_dir] [n_buckets] [xN]
+  xN (e.g. x10) replicates orders N times with distinct keys — the
+  second decade (VERDICT r8 item 3: n_buckets ∝ table size needs two
+  points: 1.5M/256 and 15M/4096). Output goes to MERGEBENCH.json, or
+  MERGEBENCH_<n_buckets>.json when n_buckets != 256.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -25,16 +40,31 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
-N_BUCKETS = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+SF_DIR = "/root/repo/.scratch/sf1"
+N_BUCKETS = 256
+MULT = 1
+for a in sys.argv[1:]:
+    if a.startswith("x") and a[1:].isdigit():
+        MULT = int(a[1:])
+    elif "/" in a:
+        SF_DIR = a
+    elif a.isdigit():
+        N_BUCKETS = int(a)
+
 SCRATCH = "/root/repo/.scratch/mergebench"
 T0 = "2026-01-01 00:00:00"
 T1 = "2026-01-02 00:00:00"
+T2 = "2026-01-03 00:00:00"
 
 
 def main() -> None:
     from cvemate_spark.operators.merge import (
-        merge_scoped, merge_upsert, write_atomic, write_bucket_table,
+        bucket_expr, compact_buckets, merge_scoped, merge_upsert,
+        read_bucket_table, read_changed_since, write_atomic,
+        write_bucket_table,
+    )
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned, write_bucket_table_versioned,
     )
     from cvemate_spark.session import get_spark
 
@@ -43,6 +73,15 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/orders.parquet")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+    if MULT > 1:
+        # the second decade: N disjoint key-shifted replicas (key*N+rep
+        # keeps keys unique and the hash distribution uniform)
+        rep = spark.range(MULT).withColumnRenamed("id", "rep")
+        orders = orders.crossJoin(F.broadcast(rep)).select(
+            (F.col("o_orderkey") * MULT + F.col("rep")).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
     target_rows = orders.count()
     base = merge_upsert(None, orders, key="o_orderkey", now=T0)
 
@@ -75,6 +114,101 @@ def main() -> None:
         )
         print(json.dumps(results[-1]))
 
+    # ---- hot-bucket (zipf worst case, r8 item 6): same row count as
+    # the mod=1000 uniform rung, every key hashing into <=1% of the
+    # buckets — the bound is buckets_touched <= hot set, so a skewed
+    # batch rewrites FEWER, larger dirs; wall should not regress
+    uniform_rows = next(r for r in results if r["batch_rows"] >= 1000)
+    hot_buckets = max(N_BUCKETS // 100, 1)
+    hot = (
+        orders.withColumn("__b", bucket_expr("o_orderkey", N_BUCKETS))
+        .filter(F.col("__b") < hot_buckets)
+        .drop("__b")
+        .limit(uniform_rows["batch_rows"])
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    n_hot = hot.count()
+    t = time.monotonic()
+    stats = merge_scoped(spark, path, hot, now=T2)
+    dt = time.monotonic() - t
+    results.append(
+        {
+            "mode": "scoped_hot_bucket",
+            "hot_bucket_frac": hot_buckets / N_BUCKETS,
+            "batch_rows": n_hot,
+            "sec": round(dt, 3),
+            "uniform_control_sec": uniform_rows["sec"],
+            "uniform_control_bytes": uniform_rows["bytes_rewritten"],
+            **stats,
+        }
+    )
+    print(json.dumps(results[-1]))
+
+    # ---- freshness-manifest amortization: an incremental consumer
+    # checkpointed at T1 reads only the hot merge's buckets vs a full
+    # scan (both forced with .count())
+    t = time.monotonic()
+    inc_rows = read_changed_since(spark, path, T1).count()
+    inc_dt = time.monotonic() - t
+    t = time.monotonic()
+    full_rows = read_bucket_table(spark, path).count()
+    full_dt = time.monotonic() - t
+    results.append(
+        {
+            "mode": "read_changed_since",
+            "rows_returned": inc_rows,
+            "sec": round(inc_dt, 3),
+            "full_scan_rows": full_rows,
+            "full_scan_sec": round(full_dt, 3),
+        }
+    )
+    print(json.dumps(results[-1]))
+
+    # ---- compaction: scoped merges rewrite whole buckets (1 file
+    # each), so fragment every 8th bucket with two appended shards
+    # first — the long-merge-history state compaction exists for —
+    # then measure the maintenance pass at this (rows, n_buckets)
+    # point (cost = listing all buckets + rewriting the fragmented 1/64)
+    frag = 0
+    for d in sorted(glob.glob(f"{path}/bucket=*"))[::64]:
+        shard = spark.read.parquet(d).limit(50)
+        shard.coalesce(1).write.mode("append").parquet(d)
+        shard.coalesce(1).write.mode("append").parquet(d)
+        frag += 1
+    t = time.monotonic()
+    cstats = compact_buckets(spark, path, max_files_per_bucket=1,
+                             min_files_to_compact=1)
+    dt = time.monotonic() - t
+    results.append({"mode": "compact_buckets", "buckets_fragmented": frag,
+                    "sec": round(dt, 3), **cstats})
+    print(json.dumps(results[-1]))
+
+    # ---- versioned commit premium: same 1500-row-rung merge through
+    # merge_scoped_versioned (immutable generations + manifest +
+    # pointer) on a fresh versioned copy of the table
+    vpath = f"{SCRATCH}/versioned"
+    t = time.monotonic()
+    write_bucket_table_versioned(base, vpath, key="o_orderkey",
+                                 n_buckets=N_BUCKETS)
+    vload_s = time.monotonic() - t
+    vbatch = (
+        orders.filter(F.col("o_orderkey") % 1_000 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    t = time.monotonic()
+    vstats = merge_scoped_versioned(spark, vpath, vbatch, now=T1)
+    dt = time.monotonic() - t
+    results.append(
+        {
+            "mode": "scoped_versioned",
+            "batch_rows": vbatch.count(),
+            "sec": round(dt, 3),
+            "initial_load_sec": round(vload_s, 3),
+            **vstats,
+        }
+    )
+    print(json.dumps(results[-1]))
+
     # the old economics: full merge + whole-directory swap, once,
     # with the SMALLEST batch — cost should sit near the full-load
     # cost regardless of the batch being ~10 rows
@@ -84,8 +218,6 @@ def main() -> None:
     )
     flat = f"{SCRATCH}/flat"
     write_atomic(base, flat)
-    import glob
-
     t = time.monotonic()
     merged = merge_upsert(
         spark.read.parquet(flat), tiny, key="o_orderkey", now=T1
@@ -107,15 +239,20 @@ def main() -> None:
 
     out = {
         "sf_dir": SF_DIR,
+        "multiplier": MULT,
         "target_rows": target_rows,
         "n_buckets": N_BUCKETS,
         "initial_load_sec": round(load_s, 3),
         "loadavg_1m": os.getloadavg()[0],
         "runs": results,
     }
-    with open("/root/repo/MERGEBENCH.json", "w") as f:
+    name = (
+        "MERGEBENCH.json" if N_BUCKETS == 256
+        else f"MERGEBENCH_{N_BUCKETS}.json"
+    )
+    with open(f"/root/repo/{name}", "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote MERGEBENCH.json")
+    print(f"wrote {name}")
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
