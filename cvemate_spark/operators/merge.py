@@ -466,6 +466,19 @@ def write_bucket_table(
     )
 
 
+def init_bucket_table(path: str, key: str = "id", n_buckets: int = 16) -> None:
+    """Metadata-only creation of an EMPTY bucket table: layout meta,
+    no bucket dirs, no Spark job. The CDC-replay shape starts from
+    nothing and lands everything through merge_scoped — spending a
+    distributed write (plus a stats pass) to materialize zero rows is
+    pure fixed overhead per stream start."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, BUCKET_META), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets, "v": 1}, f)
+
+
 def read_bucket_table(spark: SparkSession, path: str) -> DataFrame:
     """Read the whole table (partition discovery over bucket=<i> dirs;
     the synthetic bucket column is dropped)."""
@@ -610,7 +623,18 @@ def _merge_scoped_locked(
             os.rename(dst, old)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    _update_stats(spark, path, key, n_buckets, touched)
+    if "updated_at" in merged.columns:
+        _update_stats(spark, path, key, n_buckets, touched)
+    else:
+        # no updated_at -> no freshness semantics to track; drop the
+        # touched entries rather than pay a second read of the touched
+        # slice for a rows-only manifest nothing consumes (the s17
+        # per-batch fixed-cost finding, VERDICT r8 item 7)
+        stats = _load_stats(path)
+        if stats:
+            for i in touched:
+                stats.pop(str(i), None)
+            _store_stats(path, stats)
     return {
         "n_buckets": n_buckets,
         "buckets_touched": len(touched),

@@ -245,7 +245,7 @@ def scoped_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFr
     by the batch's bucket footprint, not the table.
     """
     from ..operators.merge import (
-        keep_latest_merge, merge_scoped, read_bucket_table, write_bucket_table,
+        init_bucket_table, keep_latest_merge, merge_scoped, read_bucket_table,
     )
 
     _ensure_session_confs(spark)
@@ -256,9 +256,10 @@ def scoped_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFr
     shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(run_dir)
     # empty bucket table, keyed on user_id (16 buckets at test scale;
-    # at 100 TB: n_buckets ∝ table size, same layout)
-    empty = spark.createDataFrame([], EVENTS_SCHEMA)
-    write_bucket_table(empty, target, key="user_id", n_buckets=16)
+    # at 100 TB: n_buckets ∝ table size, same layout). Metadata-only
+    # init: materializing zero rows with a distributed write was ~1 s
+    # of fixed overhead per stream start (VERDICT r8 item 7).
+    init_bucket_table(target, key="user_id", n_buckets=16)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         merge_scoped(
