@@ -132,8 +132,12 @@ DRIVER_GATE: tuple[str, ...] = (
     "q24", "q26", "q27", "e_asof", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup", "mm_meta",
     "s1_tumbling",
-    # --- re-entries: changed-hash engine ops rounding out the 50 (4)
-    "e_hll_merge", "e_cube", "e_scd2", "e_salted_join",
+    # --- re-entries: the components family, whose propagation loop
+    # was FIXED this round (pointer jumping + loud non-convergence —
+    # the r9 law verifier caught silent truncation on sf1's deep
+    # clusters), re-proves under the driver oracle (4)
+    "dedup_components", "dedup_canonical", "dedup_cluster_sizes",
+    "dedup_canonical_shingle",
 )
 
 

@@ -105,21 +105,36 @@ def main() -> int:
     # which is O(sum of component-size^2). On the synthetic corpus the
     # simhash pair graph densifies ~24x at 10x docs (cross-copy
     # signature collisions), so the closure is a test-scale construct.
-    # The engine side of these queries runs fine at sf1 (15-19 s,
-    # label-propagation is edge-linear); they stay fully gated at the
-    # driver scales and are skipped only in derived large-scale sweeps.
-    oracle_scale_bound = {"dedup_canonical", "dedup_canonical_shingle",
-                          "dedup_canonical_best",
-                          "dedup_components", "dedup_cluster_sizes"}
+    # On derived large-scale sweeps these queries now run the
+    # EDGE-LINEAR law verifier instead (tools/dedup_laws.py, VERDICT
+    # r8 item 4): global edge-consistency + root-minimality laws plus
+    # a sampled exact closure, then the query's own aggregation tail
+    # in DuckDB over the law-verified labels. Full recursive oracle
+    # still runs at the driver scales (and when named explicitly).
+    from tools.dedup_laws import SCALE_BOUND as oracle_scale_bound
+    from tools.dedup_laws import verify as dedup_laws_verify
+
     derived_dir = not sf_dir.startswith("/root/testdata/")
 
     names = only or sorted(REGISTRY.specs)
     n_ok = n_bad = n_skip = 0
     for name in names:
         if derived_dir and name in oracle_scale_bound and not only:
-            print(f"[SKIP-ORACLE-SCALE] {name}: closure oracle is "
-                  "O(component^2); gated at driver scales only")
-            n_skip += 1
+            t0 = time.time()
+            try:
+                problems, stats = dedup_laws_verify(spark, con, name, sf_dir)
+            except Exception:
+                print(f"[FAIL] {name}: law verifier error\n"
+                      f"{traceback.format_exc()}")
+                n_bad += 1
+                continue
+            if problems:
+                print(f"[MISMATCH] {name} (laws): {problems}")
+                n_bad += 1
+            else:
+                print(f"[OK-LAWS] {name}: {stats} "
+                      f"({time.time() - t0:.1f}s)")
+                n_ok += 1
             continue
         spec = REGISTRY.specs[name]
         t0 = time.time()
