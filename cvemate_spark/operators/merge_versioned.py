@@ -76,18 +76,38 @@ def latest_version(path: str) -> int:
 
 
 def _load_manifest(path: str, v: int) -> dict[str, str]:
+    return _load_manifest_full(path, v)["buckets"]
+
+
+def _load_manifest_full(path: str, v: int) -> dict:
+    """The whole manifest: {v, n_buckets, buckets}. Each manifest
+    carries ITS OWN bucket count — re-bucketing (rebucket_versioned)
+    is just another committed version, so time travel across a layout
+    change resolves each version under the layout it was written
+    with."""
     with open(_manifest_path(path, v)) as f:
-        return json.load(f)["buckets"]
+        m = json.load(f)
+    if "n_buckets" not in m:  # manifests written before layout-in-manifest
+        with open(os.path.join(path, BUCKET_META)) as f:
+            m["n_buckets"] = json.load(f)["n_buckets"]
+    return m
 
 
-def _write_manifest(path: str, v: int, buckets: dict[str, str]) -> None:
+def _write_manifest(
+    path: str, v: int, buckets: dict[str, str], n_buckets: int
+) -> None:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        json.dump({"v": v, "buckets": buckets}, f, indent=0, sort_keys=True)
+        json.dump(
+            {"v": v, "n_buckets": n_buckets, "buckets": buckets},
+            f, indent=0, sort_keys=True,
+        )
     os.replace(tmp, _manifest_path(path, v))
 
 
-def _commit(path: str, v: int, buckets: dict[str, str]) -> None:
+def _commit(
+    path: str, v: int, buckets: dict[str, str], n_buckets: int
+) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
     crashing anywhere earlier leaves NO manifest, so its generations
@@ -110,7 +130,7 @@ def _commit(path: str, v: int, buckets: dict[str, str]) -> None:
                 with open(latest) as f:
                     current = int(f.read().strip() or -1)
             if v > current:
-                _write_manifest(path, v, buckets)
+                _write_manifest(path, v, buckets, n_buckets)
                 os.replace(tmp, latest)
                 for old in _list_versions(path):
                     if old < v:
@@ -135,7 +155,7 @@ def write_bucket_table_versioned(
             {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
         )
     gens = _write_generations(df, path, key, n_buckets)
-    _commit(path, 1, gens)
+    _commit(path, 1, gens, n_buckets)
     return 1
 
 
@@ -201,7 +221,10 @@ def merge_scoped_versioned(
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
-    key, n_buckets = meta["key"], meta["n_buckets"]
+    key = meta["key"]
+    # the layout (bucket count) comes from the CURRENT manifest, not
+    # the static meta: a rebucket_versioned commit may have changed it
+    n_buckets = _load_manifest_full(path, latest_version(path))["n_buckets"]
     b = bucket_expr(key, n_buckets)
 
     # bounded driver-side state: ≤ n_buckets ints, never row data
@@ -218,7 +241,17 @@ def merge_scoped_versioned(
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
         cur = latest_version(path)
-        manifest = dict(_load_manifest(path, cur))
+        full = _load_manifest_full(path, cur)
+        manifest = dict(full["buckets"])
+        if full["n_buckets"] != n_buckets:
+            # a rebucket committed between the probe and the lock:
+            # recompute the touched set under the real layout
+            n_buckets = full["n_buckets"]
+            b = bucket_expr(key, n_buckets)
+            touched = sorted(
+                r[0]
+                for r in updates.select(b.alias("__b")).distinct().collect()
+            )
         existing = [
             f"{path}/bucket={i}/{manifest[str(i)]}"
             for i in touched
@@ -248,7 +281,7 @@ def merge_scoped_versioned(
                 files += 1
                 bytes_ += os.path.getsize(fpath)
         v = max([cur] + _list_versions(path)) + 1
-        _commit(path, v, manifest)
+        _commit(path, v, manifest, n_buckets)
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -256,6 +289,73 @@ def merge_scoped_versioned(
         "version": v, "n_buckets": n_buckets,
         "buckets_touched": len(touched),
         "files_rewritten": files, "bytes_rewritten": bytes_,
+    }
+
+
+def rebucket_versioned(
+    spark: SparkSession, path: str, new_n_buckets: int
+) -> dict:
+    """Online layout migration: re-hash the table into `new_n_buckets`
+    buckets as ONE committed version — zero downtime, content-neutral.
+
+    The decade bench (MERGEBENCH_4096.json) shows why this must exist:
+    n_buckets ∝ table size keeps per-bucket size constant, so a table
+    that grew 10x wants 10x the buckets — but the bucket count is
+    baked into every directory name. With the versioned layout the
+    migration is just another commit: read the current snapshot, write
+    generations under the NEW hash modulus (generation names are
+    content-addressed uuids, so the two layouts coexist under the same
+    bucket=<i> dirs without collision), publish a manifest carrying
+    the new n_buckets, flip the pointer. Readers on the old version
+    keep resolving the old layout; merges after the commit scope under
+    the new one; vacuum reclaims the old layout's generations once its
+    manifests age out. A crash before the pointer flip leaves only
+    unreferenced orphans. Cost: one full-table rewrite — the floor for
+    a hash-modulus change — committed atomically instead of in place.
+
+    Returns {version, n_buckets_before, n_buckets_after,
+    buckets_written}.
+    """
+    import fcntl
+    import json as _json
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = _json.load(f)
+    key = meta["key"]
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        old_n = full["n_buckets"]
+        if old_n == new_n_buckets:
+            return {
+                "version": cur, "n_buckets_before": old_n,
+                "n_buckets_after": old_n, "buckets_written": 0,
+            }
+        dirs = [
+            f"{path}/bucket={i}/{g}" for i, g in sorted(full["buckets"].items())
+        ]
+        snapshot = spark.read.parquet(*dirs)
+        if "bucket" in snapshot.columns:
+            snapshot = snapshot.drop("bucket")
+        gens = _write_generations(snapshot, path, key, new_n_buckets)
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(path, v, gens, new_n_buckets)
+        # refresh the meta hint (readers/mergers resolve the truth from
+        # the manifest; the meta records the key and the LATEST layout)
+        with open(os.path.join(path, BUCKET_META), "w") as f:
+            _json.dump(
+                {"key": key, "n_buckets": new_n_buckets, "v": 2,
+                 "versioned": True}, f,
+            )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v, "n_buckets_before": old_n,
+        "n_buckets_after": new_n_buckets,
+        "buckets_written": len(gens),
     }
 
 
@@ -289,13 +389,14 @@ def read_bucket_for_key_versioned(
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     v = latest_version(path) if version is None else version
-    manifest = _load_manifest(path, v)
+    full = _load_manifest_full(path, v)
+    manifest = full["buckets"]
     bid = (
         spark.range(1)
         .select(
             F.pmod(
                 F.xxhash64(F.lit(value).cast("string")),
-                F.lit(meta["n_buckets"]),
+                F.lit(full["n_buckets"]),
             ).alias("b")
         )
         .collect()[0][0]

@@ -127,9 +127,13 @@ DRIVER_GATE: tuple[str, ...] = (
     # --- re-entries: streaming surface (last driver-proven r5-r7) (9)
     "s2_sliding", "s4_session", "s5_stateful", "s6_dedup", "s7_join",
     "s8_static_join", "s9_outer_join", "s10_tws", "s11_recovery",
-    # --- re-entries: the headline suite (20)
+    # --- entrants: round-9 late addition — online re-bucketing of the
+    # versioned table (q24, driver-proven r1-r8 and unchanged, cedes
+    # its headline re-entry slot; bench.py still measures it) (1)
+    "e_rebucket_versioned",
+    # --- re-entries: the headline suite (19)
     "q01", "q06", "q07", "q10", "q11", "q13", "q15", "q17", "q19",
-    "q24", "q26", "q27", "e_asof", "dedup_minhash", "dedup_exact",
+    "q26", "q27", "e_asof", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup", "mm_meta",
     "s1_tumbling",
     # --- re-entries: the components family, whose propagation loop

@@ -682,7 +682,7 @@ def t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(value / 2.0) AS BIGINT) AS y
         FROM events
     )
-    WHERE x BETWEEN 16 AND 47 AND y BETWEEN 8 AND 39
+    WHERE x BETWEEN 8 AND 47 AND y BETWEEN 8 AND 39
     ORDER BY event_id, x, y
     """,
     doc="Partitioned z-bucket layout end-to-end (the VERDICT-r4 answer "
@@ -691,7 +691,9 @@ def t_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket IN-list is O(n_buckets) driver arithmetic and prunes "
     "DIRECTORIES at file-listing time (PartitionFilters; law in "
     "tests/test_layout_sketch.py). Output must equal the plain "
-    "filtered scan the oracle runs.",
+    "filtered scan the oracle runs. Box widened to x >= 8 in round 9: "
+    "sf0.001 has only 15 users, so the old x >= 16 box was structurally "
+    "empty there and the non-empty-at-every-scale smoke bar failed.",
 )
 def e_zorder_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -716,7 +718,7 @@ def e_zorder_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zordered_partitioned(quant, path, "x", "y", n_buckets=64, bits=8)
     return (
         read_pruned_partitioned(
-            spark, path, "x", "y", (16, 47), (8, 39), n_buckets=64, bits=8
+            spark, path, "x", "y", (8, 47), (8, 39), n_buckets=64, bits=8
         )
         .select("event_id", "x", "y")
         .orderBy("event_id", "x", "y")

@@ -1907,3 +1907,124 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "status")
     )
+
+
+# ------------------------------------------------ e_rebucket_versioned
+@REG.add(
+    "e_rebucket_versioned",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 1.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    v2 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM base t FULL OUTER JOIN upd_a u ON t.k = u.k
+    ),
+    upd_b AS (
+        SELECT o_orderkey AS k, o_totalprice + 2.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    v4 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM v2 t FULL OUTER JOIN upd_b u ON t.k = u.k
+    ),
+    hist AS (
+        SELECT 1 AS version, status, price FROM base
+        UNION ALL SELECT 2, status, price FROM v2
+        UNION ALL SELECT 3, status, price FROM v2  -- rebucket: content-neutral
+        UNION ALL SELECT 4, status, price FROM v4
+    )
+    SELECT version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY version, status ORDER BY version, status
+    """,
+    doc="Online re-bucketing of the versioned bucket table "
+    "(operators/merge_versioned.py::rebucket_versioned): the layout "
+    "migration the decade bench demands (MERGEBENCH_4096.json — "
+    "n_buckets ∝ table size means a table that grew 10x wants 10x "
+    "the buckets). Re-hashing 8 -> 32 buckets is ONE committed, "
+    "content-neutral version: manifests carry their own n_buckets, so "
+    "time travel across the layout change resolves each version under "
+    "the layout it was written with, and merges after the commit "
+    "scope under the new modulus. The query aggregates versions 1-4 "
+    "(initial load / merge / REBUCKET / merge): the oracle pins v3's "
+    "rows to EQUAL v2's, hash-proving the migration moved bytes but "
+    "changed nothing — with zero downtime (readers resolve old or new "
+    "pointer, never a mix; crash-before-commit leaves only "
+    "unreferenced orphans). Laws in tests/test_merge_versioned.py.",
+)
+def e_rebucket_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+        rebucket_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:rbk-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/rbk_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=8,
+        )
+        batch_a = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        )
+        s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
+        s2 = rebucket_versioned(spark, path, 32)
+        batch_b = (
+            orders.filter(F.col("o_orderkey") % 89 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+        )
+        s3 = merge_scoped_versioned(spark, path, batch_b, now=T_MERGE)
+        assert (s1["version"], s2["version"], s3["version"]) == (2, 3, 4)
+        assert s3["n_buckets"] == 32  # post-migration merges: new layout
+        with open(done, "w") as f:
+            f.write(f"{s1}\n{s2}\n{s3}\n")
+    hist = None
+    for v in (1, 2, 3, 4):
+        snap = read_bucket_table_versioned(spark, path, version=v).select(
+            F.lit(v).alias("version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = snap if hist is None else hist.unionByName(snap)
+    return (
+        hist.groupBy("version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("version", "status")
+    )

@@ -123,7 +123,7 @@ def test_crash_before_pointer_leaves_readers_on_old_version(
     snap1 = _as_map(read_bucket_table_versioned(spark, path))
     gens_v1 = set(_gens(path))
 
-    def boom(path_, v, buckets):
+    def boom(path_, v, buckets, n_buckets):
         raise RuntimeError("simulated crash before commit")
 
     monkeypatch.setattr(mv, "_commit", boom)
@@ -224,3 +224,65 @@ def test_vacuum_respects_keep_grace_and_references(spark, tmp_path):
         for i, g in _load_manifest(path, 3).items()
     }
     assert set(_gens(path)) == referenced
+
+
+def test_rebucket_online_layout_migration(spark, tmp_path):
+    """The decade-growth story (r9): re-hashing 8 -> 32 buckets is one
+    committed, content-neutral version. Time travel across the layout
+    change resolves each version under its own bucket count; merges
+    after the commit scope under the new layout; vacuum reclaims the
+    old layout's generations once its manifests age out."""
+    from cvemate_spark.operators.merge_versioned import (
+        _load_manifest_full, rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(80)})
+    path = str(tmp_path / "vbt6")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-3": "upd"}), now=T1
+    )
+    before = _as_map(read_bucket_table_versioned(spark, path))
+
+    stats = rebucket_versioned(spark, path, 32)
+    assert stats["version"] == 3
+    assert (stats["n_buckets_before"], stats["n_buckets_after"]) == (8, 32)
+    assert _load_manifest_full(path, 3)["n_buckets"] == 32
+    assert _load_manifest_full(path, 2)["n_buckets"] == 8  # history intact
+
+    # content-neutral; old versions replay under their own layout
+    assert _as_map(read_bucket_table_versioned(spark, path)) == before
+    assert _as_map(read_bucket_table_versioned(spark, path, 2)) == before
+    assert "CVE-3" in _as_map(read_bucket_table_versioned(spark, path, 1))
+
+    # point lookups prune correctly under BOTH layouts
+    assert read_bucket_for_key_versioned(
+        spark, path, "CVE-3"
+    ).collect()[0]["nvd"] == "upd"
+    assert read_bucket_for_key_versioned(
+        spark, path, "CVE-3", version=1
+    ).collect()[0]["nvd"] == "n3"
+
+    # merges after the migration scope under the NEW modulus
+    mstats = merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-9": "post"}), now=T2
+    )
+    assert mstats["n_buckets"] == 32 and mstats["buckets_touched"] == 1
+    after = _as_map(read_bucket_table_versioned(spark, path))
+    assert after["CVE-9"] == "post" and after["CVE-3"] == "upd"
+
+    # idempotent no-op when the layout already matches
+    noop = rebucket_versioned(spark, path, 32)
+    assert noop["buckets_written"] == 0
+
+    # vacuum drops the old-layout manifests and their generations;
+    # the surviving generation set is exactly the referenced one
+    vacuum_bucket_versions(path, keep=1, grace_seconds=0.0)
+    from cvemate_spark.operators.merge_versioned import _load_manifest
+
+    live = _load_manifest(path, 4)
+    referenced = {f"{path}/bucket={i}/{g}" for i, g in live.items()}
+    assert set(_gens(path)) == referenced
+    assert _as_map(read_bucket_table_versioned(spark, path)) == after

@@ -109,6 +109,8 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: versioned bucket table — scoped merges under an atomic
     # cross-bucket manifest commit, with time travel (VERDICT r8 item 2)
     "e_merge_scoped_versioned",
+    # round 9: online re-bucketing (layout migration as one commit)
+    "e_rebucket_versioned",
 }
 
 
