@@ -159,6 +159,21 @@ def write_bucket_table_versioned(
     return 1
 
 
+def init_bucket_table_versioned(
+    path: str, key: str = "id", n_buckets: int = 16
+) -> int:
+    """Metadata-only creation of an EMPTY versioned table: meta, an
+    empty manifest v-1, pointer — no Spark job (the CDC-replay shape
+    starts from nothing; see merge.py::init_bucket_table)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, BUCKET_META), "w") as f:
+        json.dump(
+            {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
+        )
+    _commit(path, 1, {}, n_buckets)
+    return 1
+
+
 def _write_generations(
     df: DataFrame, path: str, key: str, n_buckets: int,
     buckets: list[int] | None = None,

@@ -100,6 +100,35 @@ def s17_scoped_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s18_versioned_replay",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S18: the S17 bucket-scoped CDC replay landing through the "
+    "VERSIONED table (operators/merge_versioned.py) — every "
+    "micro-batch commits atomically (new generations for touched "
+    "buckets + one manifest/pointer replace), so a reader racing the "
+    "replay sees exact batch boundaries (version n = first n-1 "
+    "batches), never S17's transient half-swapped bucket mix, and "
+    "every boundary stays time-travelable for replay debugging. Same "
+    "keep-latest semantics and the same batch Q20 convergence oracle "
+    "as S3/S17; the builder asserts the commit history is exactly "
+    "empty-init + one version per micro-batch. "
+    "streaming/jobs.py::scoped_replay_versioned.",
+)
+def s18_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.scoped_replay_versioned(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s4_session",
     """
     WITH flagged AS (

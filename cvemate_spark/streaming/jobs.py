@@ -292,6 +292,71 @@ def scoped_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> DataFr
     )
 
 
+def scoped_replay_versioned(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 2
+) -> DataFrame:
+    """S18: the S17 bucket-scoped CDC replay landing through the
+    VERSIONED table (merge_scoped_versioned) — every micro-batch is one
+    atomic cross-bucket commit, so a downstream reader racing the
+    replay always sees a complete batch boundary (version n = exactly
+    the first n-1 batches applied), never a half-merged mix of bucket
+    directories, and any intermediate state remains time-travelable
+    for replay debugging. Same keep-latest CDC semantics and the same
+    batch Q20 convergence oracle as S3/S17; per-batch write cost is
+    still bounded by the batch's bucket footprint (new generations for
+    touched buckets only + one manifest/pointer commit).
+    """
+    from ..operators.merge import keep_latest_merge
+    from ..operators.merge_versioned import (
+        init_bucket_table_versioned,
+        latest_version,
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s18_{os.getpid()}"
+    target, ckpt = f"{run_dir}/target", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    init_bucket_table_versioned(target, key="user_id", n_buckets=16)
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        merge_scoped_versioned(
+            batch.sparkSession,
+            target,
+            batch,
+            merger=lambda cur, b: keep_latest_merge(
+                cur,
+                b,
+                keys=["user_id", "event_type"],
+                order_by=[F.desc("ts"), F.desc("event_id")],
+            ),
+        )
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the commit history IS the batch history: empty init + one
+    # version per micro-batch, every boundary time-travelable
+    assert latest_version(target) == 1 + n_chunks
+    return read_bucket_table_versioned(spark, target).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: streaming deduplication — dropDuplicates on the key columns
     with state-store backing, the streaming form of the exact-dedup

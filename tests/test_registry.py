@@ -111,6 +111,9 @@ NEW_THIS_ROUND: set[str] = {
     "e_merge_scoped_versioned",
     # round 9: online re-bucketing (layout migration as one commit)
     "e_rebucket_versioned",
+    # round 9: CDC replay through the versioned table (atomic batch
+    # boundaries, time-travelable replay history)
+    "s18_versioned_replay",
 }
 
 
