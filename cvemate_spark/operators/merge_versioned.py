@@ -424,6 +424,56 @@ def read_bucket_for_key_versioned(
     )
 
 
+def changed_buckets_between(
+    path: str, since_version: int, to_version: int | None = None
+) -> list[int]:
+    """Bucket ids whose generation changed between two committed
+    versions — pure manifest arithmetic, no scan, no clocks. The
+    version number IS the consumer's watermark: unlike timestamp
+    freshness (merge.py::changed_buckets_since) there is no precision
+    or clock-skew surface at all, and a layout change (rebucket)
+    degrades safely to "everything changed"."""
+    to_v = latest_version(path) if to_version is None else to_version
+    m_from = _load_manifest_full(path, since_version)
+    m_to = _load_manifest_full(path, to_v)
+    if m_from["n_buckets"] != m_to["n_buckets"]:
+        return sorted(int(i) for i in m_to["buckets"])  # re-hashed: all
+    old = m_from["buckets"]
+    return sorted(
+        int(i) for i, g in m_to["buckets"].items() if old.get(i) != g
+    )
+
+
+def read_changed_between(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """Incremental downstream consumption off the COMMIT HISTORY: read
+    only the generations that are new since the consumer's
+    checkpointed version. Listing cost = |changed buckets|; an
+    up-to-date consumer reads NOTHING (None). Returns the CURRENT rows
+    of the changed buckets (bucket-granular superset of the changed
+    keys — exact key-level CDC is merge.py::table_diff between
+    `read_bucket_table_versioned` snapshots, which this prunes the
+    input for)."""
+    to_v = latest_version(path) if to_version is None else to_version
+    changed = changed_buckets_between(path, since_version, to_v)
+    if not changed:
+        return None
+    manifest = _load_manifest(path, to_v)
+    dirs = [
+        f"{path}/bucket={i}/{manifest[str(i)]}"
+        for i in changed
+        if str(i) in manifest
+    ]
+    if not dirs:
+        return None
+    df = spark.read.parquet(*dirs)
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
 def vacuum_bucket_versions(
     path: str, keep: int = 2, grace_seconds: float = 0.0
 ) -> dict:

@@ -286,3 +286,47 @@ def test_rebucket_online_layout_migration(spark, tmp_path):
     referenced = {f"{path}/bucket={i}/{g}" for i, g in live.items()}
     assert set(_gens(path)) == referenced
     assert _as_map(read_bucket_table_versioned(spark, path)) == after
+
+
+def test_incremental_consumption_off_the_commit_history(spark, tmp_path):
+    """Version numbers as the consumer watermark: after a merge, only
+    the touched buckets' generations differ between manifests, so
+    read_changed_between(checkpoint) returns exactly those buckets'
+    current rows — no clocks, no timestamp precision surface. A
+    rebucket degrades safely to everything-changed; an up-to-date
+    consumer reads nothing."""
+    from cvemate_spark.operators.merge_versioned import (
+        changed_buckets_between, read_changed_between, rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(60)})
+    path = str(tmp_path / "vbt7")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    assert read_changed_between(spark, path, 1) is None  # up to date
+
+    stats = merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-5": "v2", "CVE-777": "new"}),
+        now=T1,
+    )
+    changed = changed_buckets_between(path, 1)
+    assert len(changed) == stats["buckets_touched"]
+    got = {(r["id"], r["nvd"]) for r in read_changed_between(spark, path, 1).collect()}
+    assert {("CVE-5", "v2"), ("CVE-777", "new")} <= got  # upserts present
+    # bucket-granular: every returned row lives in a changed bucket
+    from cvemate_spark.operators.merge import bucket_expr
+    import pyspark.sql.functions as F
+
+    buckets_of_got = {
+        r[0] for r in read_changed_between(spark, path, 1)
+        .select(bucket_expr("id", 8)).collect()
+    }
+    assert buckets_of_got <= set(changed)
+    # checkpointed at the new version: nothing newer
+    assert read_changed_between(spark, path, stats["version"]) is None
+
+    # layout change: everything is "changed" for pre-rebucket readers
+    rb = rebucket_versioned(spark, path, 32)
+    assert len(changed_buckets_between(path, stats["version"])) == rb["buckets_written"]
+    assert read_changed_between(spark, path, stats["version"]).count() == 61
