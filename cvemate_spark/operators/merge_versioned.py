@@ -438,9 +438,13 @@ def changed_buckets_between(
     m_to = _load_manifest_full(path, to_v)
     if m_from["n_buckets"] != m_to["n_buckets"]:
         return sorted(int(i) for i in m_to["buckets"])  # re-hashed: all
-    old = m_from["buckets"]
+    old, new = m_from["buckets"], m_to["buckets"]
+    # symmetric difference over bucket ids: a bucket present only in
+    # the OLD manifest (every row deleted since) is still a change —
+    # read_changed_between has nothing to read for it (no current
+    # rows), but change_feed must see it to emit the deletes
     return sorted(
-        int(i) for i, g in m_to["buckets"].items() if old.get(i) != g
+        int(i) for i in set(old) | set(new) if old.get(i) != new.get(i)
     )
 
 
@@ -472,6 +476,80 @@ def read_changed_between(
         return None
     df = spark.read.parquet(*dirs)
     return df.drop("bucket") if "bucket" in df.columns else df
+
+
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """Key-level change feed between two committed versions — the
+    Delta CHANGE DATA FEED shape (`table_changes`), computed from the
+    commit history instead of logged at write time (the reference's
+    consumers poll `get_last_update_time` and re-pull rows,
+    mongodb_handler.py:261-289; this gives them exact row-level
+    inserts/updates/deletes instead).
+
+    Rows: (key, payload-from-the-surviving-side, change) with change
+    in {insert, update, delete} — `merge.table_diff` semantics, with
+    the apply law (replaying the feed onto the old snapshot through
+    `merge_upsert_deletes` reproduces the new snapshot exactly,
+    tests/test_merge_versioned.py).
+
+    Cost ∝ CHANGE, not table: a key's rows live only in its hash
+    bucket and both manifests share one layout, so the full-outer diff
+    join runs over the changed buckets' generations only — manifest
+    arithmetic prunes everything else (an up-to-date consumer returns
+    None without touching data). Across a `rebucket_versioned` layout
+    change bucket identity is not comparable, so the feed falls back
+    to a full-snapshot diff (which is empty for the rebucket itself —
+    content-neutral by law)."""
+    with open(os.path.join(path, BUCKET_META)) as f:
+        key = json.load(f)["key"]
+    to_v = latest_version(path) if to_version is None else to_version
+    m_from = _load_manifest_full(path, since_version)
+    m_to = _load_manifest_full(path, to_v)
+
+    from .merge import table_diff
+
+    if m_from["n_buckets"] != m_to["n_buckets"]:
+        # layout changed between the versions: bucket ids are not
+        # comparable — diff the full snapshots
+        old_df = read_bucket_table_versioned(spark, path, since_version)
+        new_df = read_bucket_table_versioned(spark, path, to_v)
+        return table_diff(old_df, new_df, key=key)
+
+    changed = changed_buckets_between(path, since_version, to_v)
+    if not changed:
+        return None
+
+    def _side(manifest: dict[str, str]) -> list[str]:
+        return [
+            f"{path}/bucket={i}/{manifest[str(i)]}"
+            for i in changed
+            if str(i) in manifest
+        ]
+
+    old_dirs, new_dirs = _side(m_from["buckets"]), _side(m_to["buckets"])
+
+    def _read(dirs: list[str], like: DataFrame | None) -> DataFrame | None:
+        if not dirs:
+            return (
+                spark.createDataFrame([], like.schema)
+                if like is not None
+                else None
+            )
+        df = spark.read.parquet(*dirs)
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    new_df = _read(new_dirs, None)
+    old_df = _read(old_dirs, new_df)
+    if old_df is None and new_df is None:
+        return None
+    if new_df is None:
+        new_df = spark.createDataFrame([], old_df.schema)
+    return table_diff(old_df, new_df, key=key)
 
 
 def vacuum_bucket_versions(

@@ -1909,6 +1909,185 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- e_change_feed
+@REG.add(
+    "e_change_feed",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 1.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 1.0, 'N'
+        FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    v2 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM base t FULL OUTER JOIN upd_a u ON t.k = u.k
+    ),
+    upd_b AS (
+        SELECT o_orderkey AS k, o_totalprice + 2.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 499 <> 0
+    ),
+    v3 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM v2 t FULL OUTER JOIN upd_b u ON t.k = u.k
+        WHERE COALESCE(u.k, t.k) NOT IN (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 499 = 0
+        )
+    ),
+    d12 AS (
+        SELECT CASE WHEN a.k IS NULL THEN 'insert'
+                    WHEN b.k IS NULL THEN 'delete'
+                    WHEN (a.price IS DISTINCT FROM b.price)
+                      OR (a.status IS DISTINCT FROM b.status) THEN 'update'
+                    ELSE 'nochange' END AS change,
+               COALESCE(b.price, a.price) AS price
+        FROM base a FULL OUTER JOIN v2 b ON a.k = b.k
+    ),
+    d23 AS (
+        SELECT CASE WHEN a.k IS NULL THEN 'insert'
+                    WHEN b.k IS NULL THEN 'delete'
+                    WHEN (a.price IS DISTINCT FROM b.price)
+                      OR (a.status IS DISTINCT FROM b.status) THEN 'update'
+                    ELSE 'nochange' END AS change,
+               COALESCE(b.price, a.price) AS price
+        FROM v2 a FULL OUTER JOIN v3 b ON a.k = b.k
+    ),
+    d13 AS (
+        SELECT CASE WHEN a.k IS NULL THEN 'insert'
+                    WHEN b.k IS NULL THEN 'delete'
+                    WHEN (a.price IS DISTINCT FROM b.price)
+                      OR (a.status IS DISTINCT FROM b.status) THEN 'update'
+                    ELSE 'nochange' END AS change,
+               COALESCE(b.price, a.price) AS price
+        FROM base a FULL OUTER JOIN v3 b ON a.k = b.k
+    ),
+    feed AS (
+        SELECT '1-2' AS span, change, price FROM d12 WHERE change <> 'nochange'
+        UNION ALL
+        SELECT '2-3', change, price FROM d23 WHERE change <> 'nochange'
+        UNION ALL
+        SELECT '1-3', change, price FROM d13 WHERE change <> 'nochange'
+    )
+    SELECT span, change,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY span, change ORDER BY span, change
+    """,
+    doc="Key-level CHANGE DATA FEED off the versioned table's commit "
+    "history (operators/merge_versioned.py::change_feed — the Delta "
+    "`table_changes` shape, computed from manifests instead of logged "
+    "at write time; the reference's consumers poll "
+    "get_last_update_time and re-pull whole rows, "
+    "mongodb_handler.py:261-289 — this hands them exact row-level "
+    "inserts/updates/deletes instead). Three versions are committed "
+    "(initial load / update+insert merge / update+DELETE merge), then "
+    "the feeds for spans 1->2, 2->3 and 1->3 are aggregated by change "
+    "type — so the oracle hash proves classification (insert vs "
+    "update vs delete), surviving-side payloads (deletes carry the "
+    "old row), and span composition over a non-adjacent version pair. "
+    "Scale: manifest arithmetic prunes the diff join to the CHANGED "
+    "buckets' generations only — feed cost ∝ change, not table; an "
+    "up-to-date consumer returns None with zero data I/O (asserted in "
+    "the builder). The apply law (old snapshot + feed == new "
+    "snapshot through merge_upsert_deletes) is pinned in "
+    "tests/test_merge_versioned.py.",
+)
+def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        change_feed,
+        merge_scoped_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:cdf-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/cdf_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        batch_a = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 0).select(
+                    (F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                    F.lit(1.0).alias("o_totalprice"),
+                    F.lit("N").alias("o_orderstatus"),
+                )
+            )
+        )
+        s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
+        batch_b = (
+            orders.filter(
+                (F.col("o_orderkey") % 89 == 0)
+                & (F.col("o_orderkey") % 499 != 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+            .withColumn("_deleted", F.lit(False))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 499 == 0).select(
+                    "o_orderkey",
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(True).alias("_deleted"),
+                )
+            )
+        )
+        s2 = merge_scoped_versioned(
+            spark, path, batch_b, now=T_MERGE, deleted_col="_deleted"
+        )
+        assert (s1["version"], s2["version"]) == (2, 3)
+        with open(done, "w") as f:
+            f.write(f"{s1}\n{s2}\n")
+    # the pruning contract: an up-to-date consumer touches no data
+    assert change_feed(spark, path, 3) is None
+    out = None
+    for span, (a, b) in (("1-2", (1, 2)), ("2-3", (2, 3)), ("1-3", (1, 3))):
+        feed = change_feed(spark, path, a, b).select(
+            F.lit(span).alias("span"),
+            "change",
+            F.col("o_totalprice").alias("price"),
+        )
+        out = feed if out is None else out.unionByName(feed)
+    return (
+        out.groupBy("span", "change")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("span", "change")
+    )
+
+
 # ------------------------------------------------ e_rebucket_versioned
 @REG.add(
     "e_rebucket_versioned",

@@ -330,3 +330,93 @@ def test_incremental_consumption_off_the_commit_history(spark, tmp_path):
     rb = rebucket_versioned(spark, path, 32)
     assert len(changed_buckets_between(path, stats["version"])) == rb["buckets_written"]
     assert read_changed_between(spark, path, stats["version"]).count() == 61
+
+
+def test_change_feed_classifies_and_applies(spark, tmp_path):
+    """Key-level CDC off the commit history (Delta CDF shape): the
+    feed between two versions classifies insert/update/delete, reads
+    only the changed buckets' generations, and APPLYING it to the old
+    snapshot through merge_upsert_deletes reproduces the new snapshot
+    exactly (the table_diff law, now pruned by the manifest)."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge import merge_upsert_deletes
+    from cvemate_spark.operators.merge_versioned import change_feed
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(50)})
+    path = str(tmp_path / "vbt8")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    assert change_feed(spark, path, 1) is None  # up to date
+
+    batch = spark.createDataFrame(
+        [
+            Row(id="CVE-3", nvd="v2", _deleted=False),   # update
+            Row(id="CVE-3000", nvd="new", _deleted=False),  # insert
+            Row(id="CVE-7", nvd=None, _deleted=True),    # delete
+        ]
+    )
+    merge_scoped_versioned(spark, path, batch, now=T1, deleted_col="_deleted")
+
+    feed = change_feed(spark, path, 1)
+    got = {(r["id"], r["change"]) for r in feed.select("id", "change").collect()}
+    assert got == {
+        ("CVE-3", "update"), ("CVE-3000", "insert"), ("CVE-7", "delete")
+    }
+    # delete rows carry the OLD payload (surviving side)
+    assert feed.filter(F.col("change") == "delete").collect()[0]["nvd"] == "n7"
+
+    # apply law: old snapshot + feed == new snapshot (same `now` as the
+    # merge that produced v2, so audit columns replay exactly too)
+    old = read_bucket_table_versioned(spark, path, 1)
+    new = read_bucket_table_versioned(spark, path, 2)
+    applied = merge_upsert_deletes(
+        old,
+        feed.withColumn("_deleted", F.col("change") == "delete").drop("change"),
+        key="id", deleted_col="_deleted", now=T1,
+    )
+    cols = sorted(new.columns)
+    assert sorted(applied.columns) == cols
+    assert (
+        applied.select(*cols).exceptAll(new.select(*cols)).count() == 0
+        and new.select(*cols).exceptAll(applied.select(*cols)).count() == 0
+    )
+
+
+def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
+    """A bucket whose every row is deleted disappears from the new
+    manifest — the feed must still emit those deletes (the vanished
+    bucket counts as changed). Across a rebucket the feed falls back
+    to a full diff, which is empty: the migration is content-neutral."""
+    from cvemate_spark.operators.merge import bucket_expr
+    from cvemate_spark.operators.merge_versioned import (
+        change_feed, changed_buckets_between, rebucket_versioned,
+    )
+
+    keys = [f"CVE-{i}" for i in range(40)]
+    base = _batch(spark, "nvd", {k: "x" for k in keys})
+    path = str(tmp_path / "vbt9")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    # find every key of one bucket and tombstone ALL of them
+    rows = (
+        base.select("id", bucket_expr("id", 4).alias("b"))
+        .filter("b = 0").select("id").collect()
+    )
+    victims = [r["id"] for r in rows]
+    assert victims
+    tomb = spark.createDataFrame(
+        [Row(id=k, nvd=None, _deleted=True) for k in victims],
+        "id string, nvd string, _deleted boolean",
+    )
+    merge_scoped_versioned(spark, path, tomb, now=T1, deleted_col="_deleted")
+
+    assert 0 in changed_buckets_between(path, 1)  # vanished bucket = changed
+    feed = change_feed(spark, path, 1)
+    got = {(r["id"], r["change"]) for r in feed.select("id", "change").collect()}
+    assert got == {(k, "delete") for k in victims}
+
+    rebucket_versioned(spark, path, 16)
+    assert change_feed(spark, path, 2).count() == 0  # content-neutral

@@ -114,6 +114,9 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: CDC replay through the versioned table (atomic batch
     # boundaries, time-travelable replay history)
     "s18_versioned_replay",
+    # round 9: key-level change feed off the commit history (Delta CDF
+    # shape; manifest-diff pruning, apply law in test_merge_versioned)
+    "e_change_feed",
 }
 
 
