@@ -44,7 +44,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .merge import (
     BUCKET_META,
@@ -94,19 +94,48 @@ def _load_manifest_full(path: str, v: int) -> dict:
 
 
 def _write_manifest(
-    path: str, v: int, buckets: dict[str, str], n_buckets: int
+    path: str, v: int, buckets: dict[str, str], n_buckets: int,
+    schema: dict | None = None,
 ) -> None:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
+    m: dict = {"v": v, "n_buckets": n_buckets, "buckets": buckets}
+    if schema is not None:
+        m["schema"] = schema
     with open(tmp, "w") as f:
-        json.dump(
-            {"v": v, "n_buckets": n_buckets, "buckets": buckets},
-            f, indent=0, sort_keys=True,
-        )
+        json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
 
 
+def _schema_of(df: DataFrame) -> dict:
+    return json.loads(df.schema.json())
+
+
+def table_schema(path: str, version: int | None = None):
+    """The committed schema as-of a version (SCHEMA EVOLUTION surface):
+    manifests record the schema their commit wrote, so time travel
+    returns the table AS IT WAS — columns added later don't exist in
+    older versions. None for manifests written before schemas were
+    recorded (readers fall back to parquet inference)."""
+    from pyspark.sql.types import StructType
+
+    v = latest_version(path) if version is None else version
+    s = _load_manifest_full(path, v).get("schema")
+    return StructType.fromJson(s) if s is not None else None
+
+
+def _read_dirs(spark: SparkSession, dirs: list[str], schema) -> DataFrame:
+    """Read generation dirs under the manifest-recorded schema when one
+    exists: generations written before a column was added simply fill
+    it with nulls (parquet reads by name), and the column ORDER is the
+    committed one regardless of which file the inference would pick."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(*dirs)
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
 def _commit(
-    path: str, v: int, buckets: dict[str, str], n_buckets: int
+    path: str, v: int, buckets: dict[str, str], n_buckets: int,
+    schema: dict | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -130,7 +159,7 @@ def _commit(
                 with open(latest) as f:
                     current = int(f.read().strip() or -1)
             if v > current:
-                _write_manifest(path, v, buckets, n_buckets)
+                _write_manifest(path, v, buckets, n_buckets, schema)
                 os.replace(tmp, latest)
                 for old in _list_versions(path):
                     if old < v:
@@ -155,7 +184,7 @@ def write_bucket_table_versioned(
             {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
         )
     gens = _write_generations(df, path, key, n_buckets)
-    _commit(path, 1, gens, n_buckets)
+    _commit(path, 1, gens, n_buckets, _schema_of(df))
     return 1
 
 
@@ -272,9 +301,18 @@ def merge_scoped_versioned(
             for i in touched
             if str(i) in manifest
         ]
-        target = spark.read.parquet(*existing) if existing else None
-        if target is not None and "bucket" in target.columns:
-            target = target.drop("bucket")
+        # read the target slice under the COMMITTED schema: a column an
+        # earlier merge added may be absent from these buckets' files,
+        # and dropping it here would silently un-evolve the table
+        from pyspark.sql.types import StructType
+
+        stored = full.get("schema")
+        target_schema = (
+            StructType.fromJson(stored) if stored is not None else None
+        )
+        target = (
+            _read_dirs(spark, existing, target_schema) if existing else None
+        )
         if merger is not None:
             merged = merger(target, updates)
         elif deleted_col is not None:
@@ -296,7 +334,13 @@ def merge_scoped_versioned(
                 files += 1
                 bytes_ += os.path.getsize(fpath)
         v = max([cur] + _list_versions(path)) + 1
-        _commit(path, v, manifest, n_buckets)
+        # the committed schema: what the merge actually wrote (the
+        # target slice was read under the previous schema, so merged's
+        # schema is previous ∪ the batch's additions — SCHEMA EVOLUTION
+        # is just a merge whose updates carry a new column). The
+        # tombstone branch can leave zero touched buckets written; the
+        # schema still advances with the merged frame.
+        _commit(path, v, manifest, n_buckets, _schema_of(merged))
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -351,12 +395,16 @@ def rebucket_versioned(
         dirs = [
             f"{path}/bucket={i}/{g}" for i, g in sorted(full["buckets"].items())
         ]
-        snapshot = spark.read.parquet(*dirs)
-        if "bucket" in snapshot.columns:
-            snapshot = snapshot.drop("bucket")
+        from pyspark.sql.types import StructType
+
+        stored = full.get("schema")
+        snapshot = _read_dirs(
+            spark, dirs,
+            StructType.fromJson(stored) if stored is not None else None,
+        )
         gens = _write_generations(snapshot, path, key, new_n_buckets)
         v = max([cur] + _list_versions(path)) + 1
-        _commit(path, v, gens, new_n_buckets)
+        _commit(path, v, gens, new_n_buckets, _schema_of(snapshot))
         # refresh the meta hint (readers/mergers resolve the truth from
         # the manifest; the meta records the key and the LATEST layout)
         with open(os.path.join(path, BUCKET_META), "w") as f:
@@ -390,8 +438,7 @@ def read_bucket_table_versioned(
     if not manifest:
         raise FileNotFoundError(f"version {v} of {path} is empty")
     dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(manifest.items())]
-    df = spark.read.parquet(*dirs)
-    return df.drop("bucket") if "bucket" in df.columns else df
+    return _read_dirs(spark, dirs, table_schema(path, v))
 
 
 def read_bucket_for_key_versioned(
@@ -399,8 +446,6 @@ def read_bucket_for_key_versioned(
 ) -> DataFrame | None:
     """Point lookup: prune to the ONE generation dir that can hold
     `value` under the pinned (or latest) version."""
-    from pyspark.sql import functions as F
-
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     v = latest_version(path) if version is None else version
@@ -419,9 +464,9 @@ def read_bucket_for_key_versioned(
     g = manifest.get(str(bid))
     if g is None:
         return None
-    return spark.read.parquet(f"{path}/bucket={bid}/{g}").filter(
-        F.col(meta["key"]) == F.lit(value)
-    )
+    return _read_dirs(
+        spark, [f"{path}/bucket={bid}/{g}"], table_schema(path, v)
+    ).filter(F.col(meta["key"]) == F.lit(value))
 
 
 def changed_buckets_between(
@@ -474,8 +519,7 @@ def read_changed_between(
     ]
     if not dirs:
         return None
-    df = spark.read.parquet(*dirs)
-    return df.drop("bucket") if "bucket" in df.columns else df
+    return _read_dirs(spark, dirs, table_schema(path, to_v))
 
 
 def change_feed(
@@ -513,12 +557,33 @@ def change_feed(
 
     from .merge import table_diff
 
+    def _aligned_diff(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+        # schema evolution: align both sides to the UNION of their
+        # columns (missing side -> typed nulls) so the feed carries
+        # columns added between the versions — an old row gaining a
+        # value classifies as update, and applying the feed to the old
+        # snapshot reproduces the evolved new snapshot
+        for col, typ in [
+            (f.name, f.dataType)
+            for f in new_df.schema.fields
+            if f.name not in old_df.columns
+        ]:
+            old_df = old_df.withColumn(col, F.lit(None).cast(typ))
+        for col, typ in [
+            (f.name, f.dataType)
+            for f in old_df.schema.fields
+            if f.name not in new_df.columns
+        ]:
+            new_df = new_df.withColumn(col, F.lit(None).cast(typ))
+        return table_diff(old_df, new_df, key=key)
+
     if m_from["n_buckets"] != m_to["n_buckets"]:
         # layout changed between the versions: bucket ids are not
         # comparable — diff the full snapshots
-        old_df = read_bucket_table_versioned(spark, path, since_version)
-        new_df = read_bucket_table_versioned(spark, path, to_v)
-        return table_diff(old_df, new_df, key=key)
+        return _aligned_diff(
+            read_bucket_table_versioned(spark, path, since_version),
+            read_bucket_table_versioned(spark, path, to_v),
+        )
 
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:
@@ -533,23 +598,22 @@ def change_feed(
 
     old_dirs, new_dirs = _side(m_from["buckets"]), _side(m_to["buckets"])
 
-    def _read(dirs: list[str], like: DataFrame | None) -> DataFrame | None:
+    def _read(dirs: list[str], v: int, like: DataFrame | None):
         if not dirs:
             return (
                 spark.createDataFrame([], like.schema)
                 if like is not None
                 else None
             )
-        df = spark.read.parquet(*dirs)
-        return df.drop("bucket") if "bucket" in df.columns else df
+        return _read_dirs(spark, dirs, table_schema(path, v))
 
-    new_df = _read(new_dirs, None)
-    old_df = _read(old_dirs, new_df)
+    new_df = _read(new_dirs, to_v, None)
+    old_df = _read(old_dirs, since_version, new_df)
     if old_df is None and new_df is None:
         return None
     if new_df is None:
         new_df = spark.createDataFrame([], old_df.schema)
-    return table_diff(old_df, new_df, key=key)
+    return _aligned_diff(old_df, new_df)
 
 
 def vacuum_bucket_versions(

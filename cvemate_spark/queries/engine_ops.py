@@ -2088,6 +2088,148 @@ def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ e_versioned_evolve
+@REG.add(
+    "e_versioned_evolve",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 1.0 AS price,
+               o_orderstatus AS status, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    v2 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status,
+               u.prio AS prio
+        FROM base t FULL OUTER JOIN upd_a u ON t.k = u.k
+    ),
+    upd_b AS (
+        SELECT o_orderkey AS k, o_totalprice + 2.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 89 = 0
+    ),
+    v3 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status,
+               t.prio AS prio
+        FROM v2 t FULL OUTER JOIN upd_b u ON t.k = u.k
+    ),
+    hist AS (
+        SELECT 1 AS version, status, price, CAST(NULL AS VARCHAR) AS prio
+        FROM base
+        UNION ALL SELECT 2, status, price, prio FROM v2
+        UNION ALL SELECT 3, status, price, prio FROM v3
+    )
+    SELECT version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(count(prio) AS BIGINT) AS n_prio,
+           min(prio) AS min_prio
+    FROM hist GROUP BY version, status ORDER BY version, status
+    """,
+    doc="SCHEMA EVOLUTION on the versioned bucket table "
+    "(operators/merge_versioned.py — manifests record the committed "
+    "schema; readers resolve dirs under it): a merge whose batch "
+    "carries a NEW column evolves the table in place — generations "
+    "written before the column existed fill it with nulls at read "
+    "(parquet reads by name; zero data rewritten, the Delta/Iceberg "
+    "ADD COLUMN economics), time travel returns the AS-OF schema (v1 "
+    "has no such column — asserted in the builder), and a later merge "
+    "WITHOUT the column carries existing values through because the "
+    "target slice is read under the committed schema, not inferred "
+    "from whichever file Spark picks. The oracle aggregates all three "
+    "versions with count/min over the added column, hash-proving "
+    "exactly which rows gained values at each version and that the "
+    "column-less v3 merge did not un-evolve v2's values. Laws "
+    "(evolved point lookups on untouched buckets, feed across the "
+    "evolution boundary, apply law) in tests/test_merge_versioned.py.",
+)
+def e_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+        table_schema,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:evo-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/evo_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(
+                None, orders.drop("o_orderpriority"),
+                key="o_orderkey", now=T_MERGE,
+            ),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        batch_a = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumnRenamed("o_orderpriority", "prio")  # the NEW column
+        )
+        s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
+        batch_b = (
+            orders.drop("o_orderpriority")
+            .filter(F.col("o_orderkey") % 89 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+        )
+        s2 = merge_scoped_versioned(spark, path, batch_b, now=T_MERGE)
+        assert (s1["version"], s2["version"]) == (2, 3)
+        with open(done, "w") as f:
+            f.write(f"{s1}\n{s2}\n")
+    # the evolution contract, asserted against the committed schemas
+    assert "prio" not in table_schema(path, 1).fieldNames()
+    assert "prio" in table_schema(path, 2).fieldNames()
+    assert "prio" in table_schema(path, 3).fieldNames()
+    hist = None
+    for v in (1, 2, 3):
+        snap = read_bucket_table_versioned(spark, path, version=v)
+        prio = (
+            F.col("prio") if "prio" in snap.columns
+            else F.lit(None).cast("string")
+        )
+        snap = snap.select(
+            F.lit(v).alias("version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            prio.alias("prio"),
+        )
+        hist = snap if hist is None else hist.unionByName(snap)
+    return (
+        hist.groupBy("version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count("prio").cast("long").alias("n_prio"),
+            F.min("prio").alias("min_prio"),
+        )
+        .orderBy("version", "status")
+    )
+
+
 # ------------------------------------------------ e_rebucket_versioned
 @REG.add(
     "e_rebucket_versioned",

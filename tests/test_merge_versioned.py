@@ -123,7 +123,7 @@ def test_crash_before_pointer_leaves_readers_on_old_version(
     snap1 = _as_map(read_bucket_table_versioned(spark, path))
     gens_v1 = set(_gens(path))
 
-    def boom(path_, v, buckets, n_buckets):
+    def boom(path_, v, buckets, n_buckets, schema=None):
         raise RuntimeError("simulated crash before commit")
 
     monkeypatch.setattr(mv, "_commit", boom)
@@ -420,3 +420,74 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
 
     rebucket_versioned(spark, path, 16)
     assert change_feed(spark, path, 2).count() == 0  # content-neutral
+
+
+def test_schema_evolution_through_merge(spark, tmp_path):
+    """SCHEMA EVOLUTION: a merge whose batch carries a NEW column
+    evolves the table — the manifest records the committed schema, so
+    (a) the latest snapshot has the column with nulls for rows in
+    generations written before it existed, (b) time travel returns the
+    table AS IT WAS (no column), (c) point lookups on untouched
+    buckets see the evolved schema, (d) a later merge WITHOUT the
+    column carries existing values through, and (e) the change feed
+    carries the added column across the evolution boundary."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge import merge_upsert_deletes
+    from cvemate_spark.operators.merge_versioned import (
+        change_feed, table_schema,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    path = str(tmp_path / "vbt10")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    assert "epss" not in table_schema(path).fieldNames()
+
+    # v2: the batch carries a NEW column
+    evolved = spark.createDataFrame(
+        [Row(id="CVE-3", nvd="v2", epss=0.97), Row(id="CVE-900", nvd="new", epss=0.01)]
+    )
+    merge_scoped_versioned(spark, path, evolved, now=T1)
+
+    latest = read_bucket_table_versioned(spark, path)
+    assert "epss" in latest.columns
+    m = {r["id"]: r["epss"] for r in latest.collect()}
+    assert m["CVE-3"] == 0.97 and m["CVE-900"] == 0.01
+    assert m["CVE-5"] is None and len(m) == 41  # untouched rows: null
+    # time travel: version 1 has NO epss column (the as-of schema)
+    assert "epss" not in read_bucket_table_versioned(spark, path, 1).columns
+    assert "epss" not in table_schema(path, 1).fieldNames()
+
+    # point lookup on a key in an UNTOUCHED bucket sees the evolved
+    # schema (its generation's files predate the column)
+    untouched = read_bucket_for_key_versioned(spark, path, "CVE-5")
+    assert "epss" in untouched.columns
+    assert untouched.collect()[0]["epss"] is None
+
+    # feed across the evolution boundary carries the new column
+    feed = change_feed(spark, path, 1, 2)
+    fm = {r["id"]: (r["change"], r["epss"]) for r in feed.collect()}
+    assert fm == {"CVE-3": ("update", 0.97), "CVE-900": ("insert", 0.01)}
+    # apply law still holds across the boundary
+    applied = merge_upsert_deletes(
+        read_bucket_table_versioned(spark, path, 1),
+        feed.withColumn("_deleted", F.col("change") == "delete").drop("change"),
+        key="id", deleted_col="_deleted", now=T1,
+    )
+    cols = sorted(latest.columns)
+    assert (
+        applied.select(*cols).exceptAll(latest.select(*cols)).count() == 0
+        and latest.select(*cols).exceptAll(applied.select(*cols)).count() == 0
+    )
+
+    # v3: a merge WITHOUT the new column must not un-evolve the table
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-3": "v3", "CVE-8": "v3"}),
+        now=T2,
+    )
+    v3 = read_bucket_table_versioned(spark, path)
+    assert "epss" in v3.columns
+    m3 = {r["id"]: r["epss"] for r in v3.collect()}
+    assert m3["CVE-3"] == 0.97  # carried through the column-less merge

@@ -117,6 +117,9 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: key-level change feed off the commit history (Delta CDF
     # shape; manifest-diff pruning, apply law in test_merge_versioned)
     "e_change_feed",
+    # round 9: schema evolution through merges (manifest-recorded
+    # schema; time travel returns the as-of schema, zero data rewritten)
+    "e_versioned_evolve",
 }
 
 
