@@ -95,12 +95,14 @@ def _load_manifest_full(path: str, v: int) -> dict:
 
 def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
-    schema: dict | None = None,
+    schema: dict | None = None, stats: dict | None = None,
 ) -> None:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {"v": v, "n_buckets": n_buckets, "buckets": buckets}
     if schema is not None:
         m["schema"] = schema
+    if stats is not None:
+        m["stats"] = stats
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -133,9 +135,260 @@ def _read_dirs(spark: SparkSession, dirs: list[str], schema) -> DataFrame:
     return df.drop("bucket") if "bucket" in df.columns else df
 
 
+def _norm_stat(v):
+    """Normalize a parquet-footer min/max value to a (tag, json-safe)
+    pair, or None when the type can't be bounded portably. Timestamps
+    and dates collapse to epoch MICROSECONDS (naive values are UTC —
+    the session contract this repo pins); decimals to strings (exact,
+    re-parsed for comparison); NaN disqualifies the chunk (parquet
+    float stats with NaNs are not trustworthy bounds)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return ("num", int(v))
+    if isinstance(v, int):
+        return ("num", v)
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return None
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, bytes):
+        try:
+            return ("str", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return ("ts", int(v.timestamp() * 1_000_000))
+    if isinstance(v, datetime.date):
+        dt = datetime.datetime(
+            v.year, v.month, v.day, tzinfo=datetime.timezone.utc
+        )
+        return ("ts", int(dt.timestamp() * 1_000_000))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    return None
+
+
+def _coerce_bound(tag: str, value):
+    """Coerce a user predicate bound to a stats-comparable value under
+    the column's stats tag; None = can't coerce (no pruning)."""
+    import datetime
+    import decimal
+
+    if value is None:
+        return None
+    if tag == "num":
+        return float(value) if isinstance(value, (bool, int, float)) else None
+    if tag == "str":
+        return value if isinstance(value, str) else None
+    if tag == "dec":
+        try:
+            return decimal.Decimal(str(value))
+        except decimal.InvalidOperation:
+            return None
+    if tag == "ts":
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value  # epoch micros
+        if isinstance(value, str):
+            try:
+                value = datetime.datetime.fromisoformat(value)
+            except ValueError:
+                return None
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=datetime.timezone.utc)
+            return int(value.timestamp() * 1_000_000)
+        if isinstance(value, datetime.date):
+            dt = datetime.datetime(
+                value.year, value.month, value.day,
+                tzinfo=datetime.timezone.utc,
+            )
+            return int(dt.timestamp() * 1_000_000)
+    return None
+
+
+def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
+    """Per-generation column stats from parquet FOOTERS — metadata-only
+    I/O (KB per file), the Delta/Iceberg data-skipping ledger computed
+    at commit time so scans can prune by min/max without opening data
+    pages. Per column: {"t": tag, "lo": min, "hi": max, "n": nulls}
+    with "t": "null" for a generation whose column is entirely null
+    (range predicates skip it outright); columns whose chunks lack
+    usable bounds (INT96 timestamps, NaN floats, nested fields,
+    non-UTF8 binary) are omitted — absent stats mean MUST READ, never
+    a wrong skip. Bounds need not be exact values, only valid bounds
+    (parquet writers may truncate long strings either way)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    nbytes = 0
+    nfiles = 0
+    cols: dict[str, dict | None] = {}
+    for fpath in sorted(
+        _glob.glob(f"{path}/bucket={bucket_id}/{gen}/*.parquet")
+    ):
+        nbytes += os.path.getsize(fpath)
+        nfiles += 1
+        md = pq.read_metadata(fpath)
+        rows += md.num_rows
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: no portable bounds
+                    cols[name.split(".")[0]] = None
+                    continue
+                if cols.get(name, "absent") is None:
+                    continue  # already disqualified
+                st = col.statistics
+                nulls_here = (
+                    st.null_count
+                    if st is not None and st.has_null_count
+                    else None
+                )
+                e = cols.get(name) or {
+                    "t": None, "lo": None, "hi": None, "n": 0
+                }
+                if st is None or not st.has_min_max:
+                    if nulls_here is not None and nulls_here == rg.num_rows:
+                        # all-null chunk: contributes no bounds, only nulls
+                        e["n"] += nulls_here
+                        cols[name] = e
+                        continue
+                    cols[name] = None  # unbounded non-null values
+                    continue
+                lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                if lo is None or hi is None or lo[0] != hi[0]:
+                    cols[name] = None
+                    continue
+                if e["t"] is None:
+                    e["t"] = lo[0]
+                elif e["t"] != lo[0]:
+                    cols[name] = None
+                    continue
+                cmp_lo, cmp_hi = lo[1], hi[1]
+                if e["t"] == "dec":
+                    import decimal
+
+                    dl = decimal.Decimal
+                    if e["lo"] is None or dl(cmp_lo) < dl(e["lo"]):
+                        e["lo"] = cmp_lo
+                    if e["hi"] is None or dl(cmp_hi) > dl(e["hi"]):
+                        e["hi"] = cmp_hi
+                else:
+                    e["lo"] = cmp_lo if e["lo"] is None else min(e["lo"], cmp_lo)
+                    e["hi"] = cmp_hi if e["hi"] is None else max(e["hi"], cmp_hi)
+                e["n"] += nulls_here if nulls_here is not None else 0
+                cols[name] = e
+    out_cols = {}
+    for name, e in cols.items():
+        if e is None:
+            continue
+        if e["t"] is None:  # every chunk all-null
+            out_cols[name] = {"t": "null", "n": e["n"]}
+        else:
+            out_cols[name] = e
+    return {"rows": rows, "bytes": nbytes, "files": nfiles, "cols": out_cols}
+
+
+def prune_generations(
+    path: str, column: str, lo=None, hi=None, version: int | None = None
+) -> dict:
+    """The data-skipping planner: which buckets' generations can a
+    closed-interval predicate `lo <= column <= hi` (either bound open
+    when None) actually touch under a version's manifest stats?
+    Pure manifest arithmetic — no Spark job, no data I/O. Returns
+    {version, read, skipped, manifest}; buckets without usable stats
+    for the column are always read (absent stats never skip)."""
+    v = latest_version(path) if version is None else version
+    full = _load_manifest_full(path, v)
+    stats = full.get("stats") or {}
+    read: list[str] = []
+    skipped: list[str] = []
+    for i in sorted(full["buckets"]):
+        s = (stats.get(i) or {}).get("cols", {}).get(column)
+        if s is None:
+            read.append(i)
+            continue
+        if s["t"] == "null":
+            # the generation holds no non-null value of the column:
+            # no range predicate can match a row in it
+            skipped.append(i)
+            continue
+        clo = _coerce_bound(s["t"], lo)
+        chi = _coerce_bound(s["t"], hi)
+        if (lo is not None and clo is None) or (
+            hi is not None and chi is None
+        ):
+            read.append(i)  # uncoercible bound: must read
+            continue
+        slo, shi = s["lo"], s["hi"]
+        if s["t"] == "dec":
+            import decimal
+
+            slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
+        if (clo is not None and shi < clo) or (
+            chi is not None and slo > chi
+        ):
+            skipped.append(i)
+            continue
+        read.append(i)
+    return {"version": v, "read": read, "skipped": skipped, "manifest": full}
+
+
+def scan_versioned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range scan: `SELECT * WHERE lo <= column <= hi`
+    reading ONLY the generations whose footer min/max can overlap the
+    interval — Delta/Iceberg data skipping at the bucket-generation
+    grain. The residual filter is always applied, so the result is
+    EXACT regardless of how much the stats pruned (the pruned ≡
+    unpruned law in tests/test_merge_versioned.py). Skipping bites
+    when the column correlates with generations — the canonical case
+    is freshness (`updated_at >= t`: only buckets a recent merge
+    rewrote have young max-stats; everything else skips), giving
+    incremental consumers a clock-based path that reads changed data
+    only, without a version checkpoint."""
+    plan = prune_generations(path, column, lo, hi, version)
+    manifest = plan["manifest"]["buckets"]
+    schema = table_schema(path, plan["version"])
+    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in plan["read"]]
+    if not dirs:
+        if schema is None:
+            raise FileNotFoundError(
+                f"version {plan['version']} of {path}: nothing to read and "
+                "no recorded schema to type an empty result"
+            )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = _read_dirs(spark, dirs, schema)
+    c = F.col(column)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df
+
+
 def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
-    schema: dict | None = None,
+    schema: dict | None = None, stats: dict | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -159,7 +412,7 @@ def _commit(
                 with open(latest) as f:
                     current = int(f.read().strip() or -1)
             if v > current:
-                _write_manifest(path, v, buckets, n_buckets, schema)
+                _write_manifest(path, v, buckets, n_buckets, schema, stats)
                 os.replace(tmp, latest)
                 for old in _list_versions(path):
                     if old < v:
@@ -184,7 +437,8 @@ def write_bucket_table_versioned(
             {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
         )
     gens = _write_generations(df, path, key, n_buckets)
-    _commit(path, 1, gens, n_buckets, _schema_of(df))
+    stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
+    _commit(path, 1, gens, n_buckets, _schema_of(df), stats)
     return 1
 
 
@@ -261,7 +515,6 @@ def merge_scoped_versioned(
     bytes_rewritten}.
     """
     import fcntl
-    import glob as _glob
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
@@ -323,16 +576,22 @@ def merge_scoped_versioned(
             merged = merge_upsert(target, updates, key=key, now=now)
 
         new_gens = _write_generations(merged, path, key, n_buckets, touched)
+        # stats carry by reference for untouched buckets (their
+        # generations didn't move); touched buckets re-harvest from the
+        # new generations' footers — metadata-only, cost ∝ batch
+        stats_all = dict(full.get("stats") or {})
         files = bytes_ = 0
         for i in touched:
             g = new_gens.get(str(i))
             if g is None:  # every row of this bucket deleted
                 manifest.pop(str(i), None)
+                stats_all.pop(str(i), None)
                 continue
             manifest[str(i)] = g
-            for fpath in _glob.glob(f"{path}/bucket={i}/{g}/*.parquet"):
-                files += 1
-                bytes_ += os.path.getsize(fpath)
+            st = _harvest_stats(path, i, g)
+            stats_all[str(i)] = st
+            files += st["files"]
+            bytes_ += st["bytes"]
         v = max([cur] + _list_versions(path)) + 1
         # the committed schema: what the merge actually wrote (the
         # target slice was read under the previous schema, so merged's
@@ -340,7 +599,7 @@ def merge_scoped_versioned(
         # is just a merge whose updates carry a new column). The
         # tombstone branch can leave zero touched buckets written; the
         # schema still advances with the merged frame.
-        _commit(path, v, manifest, n_buckets, _schema_of(merged))
+        _commit(path, v, manifest, n_buckets, _schema_of(merged), stats_all)
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -403,8 +662,9 @@ def rebucket_versioned(
             StructType.fromJson(stored) if stored is not None else None,
         )
         gens = _write_generations(snapshot, path, key, new_n_buckets)
+        stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         v = max([cur] + _list_versions(path)) + 1
-        _commit(path, v, gens, new_n_buckets, _schema_of(snapshot))
+        _commit(path, v, gens, new_n_buckets, _schema_of(snapshot), stats)
         # refresh the meta hint (readers/mergers resolve the truth from
         # the manifest; the meta records the key and the LATEST layout)
         with open(os.path.join(path, BUCKET_META), "w") as f:
@@ -464,6 +724,25 @@ def read_bucket_for_key_versioned(
     g = manifest.get(str(bid))
     if g is None:
         return None
+    # stats short-circuit: the bucket's key min/max can prove the value
+    # absent without opening any data page (definite miss -> None)
+    s = (
+        (full.get("stats") or {}).get(str(bid), {})
+        .get("cols", {})
+        .get(meta["key"])
+    )
+    if s is not None:
+        if s["t"] == "null":
+            return None
+        cv = _coerce_bound(s["t"], value)
+        if cv is not None:
+            slo, shi = s["lo"], s["hi"]
+            if s["t"] == "dec":
+                import decimal
+
+                slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
+            if cv < slo or cv > shi:
+                return None
     return _read_dirs(
         spark, [f"{path}/bucket={bid}/{g}"], table_schema(path, v)
     ).filter(F.col(meta["key"]) == F.lit(value))

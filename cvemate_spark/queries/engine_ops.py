@@ -2088,6 +2088,143 @@ def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- e_versioned_skip
+@REG.add(
+    "e_versioned_skip",
+    """
+    WITH mn AS (SELECT min(o_orderkey) AS mk FROM orders),
+    cur AS (
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderkey = (SELECT mk FROM mn)
+                        THEN o_totalprice + 5.0
+                    WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price,
+               o_orderkey = (SELECT mk FROM mn) AS is_fresh
+        FROM orders
+    ),
+    fresh AS (
+        SELECT 'fresh_t2' AS tag, status, price FROM cur WHERE is_fresh
+    ),
+    band AS (
+        SELECT 'price_band' AS tag, status, price FROM cur
+        WHERE price BETWEEN 50000 AND 100000
+    )
+    SELECT tag, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (SELECT * FROM fresh UNION ALL SELECT * FROM band) u
+    GROUP BY tag, status ORDER BY tag, status
+    """,
+    doc="DATA SKIPPING on the versioned bucket table "
+    "(operators/merge_versioned.py::scan_versioned / "
+    "prune_generations): manifests carry per-generation column "
+    "min/max/null-count harvested from parquet FOOTERS at commit time "
+    "(metadata-only I/O, cost ∝ batch; untouched buckets carry their "
+    "stats by reference) — the Delta/Iceberg skipping ledger. A range "
+    "scan prunes generations whose bounds cannot overlap BEFORE any "
+    "data page is opened, with the residual filter always applied so "
+    "results are exact however little the stats prune. Two scans are "
+    "aggregated: a FRESHNESS scan (updated_at >= the last merge's "
+    "time — only the buckets that merge rewrote have young max-stats, "
+    "so the builder asserts >0 generations skipped: the clock-based "
+    "incremental-consumption path, no version checkpoint needed) and "
+    "a price-band scan (hash layout spreads prices across every "
+    "bucket, pruning ~nothing — included to hash-prove exactness "
+    "under zero skipping). Point lookups use the same stats to prove "
+    "definite misses without reading. Pruned ≡ unpruned laws in "
+    "tests/test_merge_versioned.py.",
+)
+def e_versioned_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        prune_generations,
+        scan_versioned,
+        write_bucket_table_versioned,
+    )
+
+    t0, t1, t2 = (
+        "2026-01-01 00:00:00", "2026-01-02 00:00:00", "2026-01-03 00:00:00"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:skip-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/skip_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        # INT96 (Spark's default parquet timestamp encoding) carries no
+        # footer min/max; write this table's commits as TIMESTAMP_MICROS
+        # so the freshness column is skippable. Restored after.
+        old_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            write_bucket_table_versioned(
+                merge_upsert(None, orders, key="o_orderkey", now=t0),
+                path, key="o_orderkey", n_buckets=MS_BUCKETS,
+            )
+            batch_a = (
+                orders.filter(F.col("o_orderkey") % 97 == 0)
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+                )
+            )
+            s1 = merge_scoped_versioned(spark, path, batch_a, now=t1)
+            # one-key batch: touches exactly one bucket at EVERY sf, so
+            # the freshness scan provably skips generations
+            min_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+            batch_b = (
+                orders.filter(F.col("o_orderkey") == min_key)
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+                )
+            )
+            s2 = merge_scoped_versioned(spark, path, batch_b, now=t2)
+            assert (s1["version"], s2["version"]) == (2, 3)
+            assert s2["buckets_touched"] == 1
+            with open(done, "w") as f:
+                f.write(f"{s1}\n{s2}\n")
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_ts)
+    # the skipping contract: freshness prunes every untouched bucket
+    plan = prune_generations(path, "updated_at", t2, None)
+    assert len(plan["read"]) == 1 and len(plan["skipped"]) == MS_BUCKETS - 1
+    fresh = scan_versioned(spark, path, "updated_at", t2, None).select(
+        F.lit("fresh_t2").alias("tag"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    band = scan_versioned(
+        spark, path, "o_totalprice", 50000.0, 100000.0
+    ).select(
+        F.lit("price_band").alias("tag"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        fresh.unionByName(band)
+        .groupBy("tag", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("tag", "status")
+    )
+
+
 # ------------------------------------------------ e_versioned_evolve
 @REG.add(
     "e_versioned_evolve",

@@ -123,7 +123,7 @@ def test_crash_before_pointer_leaves_readers_on_old_version(
     snap1 = _as_map(read_bucket_table_versioned(spark, path))
     gens_v1 = set(_gens(path))
 
-    def boom(path_, v, buckets, n_buckets, schema=None):
+    def boom(*args, **kwargs):
         raise RuntimeError("simulated crash before commit")
 
     monkeypatch.setattr(mv, "_commit", boom)
@@ -420,6 +420,110 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
 
     rebucket_versioned(spark, path, 16)
     assert change_feed(spark, path, 2).count() == 0  # content-neutral
+
+
+def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
+    """DATA SKIPPING: manifests carry per-generation column min/max
+    harvested from parquet footers at commit time. The laws: (a) a
+    stats-pruned scan is EXACTLY the full scan + filter for any range;
+    (b) a no-overlap range skips every generation and returns empty;
+    (c) freshness (`updated_at >= merge time`) prunes to exactly the
+    buckets the merge rewrote; (d) an all-null column skips outright;
+    (e) point lookups prove definite misses from key bounds without
+    reading; (f) stats survive carrying across commits and a rebucket
+    recomputes them under the new layout."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge_versioned import (
+        _load_manifest_full, prune_generations, rebucket_versioned,
+        scan_versioned,
+    )
+
+    old_conf = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        base = spark.createDataFrame(
+            [
+                Row(id=f"CVE-{i:04d}", nvd=f"n{i}", score=float(i),
+                    void=None)
+                for i in range(200)
+            ],
+            "id string, nvd string, score double, void double",
+        )
+        path = str(tmp_path / "vbt11")
+        write_bucket_table_versioned(
+            merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+        )
+        stats = merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame(
+                [Row(id="CVE-0003", nvd="hot", score=1000.0),
+                 Row(id="CVE-0007", nvd="hot", score=1007.0)]
+            ),
+            now=T1,
+        )
+
+        full = read_bucket_table_versioned(spark, path)
+
+        def law(column, lo, hi):
+            got = {
+                tuple(r) for r in scan_versioned(
+                    spark, path, column, lo, hi
+                ).collect()
+            }
+            c = F.col(column)
+            want = full
+            if lo is not None:
+                want = want.filter(c >= F.lit(lo))
+            if hi is not None:
+                want = want.filter(c <= F.lit(hi))
+            assert got == {tuple(r) for r in want.collect()}, (column, lo, hi)
+
+        law("score", 50.0, 60.0)
+        law("score", None, 10.0)
+        law("score", 999.0, None)       # only the merged rows
+        law("score", 0.0, 0.0)          # boundary: exactly the min row
+        law("id", "CVE-0010", "CVE-0020")   # string bounds
+        law("void", 0.0, 100.0)         # all-null column: empty
+
+        # (b) no-overlap range: every generation skipped, result typed
+        plan = prune_generations(path, "score", 5000.0, 6000.0)
+        assert plan["read"] == [] and len(plan["skipped"]) == 8
+        assert scan_versioned(spark, path, "score", 5000.0, 6000.0).count() == 0
+        # (d) all-null column skips every generation outright
+        assert prune_generations(path, "void", 0.0, 100.0)["read"] == []
+
+        # (c) freshness prunes to exactly the merge-touched buckets
+        fresh = prune_generations(path, "updated_at", T1, None)
+        assert len(fresh["read"]) == stats["buckets_touched"]
+        assert len(fresh["skipped"]) == 8 - stats["buckets_touched"]
+        got = {
+            r["id"] for r in scan_versioned(
+                spark, path, "updated_at", T1
+            ).collect()
+        }
+        assert got == {"CVE-0003", "CVE-0007"}
+
+        # (e) point lookup: definite miss from key bounds -> None;
+        # boundary keys still found
+        assert read_bucket_for_key_versioned(spark, path, "CVE-zzzz") is None
+        assert read_bucket_for_key_versioned(
+            spark, path, "CVE-0000"
+        ).collect()[0]["nvd"] == "n0"
+
+        # (f) stats cover every bucket after the carry, and a rebucket
+        # recomputes them under the new layout
+        m = _load_manifest_full(path, 2)
+        assert set(m["stats"]) == set(m["buckets"])
+        rebucket_versioned(spark, path, 16)
+        m3 = _load_manifest_full(path, 3)
+        assert set(m3["stats"]) == set(m3["buckets"])
+        law("score", 999.0, None)  # pruned scan still exact post-rebucket
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_conf)
 
 
 def test_schema_evolution_through_merge(spark, tmp_path):

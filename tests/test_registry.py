@@ -120,6 +120,9 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: schema evolution through merges (manifest-recorded
     # schema; time travel returns the as-of schema, zero data rewritten)
     "e_versioned_evolve",
+    # round 9: data skipping via footer min/max in the manifest
+    # (freshness scans prune to merge-touched generations)
+    "e_versioned_skip",
 }
 
 
