@@ -125,25 +125,35 @@ def merge_upsert_deletes(
     return merged.join(tombs, key, "left_anti")
 
 
-def table_diff(v1: DataFrame, v2: DataFrame, key: str = "id") -> DataFrame:
+def table_diff(
+    v1: DataFrame, v2: DataFrame, key: str | list[str] = "id"
+) -> DataFrame:
     """Row-level snapshot diff: the change-data-feed between two table
     versions (Delta CDF computed rather than logged).
 
-    Returns (key, payload-from-the-surviving-side, change) with change
-    in {insert, update, delete} — nochange rows are dropped. Null-safe
-    column comparison (eqNullSafe) classifies updates. The law tying
-    this to the merge surface: applying the diff to v1 through
-    `merge_upsert_deletes` reproduces v2 exactly (tested in
-    test_merge_laws); one key-partitioned full-outer join, bucketable
-    to exchange-free at scale."""
-    cols = [c for c in v1.columns if c != key and c in v2.columns]
-    j = v1.alias("a").join(v2.alias("b"), F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    Returns (key cols, payload-from-the-surviving-side, change) with
+    change in {insert, update, delete} — nochange rows are dropped.
+    `key` may be a single column or a COMPOSITE list (tables whose
+    logical identity spans several columns, e.g. a keep-latest table
+    keyed on (user_id, event_type)); key values must be non-null and
+    unique per row on each side. Null-safe column comparison
+    (eqNullSafe) classifies updates. The law tying this to the merge
+    surface: applying the diff to v1 through `merge_upsert_deletes`
+    (or the generic `apply_change_feed`) reproduces v2 exactly (tested
+    in test_merge_laws); one key-partitioned full-outer join,
+    bucketable to exchange-free at scale."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [c for c in v1.columns if c not in keys and c in v2.columns]
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    j = v1.alias("a").join(v2.alias("b"), cond, "full_outer")
     differs = F.lit(False)
     for c in cols:
         differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     change = (
-        F.when(F.col(f"a.{key}").isNull(), "insert")
-        .when(F.col(f"b.{key}").isNull(), "delete")
+        F.when(F.col(f"a.{keys[0]}").isNull(), "insert")
+        .when(F.col(f"b.{keys[0]}").isNull(), "delete")
         .when(differs, "update")
         .otherwise("nochange")
     )
@@ -152,7 +162,10 @@ def table_diff(v1: DataFrame, v2: DataFrame, key: str = "id") -> DataFrame:
     ]
     return (
         j.select(
-            F.coalesce(F.col(f"b.{key}"), F.col(f"a.{key}")).alias(key),
+            *[
+                F.coalesce(F.col(f"b.{k}"), F.col(f"a.{k}")).alias(k)
+                for k in keys
+            ],
             *payload,
             change.alias("change"),
         )

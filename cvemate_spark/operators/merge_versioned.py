@@ -801,11 +801,36 @@ def read_changed_between(
     return _read_dirs(spark, dirs, table_schema(path, to_v))
 
 
+def apply_change_feed(
+    replica: DataFrame | None, feed: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Apply a change feed to a downstream replica: delete the
+    tombstoned keys, replace/insert everything else with the feed's
+    (complete, surviving-side) payload. The generic inverse of
+    `change_feed` — unlike merge_upsert_deletes it needs no `now` and
+    works for composite keys, because feed rows carry whole rows, audit
+    columns included: replica@v_old + feed(v_old, v_new) == snapshot
+    @v_new EXACTLY (law in tests/test_merge_versioned.py). Idempotent
+    (re-applying the same feed is a no-op), which upgrades at-least-
+    once feed delivery into exactly-once replica effects — the crash-
+    between-apply-and-checkpoint case S19 exercises.
+
+    One anti join + one union: the anti join keys against the (batch-
+    sized) feed broadcast in practice; no full-table shuffle."""
+    keys = [key] if isinstance(key, str) else list(key)
+    live = feed.filter(F.col("change") != "delete").drop("change")
+    if replica is None:
+        return live
+    touched = feed.select(*keys)
+    return replica.join(touched, keys, "left_anti").unionByName(live)
+
+
 def change_feed(
     spark: SparkSession,
     path: str,
     since_version: int,
     to_version: int | None = None,
+    key: str | list[str] | None = None,
 ) -> DataFrame | None:
     """Key-level change feed between two committed versions — the
     Delta CHANGE DATA FEED shape (`table_changes`), computed from the
@@ -827,9 +852,26 @@ def change_feed(
     None without touching data). Across a `rebucket_versioned` layout
     change bucket identity is not comparable, so the feed falls back
     to a full-snapshot diff (which is empty for the rebucket itself —
-    content-neutral by law)."""
+    content-neutral by law).
+
+    `key` defaults to the table's bucket key. Tables maintained by a
+    custom merger can hold SEVERAL rows per bucket key (the keep-latest
+    table keys on (user_id, event_type) but buckets on user_id); pass
+    the COMPOSITE key that uniquely identifies a row. The bucket key
+    must be one of its columns — that is what makes the changed-bucket
+    pruning exact (a row's bucket is a function of it, so no competing
+    row lives outside the changed set) — enforced here."""
     with open(os.path.join(path, BUCKET_META)) as f:
-        key = json.load(f)["key"]
+        bucket_key = json.load(f)["key"]
+    if key is None:
+        key = bucket_key
+    keys = [key] if isinstance(key, str) else list(key)
+    if bucket_key not in keys:
+        raise ValueError(
+            f"change_feed key {keys} must include the bucket key "
+            f"{bucket_key!r}: bucket pruning is only exact when the "
+            "row's bucket is a function of the diff key"
+        )
     to_v = latest_version(path) if to_version is None else to_version
     m_from = _load_manifest_full(path, since_version)
     m_to = _load_manifest_full(path, to_v)

@@ -129,6 +129,39 @@ def s18_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s19_feed_replica",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S19: the CONSUMER side of the CDC story — a downstream "
+    "replica maintained purely from the versioned table's change feed "
+    "with a VERSION checkpoint (streaming/jobs.py::feed_replica). The "
+    "producer commits chunked out-of-order events through keep-latest "
+    "scoped merges (the S18 shape); the consumer polls the commit "
+    "history, pulls change_feed(ckpt, latest) under the composite "
+    "(user_id, event_type) key, applies it via apply_change_feed, and "
+    "only then advances its checkpoint. The first poll CRASHES "
+    "between apply and advance, so the next poll re-pulls an "
+    "overlapping span: idempotent apply turns at-least-once delivery "
+    "into exactly-once replica effects — the hash oracle (the same "
+    "batch Q20 keep-latest as S3/S17/S18) proves the replica "
+    "converged through the crash. Per-poll cost ∝ commits since the "
+    "checkpoint (changed buckets only), never the table; the final "
+    "up-to-date poll is manifest arithmetic alone (asserted None).",
+)
+def s19_feed_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.feed_replica(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s4_session",
     """
     WITH flagged AS (

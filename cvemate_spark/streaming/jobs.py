@@ -357,6 +357,104 @@ def scoped_replay_versioned(
     )
 
 
+def feed_replica(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """S19: the CONSUMER side of the CDC story — a downstream replica
+    maintained purely from change feeds with a VERSION checkpoint,
+    surviving a crash between apply and checkpoint advance.
+
+    Producer: the S18 shape (chunked out-of-order events keep-latest
+    merged into the versioned table, one atomic commit per chunk —
+    driven as batch merges here; the streaming form is S18 itself).
+    Consumer loop per poll: read the checkpointed version, pull
+    `change_feed(ckpt, latest)` under the composite (user_id,
+    event_type) key, apply it to the replica with `apply_change_feed`,
+    persist the replica atomically, THEN advance the checkpoint. The
+    first poll CRASHES after persisting but before the advance — the
+    restarted consumer re-pulls a span that overlaps what it already
+    applied, and idempotent apply makes the redelivery a no-op:
+    at-least-once delivery + idempotent apply = exactly-once replica
+    effects. Convergence oracle: the replica equals batch Q20
+    keep-latest over all events (the same oracle as S3/S17/S18).
+
+    Scale: each poll reads changed buckets' generations only (feed
+    cost ∝ commits since the checkpoint, not the table) and rewrites
+    the replica — a real deployment would keep the replica bucketed
+    and merge instead of write_atomic, but the CONSUMPTION path under
+    test is identical.
+    """
+    from ..operators.merge import keep_latest_merge, write_atomic
+    from ..operators.merge_versioned import (
+        apply_change_feed,
+        change_feed,
+        init_bucket_table_versioned,
+        latest_version,
+        merge_scoped_versioned,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s19_{os.getpid()}"
+    src, replica = f"{run_dir}/src", f"{run_dir}/replica"
+    ckpt_file = f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    init_bucket_table_versioned(src, key="user_id", n_buckets=16)
+
+    keys = ["user_id", "event_type"]
+    merger = lambda cur, b: keep_latest_merge(  # noqa: E731
+        cur, b, keys=keys, order_by=[F.desc("ts"), F.desc("event_id")]
+    )
+
+    def produce(chunk: int) -> None:
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(
+            *sorted(glob.glob(f"{in_dir}/chunk{chunk}_*.parquet"))
+        )
+        merge_scoped_versioned(spark, src, batch, merger=merger)
+
+    def consume(crash_before_advance: bool = False) -> None:
+        ckpt = 1
+        if os.path.exists(ckpt_file):
+            with open(ckpt_file) as f:
+                ckpt = int(f.read().strip())
+        v = latest_version(src)
+        if v > ckpt:
+            feed = change_feed(spark, src, ckpt, v, key=keys)
+            if feed is not None:
+                cur = (
+                    spark.read.parquet(replica)
+                    if os.path.exists(replica)
+                    else None
+                )
+                write_atomic(apply_change_feed(cur, feed, keys), replica)
+        if crash_before_advance:
+            return  # the simulated crash: replica written, ckpt stale
+        tmp = f"{ckpt_file}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, ckpt_file)
+
+    produce(0)
+    consume(crash_before_advance=True)  # applied chunk 0, ckpt still 1
+    produce(1)
+    consume()  # re-pulls the overlapping span (1, 3]: redelivery no-op
+    produce(2)
+    consume()
+    # up-to-date consumer: manifest arithmetic alone, no data read
+    assert (
+        change_feed(spark, src, latest_version(src), key=keys) is None
+    )
+    out = spark.read.parquet(replica).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    return out
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: streaming deduplication — dropDuplicates on the key columns
     with state-store backing, the streaming form of the exact-dedup

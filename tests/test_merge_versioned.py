@@ -422,6 +422,75 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
     assert change_feed(spark, path, 2).count() == 0  # content-neutral
 
 
+def test_composite_key_feed_and_generic_apply(spark, tmp_path):
+    """Tables maintained by a custom merger hold several rows per
+    BUCKET key (keep-latest buckets on user_id, identity is
+    (user_id, event_type)): change_feed takes the COMPOSITE key —
+    which must include the bucket key, or pruning would be unsound
+    (enforced) — and apply_change_feed is the generic inverse: replica
+    @old + feed == snapshot@new exactly, idempotent under redelivery."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.merge import keep_latest_merge
+    from cvemate_spark.operators.merge_versioned import (
+        apply_change_feed, change_feed,
+    )
+
+    rows = [
+        Row(uid=u, etype=t, seq=1, val=f"{u}-{t}-1")
+        for u in range(20) for t in ("a", "b")
+    ]
+    base = spark.createDataFrame(rows)
+    path = str(tmp_path / "vbt12")
+    write_bucket_table_versioned(base, path, key="uid", n_buckets=4)
+
+    merger = lambda cur, b: keep_latest_merge(  # noqa: E731
+        cur, b, keys=["uid", "etype"], order_by=[F.desc("seq")]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(uid=3, etype="a", seq=2, val="3-a-2"),   # update (wins)
+            Row(uid=3, etype="c", seq=1, val="3-c-1"),   # insert (new type)
+            Row(uid=7, etype="b", seq=0, val="stale"),   # LOSES: nochange
+            Row(uid=50, etype="a", seq=1, val="50-a-1"),  # insert (new uid)
+        ]
+    )
+    merge_scoped_versioned(spark, path, batch, merger=merger)
+
+    with pytest.raises(ValueError, match="must include the bucket key"):
+        change_feed(spark, path, 1, key="etype")
+
+    keys = ["uid", "etype"]
+    feed = change_feed(spark, path, 1, key=keys)
+    got = {
+        (r["uid"], r["etype"]): r["change"]
+        for r in feed.select("uid", "etype", "change").collect()
+    }
+    # the stale row lost keep-latest -> its key must NOT appear
+    assert got == {
+        (3, "a"): "update", (3, "c"): "insert", (50, "a"): "insert"
+    }
+
+    old = read_bucket_table_versioned(spark, path, 1)
+    new = read_bucket_table_versioned(spark, path, 2)
+    applied = apply_change_feed(old, feed, keys)
+    cols = sorted(new.columns)
+
+    def _eq(a, b):
+        return (
+            a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+            and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+        )
+
+    assert _eq(applied, new)
+    # idempotent: redelivering the same feed changes nothing
+    assert _eq(apply_change_feed(applied, feed, keys), new)
+    # bootstrap: applying to an empty replica yields the live rows
+    boot = apply_change_feed(None, feed, keys)
+    assert boot.count() == 3
+
+
 def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
     """DATA SKIPPING: manifests carry per-generation column min/max
     harvested from parquet footers at commit time. The laws: (a) a

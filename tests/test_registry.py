@@ -123,6 +123,9 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: data skipping via footer min/max in the manifest
     # (freshness scans prune to merge-touched generations)
     "e_versioned_skip",
+    # round 9: feed-consumer replica — composite-key change feed +
+    # idempotent apply through a crash between apply and checkpoint
+    "s19_feed_replica",
 }
 
 
