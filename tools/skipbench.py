@@ -22,7 +22,8 @@ Measured per run:
     the harvest share of merge wall-clock
 
 Usage: python3 tools/skipbench.py [sf_dir] [n_buckets] [xN]
-Writes SKIPBENCH.json.
+Writes SKIPBENCH.json (SKIPBENCH_<n_buckets>.json when n_buckets is
+not the default 256, so decade points don't overwrite each other).
 """
 
 from __future__ import annotations
@@ -185,7 +186,10 @@ def main() -> None:
         },
         "loadavg_1m": os.getloadavg()[0],
     }
-    with open("/root/repo/SKIPBENCH.json", "w") as f:
+    name = (
+        "SKIPBENCH.json" if N_BUCKETS == 256 else f"SKIPBENCH_{N_BUCKETS}.json"
+    )
+    with open(f"/root/repo/{name}", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
     shutil.rmtree(SCRATCH, ignore_errors=True)
