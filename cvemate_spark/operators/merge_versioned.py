@@ -250,7 +250,15 @@ def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
                     continue
                 if cols.get(name, "absent") is None:
                     continue  # already disqualified
-                st = col.statistics
+                try:
+                    st = col.statistics
+                except Exception:
+                    # pyarrow can't extract stats for every physical
+                    # type (e.g. some decimal encodings raise
+                    # ArrowNotImplementedError): absent stats mean
+                    # MUST READ, never a wrong skip
+                    cols[name] = None
+                    continue
                 nulls_here = (
                     st.null_count
                     if st is not None and st.has_null_count
@@ -267,7 +275,13 @@ def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
                         continue
                     cols[name] = None  # unbounded non-null values
                     continue
-                lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                try:
+                    lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                except Exception:
+                    # extraction itself can raise per-type (pyarrow's
+                    # INT64-decimal path): treat as absent stats
+                    cols[name] = None
+                    continue
                 if lo is None or hi is None or lo[0] != hi[0]:
                     cols[name] = None
                     continue
@@ -426,16 +440,58 @@ def _commit(
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
+class ConstraintViolation(ValueError):
+    """A merge batch violated the table's CHECK constraints. Raised
+    BEFORE any generation is written — the rejection is atomic: no
+    orphans, no commit, readers unaffected. `.violations` maps
+    constraint name -> violating-row count."""
+
+    def __init__(self, path: str, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            f"constraint violation on {path}: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in violations.items())
+        )
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str], path: str) -> None:
+    """SQL CHECK semantics (Delta's shape): a row violates a constraint
+    iff the expression evaluates to FALSE — NULL passes, as in standard
+    SQL CHECK. One aggregate job counts every constraint's violations
+    over the merged frame (cost ∝ the touched slice, not the table)."""
+    if not constraints:
+        return
+    counts = df.agg(
+        *[
+            F.count(
+                F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1)
+            ).alias(name)
+            for name, expr in constraints.items()
+        ]
+    ).collect()[0]
+    violations = {
+        name: counts[name] for name in constraints if counts[name] > 0
+    }
+    if violations:
+        raise ConstraintViolation(path, violations)
+
+
 def write_bucket_table_versioned(
-    df: DataFrame, path: str, key: str = "id", n_buckets: int = 16
+    df: DataFrame, path: str, key: str = "id", n_buckets: int = 16,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Initial (full) load: generation dirs for every non-empty bucket,
-    manifest v-1, pointer published. Returns the committed version."""
+    manifest v-1, pointer published. `constraints` ({name: sql bool
+    expr}) are enforced on this load and RECORDED in the table meta —
+    every later merge re-enforces them on its merged slice (the Delta
+    table-level CHECK contract). Returns the committed version."""
     os.makedirs(path, exist_ok=True)
+    meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
+    if constraints:
+        _enforce_constraints(df, constraints, path)
+        meta["constraints"] = constraints
     with open(os.path.join(path, BUCKET_META), "w") as f:
-        json.dump(
-            {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
-        )
+        json.dump(meta, f)
     gens = _write_generations(df, path, key, n_buckets)
     stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
     _commit(path, 1, gens, n_buckets, _schema_of(df), stats)
@@ -498,6 +554,7 @@ def merge_scoped_versioned(
     now=None,
     deleted_col: str | None = None,
     merger=None,
+    constraints: dict[str, str] | None = None,
 ) -> dict:
     """Bucket-scoped OP-MERGE with an atomic cross-bucket commit.
 
@@ -575,7 +632,26 @@ def merge_scoped_versioned(
         else:
             merged = merge_upsert(target, updates, key=key, now=now)
 
-        new_gens = _write_generations(merged, path, key, n_buckets, touched)
+        # table-level CHECK constraints (recorded at creation) plus any
+        # per-call additions, enforced on the merged slice BEFORE a
+        # single byte lands: a violating batch is rejected atomically
+        # (no generations, no manifest, no orphans — readers never
+        # know). The slice is persisted so the check and the write
+        # compute the merge join once, not twice.
+        effective = dict(meta.get("constraints") or {})
+        effective.update(constraints or {})
+        persisted = False
+        if effective:
+            merged = merged.persist()
+            persisted = True
+        try:
+            _enforce_constraints(merged, effective, path)
+            new_gens = _write_generations(
+                merged, path, key, n_buckets, touched
+            )
+        finally:
+            if persisted:
+                merged.unpersist()
         # stats carry by reference for untouched buckets (their
         # generations didn't move); touched buckets re-harvest from the
         # new generations' footers — metadata-only, cost ∝ batch

@@ -2088,6 +2088,117 @@ def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- e_merge_constraint
+@REG.add(
+    "e_merge_constraint",
+    """
+    WITH v2 AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+    )
+    SELECT tag, val FROM (
+        SELECT 'committed_version' AS tag, 2.0 AS val
+        UNION ALL
+        SELECT 'rejected_rows',
+               CAST((SELECT count(*) FROM orders WHERE o_orderkey % 89 = 0)
+                    AS DOUBLE)
+        UNION ALL
+        SELECT 'sum_price',
+               (SELECT CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                FROM v2)
+        UNION ALL
+        SELECT 'table_rows',
+               CAST((SELECT count(*) FROM orders) AS DOUBLE)
+    ) ORDER BY tag
+    """,
+    doc="CHECK constraints on the versioned table "
+    "(operators/merge_versioned.py::ConstraintViolation / "
+    "_enforce_constraints — the Delta table-constraint shape): "
+    "recorded at table creation, re-enforced on every merge's MERGED "
+    "slice (table invariant, not a batch filter — a NULL update that "
+    "coalesces to a valid existing value passes; SQL CHECK semantics, "
+    "NULL passes) in one aggregate job over the touched slice, BEFORE "
+    "a single byte lands. A violating batch is rejected ATOMICALLY: "
+    "no generations, no manifest, no orphans — the query proves it by "
+    "committing a good merge (version 2), then attempting a batch of "
+    "negative prices on every run and hashing the violation count, "
+    "the unchanged committed version, the unchanged row count, and "
+    "the good merge's price sum. At 100 TB the check costs one "
+    "agg over batch-sized data and buys the guarantee that no commit "
+    "in the history ever violated the invariant — so consumers "
+    "(change feeds, time travel, replicas) inherit it for free. Laws "
+    "(atomic rejection, NULL-passes, per-call composition) in "
+    "tests/test_merge_versioned.py.",
+)
+def e_merge_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        ConstraintViolation,
+        latest_version,
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:chk-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/chk_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+            constraints={"price_nonneg": "o_totalprice >= 0"},
+        )
+        batch_good = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        )
+        s1 = merge_scoped_versioned(spark, path, batch_good, now=T_MERGE)
+        assert s1["version"] == 2
+        with open(done, "w") as f:
+            f.write(f"{s1}\n")
+    # the violating batch is attempted on EVERY run: rejection must be
+    # atomic and repeatable (no generations, no commit, ever)
+    batch_bad = orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        merge_scoped_versioned(spark, path, batch_bad, now=T_MERGE)
+        raise AssertionError("violating batch was not rejected")
+    except ConstraintViolation as e:
+        rejected = e.violations["price_nonneg"]
+    table = read_bucket_table_versioned(spark, path)
+    rows = [
+        ("committed_version", float(latest_version(path))),
+        ("rejected_rows", float(rejected)),
+        (
+            "sum_price",
+            float(
+                table.agg(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                ).collect()[0][0]
+            ),
+        ),
+        ("table_rows", float(table.count())),
+    ]
+    return spark.createDataFrame(rows, "tag string, val double").orderBy(
+        "tag"
+    )
+
+
 # -------------------------------------------------- e_versioned_skip
 @REG.add(
     "e_versioned_skip",

@@ -422,6 +422,83 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
     assert change_feed(spark, path, 2).count() == 0  # content-neutral
 
 
+def test_check_constraints_reject_atomically(spark, tmp_path):
+    """Table-level CHECK constraints (the Delta shape): recorded at
+    creation, re-enforced on every merge's slice BEFORE any byte
+    lands. A violating batch is rejected atomically — no generations,
+    no commit, readers unaffected; NULL passes (SQL CHECK semantics);
+    per-call constraints compose with the recorded ones."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import ConstraintViolation
+
+    rows = [Row(id=f"CVE-{i}", nvd=f"n{i}", score=float(i)) for i in range(30)]
+    path = str(tmp_path / "vbt13")
+    write_bucket_table_versioned(
+        spark.createDataFrame(rows), path, key="id", n_buckets=4,
+        constraints={"score_nonneg": "score >= 0", "nvd_set": "nvd IS NOT NULL"},
+    )
+    # a violating INITIAL load is rejected before any table exists
+    with pytest.raises(ConstraintViolation):
+        write_bucket_table_versioned(
+            spark.createDataFrame([Row(id="x", nvd="y", score=-1.0)]),
+            str(tmp_path / "never"), key="id",
+            constraints={"score_nonneg": "score >= 0"},
+        )
+
+    # passing merge commits; NULL passes CHECK (SQL semantics)
+    merge_scoped_versioned(
+        spark, path,
+        spark.createDataFrame(
+            [Row(id="CVE-3", nvd="ok", score=None)],
+            "id string, nvd string, score double",
+        ),
+        now=T1,
+    )
+    assert latest_version(path) == 2
+
+    # violating merge: atomic rejection, counts per constraint.
+    # Constraints judge the MERGED result, not the raw batch: CVE-6's
+    # NULL nvd coalesces to the existing value (NULL update = keep, the
+    # $set-per-column merge law), so only the NEW key's NULL violates.
+    snap = _as_map(read_bucket_table_versioned(spark, path))
+    gens_before = set(_gens(path))
+    with pytest.raises(ConstraintViolation) as exc:
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame(
+                [
+                    Row(id="CVE-5", nvd="bad", score=-2.0),
+                    Row(id="CVE-6", nvd=None, score=-3.0),
+                    Row(id="CVE-new", nvd=None, score=1.0),
+                ],
+                "id string, nvd string, score double",
+            ),
+            now=T2,
+        )
+    assert exc.value.violations == {"score_nonneg": 2, "nvd_set": 1}
+    assert latest_version(path) == 2  # nothing committed
+    assert set(_gens(path)) == gens_before  # not even orphans
+    assert _as_map(read_bucket_table_versioned(spark, path)) == snap
+
+    # per-call constraints compose with the recorded ones; they judge
+    # the whole merged slice (existing rows of touched buckets too —
+    # a table invariant, not a batch filter), so pre-existing scores
+    # above the cap count as violations alongside the batch row
+    with pytest.raises(ConstraintViolation) as exc2:
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame(
+                [Row(id="CVE-7", nvd="zz", score=5.0)],
+                "id string, nvd string, score double",
+            ),
+            now=T2,
+            constraints={"score_cap": "score <= 1.0"},
+        )
+    assert set(exc2.value.violations) == {"score_cap"}
+    assert exc2.value.violations["score_cap"] >= 1
+
+
 def test_composite_key_feed_and_generic_apply(spark, tmp_path):
     """Tables maintained by a custom merger hold several rows per
     BUCKET key (keep-latest buckets on user_id, identity is
@@ -514,13 +591,20 @@ def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
         "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     )
     try:
+        import datetime
+        import decimal
+
         base = spark.createDataFrame(
             [
                 Row(id=f"CVE-{i:04d}", nvd=f"n{i}", score=float(i),
-                    void=None)
+                    void=None,
+                    amt=decimal.Decimal(f"{i}.25"),
+                    day=datetime.date(2024, 1, 1)
+                    + datetime.timedelta(days=i))
                 for i in range(200)
             ],
-            "id string, nvd string, score double, void double",
+            "id string, nvd string, score double, void double, "
+            "amt decimal(10,2), day date",
         )
         path = str(tmp_path / "vbt11")
         write_bucket_table_versioned(
@@ -530,7 +614,8 @@ def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
             spark, path,
             spark.createDataFrame(
                 [Row(id="CVE-0003", nvd="hot", score=1000.0),
-                 Row(id="CVE-0007", nvd="hot", score=1007.0)]
+                 Row(id="CVE-0007", nvd="hot", score=1007.0)],
+                "id string, nvd string, score double",
             ),
             now=T1,
         )
@@ -557,6 +642,14 @@ def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
         law("score", 0.0, 0.0)          # boundary: exactly the min row
         law("id", "CVE-0010", "CVE-0020")   # string bounds
         law("void", 0.0, 100.0)         # all-null column: empty
+        law("amt", 10.0, 20.0)   # decimal: exact result either way
+        law("day", "2024-01-10", "2024-01-20")  # date bounds
+        # date prune: a far range skips every generation; decimal gets
+        # NO stats from this pyarrow (INT64-decimal extraction raises
+        # ArrowNotImplementedError -> harvested as absent), so it must
+        # conservatively read everything — never a wrong skip
+        assert prune_generations(path, "day", "2030-01-01", None)["read"] == []
+        assert prune_generations(path, "amt", 9999.0, None)["skipped"] == []
 
         # (b) no-overlap range: every generation skipped, result typed
         plan = prune_generations(path, "score", 5000.0, 6000.0)

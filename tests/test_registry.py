@@ -126,6 +126,8 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: feed-consumer replica — composite-key change feed +
     # idempotent apply through a crash between apply and checkpoint
     "s19_feed_replica",
+    # round 9: table-level CHECK constraints with atomic rejection
+    "e_merge_constraint",
 }
 
 
