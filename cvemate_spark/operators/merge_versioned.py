@@ -96,6 +96,7 @@ def _load_manifest_full(path: str, v: int) -> dict:
 def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
+    op: str | None = None,
 ) -> None:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {"v": v, "n_buckets": n_buckets, "buckets": buckets}
@@ -103,6 +104,8 @@ def _write_manifest(
         m["schema"] = schema
     if stats is not None:
         m["stats"] = stats
+    if op is not None:
+        m["op"] = op
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -403,6 +406,7 @@ def scan_versioned(
 def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
+    op: str | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -426,7 +430,9 @@ def _commit(
                 with open(latest) as f:
                     current = int(f.read().strip() or -1)
             if v > current:
-                _write_manifest(path, v, buckets, n_buckets, schema, stats)
+                _write_manifest(
+                    path, v, buckets, n_buckets, schema, stats, op
+                )
                 os.replace(tmp, latest)
                 for old in _list_versions(path):
                     if old < v:
@@ -494,7 +500,7 @@ def write_bucket_table_versioned(
         json.dump(meta, f)
     gens = _write_generations(df, path, key, n_buckets)
     stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
-    _commit(path, 1, gens, n_buckets, _schema_of(df), stats)
+    _commit(path, 1, gens, n_buckets, _schema_of(df), stats, op="load")
     return 1
 
 
@@ -509,7 +515,7 @@ def init_bucket_table_versioned(
         json.dump(
             {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
         )
-    _commit(path, 1, {}, n_buckets)
+    _commit(path, 1, {}, n_buckets, op="init")
     return 1
 
 
@@ -675,7 +681,10 @@ def merge_scoped_versioned(
         # is just a merge whose updates carry a new column). The
         # tombstone branch can leave zero touched buckets written; the
         # schema still advances with the merged frame.
-        _commit(path, v, manifest, n_buckets, _schema_of(merged), stats_all)
+        _commit(
+            path, v, manifest, n_buckets, _schema_of(merged), stats_all,
+            op="merge",
+        )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -740,7 +749,10 @@ def rebucket_versioned(
         gens = _write_generations(snapshot, path, key, new_n_buckets)
         stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         v = max([cur] + _list_versions(path)) + 1
-        _commit(path, v, gens, new_n_buckets, _schema_of(snapshot), stats)
+        _commit(
+            path, v, gens, new_n_buckets, _schema_of(snapshot), stats,
+            op="rebucket",
+        )
         # refresh the meta hint (readers/mergers resolve the truth from
         # the manifest; the meta records the key and the LATEST layout)
         with open(os.path.join(path, BUCKET_META), "w") as f:
@@ -875,6 +887,40 @@ def read_changed_between(
     if not dirs:
         return None
     return _read_dirs(spark, dirs, table_schema(path, to_v))
+
+
+def history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per surviving committed version, from
+    manifest arithmetic alone (no data I/O). Per version: the commit
+    operation (load/init/merge/rebucket — recorded since round 9; None
+    for older manifests), layout, bucket count, and the stats ledger's
+    row/byte totals (None when a version predates stats). `current`
+    marks the pointer; versions older than the vacuum horizon are
+    absent — history is exactly what time travel can still serve."""
+    committed = latest_version(path)
+    out = []
+    for v in _list_versions(path):
+        m = _load_manifest_full(path, v)
+        stats = m.get("stats")
+        rows = bytes_ = None
+        if stats is not None:
+            rows = sum(s["rows"] for s in stats.values())
+            bytes_ = sum(s["bytes"] for s in stats.values())
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op"),
+                "n_buckets": m["n_buckets"],
+                "buckets": len(m["buckets"]),
+                "rows": rows,
+                "bytes": bytes_,
+                "n_columns": (
+                    len(m["schema"]["fields"]) if "schema" in m else None
+                ),
+                "current": v == committed,
+            }
+        )
+    return out
 
 
 def apply_change_feed(

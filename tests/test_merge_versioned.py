@@ -422,6 +422,44 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
     assert change_feed(spark, path, 2).count() == 0  # content-neutral
 
 
+def test_history_describes_surviving_versions(spark, tmp_path):
+    """DESCRIBE HISTORY from manifest arithmetic alone: operation
+    provenance per commit, the stats ledger's row totals EQUAL the
+    actual per-version counts, the pointer is marked, and vacuumed
+    versions drop out (history == what time travel can still serve)."""
+    from cvemate_spark.operators.merge_versioned import (
+        history, rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    path = str(tmp_path / "vbt14")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-3": "u", "CVE-99": "new"}),
+        now=T1,
+    )
+    rebucket_versioned(spark, path, 8)
+
+    h = history(path)
+    assert [e["op"] for e in h] == ["load", "merge", "rebucket"]
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert [e["current"] for e in h] == [False, False, True]
+    assert [e["n_buckets"] for e in h] == [4, 4, 8]
+    # the stats ledger's row totals equal the actual snapshot counts
+    for e in h:
+        assert (
+            e["rows"]
+            == read_bucket_table_versioned(spark, path, e["version"]).count()
+        )
+    assert h[0]["rows"] == 30 and h[1]["rows"] == 31 and h[2]["rows"] == 31
+    assert all(e["n_columns"] == 4 for e in h)  # id, nvd, created, updated
+
+    vacuum_bucket_versions(path, keep=1, grace_seconds=0.0)
+    assert [e["version"] for e in history(path)] == [3]
+
+
 def test_check_constraints_reject_atomically(spark, tmp_path):
     """Table-level CHECK constraints (the Delta shape): recorded at
     creation, re-enforced on every merge's slice BEFORE any byte
