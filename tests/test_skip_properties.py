@@ -1,0 +1,122 @@
+"""Property tests for the data-skipping planner (no Spark session).
+
+`prune_generations` is pure manifest arithmetic, so it can be tested
+against a brute-force model exhaustively: for random per-bucket value
+sets (with nulls, all-null buckets, stats-less buckets) and random
+closed/open ranges, a bucket may be SKIPPED only if no value in it can
+match — and every bucket holding a matching value must be read. The
+asymmetric law matters: wrongly reading is a wasted I/O, wrongly
+skipping is silent data loss; the planner must never do the latter,
+including for buckets whose stats were never harvested (absent stats
+=> always read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import given, settings, strategies as st
+
+from cvemate_spark.operators.merge_versioned import prune_generations
+
+
+def _mk_table(tmpdir: str, buckets: dict[str, dict]) -> str:
+    """Write the minimal on-disk shape prune_generations reads: a
+    _BUCKETS meta, a v-1 manifest with per-bucket stats, a _LATEST
+    pointer."""
+    path = os.path.join(tmpdir, "t")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_BUCKETS"), "w") as f:
+        json.dump({"key": "id", "n_buckets": len(buckets), "v": 2}, f)
+    manifest = {
+        "v": 1,
+        "n_buckets": len(buckets),
+        "buckets": {i: f"g-{i}" for i in buckets},
+        "stats": {
+            i: {"rows": 1, "bytes": 1, "files": 1, "cols": b["cols"]}
+            for i, b in buckets.items()
+            if b["cols"] is not None
+        },
+    }
+    with open(os.path.join(path, "v-1.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(os.path.join(path, "_LATEST"), "w") as f:
+        f.write("1")
+    return path
+
+
+def _bucket_from_values(values: list[int | None], harvested: bool) -> dict:
+    """Model of _harvest_stats for an int column: min/max over the
+    non-null values, 'null' tag when every value is null, absent when
+    the footer stats were unusable (harvested=False)."""
+    if not harvested:
+        return {"values": values, "cols": None}
+    nonnull = [v for v in values if v is not None]
+    if not nonnull:
+        cols = {"x": {"t": "null", "n": len(values)}}
+    else:
+        cols = {
+            "x": {
+                "t": "num",
+                "lo": min(nonnull),
+                "hi": max(nonnull),
+                "n": len(values) - len(nonnull),
+            }
+        }
+    return {"values": values, "cols": cols}
+
+
+bucket_strategy = st.builds(
+    _bucket_from_values,
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+
+bound = st.one_of(st.none(), st.integers(min_value=-60, max_value=60))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from([str(i) for i in range(8)]),
+        bucket_strategy,
+        min_size=1,
+        max_size=8,
+    ),
+    bound,
+    bound,
+)
+def test_prune_never_skips_a_matching_bucket(tmp_path_factory, buckets, lo, hi):
+    tmpdir = str(tmp_path_factory.mktemp("skip"))
+    path = _mk_table(tmpdir, buckets)
+    plan = prune_generations(path, "x", lo, hi)
+    read, skipped = set(plan["read"]), set(plan["skipped"])
+    assert read | skipped == set(buckets) and not (read & skipped)
+    for i, b in buckets.items():
+        matches = any(
+            v is not None
+            and (lo is None or v >= lo)
+            and (hi is None or v <= hi)
+            for v in b["values"]
+        )
+        # SOUND: a bucket holding any matching value is never skipped
+        if matches:
+            assert i in read, (i, b, lo, hi)
+        # stats-less buckets are always read (absent stats never skip)
+        if b["cols"] is None:
+            assert i in read
+        # TIGHT (for harvested buckets): a skip implies a provable
+        # no-match — re-derivable from the recorded bounds
+        if i in skipped:
+            s = b["cols"]["x"]
+            if s["t"] == "null":
+                assert all(v is None for v in b["values"])
+            else:
+                assert (lo is not None and s["hi"] < lo) or (
+                    hi is not None and s["lo"] > hi
+                )
