@@ -99,7 +99,15 @@ def _write_manifest(
     op: str | None = None,
 ) -> None:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
-    m: dict = {"v": v, "n_buckets": n_buckets, "buckets": buckets}
+    m: dict = {
+        "v": v,
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+        # wall-clock commit stamp for timestamp AS-OF resolution; the
+        # version number stays the exact watermark (no clock surface),
+        # this is the human-facing convenience on top
+        "committed_at": time.time(),
+    }
     if schema is not None:
         m["schema"] = schema
     if stats is not None:
@@ -889,6 +897,33 @@ def read_changed_between(
     return _read_dirs(spark, dirs, table_schema(path, to_v))
 
 
+def version_at(path: str, as_of: float | str) -> int:
+    """Timestamp AS-OF resolution: the newest surviving version whose
+    commit stamp is <= `as_of` (epoch seconds, or an ISO string read
+    as UTC) — the Delta `TIMESTAMP AS OF` convenience on top of exact
+    version pinning. Raises if every surviving manifest is newer (the
+    as-of point predates retained history — vacuum may have reclaimed
+    it) or if manifests predate commit stamps."""
+    import datetime
+
+    if isinstance(as_of, str):
+        dt = datetime.datetime.fromisoformat(as_of)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        as_of = dt.timestamp()
+    best = None
+    for v in _list_versions(path):
+        t = _load_manifest_full(path, v).get("committed_at")
+        if t is not None and t <= as_of:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no surviving version of {path} committed at or before "
+            f"{as_of} (vacuumed, or written before commit stamps)"
+        )
+    return best
+
+
 def history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per surviving committed version, from
     manifest arithmetic alone (no data I/O). Per version: the commit
@@ -910,6 +945,7 @@ def history(path: str) -> list[dict]:
             {
                 "version": v,
                 "op": m.get("op"),
+                "committed_at": m.get("committed_at"),
                 "n_buckets": m["n_buckets"],
                 "buckets": len(m["buckets"]),
                 "rows": rows,

@@ -2088,6 +2088,143 @@ def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- e_catalog_txn
+@REG.add(
+    "e_catalog_txn",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN price + 1.0 ELSE price END AS price,
+               CASE WHEN k % 97 = 0 THEN 'X' ELSE status END AS status
+        FROM v1
+    ),
+    hist AS (
+        SELECT 2 AS cat_version, status, price FROM v1
+        UNION ALL SELECT 3, status, price FROM v2
+    )
+    SELECT cat_version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY cat_version, status ORDER BY cat_version, status
+    """,
+    doc="CROSS-TABLE transactional snapshots (operators/catalog.py): a "
+    "catalog version pins every member table's version, so readers "
+    "joining tables mid-update get a CONSISTENT pair — never table A "
+    "post-batch with table B pre-batch. Per-table logs (the "
+    "Delta/Iceberg shape) cannot give this; catalog-level commits "
+    "(the Nessie shape) can — and the reference hits the same gap one "
+    "layer down (per-collection bulk_writes leave cve updated while "
+    "cve_kev lags, mongodb_handler.py). Orders is vertically split "
+    "into a price table and a status table; ONE transaction updates "
+    "BOTH for the %97 keys; the query JOINS the pair under catalog "
+    "versions 2 and 3 (joint time travel) and the hash pins that each "
+    "snapshot is internally consistent: in v3 every re-priced row is "
+    "exactly a re-statused row — a half-applied transaction would put "
+    "+1 prices under old statuses and break the (status, sum) "
+    "distribution. Crash-mid-transaction invisibility, orphaned table "
+    "versions staying unreferenced, and concurrent-transaction "
+    "serialization are pinned in tests/test_catalog.py. At 100 TB the "
+    "txn adds ONE catalog manifest write on top of the member tables' "
+    "own batch-bounded commits; reads add one manifest resolution.",
+)
+def e_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.catalog import (
+        catalog_init,
+        catalog_read,
+        catalog_txn,
+    )
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:cat-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/root/repo/.scratch/cat_{key}"
+    head, stat, cat = f"{root}/head", f"{root}/stat", f"{root}/cat"
+    done = f"{root}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        write_bucket_table_versioned(
+            merge_upsert(
+                None, orders.select("o_orderkey", "o_totalprice"),
+                key="o_orderkey", now=T_MERGE,
+            ),
+            head, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        write_bucket_table_versioned(
+            merge_upsert(
+                None, orders.select("o_orderkey", "o_orderstatus"),
+                key="o_orderkey", now=T_MERGE,
+            ),
+            stat, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        catalog_init(cat)
+        members = {"head": head, "stat": stat}
+        r1 = catalog_txn(spark, cat, members)  # register both: cat v2
+        batch_h = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            )
+        )
+        batch_s = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey", F.lit("X").alias("o_orderstatus")
+        )
+        r2 = catalog_txn(  # ONE txn updates BOTH tables: cat v3
+            spark, cat, members,
+            actions={
+                "head": lambda sk, p: merge_scoped_versioned(
+                    sk, p, batch_h, now=T_MERGE
+                ),
+                "stat": lambda sk, p: merge_scoped_versioned(
+                    sk, p, batch_s, now=T_MERGE
+                ),
+            },
+        )
+        assert (r1["catalog_version"], r2["catalog_version"]) == (2, 3)
+        assert r2["tables"] == {"head": 2, "stat": 2}
+        with open(done, "w") as f:
+            f.write(f"{r1}\n{r2}\n")
+    hist = None
+    for v in (2, 3):
+        h = catalog_read(spark, cat, "head", version=v)
+        s = catalog_read(spark, cat, "stat", version=v)
+        j = h.join(s, "o_orderkey").select(
+            F.lit(v).alias("cat_version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = j if hist is None else hist.unionByName(j)
+    return (
+        hist.groupBy("cat_version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("cat_version", "status")
+    )
+
+
 # ------------------------------------------------- e_merge_constraint
 @REG.add(
     "e_merge_constraint",

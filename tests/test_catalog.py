@@ -1,0 +1,153 @@
+"""Laws for cross-table transactional snapshots (operators/catalog.py):
+a catalog version pins every member table's version, so readers get a
+CONSISTENT joint snapshot — never table A post-batch with table B
+pre-batch — and the joint state time-travels as a unit.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cvemate_spark.operators.catalog import (
+    catalog_init,
+    catalog_latest,
+    catalog_read,
+    catalog_referenced_versions,
+    catalog_txn,
+)
+from cvemate_spark.operators.merge_versioned import (
+    latest_version,
+    merge_scoped_versioned,
+    write_bucket_table_versioned,
+)
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+
+
+def _mk_tables(spark, tmp_path):
+    head = spark.createDataFrame(
+        [Row(id=i, price=float(i)) for i in range(30)]
+    )
+    stat = spark.createDataFrame(
+        [Row(id=i, status="O") for i in range(30)]
+    )
+    hp, sp = str(tmp_path / "head"), str(tmp_path / "stat")
+    write_bucket_table_versioned(head, hp, key="id", n_buckets=4)
+    write_bucket_table_versioned(stat, sp, key="id", n_buckets=4)
+    return hp, sp
+
+
+def test_txn_joint_snapshot_and_time_travel(spark, tmp_path):
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    # catalog v2: register both tables at their current versions
+    r = catalog_txn(spark, cat, {"head": hp, "stat": sp})
+    assert r == {"catalog_version": 2, "tables": {"head": 1, "stat": 1}}
+
+    # catalog v3: ONE transaction updates BOTH tables
+    batch_h = spark.createDataFrame([Row(id=3, price=999.0)])
+    batch_s = spark.createDataFrame([Row(id=3, status="X")])
+    r = catalog_txn(
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(sk, p, batch_h),
+            "stat": lambda sk, p: merge_scoped_versioned(sk, p, batch_s),
+        },
+    )
+    assert r["tables"] == {"head": 2, "stat": 2}
+
+    def joint(v):
+        h = catalog_read(spark, cat, "head", version=v)
+        s = catalog_read(spark, cat, "stat", version=v)
+        j = h.join(s, "id").filter(F.col("id") == 3).collect()[0]
+        return (j["price"], j["status"])
+
+    assert joint(None) == (999.0, "X")   # latest: both post
+    assert joint(2) == (3.0, "O")        # catalog time travel: both pre
+    assert joint(3) == (999.0, "X")
+    with pytest.raises(ValueError, match="not committed"):
+        catalog_read(spark, cat, "head", version=9)
+    with pytest.raises(KeyError):
+        catalog_read(spark, cat, "nope")
+
+
+def test_crash_mid_txn_leaves_catalog_consistent(spark, tmp_path):
+    """The core law: a transaction dying AFTER one member committed but
+    before the catalog publish must be invisible to catalog readers —
+    the member table advanced, but no catalog manifest references the
+    new version, so every joint read stays pre-transaction."""
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})
+
+    batch_h = spark.createDataFrame([Row(id=5, price=555.0)])
+
+    def boom(sk, p):
+        raise RuntimeError("simulated crash after head committed")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        catalog_txn(
+            spark, cat, {"head": hp, "stat": sp},
+            actions={
+                "head": lambda sk, p: merge_scoped_versioned(sk, p, batch_h),
+                "stat": boom,
+            },
+        )
+    # the head TABLE advanced (its own commit was atomic and real)...
+    assert latest_version(hp) == 2
+    # ...but the CATALOG still serves the consistent old pair
+    assert catalog_latest(cat) == 2
+    h = catalog_read(spark, cat, "head")
+    assert h.filter(F.col("id") == 5).collect()[0]["price"] == 5.0
+    # the orphaned table version is not referenced by any manifest
+    assert catalog_referenced_versions(cat)[hp] == {1}
+
+    # the next transaction proceeds and re-pins everything current
+    r = catalog_txn(spark, cat, {"head": hp, "stat": sp})
+    assert r["tables"] == {"head": 2, "stat": 1}
+    h = catalog_read(spark, cat, "head")
+    assert h.filter(F.col("id") == 5).collect()[0]["price"] == 555.0
+
+
+def test_concurrent_txns_serialize(spark, tmp_path):
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})
+    results, errs = [], []
+
+    def run(i):
+        batch = spark.createDataFrame([Row(id=10 + i, price=1000.0 + i)])
+        try:
+            results.append(
+                catalog_txn(
+                    spark, cat, {"head": hp},
+                    actions={
+                        "head": lambda sk, p: merge_scoped_versioned(
+                            sk, p, batch
+                        )
+                    },
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["catalog_version"] for r in results) == [3, 4]
+    h = catalog_read(spark, cat, "head")
+    got = {
+        r["id"]: r["price"]
+        for r in h.filter(F.col("id").isin(10, 11)).collect()
+    }
+    assert got == {10: 1000.0, 11: 1001.0}  # both txns' batches landed

@@ -460,6 +460,39 @@ def test_history_describes_surviving_versions(spark, tmp_path):
     assert [e["version"] for e in history(path)] == [3]
 
 
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: commits carry a wall-clock stamp; version_at
+    resolves the newest version committed at-or-before a point in
+    time. Before retained history -> loud error (never a silent wrong
+    snapshot)."""
+    import time as _time
+
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import version_at
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt15")
+    t_before = _time.time()
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    t_mid = _time.time()
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "v2"}), now=T1
+    )
+
+    assert version_at(path, t_mid) == 1
+    assert version_at(path, _time.time()) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        version_at(path, t_before)
+    # the resolved version feeds straight into time travel
+    m = _as_map(
+        read_bucket_table_versioned(spark, path, version_at(path, t_mid))
+    )
+    assert m["CVE-1"] == "n1"
+
+
 def test_check_constraints_reject_atomically(spark, tmp_path):
     """Table-level CHECK constraints (the Delta shape): recorded at
     creation, re-enforced on every merge's slice BEFORE any byte

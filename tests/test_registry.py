@@ -128,6 +128,9 @@ NEW_THIS_ROUND: set[str] = {
     "s19_feed_replica",
     # round 9: table-level CHECK constraints with atomic rejection
     "e_merge_constraint",
+    # round 9: cross-table transactional snapshots (catalog-level
+    # commits — consistent joint reads + joint time travel)
+    "e_catalog_txn",
 }
 
 
