@@ -156,6 +156,55 @@ def catalog_read(
     )
 
 
+def vacuum_catalog(
+    path: str, keep: int = 2, grace_seconds: float = 0.0
+) -> dict:
+    """Drop catalog manifests older than the newest `keep` (never the
+    committed one, never younger than `grace_seconds` — readers may be
+    resolving them). Under `_CATLOCK` so no transaction interleaves."""
+    import fcntl
+    import time
+
+    removed: list[int] = []
+    with open(os.path.join(path, "_CATLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            committed = catalog_latest(path)
+            versions = _cat_versions(path)
+            now = time.time()
+            for v in versions[:-keep] if keep else versions:
+                if v == committed:
+                    continue
+                m = _cat_manifest(path, v)
+                if now - os.path.getmtime(m) < grace_seconds:
+                    continue
+                os.unlink(m)
+                removed.append(v)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return {"removed_versions": removed}
+
+
+def vacuum_catalog_members(
+    path: str, keep: int = 2, grace_seconds: float = 0.0
+) -> dict:
+    """The retention contract AS CODE: vacuum every member table while
+    PINNING the table versions any surviving catalog manifest still
+    references — joint time travel over the retained catalog history
+    survives member vacuums by construction, not by operator
+    discipline. Run `vacuum_catalog` first to shrink the catalog
+    horizon, then this to reclaim member storage behind it."""
+    from .merge_versioned import vacuum_bucket_versions
+
+    referenced = catalog_referenced_versions(path)
+    out: dict[str, dict] = {}
+    for tpath, pins in referenced.items():
+        out[tpath] = vacuum_bucket_versions(
+            tpath, keep=keep, grace_seconds=grace_seconds, pin=pins
+        )
+    return out
+
+
 def catalog_referenced_versions(path: str) -> dict[str, set[int]]:
     """Every (table path -> table versions) any surviving catalog
     manifest still references — the set a member-table vacuum must

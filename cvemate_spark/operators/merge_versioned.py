@@ -1096,14 +1096,18 @@ def change_feed(
 
 
 def vacuum_bucket_versions(
-    path: str, keep: int = 2, grace_seconds: float = 0.0
+    path: str, keep: int = 2, grace_seconds: float = 0.0,
+    pin: set[int] | None = None,
 ) -> dict:
     """Reclaim storage: drop manifests older than the newest `keep`
-    (never the committed one, never inside their post-supersession
-    grace window — merge.py::vacuum_versions' retention contract),
-    then delete generation dirs no surviving manifest references and
-    whose mtime is older than `grace_seconds` (covers orphans from
-    crashed merges without racing one that just finished writing).
+    (never the committed one, never a `pin`ned version — the hook
+    external snapshot holders use: catalogs pass
+    catalog_referenced_versions so joint time travel survives member
+    vacuums — never inside their post-supersession grace window,
+    merge.py::vacuum_versions' retention contract), then delete
+    generation dirs no surviving manifest references and whose mtime
+    is older than `grace_seconds` (covers orphans from crashed merges
+    without racing one that just finished writing).
 
     Takes BOTH locks: _COMMITLOCK so no pointer advance interleaves,
     _MERGELOCK so no merger is mid-flight (its not-yet-referenced
@@ -1122,7 +1126,7 @@ def vacuum_bucket_versions(
                 versions = _list_versions(path)
                 now = time.time()
                 for v in versions[:-keep] if keep else versions:
-                    if v == committed:
+                    if v == committed or (pin and v in pin):
                         continue
                     marker = os.path.join(path, f"v-{v}.superseded")
                     if not os.path.exists(marker):

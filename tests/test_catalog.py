@@ -115,6 +115,52 @@ def test_crash_mid_txn_leaves_catalog_consistent(spark, tmp_path):
     assert h.filter(F.col("id") == 5).collect()[0]["price"] == 555.0
 
 
+def test_vacuum_respects_catalog_pins(spark, tmp_path):
+    """The retention contract as code: vacuuming member tables through
+    the catalog pins every table version a surviving catalog manifest
+    references, so joint time travel over the retained catalog history
+    keeps working; vacuum_catalog shrinks the horizon first."""
+    from cvemate_spark.operators.catalog import (
+        vacuum_catalog, vacuum_catalog_members,
+    )
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2 -> (1,1)
+    for i in range(3):  # cat v3..v5 -> head versions 2..4
+        batch = spark.createDataFrame([Row(id=1, price=100.0 + i)])
+        catalog_txn(
+            spark, cat, {"head": hp, "stat": sp},
+            actions={
+                "head": lambda sk, p, b=batch: merge_scoped_versioned(
+                    sk, p, b
+                )
+            },
+        )
+
+    # keep the last 3 catalog versions (v3..v5 -> head 2,3,4; stat 1)
+    vacuum_catalog(cat, keep=3)
+    # aggressive member vacuum (keep=1) still pins what the catalog needs
+    out = vacuum_catalog_members(cat, keep=1)
+    assert hp in out and sp in out
+    # every surviving catalog version still serves a consistent pair
+    for v in (3, 4, 5):
+        h = catalog_read(spark, cat, "head", version=v)
+        s = catalog_read(spark, cat, "stat", version=v)
+        assert h.count() == 30 and s.count() == 30
+        assert (
+            h.filter(F.col("id") == 1).collect()[0]["price"]
+            == 100.0 + (v - 3)
+        )
+    # the catalog-unreferenced head version 1 was reclaimable
+    from cvemate_spark.operators.merge_versioned import _list_versions
+
+    assert 1 not in _list_versions(hp)
+    # stat version 1 IS still referenced (pinned through keep=1)
+    assert 1 in _list_versions(sp)
+
+
 def test_concurrent_txns_serialize(spark, tmp_path):
     hp, sp = _mk_tables(spark, tmp_path)
     cat = str(tmp_path / "cat")
