@@ -513,16 +513,20 @@ def write_bucket_table_versioned(
 
 
 def init_bucket_table_versioned(
-    path: str, key: str = "id", n_buckets: int = 16
+    path: str, key: str = "id", n_buckets: int = 16,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
-    starts from nothing; see merge.py::init_bucket_table)."""
+    starts from nothing; see merge.py::init_bucket_table).
+    `constraints` are recorded for every future merge to enforce —
+    nothing to check yet on an empty table."""
     os.makedirs(path, exist_ok=True)
+    meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
+    if constraints:
+        meta["constraints"] = constraints
     with open(os.path.join(path, BUCKET_META), "w") as f:
-        json.dump(
-            {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}, f
-        )
+        json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")
     return 1
 
@@ -980,7 +984,13 @@ def apply_change_feed(
     if replica is None:
         return live
     touched = feed.select(*keys)
-    return replica.join(touched, keys, "left_anti").unionByName(live)
+    # allowMissingColumns: a feed crossing a SCHEMA EVOLUTION boundary
+    # carries columns the replica predates (and vice versa after a
+    # replica-side evolution) — the union fills them with nulls, which
+    # is exactly what the evolved snapshot holds for those rows
+    return replica.join(touched, keys, "left_anti").unionByName(
+        live, allowMissingColumns=True
+    )
 
 
 def change_feed(

@@ -569,6 +569,26 @@ def test_check_constraints_reject_atomically(spark, tmp_path):
     assert set(exc2.value.violations) == {"score_cap"}
     assert exc2.value.violations["score_cap"] >= 1
 
+    # constraints recorded at metadata-only init bind future merges too
+    from cvemate_spark.operators.merge_versioned import (
+        init_bucket_table_versioned,
+    )
+
+    path2 = str(tmp_path / "vbt13b")
+    init_bucket_table_versioned(
+        path2, key="id", n_buckets=2,
+        constraints={"score_nonneg": "score >= 0"},
+    )
+    with pytest.raises(ConstraintViolation):
+        merge_scoped_versioned(
+            spark, path2,
+            spark.createDataFrame(
+                [Row(id="a", score=-1.0)], "id string, score double"
+            ),
+            now=T1,
+        )
+    assert latest_version(path2) == 1  # empty init only
+
 
 def test_composite_key_feed_and_generic_apply(spark, tmp_path):
     """Tables maintained by a custom merger hold several rows per
@@ -817,6 +837,19 @@ def test_schema_evolution_through_merge(spark, tmp_path):
     assert (
         applied.select(*cols).exceptAll(latest.select(*cols)).count() == 0
         and latest.select(*cols).exceptAll(applied.select(*cols)).count() == 0
+    )
+
+    # the GENERIC apply (apply_change_feed) also crosses the boundary:
+    # the un-evolved replica gains the column as nulls via the union
+    from cvemate_spark.operators.merge_versioned import apply_change_feed
+
+    applied2 = apply_change_feed(
+        read_bucket_table_versioned(spark, path, 1), feed, "id"
+    )
+    assert (
+        applied2.select(*cols).exceptAll(latest.select(*cols)).count() == 0
+        and latest.select(*cols).exceptAll(applied2.select(*cols)).count()
+        == 0
     )
 
     # v3: a merge WITHOUT the new column must not un-evolve the table
