@@ -157,8 +157,16 @@ def table_diff(
         .when(differs, "update")
         .otherwise("nochange")
     )
+    # payload is the SURVIVING ROW's value, decided per row (b side
+    # unless the row was deleted), never per column: a per-column
+    # coalesce would resurrect the old value wherever an update
+    # legitimately nulled a column, breaking the apply-exactness law
+    survived_b = F.col(f"b.{keys[0]}").isNotNull()
     payload = [
-        F.coalesce(F.col(f"b.{c}"), F.col(f"a.{c}")).alias(c) for c in cols
+        F.when(survived_b, F.col(f"b.{c}"))
+        .otherwise(F.col(f"a.{c}"))
+        .alias(c)
+        for c in cols
     ]
     return (
         j.select(

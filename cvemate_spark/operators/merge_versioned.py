@@ -123,6 +123,19 @@ def _schema_of(df: DataFrame) -> dict:
     return json.loads(df.schema.json())
 
 
+def _union_schema(prev: dict | None, new: dict) -> dict:
+    """Field-union of two schema JSONs: previous field ORDER is kept,
+    the new schema's definition wins per field (type updates travel),
+    fields only in the new schema append. Fields only in the previous
+    schema survive — a merge can never silently narrow the table."""
+    if prev is None:
+        return new
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    out = [new_by_name.pop(f["name"], f) for f in prev["fields"]]
+    out += list(new_by_name.values())
+    return {**new, "fields": out}
+
+
 def table_schema(path: str, version: int | None = None):
     """The committed schema as-of a version (SCHEMA EVOLUTION surface):
     manifests record the schema their commit wrote, so time travel
@@ -194,7 +207,14 @@ def _coerce_bound(tag: str, value):
     if value is None:
         return None
     if tag == "num":
-        return float(value) if isinstance(value, (bool, int, float)) else None
+        # ints stay ints: Python compares int/float EXACTLY (no 2^53
+        # rounding), and float() of a large int could round a bound
+        # past a generation's true max — a wrong skip, i.e. data loss
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, float) and value != value:  # NaN
+            return None
+        return value if isinstance(value, (int, float)) else None
     if tag == "str":
         return value if isinstance(value, str) else None
     if tag == "dec":
@@ -203,10 +223,12 @@ def _coerce_bound(tag: str, value):
         except decimal.InvalidOperation:
             return None
     if tag == "ts":
-        if isinstance(value, bool):
+        # plain ints are REJECTED (no pruning): the planner's internal
+        # unit is epoch micros but Spark's residual filter would read
+        # the same int in a different unit — an ambiguity that could
+        # make planner and filter disagree. Pass datetime / ISO string.
+        if isinstance(value, (bool, int, float)):
             return None
-        if isinstance(value, int):
-            return value  # epoch micros
         if isinstance(value, str):
             try:
                 value = datetime.datetime.fromisoformat(value)
@@ -340,6 +362,18 @@ def prune_generations(
     stats = full.get("stats") or {}
     read: list[str] = []
     skipped: list[str] = []
+    if lo is None and hi is None:
+        # no predicate, no pruning: an unbounded scan returns EVERY
+        # row, including nulls — even an all-null generation's rows
+        # (skipping those here while applying no residual filter would
+        # silently drop them; a range with at least one bound excludes
+        # nulls by SQL semantics, which is what licenses the skips)
+        return {
+            "version": v,
+            "read": sorted(full["buckets"]),
+            "skipped": [],
+            "manifest": full,
+        }
     for i in sorted(full["buckets"]):
         s = (stats.get(i) or {}).get("cols", {}).get(column)
         if s is None:
@@ -390,9 +424,12 @@ def scan_versioned(
     rewrote have young max-stats; everything else skips), giving
     incremental consumers a clock-based path that reads changed data
     only, without a version checkpoint."""
+    from pyspark.sql.types import StructType
+
     plan = prune_generations(path, column, lo, hi, version)
     manifest = plan["manifest"]["buckets"]
-    schema = table_schema(path, plan["version"])
+    stored = plan["manifest"].get("schema")  # reuse the loaded manifest
+    schema = StructType.fromJson(stored) if stored is not None else None
     dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in plan["read"]]
     if not dirs:
         if schema is None:
@@ -501,12 +538,21 @@ def write_bucket_table_versioned(
     table-level CHECK contract). Returns the committed version."""
     os.makedirs(path, exist_ok=True)
     meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
-    if constraints:
-        _enforce_constraints(df, constraints, path)
-        meta["constraints"] = constraints
-    with open(os.path.join(path, BUCKET_META), "w") as f:
-        json.dump(meta, f)
-    gens = _write_generations(df, path, key, n_buckets)
+    persisted = False
+    try:
+        if constraints:
+            # persist so the constraint check and the write compute
+            # the input lineage once, not twice (the merge path's rule)
+            df = df.persist()
+            persisted = True
+            _enforce_constraints(df, constraints, path)
+            meta["constraints"] = constraints
+        with open(os.path.join(path, BUCKET_META), "w") as f:
+            json.dump(meta, f)
+        gens = _write_generations(df, path, key, n_buckets)
+    finally:
+        if persisted:
+            df.unpersist()
     stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
     _commit(path, 1, gens, n_buckets, _schema_of(df), stats, op="load")
     return 1
@@ -687,15 +733,19 @@ def merge_scoped_versioned(
             files += st["files"]
             bytes_ += st["bytes"]
         v = max([cur] + _list_versions(path)) + 1
-        # the committed schema: what the merge actually wrote (the
-        # target slice was read under the previous schema, so merged's
-        # schema is previous ∪ the batch's additions — SCHEMA EVOLUTION
-        # is just a merge whose updates carry a new column). The
-        # tombstone branch can leave zero touched buckets written; the
-        # schema still advances with the merged frame.
+        # the committed schema: the PREVIOUS committed schema unioned
+        # with what the merge wrote. The union (not merged's schema
+        # alone) matters when the batch touches only buckets absent
+        # from the manifest: target is None, so merged carries only the
+        # batch's columns — committing that narrow schema would make
+        # every earlier-evolved column vanish from reads even though
+        # its data is still on disk. Previous field order is kept
+        # (merged's definition wins per field; batch-new fields
+        # append); DROP COLUMN is deliberately not a merge side effect.
         _commit(
-            path, v, manifest, n_buckets, _schema_of(merged), stats_all,
-            op="merge",
+            path, v, manifest, n_buckets,
+            _union_schema(full.get("schema"), _schema_of(merged)),
+            stats_all, op="merge",
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -794,11 +844,18 @@ def read_bucket_table_versioned(
         raise ValueError(
             f"version {v} of {path} is not committed (latest={committed})"
         )
-    manifest = _load_manifest(path, v)
+    from pyspark.sql.types import StructType
+
+    full = _load_manifest_full(path, v)
+    manifest = full["buckets"]
     if not manifest:
         raise FileNotFoundError(f"version {v} of {path} is empty")
     dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(manifest.items())]
-    return _read_dirs(spark, dirs, table_schema(path, v))
+    stored = full.get("schema")  # one manifest parse, not two
+    return _read_dirs(
+        spark, dirs,
+        StructType.fromJson(stored) if stored is not None else None,
+    )
 
 
 def read_bucket_for_key_versioned(
@@ -843,8 +900,12 @@ def read_bucket_for_key_versioned(
                 slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
             if cv < slo or cv > shi:
                 return None
+    from pyspark.sql.types import StructType
+
+    stored = full.get("schema")  # reuse the loaded manifest
     return _read_dirs(
-        spark, [f"{path}/bucket={bid}/{g}"], table_schema(path, v)
+        spark, [f"{path}/bucket={bid}/{g}"],
+        StructType.fromJson(stored) if stored is not None else None,
     ).filter(F.col(meta["key"]) == F.lit(value))
 
 
@@ -1087,17 +1148,23 @@ def change_feed(
 
     old_dirs, new_dirs = _side(m_from["buckets"]), _side(m_to["buckets"])
 
-    def _read(dirs: list[str], v: int, like: DataFrame | None):
+    from pyspark.sql.types import StructType
+
+    def _read(dirs: list[str], m: dict, like: DataFrame | None):
         if not dirs:
             return (
                 spark.createDataFrame([], like.schema)
                 if like is not None
                 else None
             )
-        return _read_dirs(spark, dirs, table_schema(path, v))
+        stored = m.get("schema")  # reuse the loaded manifests
+        return _read_dirs(
+            spark, dirs,
+            StructType.fromJson(stored) if stored is not None else None,
+        )
 
-    new_df = _read(new_dirs, to_v, None)
-    old_df = _read(old_dirs, since_version, new_df)
+    new_df = _read(new_dirs, m_to, None)
+    old_df = _read(old_dirs, m_from, new_df)
     if old_df is None and new_df is None:
         return None
     if new_df is None:

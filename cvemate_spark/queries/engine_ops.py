@@ -1952,7 +1952,7 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN (a.price IS DISTINCT FROM b.price)
                       OR (a.status IS DISTINCT FROM b.status) THEN 'update'
                     ELSE 'nochange' END AS change,
-               COALESCE(b.price, a.price) AS price
+               CASE WHEN b.k IS NULL THEN a.price ELSE b.price END AS price
         FROM base a FULL OUTER JOIN v2 b ON a.k = b.k
     ),
     d23 AS (
@@ -1961,7 +1961,7 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN (a.price IS DISTINCT FROM b.price)
                       OR (a.status IS DISTINCT FROM b.status) THEN 'update'
                     ELSE 'nochange' END AS change,
-               COALESCE(b.price, a.price) AS price
+               CASE WHEN b.k IS NULL THEN a.price ELSE b.price END AS price
         FROM v2 a FULL OUTER JOIN v3 b ON a.k = b.k
     ),
     d13 AS (
@@ -1970,7 +1970,7 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN (a.price IS DISTINCT FROM b.price)
                       OR (a.status IS DISTINCT FROM b.status) THEN 'update'
                     ELSE 'nochange' END AS change,
-               COALESCE(b.price, a.price) AS price
+               CASE WHEN b.k IS NULL THEN a.price ELSE b.price END AS price
         FROM base a FULL OUTER JOIN v3 b ON a.k = b.k
     ),
     feed AS (

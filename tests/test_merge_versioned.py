@@ -460,6 +460,90 @@ def test_history_describes_surviving_versions(spark, tmp_path):
     assert [e["version"] for e in history(path)] == [3]
 
 
+def test_schema_survives_merge_into_absent_buckets(spark, tmp_path):
+    """Review-caught narrowing bug: a batch whose keys all hash into
+    buckets ABSENT from the manifest reads no target (merged carries
+    only the batch's columns) — the committed schema must still be the
+    UNION with the previous one, or every earlier-evolved column would
+    vanish from reads while its data sits on disk."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge import bucket_expr
+    from cvemate_spark.operators.merge_versioned import table_schema
+
+    # tiny table, many buckets -> most buckets absent from the manifest
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(3)})
+    path = str(tmp_path / "vbt16")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=16
+    )
+    # evolve: add epss
+    evolved = spark.createDataFrame([Row(id="CVE-0", nvd="e", epss=0.5)])
+    merge_scoped_versioned(spark, path, evolved, now=T1)
+    assert "epss" in table_schema(path).fieldNames()
+
+    # find a key whose bucket is EMPTY (absent from the manifest)
+    from cvemate_spark.operators.merge_versioned import _load_manifest
+
+    present = {int(i) for i in _load_manifest(path, 2)}
+    cands = spark.createDataFrame(
+        [Row(id=f"NEW-{i}") for i in range(200)]
+    ).select("id", bucket_expr("id", 16).alias("b"))
+    new_key = (
+        cands.filter(~F.col("b").isin(*present)).limit(1).collect()[0]["id"]
+    )
+    # base-columns-only batch into the absent bucket: target is None
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {new_key: "fresh"}), now=T2
+    )
+    assert "epss" in table_schema(path).fieldNames()  # NOT narrowed
+    latest = read_bucket_table_versioned(spark, path)
+    m = {r["id"]: r["epss"] for r in latest.collect()}
+    assert m["CVE-0"] == 0.5 and m[new_key] is None
+
+
+def test_feed_carries_legit_null_updates(spark, tmp_path):
+    """Review-caught payload bug: an update whose NEW side legitimately
+    nulls a column must feed NULL (row-level survivorship), not
+    resurrect the old value via per-column coalesce — apply must
+    reproduce the new snapshot exactly."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge import keep_latest_merge
+    from cvemate_spark.operators.merge_versioned import (
+        apply_change_feed, change_feed,
+    )
+
+    rows = [Row(uid=u, etype="a", seq=1, val=f"v{u}") for u in range(10)]
+    path = str(tmp_path / "vbt17")
+    write_bucket_table_versioned(
+        spark.createDataFrame(rows), path, key="uid", n_buckets=2
+    )
+    merger = lambda cur, b: keep_latest_merge(  # noqa: E731
+        cur, b, keys=["uid", "etype"], order_by=[F.desc("seq")]
+    )
+    # the winning newer row NULLS val
+    batch = spark.createDataFrame(
+        [Row(uid=3, etype="a", seq=2, val=None)],
+        "uid long, etype string, seq long, val string",
+    )
+    merge_scoped_versioned(spark, path, batch, merger=merger)
+
+    keys = ["uid", "etype"]
+    feed = change_feed(spark, path, 1, key=keys)
+    row = feed.collect()[0]
+    assert (row["uid"], row["change"], row["val"]) == (3, "update", None)
+
+    old = read_bucket_table_versioned(spark, path, 1)
+    new = read_bucket_table_versioned(spark, path, 2)
+    applied = apply_change_feed(old, feed, keys)
+    cols = sorted(new.columns)
+    assert (
+        applied.select(*cols).exceptAll(new.select(*cols)).count() == 0
+        and new.select(*cols).exceptAll(applied.select(*cols)).count() == 0
+    )
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     """TIMESTAMP AS OF: commits carry a wall-clock stamp; version_at
     resolves the newest version committed at-or-before a point in
@@ -766,6 +850,24 @@ def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
         assert read_bucket_for_key_versioned(
             spark, path, "CVE-0000"
         ).collect()[0]["nvd"] == "n0"
+
+        # unbounded scan (no lo, no hi) = the plain snapshot, INCLUDING
+        # every row of the all-null generation (nothing may be skipped
+        # when no residual filter will run — the review-caught law)
+        plan_all = prune_generations(path, "void", None, None)
+        assert plan_all["skipped"] == []
+        assert (
+            scan_versioned(spark, path, "void").count() == full.count()
+        )
+        # a raw-int bound on a timestamp column must NOT prune (the
+        # planner's internal unit is micros; Spark's residual filter
+        # would read the same int differently — ambiguity never skips)
+        assert (
+            prune_generations(path, "updated_at", 1767225600, None)[
+                "skipped"
+            ]
+            == []
+        )
 
         # (f) stats cover every bucket after the carry, and a rebucket
         # recomputes them under the new layout

@@ -120,3 +120,20 @@ def test_prune_never_skips_a_matching_bucket(tmp_path_factory, buckets, lo, hi):
                 assert (lo is not None and s["hi"] < lo) or (
                     hi is not None and s["lo"] > hi
                 )
+
+
+def test_coerce_bound_preserves_large_int_exactness():
+    """Review-caught precision bug: int bounds must not round through
+    float (2^53+1 -> float rounds, which could skip a generation whose
+    exact int max matches the residual filter)."""
+    from cvemate_spark.operators.merge_versioned import _coerce_bound
+
+    big = 2**53 + 1
+    got = _coerce_bound("num", big)
+    assert got == big and isinstance(got, int)
+    # mixed int/float comparisons in Python are exact, so the planner's
+    # stats compare (float hi vs int bound) stays sound
+    assert not (float(2**53) >= big)
+    # raw ints never coerce for timestamp columns (unit ambiguity)
+    assert _coerce_bound("ts", 1767225600) is None
+    assert _coerce_bound("num", float("nan")) is None
