@@ -116,6 +116,82 @@ def cve_pipeline_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "cve_pipeline_versioned",
+    REG.specs["cve_pipeline_fold"].oracle,
+    doc="The reference's NIGHTLY LIFECYCLE on the versioned lakehouse "
+    "table: the same three feed batches as cve_pipeline_fold, but each "
+    "lands as one ATOMIC commit into the id-keyed versioned bucket "
+    "table (operators/merge_versioned.py) — init, nvd, epss, kev, then "
+    "epss RE-APPLIED. Identical priority histogram (same oracle — "
+    "idempotence witnessed by the hash), plus everything the reference "
+    "can't give its consumers: every feed boundary is a time-travelable "
+    "version; downstream consumers pull exact row-level change feeds "
+    "per commit; and the idempotent re-apply's feed is EMPTY — the "
+    "builder asserts CDC sees through no-op commits instead of "
+    "re-notifying consumers (the reference re-stamps "
+    "`get_last_update_time` and makes every consumer re-pull, "
+    "mongodb_handler.py:261-289). The epss and kev merges also "
+    "exercise SCHEMA EVOLUTION in anger: each adds its source column "
+    "to the live table with zero rewritten bytes on untouched "
+    "buckets. Scale shape per feed: one shuffle keyed on id, write "
+    "cost ∝ batch's bucket footprint, one manifest/pointer commit.",
+)
+def cve_pipeline_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge_versioned import (
+        change_feed,
+        history,
+        init_bucket_table_versioned,
+        latest_version,
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    t_merge = "2026-01-01 00:00:00"
+
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:cvever-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/cvever_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        init_bucket_table_versioned(path, key="id", n_buckets=32)
+        for batch in (
+            _nvd_batch(orders),
+            _epss_batch(lineitem),
+            _kev_batch(orders),
+            _epss_batch(lineitem),  # idempotent re-apply
+        ):
+            merge_scoped_versioned(spark, path, batch, now=t_merge)
+        assert latest_version(path) == 5
+        with open(done, "w") as f:
+            f.write("5\n")
+    # provenance: empty init + one version per feed commit
+    assert [e["op"] for e in history(path)] == ["init"] + ["merge"] * 4
+    # CDC sees through the idempotent re-apply: its feed is EMPTY (the
+    # reference would re-stamp its watermark and re-notify everyone)
+    noop = change_feed(spark, path, 4, 5)
+    assert noop is None or noop.count() == 0
+    # ...while a real feed commit emits exactly its changes
+    assert change_feed(spark, path, 2, 3).count() > 0
+    cve = read_bucket_table_versioned(spark, path)
+    return (
+        score(cve)
+        .groupBy("priority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("priority", "cnt")
+    )
+
+
+@REG.add(
     "cve_pipeline_1shuffle",
     REG.specs["cve_pipeline_fold"].oracle,
     doc="Same pipeline as cve_pipeline, built with merge_many — the "

@@ -131,6 +131,10 @@ NEW_THIS_ROUND: set[str] = {
     # round 9: cross-table transactional snapshots (catalog-level
     # commits — consistent joint reads + joint time travel)
     "e_catalog_txn",
+    # round 9: the reference's nightly lifecycle on the versioned
+    # table (atomic feed commits, CDC through no-op re-applies,
+    # schema evolution in anger)
+    "cve_pipeline_versioned",
 }
 
 
