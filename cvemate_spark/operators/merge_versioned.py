@@ -405,6 +405,72 @@ def prune_generations(
     return {"version": v, "read": read, "skipped": skipped, "manifest": full}
 
 
+def prune_generations_multi(
+    path: str, predicates: list[tuple], version: int | None = None
+) -> dict:
+    """Conjunctive pruning: `predicates` is a list of (column, lo, hi)
+    ranges ANDed together — a generation is skipped when ANY predicate
+    proves no overlap (the read set is the INTERSECTION of the
+    per-column read sets). Same manifest-arithmetic cost; same
+    absent-stats-never-skip conservatism per column."""
+    v = latest_version(path) if version is None else version
+    plans = [
+        prune_generations(path, col, lo, hi, v) for col, lo, hi in predicates
+    ]
+    if not plans:
+        full = _load_manifest_full(path, v)
+        return {
+            "version": v, "read": sorted(full["buckets"]), "skipped": [],
+            "manifest": full,
+        }
+    read = set(plans[0]["read"])
+    for p in plans[1:]:
+        read &= set(p["read"])
+    all_b = set(plans[0]["read"]) | set(plans[0]["skipped"])
+    return {
+        "version": v,
+        "read": sorted(read),
+        "skipped": sorted(all_b - read),
+        "manifest": plans[0]["manifest"],
+    }
+
+
+def scan_versioned_multi(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned CONJUNCTIVE scan: AND of (column, lo, hi) ranges,
+    reading only generations no predicate can disprove; every residual
+    filter applied, so the result is exact (pruned ≡ unpruned law in
+    tests/test_merge_versioned.py). The practical 100 TB shape is
+    freshness AND a dimension bound in one pass."""
+    from pyspark.sql.types import StructType
+
+    plan = prune_generations_multi(path, predicates, version)
+    manifest = plan["manifest"]["buckets"]
+    stored = plan["manifest"].get("schema")
+    schema = StructType.fromJson(stored) if stored is not None else None
+    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in plan["read"]]
+    if not dirs:
+        if schema is None:
+            raise FileNotFoundError(
+                f"version {plan['version']} of {path}: nothing to read and "
+                "no recorded schema to type an empty result"
+            )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = _read_dirs(spark, dirs, schema)
+    for column, lo, hi in predicates:
+        c = F.col(column)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+    return df
+
+
 def scan_versioned(
     spark: SparkSession,
     path: str,

@@ -869,6 +869,27 @@ def test_stats_pruned_scan_equals_full_scan(spark, tmp_path):
             == []
         )
 
+        # conjunctive (multi-column) pruning: AND of ranges — exact
+        # result, and the read set is the INTERSECTION (the freshness
+        # AND dimension-bound one-pass shape)
+        from cvemate_spark.operators.merge_versioned import (
+            prune_generations_multi, scan_versioned_multi,
+        )
+
+        preds = [("updated_at", T1, None), ("score", 1005.0, None)]
+        got = {
+            tuple(r)
+            for r in scan_versioned_multi(spark, path, preds).collect()
+        }
+        want = full.filter(
+            (F.col("updated_at") >= F.lit(T1)) & (F.col("score") >= 1005.0)
+        )
+        assert got == {tuple(r) for r in want.collect()}
+        multi = prune_generations_multi(path, preds)
+        single = prune_generations(path, "updated_at", T1, None)
+        assert set(multi["read"]) <= set(single["read"])  # intersection
+        assert len(multi["read"]) + len(multi["skipped"]) == 8
+
         # (f) stats cover every bucket after the carry, and a rebucket
         # recomputes them under the new layout
         m = _load_manifest_full(path, 2)
