@@ -457,6 +457,23 @@ def bucket_expr(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
 
 
+def bucket_of_value(spark: SparkSession, value, n_buckets: int) -> int:
+    """The bucket id of ONE literal key — the same xxhash64/pmod as
+    bucket_expr, evaluated JVM-side on a 1-row frame so point lookups
+    can never drift from the write path's bucketing (there is exactly
+    one implementation of the hash)."""
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string")),
+                F.lit(n_buckets),
+            ).alias("b")
+        )
+        .collect()[0][0]
+    )
+
+
 def write_bucket_table(
     df: DataFrame, path: str, key: str = "id", n_buckets: int = 16
 ) -> None:
@@ -515,17 +532,7 @@ def read_bucket_for_key(spark: SparkSession, path: str, value) -> DataFrame:
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
-    spark_ = spark
-    b = (
-        spark_.range(1)
-        .select(
-            F.pmod(
-                F.xxhash64(F.lit(value).cast("string")),
-                F.lit(meta["n_buckets"]),
-            ).alias("b")
-        )
-        .collect()[0][0]
-    )
+    b = bucket_of_value(spark, value, meta["n_buckets"])
     bdir = os.path.join(path, f"bucket={b}")
     if not os.path.isdir(bdir):
         return None

@@ -541,6 +541,18 @@ def _commit(
                 with open(latest) as f:
                     current = int(f.read().strip() or -1)
             if v > current:
+                # PHANTOM sweep: a merger that died between its
+                # manifest write and its pointer replace left a
+                # manifest > current. Once our pointer advances past
+                # that number it would become readable committed
+                # history holding a never-committed batch — so purge
+                # every uncommitted manifest first. Safe under
+                # _COMMITLOCK: a LIVE merger writes its manifest and
+                # advances the pointer inside this same lock, so any
+                # >current manifest seen here belongs to a dead one.
+                for ph in _list_versions(path):
+                    if ph > current and ph != v:
+                        os.unlink(_manifest_path(path, ph))
                 _write_manifest(
                     path, v, buckets, n_buckets, schema, stats, op
                 )
@@ -597,13 +609,37 @@ def write_bucket_table_versioned(
     df: DataFrame, path: str, key: str = "id", n_buckets: int = 16,
     constraints: dict[str, str] | None = None,
 ) -> int:
-    """Initial (full) load: generation dirs for every non-empty bucket,
-    manifest v-1, pointer published. `constraints` ({name: sql bool
-    expr}) are enforced on this load and RECORDED in the table meta —
-    every later merge re-enforces them on its merged slice (the Delta
-    table-level CHECK contract). Returns the committed version."""
+    """Full load: generation dirs for every non-empty bucket, one
+    manifest, pointer published. On a FRESH path this commits v-1; on
+    an EXISTING table it commits a full-snapshot RELOAD as the next
+    version (the recovery action merge.py::write_bucket_table supports
+    by replacing the directory — here the old versions additionally
+    stay time-travelable until vacuumed). A reload may change
+    n_buckets (manifests carry their own layout) but never the KEY:
+    older manifests would become unreadable by point lookups, so a
+    key change raises instead of silently corrupting. `constraints`
+    ({name: sql bool expr}) are enforced on this load and RECORDED in
+    the table meta — every later merge re-enforces them on its merged
+    slice (the Delta table-level CHECK contract). Returns the
+    committed version."""
+    import fcntl
+
     os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, BUCKET_META)
+    existing_v = None
+    if os.path.exists(os.path.join(path, "_LATEST")):
+        existing_v = latest_version(path)
+        with open(meta_path) as f:
+            old_key = json.load(f)["key"]
+        if old_key != key:
+            raise ValueError(
+                f"reload of {path} with key {key!r} but the table is "
+                f"keyed on {old_key!r}: a key change would break point "
+                "lookups on every retained version — write a new path"
+            )
     meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
     persisted = False
     try:
         if constraints:
@@ -613,15 +649,18 @@ def write_bucket_table_versioned(
             persisted = True
             _enforce_constraints(df, constraints, path)
             meta["constraints"] = constraints
-        with open(os.path.join(path, BUCKET_META), "w") as f:
+        with open(meta_path, "w") as f:
             json.dump(meta, f)
         gens = _write_generations(df, path, key, n_buckets)
+        stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
+        v = 1 if existing_v is None else existing_v + 1
+        _commit(path, v, gens, n_buckets, _schema_of(df), stats, op="load")
     finally:
         if persisted:
             df.unpersist()
-    stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
-    _commit(path, 1, gens, n_buckets, _schema_of(df), stats, op="load")
-    return 1
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return v
 
 
 def init_bucket_table_versioned(
@@ -657,23 +696,28 @@ def _write_generations(
     b = bucket_expr(key, n_buckets)
     staged = df.withColumn("bucket", b)
     width = len(buckets) if buckets is not None else n_buckets
-    (
-        staged.repartition(max(width, 1), "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(staging)
-    )
     out: dict[str, str] = {}
-    candidates = (
-        buckets if buckets is not None else range(n_buckets)
-    )
-    for i in candidates:
-        src = f"{staging}/bucket={i}"
-        if os.path.isdir(src):
-            os.makedirs(f"{path}/bucket={i}", exist_ok=True)
-            os.rename(src, f"{path}/bucket={i}/{gen}")
-            out[str(i)] = gen
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        (
+            staged.repartition(max(width, 1), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        candidates = (
+            buckets if buckets is not None else range(n_buckets)
+        )
+        for i in candidates:
+            src = f"{staging}/bucket={i}"
+            if os.path.isdir(src):
+                os.makedirs(f"{path}/bucket={i}", exist_ok=True)
+                os.rename(src, f"{path}/bucket={i}/{gen}")
+                out[str(i)] = gen
+    finally:
+        # also on the crash path: a failed write must not leak its
+        # batch-sized staging dir (vacuum additionally sweeps aged
+        # .stage-* dirs for the kill -9 case this finally can't cover)
+        shutil.rmtree(staging, ignore_errors=True)
     return out
 
 
@@ -932,18 +976,11 @@ def read_bucket_for_key_versioned(
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     v = latest_version(path) if version is None else version
+    from .merge import bucket_of_value
+
     full = _load_manifest_full(path, v)
     manifest = full["buckets"]
-    bid = (
-        spark.range(1)
-        .select(
-            F.pmod(
-                F.xxhash64(F.lit(value).cast("string")),
-                F.lit(full["n_buckets"]),
-            ).alias("b")
-        )
-        .collect()[0][0]
-    )
+    bid = bucket_of_value(spark, value, full["n_buckets"])
     g = manifest.get(str(bid))
     if g is None:
         return None
@@ -1290,6 +1327,14 @@ def vacuum_bucket_versions(
                         continue
                     shutil.rmtree(gdir, ignore_errors=True)
                     removed_gens.append(gdir)
+                # staging dirs a kill -9'd writer left behind (its
+                # try/finally never ran); we hold _MERGELOCK so no
+                # writer is mid-stage
+                for sdir in _glob.glob(f"{path}/.stage-g-*"):
+                    if now - os.path.getmtime(sdir) < grace_seconds:
+                        continue
+                    shutil.rmtree(sdir, ignore_errors=True)
+                    removed_gens.append(sdir)
             finally:
                 fcntl.flock(clock_, fcntl.LOCK_UN)
         fcntl.flock(mlock, fcntl.LOCK_UN)

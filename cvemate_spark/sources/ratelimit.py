@@ -103,19 +103,25 @@ def fetch_with_retry(
     raise last  # type: ignore[misc]
 
 
-# One limiter per (calls, period) per PROCESS. Spark reuses Python
-# worker processes across tasks, so consecutive page fetches executed
-# by the same worker share one rolling window — without this, a fresh
-# limiter per partition read (each of which fetches exactly one page)
-# would never throttle first attempts and the per-task budget would be
-# fiction. Cluster-wide bound: concurrent workers x per-worker rate.
-_SHARED_LIMITERS: dict[tuple[int, float], RateLimiter] = {}
+# One limiter per (provider, calls, period) per PROCESS. Spark reuses
+# Python worker processes across tasks, so consecutive page fetches
+# executed by the same worker share one rolling window — without this,
+# a fresh limiter per partition read (each of which fetches exactly
+# one page) would never throttle first attempts and the per-task
+# budget would be fiction. The PROVIDER discriminator matters too:
+# two different feeds that happen to configure the same (calls,
+# period) budget are separate providers with separate quotas — sharing
+# one window would halve each one's provisioned rate. Cluster-wide
+# bound: concurrent workers x per-worker per-provider rate.
+_SHARED_LIMITERS: dict[tuple[str, int, float], RateLimiter] = {}
 
 
-def shared_limiter(calls: int, period: float) -> RateLimiter:
-    """Process-wide limiter for the given budget (see module comment);
-    Python workers are single-threaded, so no lock is needed."""
-    key = (calls, float(period))
+def shared_limiter(
+    calls: int, period: float, provider: str = ""
+) -> RateLimiter:
+    """Process-wide limiter for one provider's budget (see module
+    comment); Python workers are single-threaded, so no lock needed."""
+    key = (provider, calls, float(period))
     lim = _SHARED_LIMITERS.get(key)
     if lim is None:
         lim = _SHARED_LIMITERS[key] = RateLimiter(calls, period)
@@ -132,5 +138,12 @@ def reader_hooks(options) -> tuple[RateLimiter | None, int, float]:
     period = float(options.get("rate_period", 0) or 0)
     retries = int(options.get("retry_limit", 1) or 1)
     delay = float(options.get("retry_delay", 0.05) or 0.05)
-    limiter = shared_limiter(calls, period) if calls > 0 and period > 0 else None
+    # the provider identity is the feed's path/url — distinct feeds
+    # with identical budgets must not share a window
+    provider = str(options.get("path", "") or options.get("url", ""))
+    limiter = (
+        shared_limiter(calls, period, provider)
+        if calls > 0 and period > 0
+        else None
+    )
     return limiter, retries, delay

@@ -118,7 +118,10 @@ def main() -> None:
     # the mod=1000 uniform rung, every key hashing into <=1% of the
     # buckets — the bound is buckets_touched <= hot set, so a skewed
     # batch rewrites FEWER, larger dirs; wall should not regress
-    uniform_rows = next(r for r in results if r["batch_rows"] >= 1000)
+    uniform_rows = next(
+        (r for r in results if r["batch_rows"] >= 1000),
+        results[-1],  # tiny sf: largest available rung, not a crash
+    )
     hot_buckets = max(N_BUCKETS // 100, 1)
     hot = (
         orders.withColumn("__b", bucket_expr("o_orderkey", N_BUCKETS))

@@ -88,8 +88,6 @@ _BOUNDED_LEAVES = {
     "RDDScanExec",          #  centroids / query batches / literals)
     "EmptyRelationExec",
     "OneRowRelationExec",
-    "ReusedExchangeExec",   # reuse of an exchange that was already
-                            #  audited where it first appeared
 }
 _LIMIT_NODES = {
     "GlobalLimitExec", "LocalLimitExec",
@@ -116,6 +114,16 @@ def _subtree_bounded(node) -> bool:
         return True
     if name in _LIMIT_NODES:
         return True
+    if name == "ReusedExchangeExec":
+        # a reused exchange is only as bounded as what it reuses: its
+        # first appearance may have been audited under BHJ rules (any
+        # size), so "already audited" does NOT imply P3-bounded —
+        # resolve the referenced subtree and judge it; unresolvable
+        # means NOT bounded, never assumed
+        try:
+            return _subtree_bounded(node.child())
+        except Exception:
+            return False
     if name == "RangeExec":
         return int(str(node.numElements())) <= _RANGE_SPINE_MAX
     if "Aggregate" in name:
