@@ -544,6 +544,75 @@ def test_feed_carries_legit_null_updates(spark, tmp_path):
     )
 
 
+def test_phantom_manifest_never_becomes_history(spark, tmp_path):
+    """Review-caught law: a merger that died between writing its
+    manifest and replacing the pointer must never have that manifest
+    become readable committed history — the next commit purges it
+    under the commit lock."""
+    import pytest
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt18")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    # a dead merger's leftover: manifest written, pointer never moved
+    import json as _json
+
+    with open(f"{path}/v-2.json", "w") as f:
+        _json.dump(
+            {"v": 2, "n_buckets": 4, "buckets": {}, "op": "merge"}, f
+        )
+    assert latest_version(path) == 1  # invisible so far
+
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "v2"}), now=T1
+    )
+    # the live commit skipped past the phantom's number AND purged it
+    assert latest_version(path) == 3
+    assert not os.path.exists(f"{path}/v-2.json")
+    with pytest.raises(FileNotFoundError):
+        read_bucket_table_versioned(spark, path, 2)
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "v2" and len(m) == 20
+
+
+def test_full_reload_commits_next_version(spark, tmp_path):
+    """Review-caught law: re-running the initial load on an existing
+    table is a full-snapshot RELOAD committed as the next version —
+    never a silently-discarded v1 with orphan generations — and a KEY
+    change raises instead of corrupting point lookups."""
+    import pytest
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt19")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "v2"}), now=T1
+    )
+    snap2 = _as_map(read_bucket_table_versioned(spark, path))
+
+    fresh = _batch(spark, "nvd", {f"CVE-{i}": "reload" for i in range(5)})
+    v = write_bucket_table_versioned(
+        merge_upsert(None, fresh, now=T2), path, key="id", n_buckets=8
+    )
+    assert v == 3 and latest_version(path) == 3
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m == {f"CVE-{i}": "reload" for i in range(5)}
+    # pre-reload versions stay time-travelable, each under its layout
+    assert _as_map(read_bucket_table_versioned(spark, path, 2)) == snap2
+    # merges after the reload scope under the NEW layout
+    st = merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-0": "post"}), now=T2
+    )
+    assert st["n_buckets"] == 8
+
+    with pytest.raises(ValueError, match="keyed on"):
+        write_bucket_table_versioned(fresh, path, key="nvd", n_buckets=8)
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     """TIMESTAMP AS OF: commits carry a wall-clock stamp; version_at
     resolves the newest version committed at-or-before a point in
