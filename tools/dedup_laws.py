@@ -35,6 +35,15 @@ runs at any scale the engine itself runs at:
 The pair relation itself keeps its independent oracle coverage via
 the dedup_simhash* queries (driver-gated, sf10-proven), so the pairs
 SQL here is the same DuckDB generation those gates verify.
+
+Known cost (reviewed, accepted): the verifier recomputes the Spark
+clustering per family member and the registry builder recomputes it
+once more inside the gated query — only the DuckDB pairs relation is
+cached across the family. Caching labels per PAIR_KW config would
+roughly halve the sf1 sweep's wall-clock; left as is because this is
+an offline verification tool and the duplicate compute is the same
+code path the engine ships (no divergence risk), but worth doing if
+the sweep cadence rises.
 """
 
 from __future__ import annotations
