@@ -76,11 +76,27 @@ def _cat_commit(path: str, v: int, tables: dict) -> None:
     with open(tmp2, "w") as f:
         f.write(str(v))
     os.replace(tmp2, os.path.join(path, "_LATEST"))
+    # supersession markers: vacuum's grace clock must run on time-
+    # since-DISPLACED, not manifest creation time (manifests are
+    # immutable, so mtime == creation — a snapshot that served reads
+    # for an hour would otherwise be reclaimable the instant a new
+    # version commits, mid-read)
+    for old in _cat_versions(path):
+        if old < v:
+            marker = os.path.join(path, f"c-{old}.superseded")
+            if not os.path.exists(marker):
+                with open(marker, "w") as mf:
+                    mf.write(str(v))
 
 
 def catalog_init(path: str) -> int:
-    """Create an empty catalog: c-1 with no tables, pointer at 1."""
+    """Create an empty catalog: c-1 with no tables, pointer at 1.
+    Ensure-exists on an EXISTING catalog: re-running init must not
+    overwrite committed manifests or roll the pointer back — the
+    current version is returned untouched."""
     os.makedirs(path, exist_ok=True)
+    if os.path.exists(os.path.join(path, "_LATEST")):
+        return catalog_latest(path)
     _cat_commit(path, 1, {})
     return 1
 
@@ -160,8 +176,12 @@ def vacuum_catalog(
     path: str, keep: int = 2, grace_seconds: float = 0.0
 ) -> dict:
     """Drop catalog manifests older than the newest `keep` (never the
-    committed one, never younger than `grace_seconds` — readers may be
-    resolving them). Under `_CATLOCK` so no transaction interleaves."""
+    committed one, never inside their post-SUPERSESSION grace window —
+    the clock runs on time-since-displaced via the `.superseded`
+    marker, the same retention contract as the table vacuum: a
+    snapshot that served reads for an hour is not reclaimable the
+    instant a newer one commits). Under `_CATLOCK` so no transaction
+    interleaves."""
     import fcntl
     import time
 
@@ -175,10 +195,13 @@ def vacuum_catalog(
             for v in versions[:-keep] if keep else versions:
                 if v == committed:
                     continue
-                m = _cat_manifest(path, v)
-                if now - os.path.getmtime(m) < grace_seconds:
+                marker = os.path.join(path, f"c-{v}.superseded")
+                if not os.path.exists(marker):
+                    continue  # never displaced -> not provably dead
+                if now - os.path.getmtime(marker) < grace_seconds:
                     continue
-                os.unlink(m)
+                os.unlink(_cat_manifest(path, v))
+                os.unlink(marker)
                 removed.append(v)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)

@@ -75,6 +75,23 @@ def latest_version(path: str) -> int:
         return int(f.read().strip())
 
 
+def _resolve_version(path: str, version: int | None) -> int:
+    """Resolve a user version against the COMMITTED pointer — every
+    read surface must go through this: a manifest file alone is not
+    history (a merger that died between its manifest write and its
+    pointer replace leaves one), so any version beyond the pointer is
+    rejected, never read."""
+    committed = latest_version(path)
+    if version is None:
+        return committed
+    if version > committed:
+        raise ValueError(
+            f"version {version} of {path} is not committed "
+            f"(latest={committed})"
+        )
+    return version
+
+
 def _load_manifest(path: str, v: int) -> dict[str, str]:
     return _load_manifest_full(path, v)["buckets"]
 
@@ -144,7 +161,7 @@ def table_schema(path: str, version: int | None = None):
     recorded (readers fall back to parquet inference)."""
     from pyspark.sql.types import StructType
 
-    v = latest_version(path) if version is None else version
+    v = _resolve_version(path, version)
     s = _load_manifest_full(path, v).get("schema")
     return StructType.fromJson(s) if s is not None else None
 
@@ -357,7 +374,7 @@ def prune_generations(
     Pure manifest arithmetic — no Spark job, no data I/O. Returns
     {version, read, skipped, manifest}; buckets without usable stats
     for the column are always read (absent stats never skip)."""
-    v = latest_version(path) if version is None else version
+    v = _resolve_version(path, version)
     full = _load_manifest_full(path, v)
     stats = full.get("stats") or {}
     read: list[str] = []
@@ -413,7 +430,7 @@ def prune_generations_multi(
     proves no overlap (the read set is the INTERSECTION of the
     per-column read sets). Same manifest-arithmetic cost; same
     absent-stats-never-skip conservatism per column."""
-    v = latest_version(path) if version is None else version
+    v = _resolve_version(path, version)
     plans = [
         prune_generations(path, col, lo, hi, v) for col, lo, hi in predicates
     ]
@@ -489,29 +506,9 @@ def scan_versioned(
     is freshness (`updated_at >= t`: only buckets a recent merge
     rewrote have young max-stats; everything else skips), giving
     incremental consumers a clock-based path that reads changed data
-    only, without a version checkpoint."""
-    from pyspark.sql.types import StructType
-
-    plan = prune_generations(path, column, lo, hi, version)
-    manifest = plan["manifest"]["buckets"]
-    stored = plan["manifest"].get("schema")  # reuse the loaded manifest
-    schema = StructType.fromJson(stored) if stored is not None else None
-    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in plan["read"]]
-    if not dirs:
-        if schema is None:
-            raise FileNotFoundError(
-                f"version {plan['version']} of {path}: nothing to read and "
-                "no recorded schema to type an empty result"
-            )
-        df = spark.createDataFrame([], schema)
-    else:
-        df = _read_dirs(spark, dirs, schema)
-    c = F.col(column)
-    if lo is not None:
-        df = df.filter(c >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(c <= F.lit(hi))
-    return df
+    only, without a version checkpoint. The single-predicate case of
+    `scan_versioned_multi` — one implementation, no drift."""
+    return scan_versioned_multi(spark, path, [(column, lo, hi)], version)
 
 
 def _commit(
@@ -626,35 +623,53 @@ def write_bucket_table_versioned(
 
     os.makedirs(path, exist_ok=True)
     meta_path = os.path.join(path, BUCKET_META)
-    existing_v = None
-    if os.path.exists(os.path.join(path, "_LATEST")):
-        existing_v = latest_version(path)
-        with open(meta_path) as f:
-            old_key = json.load(f)["key"]
-        if old_key != key:
-            raise ValueError(
-                f"reload of {path} with key {key!r} but the table is "
-                f"keyed on {old_key!r}: a key change would break point "
-                "lookups on every retained version — write a new path"
-            )
     meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
+    if constraints:
+        meta["constraints"] = constraints
     lock = open(os.path.join(path, "_MERGELOCK"), "w")
     fcntl.flock(lock, fcntl.LOCK_EX)
     persisted = False
     try:
+        # the existing-version probe happens UNDER the merge lock: read
+        # before it and a concurrent merge could advance the pointer,
+        # making our _commit a silent monotonic no-op while we report
+        # the (someone else's) version number as our committed reload
+        existing_v = None
+        if os.path.exists(os.path.join(path, "_LATEST")):
+            existing_v = latest_version(path)
+            with open(meta_path) as f:
+                old_key = json.load(f)["key"]
+            if old_key != key:
+                raise ValueError(
+                    f"reload of {path} with key {key!r} but the table "
+                    f"is keyed on {old_key!r}: a key change would break "
+                    "point lookups on every retained version — write a "
+                    "new path"
+                )
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
             df = df.persist()
             persisted = True
             _enforce_constraints(df, constraints, path)
-            meta["constraints"] = constraints
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        if existing_v is None:
+            # fresh table: the meta must exist before the first commit
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
         gens = _write_generations(df, path, key, n_buckets)
         stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         v = 1 if existing_v is None else existing_v + 1
         _commit(path, v, gens, n_buckets, _schema_of(df), stats, op="load")
+        if existing_v is not None:
+            # reload: the meta (layout hint + constraints) changes only
+            # AFTER the commit landed, atomically — a reload that dies
+            # mid-write must not leave meta describing a load that
+            # never committed (readers stay on the old version AND the
+            # old constraints)
+            tmp = f"{meta_path}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
     finally:
         if persisted:
             df.unpersist()
@@ -671,8 +686,21 @@ def init_bucket_table_versioned(
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
     starts from nothing; see merge.py::init_bucket_table).
     `constraints` are recorded for every future merge to enforce —
-    nothing to check yet on an empty table."""
+    nothing to check yet on an empty table. Init on an EXISTING table
+    is ensure-exists: the committed table wins untouched (rewriting
+    the meta here could silently re-key live data while the monotonic
+    commit no-ops) — returns the current version; a key mismatch
+    raises."""
     os.makedirs(path, exist_ok=True)
+    if os.path.exists(os.path.join(path, "_LATEST")):
+        with open(os.path.join(path, BUCKET_META)) as f:
+            old_key = json.load(f)["key"]
+        if old_key != key:
+            raise ValueError(
+                f"init of existing table {path} with key {key!r} but it "
+                f"is keyed on {old_key!r}"
+            )
+        return latest_version(path)
     meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
     if constraints:
         meta["constraints"] = constraints
@@ -713,6 +741,24 @@ def _write_generations(
                 os.makedirs(f"{path}/bucket={i}", exist_ok=True)
                 os.rename(src, f"{path}/bucket={i}/{gen}")
                 out[str(i)] = gen
+        if buckets is not None:
+            # a custom merger may only return rows whose keys fall in
+            # the touched-bucket restriction (its inputs do); anything
+            # staged OUTSIDE it would be silently deleted below — fail
+            # LOUDLY instead of losing rows
+            import glob as _glob
+
+            leftover = [
+                d for d in _glob.glob(f"{staging}/bucket=*")
+                if os.path.isdir(d)
+            ]
+            if leftover:
+                raise RuntimeError(
+                    f"merge produced rows outside its touched buckets "
+                    f"({sorted(os.path.basename(d) for d in leftover)}): "
+                    "a merger must not emit keys absent from both the "
+                    "batch and the target slice"
+                )
     finally:
         # also on the crash path: a failed write must not leak its
         # batch-sized staging dir (vacuum additionally sweeps aged
@@ -911,27 +957,39 @@ def rebucket_versioned(
         dirs = [
             f"{path}/bucket={i}/{g}" for i, g in sorted(full["buckets"].items())
         ]
-        from pyspark.sql.types import StructType
+        if not dirs:
+            # empty table (metadata-only init): the migration is a pure
+            # manifest commit under the new layout — no Spark job
+            gens, stats = {}, {}
+        else:
+            from pyspark.sql.types import StructType
 
-        stored = full.get("schema")
-        snapshot = _read_dirs(
-            spark, dirs,
-            StructType.fromJson(stored) if stored is not None else None,
-        )
-        gens = _write_generations(snapshot, path, key, new_n_buckets)
-        stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
+            stored = full.get("schema")
+            snapshot = _read_dirs(
+                spark, dirs,
+                StructType.fromJson(stored) if stored is not None else None,
+            )
+            gens = _write_generations(snapshot, path, key, new_n_buckets)
+            stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         v = max([cur] + _list_versions(path)) + 1
         _commit(
-            path, v, gens, new_n_buckets, _schema_of(snapshot), stats,
+            path, v, gens, new_n_buckets,
+            _schema_of(snapshot) if dirs else full.get("schema"), stats,
             op="rebucket",
         )
-        # refresh the meta hint (readers/mergers resolve the truth from
-        # the manifest; the meta records the key and the LATEST layout)
-        with open(os.path.join(path, BUCKET_META), "w") as f:
-            _json.dump(
-                {"key": key, "n_buckets": new_n_buckets, "v": 2,
-                 "versioned": True}, f,
-            )
+        # refresh the meta hint (readers/mergers resolve the layout
+        # from the manifest; the meta records the key and the LATEST
+        # layout) — preserving every OTHER recorded field: dropping
+        # `constraints` here would silently disable table-level CHECK
+        # enforcement for all later merges
+        new_meta = dict(meta)
+        new_meta["n_buckets"] = new_n_buckets
+        tmp_meta = os.path.join(
+            path, f"{BUCKET_META}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp_meta, "w") as f:
+            _json.dump(new_meta, f)
+        os.replace(tmp_meta, os.path.join(path, BUCKET_META))
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -948,12 +1006,7 @@ def read_bucket_table_versioned(
     """Read the committed snapshot, or a pinned `version` (time
     travel). One manifest resolves to one consistent generation set —
     a concurrent merge's commit flips the whole table at once."""
-    committed = latest_version(path)
-    v = committed if version is None else version
-    if v > committed:
-        raise ValueError(
-            f"version {v} of {path} is not committed (latest={committed})"
-        )
+    v = _resolve_version(path, version)
     from pyspark.sql.types import StructType
 
     full = _load_manifest_full(path, v)
@@ -975,7 +1028,7 @@ def read_bucket_for_key_versioned(
     `value` under the pinned (or latest) version."""
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
-    v = latest_version(path) if version is None else version
+    v = _resolve_version(path, version)
     from .merge import bucket_of_value
 
     full = _load_manifest_full(path, v)
@@ -1021,7 +1074,7 @@ def changed_buckets_between(
     freshness (merge.py::changed_buckets_since) there is no precision
     or clock-skew surface at all, and a layout change (rebucket)
     degrades safely to "everything changed"."""
-    to_v = latest_version(path) if to_version is None else to_version
+    to_v = _resolve_version(path, to_version)
     m_from = _load_manifest_full(path, since_version)
     m_to = _load_manifest_full(path, to_v)
     if m_from["n_buckets"] != m_to["n_buckets"]:
@@ -1050,7 +1103,7 @@ def read_changed_between(
     keys — exact key-level CDC is merge.py::table_diff between
     `read_bucket_table_versioned` snapshots, which this prunes the
     input for)."""
-    to_v = latest_version(path) if to_version is None else to_version
+    to_v = _resolve_version(path, to_version)
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:
         return None
@@ -1079,8 +1132,11 @@ def version_at(path: str, as_of: float | str) -> int:
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=datetime.timezone.utc)
         as_of = dt.timestamp()
+    committed = latest_version(path)
     best = None
     for v in _list_versions(path):
+        if v > committed:
+            continue  # phantom manifest of a dead merger: not history
         t = _load_manifest_full(path, v).get("committed_at")
         if t is not None and t <= as_of:
             best = v
@@ -1103,6 +1159,8 @@ def history(path: str) -> list[dict]:
     committed = latest_version(path)
     out = []
     for v in _list_versions(path):
+        if v > committed:
+            continue  # phantom manifest of a dead merger: not history
         m = _load_manifest_full(path, v)
         stats = m.get("stats")
         rows = bytes_ = None
@@ -1204,7 +1262,7 @@ def change_feed(
             f"{bucket_key!r}: bucket pruning is only exact when the "
             "row's bucket is a function of the diff key"
         )
-    to_v = latest_version(path) if to_version is None else to_version
+    to_v = _resolve_version(path, to_version)
     m_from = _load_manifest_full(path, since_version)
     m_to = _load_manifest_full(path, to_v)
 
@@ -1232,11 +1290,24 @@ def change_feed(
 
     if m_from["n_buckets"] != m_to["n_buckets"]:
         # layout changed between the versions: bucket ids are not
-        # comparable — diff the full snapshots
-        return _aligned_diff(
-            read_bucket_table_versioned(spark, path, since_version),
-            read_bucket_table_versioned(spark, path, to_v),
-        )
+        # comparable — diff the full snapshots. Either side may be the
+        # metadata-only EMPTY init (a consumer checkpointed at v1 must
+        # still catch up across a later rebucket): empty -> a typed
+        # empty frame, never a read error
+        def _snap(m: dict, v: int, like: DataFrame | None):
+            if m["buckets"]:
+                return read_bucket_table_versioned(spark, path, v)
+            if like is not None:
+                return spark.createDataFrame([], like.schema)
+            return None
+
+        new_df = _snap(m_to, to_v, None)
+        old_df = _snap(m_from, since_version, new_df)
+        if old_df is None and new_df is None:
+            return None
+        if new_df is None:
+            new_df = spark.createDataFrame([], old_df.schema)
+        return _aligned_diff(old_df, new_df)
 
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:

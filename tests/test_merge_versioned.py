@@ -613,6 +613,188 @@ def test_full_reload_commits_next_version(spark, tmp_path):
         write_bucket_table_versioned(fresh, path, key="nvd", n_buckets=8)
 
 
+def test_phantom_invisible_to_every_read_surface(spark, tmp_path):
+    """Review-caught law (pass 3): before any purging commit, a dead
+    merger's manifest must be invisible to EVERY read surface — not
+    just read_bucket_table_versioned: history, version_at, scans and
+    point lookups all resolve against the committed pointer."""
+    import json as _json
+    import time as _time
+
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        history, prune_generations, version_at,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "vbt20")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    with open(f"{path}/v-2.json", "w") as f:
+        _json.dump(
+            {"v": 2, "n_buckets": 4, "buckets": {}, "op": "merge",
+             "committed_at": _time.time()}, f,
+        )
+    assert [e["version"] for e in history(path)] == [1]
+    assert version_at(path, _time.time()) == 1
+    with pytest.raises(ValueError, match="not committed"):
+        prune_generations(path, "nvd", "a", "z", version=2)
+    with pytest.raises(ValueError, match="not committed"):
+        read_bucket_for_key_versioned(spark, path, "CVE-1", version=2)
+
+
+def test_concurrent_reload_and_merge_both_land(spark, tmp_path):
+    """Review-caught race: the reload's existing-version probe runs
+    UNDER the merge lock, so a racing merge can no longer turn the
+    reload's commit into a silent monotonic no-op — both operations
+    land as distinct versions and the final state is one of the two
+    serialization orders."""
+    import threading
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt21")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    reload_df = merge_upsert(
+        None, _batch(spark, "nvd", {f"CVE-{i}": "reload" for i in range(5)}),
+        now=T1,
+    )
+    batch = _batch(spark, "nvd", {"CVE-1": "merged"})
+    errs = []
+
+    def do_reload():
+        try:
+            write_bucket_table_versioned(
+                reload_df, path, key="id", n_buckets=4
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    def do_merge():
+        try:
+            merge_scoped_versioned(spark, path, batch, now=T1)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_reload), threading.Thread(target=do_merge)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert latest_version(path) == 3  # BOTH landed, distinct versions
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    # legal serializations: merge-then-reload (reload wins everything)
+    # or reload-then-merge (merge applied on the reloaded 5 rows)
+    reload_won = {f"CVE-{i}": "reload" for i in range(5)}
+    merge_after = dict(reload_won, **{"CVE-1": "merged"})
+    assert m in (reload_won, merge_after)
+
+
+def test_rebucket_preserves_constraints_and_empty_table(spark, tmp_path):
+    """Review-caught laws: a rebucket must carry the recorded CHECK
+    constraints forward (dropping them silently disables enforcement),
+    and re-bucketing a metadata-only EMPTY table is a pure manifest
+    commit, after which merges scope under the new layout."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        ConstraintViolation, _load_manifest_full,
+        init_bucket_table_versioned, rebucket_versioned,
+    )
+
+    path = str(tmp_path / "vbt22")
+    init_bucket_table_versioned(
+        path, key="id", n_buckets=4,
+        constraints={"nonneg": "score >= 0"},
+    )
+    rb = rebucket_versioned(spark, path, 16)  # empty: manifest-only
+    assert rb["version"] == 2 and rb["buckets_written"] == 0
+    assert _load_manifest_full(path, 2)["n_buckets"] == 16
+    with pytest.raises(ConstraintViolation):
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame(
+                [Row(id="a", score=-1.0)], "id string, score double"
+            ),
+            now=T1,
+        )
+    st = merge_scoped_versioned(
+        spark, path,
+        spark.createDataFrame(
+            [Row(id="a", score=1.0)], "id string, score double"
+        ),
+        now=T1,
+    )
+    assert st["n_buckets"] == 16  # post-migration layout
+
+    # init on an EXISTING table is ensure-exists: nothing rewritten
+    from cvemate_spark.operators.merge_versioned import latest_version as lv
+
+    assert init_bucket_table_versioned(path, key="id") == lv(path)
+    with pytest.raises(ValueError, match="keyed on"):
+        init_bucket_table_versioned(path, key="other")
+    # the ensure-exists call kept constraints binding
+    with pytest.raises(ConstraintViolation):
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame(
+                [Row(id="b", score=-5.0)], "id string, score double"
+            ),
+            now=T2,
+        )
+
+
+def test_merger_emitting_foreign_keys_fails_loudly(spark, tmp_path):
+    """Review-caught law: a custom merger returning rows whose keys
+    fall OUTSIDE the batch's touched buckets must raise, not silently
+    drop those rows with the staging dir."""
+    import pytest
+
+    from cvemate_spark.operators.merge import bucket_expr
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbt23")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    # find a foreign key living in a DIFFERENT bucket than the batch key
+    import pyspark.sql.functions as F
+
+    probe = spark.createDataFrame(
+        [Row(id=f"ZZZ-{i}") for i in range(50)]
+    ).select("id", bucket_expr("id", 8).alias("b"))
+    batch_b = (
+        spark.createDataFrame([Row(id="CVE-1")])
+        .select(bucket_expr("id", 8).alias("b")).collect()[0]["b"]
+    )
+    foreign = (
+        probe.filter(F.col("b") != batch_b).limit(1).collect()[0]["id"]
+    )
+
+    def bad_merger(cur, b):
+        extra = spark.createDataFrame([Row(id=foreign, nvd="smuggled")])
+        out = (
+            b if cur is None
+            else cur.unionByName(b, allowMissingColumns=True)
+        )
+        return out.unionByName(extra, allowMissingColumns=True)
+
+    with pytest.raises(RuntimeError, match="outside its touched buckets"):
+        merge_scoped_versioned(
+            spark, path, _batch(spark, "nvd", {"CVE-1": "u"}),
+            merger=bad_merger,
+        )
+    # atomic: nothing committed, no foreign rows
+    assert latest_version(path) == 1
+    assert "ZZZ" not in str(sorted(_as_map(
+        read_bucket_table_versioned(spark, path)
+    )))
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     """TIMESTAMP AS OF: commits carry a wall-clock stamp; version_at
     resolves the newest version committed at-or-before a point in
