@@ -795,6 +795,56 @@ def test_merger_emitting_foreign_keys_fails_loudly(spark, tmp_path):
     )))
 
 
+def test_reader_racing_merge_sees_only_complete_snapshots(spark, tmp_path):
+    """Snapshot isolation under a LIVE race (not just crash replay): a
+    reader loop running concurrently with a multi-bucket merge may
+    observe the pre-merge or the post-merge table, never a mix — every
+    observed (row count, updated-key count) pair must be one of the two
+    legal snapshots."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(200)})
+    path = str(tmp_path / "vbt24")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    # a merge touching every bucket: updates spread over all 200 keys
+    batch = _batch(
+        spark, "nvd", {f"CVE-{i}": "NEW" for i in range(0, 200, 3)}
+    )
+    n_updated = 67  # ceil(200/3)
+    observations, errs = [], []
+    done = threading.Event()
+
+    def reader():
+        try:
+            while not done.is_set():
+                df = read_bucket_table_versioned(spark, path)
+                row = df.agg(
+                    F.count("*").alias("n"),
+                    F.count(F.when(F.col("nvd") == "NEW", 1)).alias("u"),
+                ).collect()[0]
+                observations.append((row["n"], row["u"]))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        merge_scoped_versioned(spark, path, batch, now=T1)
+    finally:
+        done.set()
+        t.join()
+    assert not errs, errs
+    legal = {(200, 0), (200, n_updated)}
+    assert observations and set(observations) <= legal, set(observations)
+    # and the reader did observe the flip once the merge returned
+    final = read_bucket_table_versioned(spark, path)
+    assert final.filter(F.col("nvd") == "NEW").count() == n_updated
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     """TIMESTAMP AS OF: commits carry a wall-clock stamp; version_at
     resolves the newest version committed at-or-before a point in
