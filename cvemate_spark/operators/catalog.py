@@ -68,6 +68,23 @@ def _cat_load(path: str, v: int) -> dict:
 
 
 def _cat_commit(path: str, v: int, tables: dict) -> None:
+    # PHANTOM sweep (mirrors merge_versioned._commit): a transaction
+    # that died between its c-N manifest write and the pointer replace
+    # left c-N on disk; once our pointer advances past N that manifest
+    # would become readable "committed" catalog history pinning a
+    # never-published snapshot (catalog_read accepts any v <= the
+    # pointer). Callers hold _CATLOCK, and a LIVE transaction writes
+    # its manifest and advances the pointer inside that same lock — so
+    # any manifest beyond the current pointer seen here belongs to a
+    # dead one: purge it before publishing.
+    latest_file = os.path.join(path, "_LATEST")
+    current = -1
+    if os.path.exists(latest_file):
+        with open(latest_file) as f:
+            current = int(f.read().strip() or -1)
+    for ph in _cat_versions(path):
+        if ph > current and ph != v:
+            os.unlink(_cat_manifest(path, ph))
     tmp = os.path.join(path, f".c-tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump({"v": v, "tables": tables}, f, indent=0, sort_keys=True)
@@ -94,10 +111,17 @@ def catalog_init(path: str) -> int:
     Ensure-exists on an EXISTING catalog: re-running init must not
     overwrite committed manifests or roll the pointer back — the
     current version is returned untouched."""
+    import fcntl
+
     os.makedirs(path, exist_ok=True)
-    if os.path.exists(os.path.join(path, "_LATEST")):
-        return catalog_latest(path)
-    _cat_commit(path, 1, {})
+    with open(os.path.join(path, "_CATLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(os.path.join(path, "_LATEST")):
+                return catalog_latest(path)
+            _cat_commit(path, 1, {})
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return 1
 
 
@@ -121,6 +145,17 @@ def catalog_txn(
     joint snapshot (the member versions already committed become
     unreferenced-by-catalog history).
 
+    Pinning: an action that RETURNS the version it committed — an int,
+    or a dict carrying "version" (merge_scoped_versioned,
+    rebucket_versioned and write_bucket_table_versioned all do) — gets
+    pinned at exactly that version. `latest_version` is the fallback
+    for read-only members and version-silent actions only: pinning
+    "whatever is latest after the action ran" would let a concurrent
+    OUT-OF-BAND merge landing between the action and the pin be
+    published as part of this transaction's snapshot (catalog
+    transactions serialize against each other on _CATLOCK, but not
+    against direct table-level mergers).
+
     Returns {catalog_version, tables: {name: version}}.
     """
     import fcntl
@@ -128,15 +163,31 @@ def catalog_txn(
     lock = open(os.path.join(path, "_CATLOCK"), "w")
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
+        acted: dict[str, int] = {}
         for name, fn in (actions or {}).items():
             if name not in members:
                 raise KeyError(f"action for unregistered table {name!r}")
-            fn(spark, members[name])
+            res = fn(spark, members[name])
+            if isinstance(res, bool):
+                continue  # a True/False status is not a version
+            if isinstance(res, int):
+                acted[name] = res
+            elif isinstance(res, dict) and isinstance(
+                res.get("version"), int
+            ):
+                acted[name] = res["version"]
         pinned = {
-            name: {"path": tpath, "version": latest_version(tpath)}
+            name: {
+                "path": tpath,
+                "version": acted.get(name, latest_version(tpath)),
+            }
             for name, tpath in members.items()
         }
-        v = max(_cat_versions(path)) + 1
+        # next version off the COMMITTED pointer, not max(manifests):
+        # phantom manifests of dead transactions are not history (they
+        # are swept inside _cat_commit) and must not open numbering
+        # gaps in the readable catalog timeline
+        v = catalog_latest(path) + 1
         _cat_commit(path, v, pinned)
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)

@@ -27,6 +27,7 @@ Laws (tested in tests/test_merge_laws.py, SURVEY §5.3-5.4):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -203,7 +204,10 @@ def keep_latest_merge(
 
 
 # ------------------------------------------------------- atomic swap
-def write_atomic(df: DataFrame, path: str) -> None:
+REPLICA_META = "_REPLICA_META.json"
+
+
+def write_atomic(df: DataFrame, path: str, meta: dict | None = None) -> None:
     """Write-new-then-swap directory protocol (OP-MERGE atomicity
     without Delta): materialize to a temp dir beside the target (same
     filesystem — os.rename cannot cross mounts), then swap.
@@ -217,9 +221,23 @@ def write_atomic(df: DataFrame, path: str) -> None:
     old table, the new table, or (crash window only) the recoverable
     old directory — never a partial write. On HDFS/S3/production the
     same protocol is a manifest pointer swap or Delta's atomic log
-    commit, both of which close the window."""
+    commit, both of which close the window.
+
+    `meta` (optional) is written as `_REPLICA_META.json` INSIDE the
+    temp dir before the swap — underscore-prefixed, so Spark's file
+    listing ignores it — making (data + metadata) one atomic unit.
+    This is what a CDC replica consumer needs: its applied-version
+    checkpoint must travel WITH the replica content, because a
+    checkpoint stored beside the data reopens a crash window in which
+    the replica holds version N's rows while the checkpoint says M —
+    and a key reverted between M and N (A-B-A) is then classified
+    nochange by the redelivered feed, leaving the replica permanently
+    stale (see streaming/jobs.py::feed_replica)."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    if meta is not None:
+        with open(os.path.join(tmp, REPLICA_META), "w") as f:
+            json.dump(meta, f)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -240,6 +258,18 @@ def read_target(spark: SparkSession, path: str) -> DataFrame | None:
             return spark.read.parquet(leftovers[-1])
         return None
     return spark.read.parquet(path)
+
+
+def read_replica_meta(path: str) -> dict | None:
+    """The metadata `write_atomic(meta=...)` co-located with the data
+    (or None when absent): for a CDC replica this is the ONLY truthful
+    applied-version source — it moved in the same rename as the rows
+    it describes, so it can never be stale relative to them."""
+    p = os.path.join(path, REPLICA_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 # ------------------------------------------- versioned snapshot sink

@@ -140,14 +140,46 @@ def _schema_of(df: DataFrame) -> dict:
     return json.loads(df.schema.json())
 
 
+class SchemaConflict(ValueError):
+    """A merge batch redefined an existing column at an incompatible
+    type. Raised BEFORE the commit — Delta-style schema enforcement:
+    committing the conflicting type would brick reads of every
+    untouched bucket (their parquet files fail under the new manifest
+    schema with SchemaColumnConvertNotSupported), a corruption the
+    analysis-time union check cannot catch when the batch touches only
+    manifest-absent buckets (target slice is None, so nothing unions
+    the batch against the committed types). A deliberate type change
+    is a full reload (`write_bucket_table_versioned`), which rewrites
+    every file under the new type."""
+
+
 def _union_schema(prev: dict | None, new: dict) -> dict:
     """Field-union of two schema JSONs: previous field ORDER is kept,
-    the new schema's definition wins per field (type updates travel),
-    fields only in the new schema append. Fields only in the previous
-    schema survive — a merge can never silently narrow the table."""
+    fields only in the new schema append, fields only in the previous
+    schema survive — a merge can never silently narrow the table.
+    A field present in BOTH must carry the SAME type (nullability and
+    metadata may drift; the new definition wins for those): parquet
+    files already committed under the previous type cannot be read
+    under a conflicting one, so a type change raises `SchemaConflict`
+    instead of committing a manifest that bricks untouched buckets."""
     if prev is None:
         return new
     new_by_name = {f["name"]: f for f in new["fields"]}
+    conflicts = {
+        f["name"]: (f["type"], new_by_name[f["name"]]["type"])
+        for f in prev["fields"]
+        if f["name"] in new_by_name
+        and new_by_name[f["name"]]["type"] != f["type"]
+    }
+    if conflicts:
+        raise SchemaConflict(
+            "merge batch redefines committed column types: "
+            + ", ".join(
+                f"{n} ({json.dumps(old)} -> {json.dumps(neww)})"
+                for n, (old, neww) in conflicts.items()
+            )
+            + " — a type change requires a full reload"
+        )
     out = [new_by_name.pop(f["name"], f) for f in prev["fields"]]
     out += list(new_by_name.values())
     return {**new, "fields": out}
@@ -617,15 +649,17 @@ def write_bucket_table_versioned(
     key change raises instead of silently corrupting. `constraints`
     ({name: sql bool expr}) are enforced on this load and RECORDED in
     the table meta — every later merge re-enforces them on its merged
-    slice (the Delta table-level CHECK contract). Returns the
-    committed version."""
+    slice (the Delta table-level CHECK contract). On a RELOAD,
+    `constraints=None` (the default) INHERITS the table's recorded
+    constraints — enforced on the reload and carried into the new
+    meta, mirroring the rebucket path's field preservation: a reload
+    must not silently disarm CHECK enforcement just because the caller
+    didn't re-type it. Pass a dict (even `{}`, to clear explicitly) to
+    override. Returns the committed version."""
     import fcntl
 
     os.makedirs(path, exist_ok=True)
     meta_path = os.path.join(path, BUCKET_META)
-    meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
-    if constraints:
-        meta["constraints"] = constraints
     lock = open(os.path.join(path, "_MERGELOCK"), "w")
     fcntl.flock(lock, fcntl.LOCK_EX)
     persisted = False
@@ -638,14 +672,21 @@ def write_bucket_table_versioned(
         if os.path.exists(os.path.join(path, "_LATEST")):
             existing_v = latest_version(path)
             with open(meta_path) as f:
-                old_key = json.load(f)["key"]
-            if old_key != key:
+                old_meta = json.load(f)
+            if old_meta["key"] != key:
                 raise ValueError(
                     f"reload of {path} with key {key!r} but the table "
-                    f"is keyed on {old_key!r}: a key change would break "
-                    "point lookups on every retained version — write a "
-                    "new path"
+                    f"is keyed on {old_meta['key']!r}: a key change "
+                    "would break point lookups on every retained "
+                    "version — write a new path"
                 )
+            if constraints is None:
+                constraints = old_meta.get("constraints")
+        meta = {
+            "key": key, "n_buckets": n_buckets, "v": 2, "versioned": True,
+        }
+        if constraints:
+            meta["constraints"] = constraints
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -852,6 +893,21 @@ def merge_scoped_versioned(
         else:
             merged = merge_upsert(target, updates, key=key, now=now)
 
+        # the committed schema: the PREVIOUS committed schema unioned
+        # with what the merge wrote. The union (not merged's schema
+        # alone) matters when the batch touches only buckets absent
+        # from the manifest: target is None, so merged carries only the
+        # batch's columns — committing that narrow schema would make
+        # every earlier-evolved column vanish from reads even though
+        # its data is still on disk. Previous field order is kept;
+        # batch-new fields append; DROP COLUMN is deliberately not a
+        # merge side effect; a TYPE conflict raises (SchemaConflict)
+        # HERE — before a single byte lands — so a rejected batch
+        # leaves no orphans and no bricked manifest.
+        committed_schema = _union_schema(
+            full.get("schema"), _schema_of(merged)
+        )
+
         # table-level CHECK constraints (recorded at creation) plus any
         # per-call additions, enforced on the merged slice BEFORE a
         # single byte lands: a violating batch is rejected atomically
@@ -889,18 +945,8 @@ def merge_scoped_versioned(
             files += st["files"]
             bytes_ += st["bytes"]
         v = max([cur] + _list_versions(path)) + 1
-        # the committed schema: the PREVIOUS committed schema unioned
-        # with what the merge wrote. The union (not merged's schema
-        # alone) matters when the batch touches only buckets absent
-        # from the manifest: target is None, so merged carries only the
-        # batch's columns — committing that narrow schema would make
-        # every earlier-evolved column vanish from reads even though
-        # its data is still on disk. Previous field order is kept
-        # (merged's definition wins per field; batch-new fields
-        # append); DROP COLUMN is deliberately not a merge side effect.
         _commit(
-            path, v, manifest, n_buckets,
-            _union_schema(full.get("schema"), _schema_of(merged)),
+            path, v, manifest, n_buckets, committed_schema,
             stats_all, op="merge",
         )
     finally:

@@ -101,47 +101,42 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-9 rotation (VERDICT r8 item 1). The r8 gate went green
-    # 50/50 in CORRECTNESS_r08.json, so its 44 non-headline members
-    # cede. Entrants: the 6 never-driver-proven round-8 additions (the
-    # r8 verdict's shortlist — a green row for each closes cumulative
-    # driver evidence at 200/201 + t_compress rows-only) plus this
-    # round's new capability (e_merge_scoped_versioned). The remaining
-    # slots follow the re-entry policy: this round's merge.py /
-    # ratelimit.py semantic edits pull the merge family and the
-    # connector-backed sources back in; the long-unproven-since-r5
-    # streaming set re-enters; the bench.py headline suite re-proves as
-    # the standing re-entry vehicle. Every other changed-hash query is
+    # ---- Round-10 rotation (VERDICT r9 item 1). The r9 gate went
+    # green 50/50 in CORRECTNESS_r09.json, so its members cede.
+    # Entrants: the 8 round-9 additions the r9 verdict shortlisted —
+    # a green row for each closes cumulative driver evidence at
+    # 210/211 + t_compress rows-only. The remaining slots follow the
+    # re-entry policy: round 10's semantic edits to merge.py
+    # (write_atomic meta co-location), merge_versioned.py (schema
+    # enforcement, constraint-inheriting reload), catalog.py (phantom
+    # sweep, action-returned pinning) and streaming/jobs.py (A-B-A-
+    # proof feed_replica) pull the versioned/merge family, the
+    # streaming ladder, and the composed pipelines back in. Every
+    # other changed-hash query (the wide engine_ops closure) is
     # re-proven locally by tools/update_gate_hashes.py before its pin
     # refreshes (the policy's documented alternative to a gate slot).
-    # --- entrants: round-8 additions, first driver proof (6)
-    "dedup_canonical_best", "dedup_prefix", "dedup_prefix_neardup",
-    "e_merge_scoped", "s17_scoped_replay", "t_decontam_containment",
-    # --- entrants: round-9 new capability (1)
-    "e_merge_scoped_versioned",
-    # --- re-entries: merge-family builders changed this round (6)
-    "q05", "s3_merge_replay", "cve_pipeline_fold", "e_time_travel",
-    "e_merge_delete", "e_table_diff",
-    # --- re-entries: connector/source paths changed this round (4)
-    "src_pyds", "src_nvd", "src_epss", "src_binary",
-    # --- re-entries: streaming surface (last driver-proven r5-r7) (9)
-    "s2_sliding", "s4_session", "s5_stateful", "s6_dedup", "s7_join",
-    "s8_static_join", "s9_outer_join", "s10_tws", "s11_recovery",
-    # --- entrants: round-9 late addition — online re-bucketing of the
-    # versioned table (q24, driver-proven r1-r8 and unchanged, cedes
-    # its headline re-entry slot; bench.py still measures it) (1)
-    "e_rebucket_versioned",
-    # --- re-entries: the headline suite (19)
-    "q01", "q06", "q07", "q10", "q11", "q13", "q15", "q17", "q19",
-    "q26", "q27", "e_asof", "dedup_minhash", "dedup_exact",
-    "curate_pipeline", "ann_lsh", "emb_neardup", "mm_meta",
-    "s1_tumbling",
-    # --- re-entries: the components family, whose propagation loop
-    # was FIXED this round (pointer jumping + loud non-convergence —
-    # the r9 law verifier caught silent truncation on sf1's deep
-    # clusters), re-proves under the driver oracle (4)
-    "dedup_components", "dedup_canonical", "dedup_cluster_sizes",
-    "dedup_canonical_shingle",
+    # --- entrants: round-9 additions, first driver proof (8)
+    "e_change_feed", "e_versioned_evolve", "e_versioned_skip",
+    "e_merge_constraint", "e_catalog_txn", "cve_pipeline_versioned",
+    "s18_versioned_replay", "s19_feed_replica",
+    # --- re-entries: versioned/merge family, builders changed this
+    # round (advice fixes land here) (10)
+    "e_merge_scoped_versioned", "e_rebucket_versioned", "e_time_travel",
+    "e_table_diff", "e_merge_delete", "e_merge_scoped",
+    "cve_pipeline_fold", "cve_pipeline", "s3_merge_replay",
+    "s17_scoped_replay",
+    # --- re-entries: streaming ladder (jobs.py changed) (15)
+    "s1_tumbling", "s2_sliding", "s4_session", "s5_stateful",
+    "s6_dedup", "s7_join", "s8_static_join", "s9_outer_join",
+    "s10_tws", "s11_recovery", "s12_media", "s13_drift", "s14_kmv",
+    "s15_cms", "s16_quantile",
+    # --- re-entries: changed-closure engine surface (7)
+    "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join", "e_gapfill",
+    "e_hll_merge", "curate_pipeline2",
+    # --- re-entries: the headline suite (bench-correlated standing
+    # re-entry vehicle) (10)
+    "q01", "q06", "q11", "q17", "q19", "dedup_minhash", "dedup_exact",
+    "curate_pipeline", "ann_lsh", "emb_neardup",
 )
 
 

@@ -367,16 +367,25 @@ def feed_replica(
     Producer: the S18 shape (chunked out-of-order events keep-latest
     merged into the versioned table, one atomic commit per chunk —
     driven as batch merges here; the streaming form is S18 itself).
-    Consumer loop per poll: read the checkpointed version, pull
-    `change_feed(ckpt, latest)` under the composite (user_id,
-    event_type) key, apply it to the replica with `apply_change_feed`,
-    persist the replica atomically, THEN advance the checkpoint. The
-    first poll CRASHES after persisting but before the advance — the
-    restarted consumer re-pulls a span that overlaps what it already
-    applied, and idempotent apply makes the redelivery a no-op:
-    at-least-once delivery + idempotent apply = exactly-once replica
-    effects. Convergence oracle: the replica equals batch Q20
-    keep-latest over all events (the same oracle as S3/S17/S18).
+    Consumer loop per poll: read the replica's APPLIED VERSION from
+    the metadata co-located inside the replica directory
+    (write_atomic(meta=...) — the version marker moves in the SAME
+    rename as the rows it describes), pull `change_feed(applied,
+    latest)` under the composite (user_id, event_type) key, apply it
+    with `apply_change_feed`, and persist replica + new version marker
+    in one atomic swap. The first poll is KILLED immediately after the
+    swap — the worst crash point the protocol has left — and recovery
+    is trivially exact: the marker that survived IS the version the
+    surviving rows hold, so the next poll's span starts precisely
+    there. A checkpoint stored OUTSIDE the swap (the pre-round-10
+    design) reopens an A-B-A hole: replica at version N, checkpoint at
+    M < N, and a key reverted between M and N (value@N == value@M) is
+    classified nochange by the redelivered feed — omitted — so the
+    replica would keep its stale intermediate value forever. The law
+    pinning this is tests/test_merge_versioned.py::
+    test_feed_replica_aba_revert_converges. Convergence oracle: the
+    replica equals batch Q20 keep-latest over all events (the same
+    oracle as S3/S17/S18).
 
     Scale: each poll reads changed buckets' generations only (feed
     cost ∝ commits since the checkpoint, not the table) and rewrites
@@ -384,7 +393,11 @@ def feed_replica(
     and merge instead of write_atomic, but the CONSUMPTION path under
     test is identical.
     """
-    from ..operators.merge import keep_latest_merge, write_atomic
+    from ..operators.merge import (
+        keep_latest_merge,
+        read_replica_meta,
+        write_atomic,
+    )
     from ..operators.merge_versioned import (
         apply_change_feed,
         change_feed,
@@ -398,7 +411,6 @@ def feed_replica(
 
     run_dir = f"{SCRATCH}/s19_{os.getpid()}"
     src, replica = f"{run_dir}/src", f"{run_dir}/replica"
-    ckpt_file = f"{run_dir}/ckpt"
     shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(run_dir)
     init_bucket_table_versioned(src, key="user_id", n_buckets=16)
@@ -414,37 +426,39 @@ def feed_replica(
         )
         merge_scoped_versioned(spark, src, batch, merger=merger)
 
-    def consume(crash_before_advance: bool = False) -> None:
-        ckpt = 1
-        if os.path.exists(ckpt_file):
-            with open(ckpt_file) as f:
-                ckpt = int(f.read().strip())
+    def consume(crash_after_swap: bool = False) -> None:
+        m = read_replica_meta(replica)
+        applied = m["applied_version"] if m else 1
         v = latest_version(src)
-        if v > ckpt:
-            feed = change_feed(spark, src, ckpt, v, key=keys)
+        if v > applied:
+            feed = change_feed(spark, src, applied, v, key=keys)
+            cur = (
+                spark.read.parquet(replica)
+                if os.path.exists(replica)
+                else None
+            )
             if feed is not None:
-                cur = (
-                    spark.read.parquet(replica)
-                    if os.path.exists(replica)
-                    else None
-                )
-                write_atomic(apply_change_feed(cur, feed, keys), replica)
-        if crash_before_advance:
-            return  # the simulated crash: replica written, ckpt stale
-        tmp = f"{ckpt_file}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, ckpt_file)
+                out = apply_change_feed(cur, feed, keys)
+            elif cur is None:
+                return  # nothing changed, nothing held: no-op poll
+            else:
+                out = cur  # content unchanged; the marker still advances
+            write_atomic(out, replica, meta={"applied_version": v})
+        if crash_after_swap:
+            return  # simulated kill: marker + rows already consistent
 
     produce(0)
-    consume(crash_before_advance=True)  # applied chunk 0, ckpt still 1
+    consume(crash_after_swap=True)  # marker moved WITH the rows
     produce(1)
-    consume()  # re-pulls the overlapping span (1, 3]: redelivery no-op
+    consume()  # span starts at the replica's own version: no overlap
     produce(2)
     consume()
     # up-to-date consumer: manifest arithmetic alone, no data read
     assert (
         change_feed(spark, src, latest_version(src), key=keys) is None
+    )
+    assert read_replica_meta(replica)["applied_version"] == latest_version(
+        src
     )
     out = spark.read.parquet(replica).select(
         "user_id",

@@ -197,3 +197,81 @@ def test_concurrent_txns_serialize(spark, tmp_path):
         for r in h.filter(F.col("id").isin(10, 11)).collect()
     }
     assert got == {10: 1000.0, 11: 1001.0}  # both txns' batches landed
+
+
+def test_phantom_catalog_manifest_purged_before_publish(spark, tmp_path):
+    """Round-10 advice: a transaction that died between its c-N write
+    and the pointer replace leaves c-N on disk; once a later commit
+    advances the pointer past N, that never-published manifest must
+    NOT become readable 'committed' history (catalog_read accepts any
+    v <= the pointer). _cat_commit now purges phantoms under _CATLOCK
+    before publishing — same rule as the table layer's commit."""
+    import json
+    import os
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2
+    assert catalog_latest(cat) == 2
+
+    # simulate the dead transaction's leftovers: phantom manifests at
+    # v3 (the number the next commit will take) and v4, pinning a
+    # bogus never-published snapshot
+    for ph in (3, 4):
+        with open(os.path.join(cat, f"c-{ph}.json"), "w") as f:
+            json.dump(
+                {"v": ph, "tables": {"head": {"path": hp, "version": 999}}},
+                f,
+            )
+
+    batch = spark.createDataFrame([Row(id=7, price=777.0)])
+    r = catalog_txn(
+        spark, cat, {"head": hp, "stat": sp},
+        actions={"head": lambda sk, p: merge_scoped_versioned(sk, p, batch)},
+    )
+    # the new commit takes v3 (pointer + 1, phantoms don't open gaps)
+    assert r["catalog_version"] == 3 and catalog_latest(cat) == 3
+    # v3 serves the REAL transaction, not the phantom's bogus pin
+    h = catalog_read(spark, cat, "head", version=3)
+    assert h.filter(F.col("id") == 7).collect()[0]["price"] == 777.0
+    # the v4 phantom is gone: nothing beyond the pointer survives
+    assert not os.path.exists(os.path.join(cat, "c-4.json"))
+    # and no manifest pins the bogus version 999 anywhere
+    assert 999 not in {
+        v
+        for pins in catalog_referenced_versions(cat).values()
+        for v in pins
+    }
+
+
+def test_txn_pins_action_returned_version_not_latest(spark, tmp_path):
+    """Round-10 advice: the pin must be the version the action itself
+    committed (merge_scoped_versioned returns it), not latest_version
+    read afterwards — an out-of-band merge landing between the action
+    and the pin must NOT be published as part of the transaction's
+    snapshot. Emulated by an action that commits its own merge (v2),
+    then an out-of-band merge (v3) lands before the pin is taken."""
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2 -> (1,1)
+
+    txn_batch = spark.createDataFrame([Row(id=2, price=222.0)])
+    oob_batch = spark.createDataFrame([Row(id=2, price=666.0)])
+
+    def action(sk, p):
+        mine = merge_scoped_versioned(sk, p, txn_batch)  # head v2
+        # an out-of-band merger (not part of any catalog txn) lands
+        # AFTER the transaction's own commit but BEFORE the pin
+        merge_scoped_versioned(sk, p, oob_batch)  # head v3
+        return mine  # the dict carries {"version": 2}
+
+    r = catalog_txn(
+        spark, cat, {"head": hp, "stat": sp}, actions={"head": action}
+    )
+    # pinned at the action's OWN commit, not the out-of-band v3
+    assert r["tables"]["head"] == 2
+    assert latest_version(hp) == 3
+    h = catalog_read(spark, cat, "head")
+    assert h.filter(F.col("id") == 2).collect()[0]["price"] == 222.0

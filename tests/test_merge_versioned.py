@@ -1285,3 +1285,163 @@ def test_schema_evolution_through_merge(spark, tmp_path):
     assert "epss" in v3.columns
     m3 = {r["id"]: r["epss"] for r in v3.collect()}
     assert m3["CVE-3"] == 0.97  # carried through the column-less merge
+
+
+def test_merge_type_conflict_raises_before_any_write(spark, tmp_path):
+    """Schema ENFORCEMENT (round-10 advice): a merge batch that
+    redefines a committed column at a conflicting type must be
+    rejected BEFORE a byte lands. The dangerous path is a batch
+    touching only manifest-ABSENT buckets — the target slice is None,
+    so nothing unions the batch against the committed types at
+    analysis time, and the old code would commit a manifest schema
+    under which every untouched bucket's parquet files fail to read
+    (SchemaColumnConvertNotSupported): a successful commit bricking
+    reads of data it never touched."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        SchemaConflict, init_bucket_table_versioned,
+    )
+
+    path = str(tmp_path / "vbt_typeconf")
+    init_bucket_table_versioned(path, key="id", n_buckets=8)
+    base = spark.createDataFrame([Row(id="CVE-1", score=1.5)])
+    merge_scoped_versioned(spark, path, base, now=T0)
+    gens_before = _gens(path)
+
+    # find a key whose bucket is ABSENT from the manifest (so the
+    # merge sees target=None) and send `score` as a STRING
+    from cvemate_spark.operators.merge import bucket_of_value
+    from cvemate_spark.operators.merge_versioned import _load_manifest_full
+
+    present = set(_load_manifest_full(path, latest_version(path))["buckets"])
+    cand = next(
+        k
+        for k in (f"CVE-{i}" for i in range(2, 400))
+        if str(bucket_of_value(spark, k, 8)) not in present
+    )
+    bad = spark.createDataFrame([Row(id=cand, score="not-a-number")])
+    with pytest.raises(SchemaConflict, match="score"):
+        merge_scoped_versioned(spark, path, bad, now=T1)
+    # atomic rejection: no new version, no orphan generations, and the
+    # committed table still reads cleanly
+    assert latest_version(path) == 2
+    assert _gens(path) == gens_before
+    got = read_bucket_table_versioned(spark, path).collect()
+    assert [(r["id"], r["score"]) for r in got] == [("CVE-1", 1.5)]
+
+    # the same conflict through a touched bucket ALSO raises (the
+    # union inside the merger would raise anyway; the enforcement
+    # makes the failure mode uniform and pre-write)
+    bad2 = spark.createDataFrame([Row(id="CVE-1", score="oops")])
+    with pytest.raises(Exception):
+        merge_scoped_versioned(spark, path, bad2, now=T1)
+    assert latest_version(path) == 2
+
+
+def test_reload_inherits_recorded_constraints(spark, tmp_path):
+    """Round-10 advice: reloading an existing table WITHOUT re-passing
+    `constraints` must carry the recorded CHECK constraints forward
+    (the rebucket path already preserves meta fields for exactly this
+    reason) — a reload is not an implicit DROP CONSTRAINT. An explicit
+    dict (even {}) still overrides."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import ConstraintViolation
+
+    path = str(tmp_path / "vbt_reload_cons")
+    base = spark.createDataFrame([Row(id=f"CVE-{i}", score=float(i)) for i in range(10)])
+    write_bucket_table_versioned(
+        base, path, key="id", n_buckets=4,
+        constraints={"nonneg": "score >= 0"},
+    )
+    # reload with constraints unspecified: inherited AND enforced
+    write_bucket_table_versioned(base, path, key="id", n_buckets=4)
+    with pytest.raises(ConstraintViolation):
+        merge_scoped_versioned(
+            spark, path, spark.createDataFrame([Row(id="CVE-1", score=-5.0)])
+        )
+    # a violating RELOAD is itself rejected under the inherited check
+    with pytest.raises(ConstraintViolation):
+        write_bucket_table_versioned(
+            spark.createDataFrame([Row(id="CVE-1", score=-1.0)]),
+            path, key="id", n_buckets=4,
+        )
+    # explicit {} clears: the merge that just failed now lands
+    write_bucket_table_versioned(
+        base, path, key="id", n_buckets=4, constraints={},
+    )
+    merge_scoped_versioned(
+        spark, path, spark.createDataFrame([Row(id="CVE-1", score=-5.0)])
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert got["CVE-1"] == -5.0
+
+
+def test_feed_replica_aba_revert_converges(spark, tmp_path):
+    """The A-B-A law (round-10 advice): a replica whose applied-version
+    marker travels ATOMICALLY with its rows (write_atomic(meta=...))
+    converges even when a key is reverted across the crash span.
+
+    Scenario: v2 sets K=B (replica applies it, then the consumer is
+    killed — under the OLD design the external checkpoint would still
+    say v1); v3 reverts K back to its v1 value A. A feed pulled from
+    the STALE checkpoint (1 -> 3) classifies K as nochange and omits
+    it — the replica would keep B forever. Pulled from the replica's
+    own co-located version (2 -> 3), the revert is an update and the
+    replica lands exactly on snapshot v3."""
+    from cvemate_spark.operators.merge import (
+        read_replica_meta, write_atomic,
+    )
+    from cvemate_spark.operators.merge_versioned import (
+        apply_change_feed, change_feed,
+    )
+
+    src = str(tmp_path / "aba_src")
+    replica = str(tmp_path / "aba_replica")
+    base = _batch(spark, "nvd", {"CVE-K": "A", "CVE-2": "x", "CVE-3": "y"})
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), src, key="id", n_buckets=4
+    )
+
+    def consume(kill_after_swap=False):
+        m = read_replica_meta(replica)
+        applied = m["applied_version"] if m else None
+        v = latest_version(src)
+        if applied is None:
+            snap = read_bucket_table_versioned(spark, src)
+            write_atomic(snap, replica, meta={"applied_version": v})
+            return
+        if v > applied:
+            feed = change_feed(spark, src, applied, v)
+            cur = spark.read.parquet(replica)
+            out = apply_change_feed(cur, feed, "id") if feed is not None else cur
+            write_atomic(out, replica, meta={"applied_version": v})
+
+    consume()  # bootstrap at v1
+    # v2: K -> B; consumer applies and is killed right after the swap
+    merge_scoped_versioned(spark, src, _batch(spark, "nvd", {"CVE-K": "B"}), now=T1)
+    consume(kill_after_swap=True)
+    assert read_replica_meta(replica)["applied_version"] == 2
+    # v3: K reverts to A (the A-B-A). now=T0 reverts the audit
+    # columns too, making the row BYTE-IDENTICAL to version 1 — the
+    # true A-B-A a row-level diff cannot see. v3 also touches another
+    # key so the feed is non-empty either way.
+    merge_scoped_versioned(
+        spark, src, _batch(spark, "nvd", {"CVE-K": "A", "CVE-2": "x2"}), now=T0
+    )
+    # the stale-checkpoint feed (1 -> 3) indeed OMITS the reverted key:
+    # this is the hole the co-located marker closes
+    stale = change_feed(spark, src, 1, 3)
+    assert "CVE-K" not in {r["id"] for r in stale.collect()}
+    consume()
+    got = {r["id"]: r["nvd"] for r in spark.read.parquet(replica).collect()}
+    want = {
+        r["id"]: r["nvd"]
+        for r in read_bucket_table_versioned(spark, src).collect()
+    }
+    assert got == want and got["CVE-K"] == "A"
+    assert read_replica_meta(replica)["applied_version"] == 3

@@ -93,49 +93,10 @@ def test_driver_gate_is_exactly_50_hard_oracled_queries():
 # committed: local-oracle-green now, first in line for the next
 # rotation. Keep this list short and rotate it out. (The 28 round-6/7
 # additions that accumulated here all entered the round-8 gate.)
-NEW_THIS_ROUND: set[str] = {
-    # round 8: bucket-scoped merge (merge cost ∝ batch, not target)
-    "e_merge_scoped",
-    # round 8: lossless prefix-filtering similarity join
-    "dedup_prefix",
-    # round 8: out-of-order CDC replay through bucket-scoped merges
-    "s17_scoped_replay",
-    # round 8: containment-threshold fuzzy decontamination
-    "t_decontam_containment",
-    # round 8: prefix join at the production near-dup threshold
-    "dedup_prefix_neardup",
-    # round 8: quality-aware canonical selection (argmax per cluster)
-    "dedup_canonical_best",
-    # round 9: versioned bucket table — scoped merges under an atomic
-    # cross-bucket manifest commit, with time travel (VERDICT r8 item 2)
-    "e_merge_scoped_versioned",
-    # round 9: online re-bucketing (layout migration as one commit)
-    "e_rebucket_versioned",
-    # round 9: CDC replay through the versioned table (atomic batch
-    # boundaries, time-travelable replay history)
-    "s18_versioned_replay",
-    # round 9: key-level change feed off the commit history (Delta CDF
-    # shape; manifest-diff pruning, apply law in test_merge_versioned)
-    "e_change_feed",
-    # round 9: schema evolution through merges (manifest-recorded
-    # schema; time travel returns the as-of schema, zero data rewritten)
-    "e_versioned_evolve",
-    # round 9: data skipping via footer min/max in the manifest
-    # (freshness scans prune to merge-touched generations)
-    "e_versioned_skip",
-    # round 9: feed-consumer replica — composite-key change feed +
-    # idempotent apply through a crash between apply and checkpoint
-    "s19_feed_replica",
-    # round 9: table-level CHECK constraints with atomic rejection
-    "e_merge_constraint",
-    # round 9: cross-table transactional snapshots (catalog-level
-    # commits — consistent joint reads + joint time travel)
-    "e_catalog_txn",
-    # round 9: the reference's nightly lifecycle on the versioned
-    # table (atomic feed commits, CDC through no-op re-applies,
-    # schema evolution in anger)
-    "cve_pipeline_versioned",
-}
+# (the 16 round-8/9 additions that accumulated here all entered the
+# round-10 gate — this set holds only queries born in round 10 after
+# the r10 gate froze)
+NEW_THIS_ROUND: set[str] = set()
 
 
 def test_driver_gate_covers_critical_families():
