@@ -296,6 +296,86 @@ def _coerce_bound(tag: str, value):
     return None
 
 
+def _accumulate_chunk(cols: dict, rg) -> None:
+    """Fold one row group's column-chunk stats into a running
+    {name -> entry-or-None} accumulator (None = disqualified: absent
+    stats mean MUST READ, never a wrong skip)."""
+    for ci in range(rg.num_columns):
+        col = rg.column(ci)
+        name = col.path_in_schema
+        if "." in name:  # nested: no portable bounds
+            cols[name.split(".")[0]] = None
+            continue
+        if cols.get(name, "absent") is None:
+            continue  # already disqualified
+        try:
+            st = col.statistics
+        except Exception:
+            # pyarrow can't extract stats for every physical
+            # type (e.g. some decimal encodings raise
+            # ArrowNotImplementedError): absent stats mean
+            # MUST READ, never a wrong skip
+            cols[name] = None
+            continue
+        nulls_here = (
+            st.null_count
+            if st is not None and st.has_null_count
+            else None
+        )
+        e = cols.get(name) or {
+            "t": None, "lo": None, "hi": None, "n": 0
+        }
+        if st is None or not st.has_min_max:
+            if nulls_here is not None and nulls_here == rg.num_rows:
+                # all-null chunk: contributes no bounds, only nulls
+                e["n"] += nulls_here
+                cols[name] = e
+                continue
+            cols[name] = None  # unbounded non-null values
+            continue
+        try:
+            lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+        except Exception:
+            # extraction itself can raise per-type (pyarrow's
+            # INT64-decimal path): treat as absent stats
+            cols[name] = None
+            continue
+        if lo is None or hi is None or lo[0] != hi[0]:
+            cols[name] = None
+            continue
+        if e["t"] is None:
+            e["t"] = lo[0]
+        elif e["t"] != lo[0]:
+            cols[name] = None
+            continue
+        cmp_lo, cmp_hi = lo[1], hi[1]
+        if e["t"] == "dec":
+            import decimal
+
+            dl = decimal.Decimal
+            if e["lo"] is None or dl(cmp_lo) < dl(e["lo"]):
+                e["lo"] = cmp_lo
+            if e["hi"] is None or dl(cmp_hi) > dl(e["hi"]):
+                e["hi"] = cmp_hi
+        else:
+            e["lo"] = cmp_lo if e["lo"] is None else min(e["lo"], cmp_lo)
+            e["hi"] = cmp_hi if e["hi"] is None else max(e["hi"], cmp_hi)
+        e["n"] += nulls_here if nulls_here is not None else 0
+        cols[name] = e
+
+
+def _finalize_cols(cols: dict) -> dict:
+    out_cols = {}
+    for name, e in cols.items():
+        if e is None:
+            continue
+        if e["t"] is None:  # every chunk all-null
+            out_cols[name] = {"t": "null", "n": e["n"]}
+        else:
+            out_cols[name] = e
+    return out_cols
+
+
 def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
     """Per-generation column stats from parquet FOOTERS — metadata-only
     I/O (KB per file), the Delta/Iceberg data-skipping ledger computed
@@ -306,95 +386,74 @@ def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
     usable bounds (INT96 timestamps, NaN floats, nested fields,
     non-UTF8 binary) are omitted — absent stats mean MUST READ, never
     a wrong skip. Bounds need not be exact values, only valid bounds
-    (parquet writers may truncate long strings either way)."""
+    (parquet writers may truncate long strings either way).
+
+    MULTI-FILE generations (the `optimize_versioned` clustered layout,
+    which sorts each bucket and rolls files at a row budget) also get
+    a per-FILE ledger under "fs" ({basename -> {rows, bytes, cols}}),
+    so a value-range scan can prune at file grain inside a bucket —
+    the layer where clustering makes bounds selective even though the
+    hash layout spreads every value range across all buckets.
+    Single-file generations (every normal merge writes one file per
+    bucket) skip "fs": the bucket-level entry already IS the file's,
+    and the manifest stays exactly as small as before."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     rows = 0
     nbytes = 0
-    nfiles = 0
-    cols: dict[str, dict | None] = {}
+    per_file: dict[str, dict] = {}
+    gen_cols: dict[str, dict | None] = {}
     for fpath in sorted(
         _glob.glob(f"{path}/bucket={bucket_id}/{gen}/*.parquet")
     ):
-        nbytes += os.path.getsize(fpath)
-        nfiles += 1
+        fsize = os.path.getsize(fpath)
+        nbytes += fsize
         md = pq.read_metadata(fpath)
         rows += md.num_rows
+        fcols: dict[str, dict | None] = {}
         for gi in range(md.num_row_groups):
             rg = md.row_group(gi)
-            for ci in range(rg.num_columns):
-                col = rg.column(ci)
-                name = col.path_in_schema
-                if "." in name:  # nested: no portable bounds
-                    cols[name.split(".")[0]] = None
-                    continue
-                if cols.get(name, "absent") is None:
-                    continue  # already disqualified
-                try:
-                    st = col.statistics
-                except Exception:
-                    # pyarrow can't extract stats for every physical
-                    # type (e.g. some decimal encodings raise
-                    # ArrowNotImplementedError): absent stats mean
-                    # MUST READ, never a wrong skip
-                    cols[name] = None
-                    continue
-                nulls_here = (
-                    st.null_count
-                    if st is not None and st.has_null_count
-                    else None
-                )
-                e = cols.get(name) or {
-                    "t": None, "lo": None, "hi": None, "n": 0
-                }
-                if st is None or not st.has_min_max:
-                    if nulls_here is not None and nulls_here == rg.num_rows:
-                        # all-null chunk: contributes no bounds, only nulls
-                        e["n"] += nulls_here
-                        cols[name] = e
-                        continue
-                    cols[name] = None  # unbounded non-null values
-                    continue
-                try:
-                    lo, hi = _norm_stat(st.min), _norm_stat(st.max)
-                except Exception:
-                    # extraction itself can raise per-type (pyarrow's
-                    # INT64-decimal path): treat as absent stats
-                    cols[name] = None
-                    continue
-                if lo is None or hi is None or lo[0] != hi[0]:
-                    cols[name] = None
-                    continue
-                if e["t"] is None:
-                    e["t"] = lo[0]
-                elif e["t"] != lo[0]:
-                    cols[name] = None
-                    continue
-                cmp_lo, cmp_hi = lo[1], hi[1]
-                if e["t"] == "dec":
-                    import decimal
+            _accumulate_chunk(gen_cols, rg)
+            _accumulate_chunk(fcols, rg)
+        per_file[os.path.basename(fpath)] = {
+            "rows": md.num_rows,
+            "bytes": fsize,
+            "cols": _finalize_cols(fcols),
+        }
+    out = {
+        "rows": rows,
+        "bytes": nbytes,
+        "files": len(per_file),
+        "cols": _finalize_cols(gen_cols),
+    }
+    if len(per_file) > 1:
+        out["fs"] = per_file
+    return out
 
-                    dl = decimal.Decimal
-                    if e["lo"] is None or dl(cmp_lo) < dl(e["lo"]):
-                        e["lo"] = cmp_lo
-                    if e["hi"] is None or dl(cmp_hi) > dl(e["hi"]):
-                        e["hi"] = cmp_hi
-                else:
-                    e["lo"] = cmp_lo if e["lo"] is None else min(e["lo"], cmp_lo)
-                    e["hi"] = cmp_hi if e["hi"] is None else max(e["hi"], cmp_hi)
-                e["n"] += nulls_here if nulls_here is not None else 0
-                cols[name] = e
-    out_cols = {}
-    for name, e in cols.items():
-        if e is None:
-            continue
-        if e["t"] is None:  # every chunk all-null
-            out_cols[name] = {"t": "null", "n": e["n"]}
-        else:
-            out_cols[name] = e
-    return {"rows": rows, "bytes": nbytes, "files": nfiles, "cols": out_cols}
+
+def _stat_excludes(s: dict | None, lo, hi) -> bool:
+    """True iff a column-stats entry PROVES no row can satisfy
+    `lo <= col <= hi` (at least one bound given). The single exclusion
+    rule both pruning grains share — bucket-generation and file. None
+    / uncoercible bounds never exclude (absent stats mean MUST READ)."""
+    if s is None:
+        return False
+    if s["t"] == "null":
+        # no non-null value of the column in this unit: no range
+        # predicate (which excludes nulls by SQL semantics) can match
+        return True
+    clo = _coerce_bound(s["t"], lo)
+    chi = _coerce_bound(s["t"], hi)
+    if (lo is not None and clo is None) or (hi is not None and chi is None):
+        return False  # uncoercible bound: must read
+    slo, shi = s["lo"], s["hi"]
+    if s["t"] == "dec":
+        import decimal
+
+        slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
+    return (clo is not None and shi < clo) or (chi is not None and slo > chi)
 
 
 def prune_generations(
@@ -425,32 +484,10 @@ def prune_generations(
         }
     for i in sorted(full["buckets"]):
         s = (stats.get(i) or {}).get("cols", {}).get(column)
-        if s is None:
+        if _stat_excludes(s, lo, hi):
+            skipped.append(i)
+        else:
             read.append(i)
-            continue
-        if s["t"] == "null":
-            # the generation holds no non-null value of the column:
-            # no range predicate can match a row in it
-            skipped.append(i)
-            continue
-        clo = _coerce_bound(s["t"], lo)
-        chi = _coerce_bound(s["t"], hi)
-        if (lo is not None and clo is None) or (
-            hi is not None and chi is None
-        ):
-            read.append(i)  # uncoercible bound: must read
-            continue
-        slo, shi = s["lo"], s["hi"]
-        if s["t"] == "dec":
-            import decimal
-
-            slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
-        if (clo is not None and shi < clo) or (
-            chi is not None and slo > chi
-        ):
-            skipped.append(i)
-            continue
-        read.append(i)
     return {"version": v, "read": read, "skipped": skipped, "manifest": full}
 
 
@@ -484,6 +521,55 @@ def prune_generations_multi(
     }
 
 
+def prune_files(
+    path: str, predicates: list[tuple], version: int | None = None
+) -> dict:
+    """Two-grain skipping plan: bucket-generation pruning first
+    (prune_generations_multi), then FILE pruning inside each surviving
+    bucket whose generation carries a per-file ledger ("fs" — written
+    by optimize_versioned's clustered layout, where sorted buckets
+    roll files at a row budget so per-file min/max are selective).
+    Still pure manifest arithmetic: the file names live in the ledger,
+    so no directory listing happens at plan time. Returns
+    {version, read: [dir-or-file paths], skipped (buckets),
+    skipped_files, files_read, files_total, manifest}; `files_read` /
+    `files_total` count only the ledgered buckets (unledgered buckets
+    read as whole dirs, exactly as before — absent stats never skip)."""
+    plan = prune_generations_multi(path, predicates, version)
+    full = plan["manifest"]
+    manifest = full["buckets"]
+    stats = full.get("stats") or {}
+    read: list[str] = []
+    skipped_files: list[str] = []
+    files_read = files_total = 0
+    for i in plan["read"]:
+        gdir = f"{path}/bucket={i}/{manifest[i]}"
+        fs = (stats.get(i) or {}).get("fs")
+        if not fs or not predicates:
+            read.append(gdir)
+            continue
+        files_total += len(fs)
+        for fname in sorted(fs):
+            fcols = fs[fname].get("cols", {})
+            if any(
+                _stat_excludes(fcols.get(col), lo, hi)
+                for col, lo, hi in predicates
+            ):
+                skipped_files.append(f"{gdir}/{fname}")
+            else:
+                read.append(f"{gdir}/{fname}")
+                files_read += 1
+    return {
+        "version": plan["version"],
+        "read": read,
+        "skipped": plan["skipped"],
+        "skipped_files": skipped_files,
+        "files_read": files_read,
+        "files_total": files_total,
+        "manifest": full,
+    }
+
+
 def scan_versioned_multi(
     spark: SparkSession,
     path: str,
@@ -491,17 +577,17 @@ def scan_versioned_multi(
     version: int | None = None,
 ) -> DataFrame:
     """Stats-pruned CONJUNCTIVE scan: AND of (column, lo, hi) ranges,
-    reading only generations no predicate can disprove; every residual
-    filter applied, so the result is exact (pruned ≡ unpruned law in
+    reading only generations — and, inside clustered generations, only
+    FILES — no predicate can disprove; every residual filter applied,
+    so the result is exact (pruned ≡ unpruned law in
     tests/test_merge_versioned.py). The practical 100 TB shape is
     freshness AND a dimension bound in one pass."""
     from pyspark.sql.types import StructType
 
-    plan = prune_generations_multi(path, predicates, version)
-    manifest = plan["manifest"]["buckets"]
+    plan = prune_files(path, predicates, version)
     stored = plan["manifest"].get("schema")
     schema = StructType.fromJson(stored) if stored is not None else None
-    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in plan["read"]]
+    dirs = plan["read"]
     if not dirs:
         if schema is None:
             raise FileNotFoundError(
@@ -754,12 +840,21 @@ def init_bucket_table_versioned(
 def _write_generations(
     df: DataFrame, path: str, key: str, n_buckets: int,
     buckets: list[int] | None = None,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> dict[str, str]:
     """One Spark job: bucket the rows, land each written bucket as an
     immutable `bucket=<i>/g-<hex>` generation dir (a rename off the
     job's staging dir — new names, nothing swapped). Restricting to
-    `buckets` keeps the repartition width = |touched|. Returns
-    {bucket id -> generation name} for the buckets that got rows."""
+    `buckets` keeps the repartition width = |touched|. `sort_by` sorts
+    every bucket's rows by the given columns inside its task
+    (sortWithinPartitions — no extra shuffle beyond the bucket
+    repartition) and `max_records_per_file` rolls the writer at a row
+    budget: together they produce the CLUSTERED layout — per bucket, a
+    run of files each covering a contiguous sorted range, which is
+    what makes per-file min/max selective for value predicates
+    (optimize_versioned). Returns {bucket id -> generation name} for
+    the buckets that got rows."""
     gen = f"g-{uuid.uuid4().hex[:12]}"
     staging = f"{path}/.stage-{gen}"
     b = bucket_expr(key, n_buckets)
@@ -767,12 +862,18 @@ def _write_generations(
     width = len(buckets) if buckets is not None else n_buckets
     out: dict[str, str] = {}
     try:
-        (
-            staged.repartition(max(width, 1), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
-        )
+        job = staged.repartition(max(width, 1), "bucket")
+        if sort_by:
+            # rows arrive bucket-grouped; sorting by (bucket, cols)
+            # keeps each bucket's run contiguous AND ordered even when
+            # several buckets hash into one task
+            job = job.sortWithinPartitions("bucket", *sort_by)
+        writer = job.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", int(max_records_per_file)
+            )
+        writer.partitionBy("bucket").parquet(staging)
         candidates = (
             buckets if buckets is not None else range(n_buckets)
         )
@@ -1043,6 +1144,127 @@ def rebucket_versioned(
         "version": v, "n_buckets_before": old_n,
         "n_buckets_after": new_n_buckets,
         "buckets_written": len(gens),
+    }
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    files_per_bucket: int = 8,
+    rows_per_file: int | None = None,
+    buckets: list[int] | None = None,
+) -> dict:
+    """OPTIMIZE ... ZORDER/CLUSTER BY economics for the versioned
+    table: a content-neutral committed version whose generations are
+    SORTED by `cluster_by` within each bucket and rolled into
+    ~`files_per_bucket` files per bucket, so per-file footer min/max
+    become selective for value-range predicates. The hash layout
+    spreads every value range across all buckets (bucket-generation
+    stats prune ~nothing for a value band — SCALE.md "hash layout
+    honesty"); clustering restores skipping one level down: the file
+    ledger ("fs" in the manifest stats) lets `prune_files` drop the
+    files whose sorted range cannot overlap the predicate, reading
+    ~1/files_per_bucket of each bucket for a narrow band.
+
+    Same commit discipline as rebucket: read the snapshot, write new
+    generations (immutable, content-addressed names), publish ONE
+    manifest + pointer — readers on the old version are untouched, a
+    crash leaves only unreferenced orphans, and the operation is
+    content-neutral by law (tests/test_merge_versioned.py). Later
+    merges rewrite touched buckets with ordinary single-file
+    generations — their file pruning degrades to bucket-grain (absent
+    ledger never skips), results stay exact, and a periodic
+    re-optimize restores clustering: exactly Delta's OPTIMIZE cadence.
+
+    `buckets` restricts the rewrite to a subset (incremental
+    clustering: cost ∝ subset, untouched buckets carried by manifest
+    reference) — the knob a 100 TB table uses to re-cluster only the
+    buckets recent merges de-clustered. `rows_per_file` overrides the
+    row budget (default: bucket rows / files_per_bucket from the
+    stats ledger). Reference semantics to beat: the reference has no
+    layout management at all (mongodb_handler.py relies on a BTree
+    index); Delta OPTIMIZE is the real contract here.
+
+    Returns {version, buckets_written, files_written, rows_per_file}.
+    """
+    import fcntl
+    import math
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        n_buckets = full["n_buckets"]
+        manifest = dict(full["buckets"])
+        target = (
+            sorted(manifest) if buckets is None
+            else [str(i) for i in buckets if str(i) in manifest]
+        )
+        if not target:
+            return {
+                "version": cur, "buckets_written": 0, "files_written": 0,
+                "rows_per_file": None,
+            }
+        if rows_per_file is None:
+            stats0 = full.get("stats") or {}
+            known = [
+                stats0[i]["rows"] for i in target
+                if i in stats0 and "rows" in stats0[i]
+            ]
+            if known:
+                per_bucket = max(known)  # size to the fattest bucket
+            else:
+                per_bucket = math.ceil(
+                    read_bucket_table_versioned(spark, path, cur).count()
+                    / max(len(manifest), 1)
+                )
+            rows_per_file = max(1, math.ceil(per_bucket / files_per_bucket))
+        dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in target]
+        from pyspark.sql.types import StructType
+
+        stored = full.get("schema")
+        slice_df = _read_dirs(
+            spark, dirs,
+            StructType.fromJson(stored) if stored is not None else None,
+        )
+        new_gens = _write_generations(
+            slice_df, path, key, n_buckets,
+            buckets=[int(i) for i in target],
+            sort_by=list(cluster_by),
+            max_records_per_file=rows_per_file,
+        )
+        stats_all = dict(full.get("stats") or {})
+        files = 0
+        for i in target:
+            g = new_gens.get(i)
+            if g is None:  # a targeted bucket had rows; must reappear
+                raise RuntimeError(
+                    f"optimize dropped bucket {i} of {path}: "
+                    "content-neutral rewrite produced no generation"
+                )
+            manifest[i] = g
+            st = _harvest_stats(path, int(i), g)
+            stats_all[i] = st
+            files += st["files"]
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(
+            path, v, manifest, n_buckets,
+            full.get("schema") or _schema_of(slice_df), stats_all,
+            op=f"optimize:{','.join(cluster_by)}",
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v,
+        "buckets_written": len(target),
+        "files_written": files,
+        "rows_per_file": rows_per_file,
     }
 
 

@@ -130,9 +130,15 @@ DRIVER_GATE: tuple[str, ...] = (
     "s6_dedup", "s7_join", "s8_static_join", "s9_outer_join",
     "s10_tws", "s11_recovery", "s12_media", "s13_drift", "s14_kmv",
     "s15_cms", "s16_quantile",
-    # --- re-entries: changed-closure engine surface (7)
-    "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join", "e_gapfill",
-    "e_hll_merge", "curate_pipeline2",
+    # --- entrants: round-10 new capabilities, first driver proof —
+    # clustered file-grain data skipping (optimize_versioned) and the
+    # catalog-level change feed with jointly-atomic replication (2)
+    "e_versioned_cluster_skip", "e_catalog_feed",
+    # --- re-entries: changed-closure engine surface (5; e_gapfill and
+    # e_hll_merge ceded to the round-10 entrants — closure-only hash
+    # changes, re-proven locally by the round-10 pin refresh)
+    "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join",
+    "curate_pipeline2",
     # --- re-entries: the headline suite (bench-correlated standing
     # re-entry vehicle) (10)
     "q01", "q06", "q11", "q17", "q19", "dedup_minhash", "dedup_exact",

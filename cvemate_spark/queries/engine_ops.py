@@ -2225,6 +2225,173 @@ def e_catalog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- e_catalog_feed
+@REG.add(
+    "e_catalog_feed",
+    """
+    WITH base AS (
+        SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+    )
+    SELECT tag, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT 'catalog' AS tag, status, price FROM base
+        UNION ALL
+        SELECT 'replica' AS tag, status, price FROM base
+    ) u
+    GROUP BY tag, status ORDER BY tag, status
+    """,
+    doc="CATALOG-LEVEL change feed + jointly-atomic replication "
+    "(operators/catalog.py::catalog_change_feed / replicate_catalog — "
+    "VERDICT r9 item 3): per-table key-level feeds whose spans all "
+    "derive from ONE pair of catalog manifests, consumed by a "
+    "two-table replica that advances via a pointer publish — readers "
+    "never see head at catalog v+1 with stat at v, and the applied "
+    "version travels IN the pointer with the dirs it names. The "
+    "builder drives the full hazard course: txn v3 re-prices/"
+    "re-statuses the %97 keys (replica poll CRASHES after writing "
+    "both new dirs, before the publish — the joint OLD pair keeps "
+    "serving), restart converges; txn v4 REVERTS those keys to their "
+    "original values (the catalog-level A-B-A) with another "
+    "crash-then-restart poll. The query hash-proves the end state "
+    "twice over: the 'replica' rows come from the replica pair, the "
+    "'catalog' rows from catalog_read at latest, and the oracle "
+    "computes both from the raw orders table — a replica that kept "
+    "any stale intermediate (the A-B-A failure) or a mixed pair "
+    "breaks the hash. Crash/joint-snapshot laws in "
+    "tests/test_catalog.py. At 100 TB each poll reads changed "
+    "buckets' generations only (feed cost ∝ commits since the "
+    "applied version) and unchanged tables are carried by directory "
+    "REFERENCE in the new pointer (zero bytes copied).",
+)
+def e_catalog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.catalog import (
+        catalog_init,
+        catalog_read,
+        catalog_txn,
+        read_catalog_replica,
+        replicate_catalog,
+    )
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:catfeed-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/root/repo/.scratch/catfeed_{key}"
+    head, stat, cat = f"{root}/head", f"{root}/stat", f"{root}/cat"
+    rep = f"{root}/replica"
+    done = f"{root}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        write_bucket_table_versioned(
+            merge_upsert(
+                None, orders.select("o_orderkey", "o_totalprice"),
+                key="o_orderkey", now=T_MERGE,
+            ),
+            head, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        write_bucket_table_versioned(
+            merge_upsert(
+                None, orders.select("o_orderkey", "o_orderstatus"),
+                key="o_orderkey", now=T_MERGE,
+            ),
+            stat, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        catalog_init(cat)
+        members = {"head": head, "stat": stat}
+        catalog_txn(spark, cat, members)  # register both: cat v2
+        r0 = replicate_catalog(spark, cat, rep)  # bootstrap at v2
+        assert r0["advanced"] and r0["applied_version"] == 2
+
+        hot = orders.filter(F.col("o_orderkey") % 97 == 0)
+        batch_h = hot.select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        )
+        batch_s = hot.select(
+            "o_orderkey", F.lit("X").alias("o_orderstatus")
+        )
+        catalog_txn(  # cat v3: one txn moves BOTH tables
+            spark, cat, members,
+            actions={
+                "head": lambda sk, p: merge_scoped_versioned(
+                    sk, p, batch_h, now=T_MERGE
+                ),
+                "stat": lambda sk, p: merge_scoped_versioned(
+                    sk, p, batch_s, now=T_MERGE
+                ),
+            },
+        )
+        # worst-point crash: both dirs written, pointer untouched —
+        # the replica pair still serves the complete OLD snapshot
+        rc = replicate_catalog(spark, cat, rep, crash_before_publish=True)
+        assert not rc["advanced"]
+        r3 = replicate_catalog(spark, cat, rep)
+        assert r3["advanced"] and r3["applied_version"] == 3
+
+        # cat v4: REVERT the %97 keys to their original values — the
+        # catalog-level A-B-A (now=T_MERGE makes the reverted rows
+        # byte-identical to v2's, so a stale-checkpoint consumer
+        # would classify them nochange and keep v3's values forever)
+        rev_h = hot.select("o_orderkey", "o_totalprice")
+        rev_s = hot.select("o_orderkey", "o_orderstatus")
+        catalog_txn(
+            spark, cat, members,
+            actions={
+                "head": lambda sk, p: merge_scoped_versioned(
+                    sk, p, rev_h, now=T_MERGE
+                ),
+                "stat": lambda sk, p: merge_scoped_versioned(
+                    sk, p, rev_s, now=T_MERGE
+                ),
+            },
+        )
+        rc = replicate_catalog(spark, cat, rep, crash_before_publish=True)
+        assert not rc["advanced"]
+        r4 = replicate_catalog(spark, cat, rep)
+        assert r4["advanced"] and r4["applied_version"] == 4
+        with open(done, "w") as f:
+            f.write(f"{r0}\n{r3}\n{r4}\n")
+    rep_pair = read_catalog_replica(spark, rep, "head").join(
+        read_catalog_replica(spark, rep, "stat"), "o_orderkey"
+    )
+    cat_pair = catalog_read(spark, cat, "head").join(
+        catalog_read(spark, cat, "stat"), "o_orderkey"
+    )
+    rows = None
+    for tag, pair in (("catalog", cat_pair), ("replica", rep_pair)):
+        j = pair.select(
+            F.lit(tag).alias("tag"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        rows = j if rows is None else rows.unionByName(j)
+    return (
+        rows.groupBy("tag", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("tag", "status")
+    )
+
+
 # ------------------------------------------------- e_merge_constraint
 @REG.add(
     "e_merge_constraint",
@@ -2462,6 +2629,155 @@ def e_versioned_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fresh.unionByName(band)
+        .groupBy("tag", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("tag", "status")
+    )
+
+
+# ------------------------------------------- e_versioned_cluster_skip
+@REG.add(
+    "e_versioned_cluster_skip",
+    """
+    WITH cur AS (
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+    ),
+    base AS (
+        SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+    )
+    SELECT tag, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT 'band_latest' AS tag, status, price FROM cur
+        WHERE price BETWEEN 50000 AND 60000
+        UNION ALL
+        SELECT 'band_v2' AS tag, status, price FROM base
+        WHERE price BETWEEN 50000 AND 60000
+    ) u
+    GROUP BY tag, status ORDER BY tag, status
+    """,
+    doc="CLUSTERED data skipping (VERDICT r9 item 2 — the Delta "
+    "OPTIMIZE ZORDER economics): merge_versioned.py::optimize_versioned "
+    "commits a content-neutral version whose buckets are SORTED by the "
+    "cluster column and rolled into ~8 files each, so per-file footer "
+    "min/max become selective for VALUE predicates — the case the hash "
+    "layout's bucket-generation stats cannot prune (every bucket spans "
+    "the whole value range; SCALE.md 'hash layout honesty'). The "
+    "manifest stats carry a per-file ledger ('fs'); prune_files plans "
+    "at two grains (bucket, then file) from manifest arithmetic alone. "
+    "Lifecycle under test: v1 load, v2 optimize (price-band scan at v2 "
+    "must read <= 1/3 of the ledgered files — asserted), v3 merge "
+    "(touched buckets degrade to single-file generations, absent "
+    "ledger never skips, results stay exact), v4 INCREMENTAL "
+    "re-optimize of only the de-clustered buckets (cost ∝ subset — "
+    "the 100 TB re-cluster cadence) after which the latest-version "
+    "band scan prunes again (asserted). Both scans hash-checked; "
+    "content neutrality + degradation laws in "
+    "tests/test_merge_versioned.py.",
+)
+def e_versioned_cluster_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        _load_manifest_full,
+        latest_version,
+        merge_scoped_versioned,
+        optimize_versioned,
+        prune_files,
+        scan_versioned,
+        write_bucket_table_versioned,
+    )
+
+    t0, t1 = "2026-01-01 00:00:00", "2026-01-02 00:00:00"
+    lo, hi = 50000.0, 60000.0
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:clus-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/clus_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        old_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            write_bucket_table_versioned(
+                merge_upsert(None, orders, key="o_orderkey", now=t0),
+                path, key="o_orderkey", n_buckets=MS_BUCKETS,
+            )
+            opt = optimize_versioned(
+                spark, path, cluster_by=["o_totalprice"],
+                files_per_bucket=8,
+            )
+            assert opt["version"] == 2
+            batch = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+            )
+            s3 = merge_scoped_versioned(spark, path, batch, now=t1)
+            assert s3["version"] == 3
+            # incremental re-cluster: ONLY the buckets the merge
+            # de-clustered (their single-file generations lost the
+            # file ledger) — cost ∝ subset, content-neutral
+            m3 = _load_manifest_full(path, 3)
+            degraded = [
+                int(i) for i in m3["buckets"] if "fs" not in m3["stats"][i]
+            ]
+            assert degraded  # the %97 batch touched real buckets
+            opt2 = optimize_versioned(
+                spark, path, cluster_by=["o_totalprice"],
+                files_per_bucket=8, buckets=degraded,
+            )
+            assert opt2["version"] == 4
+            assert opt2["buckets_written"] == len(degraded)
+            with open(done, "w") as f:
+                f.write(f"{opt}\n{s3}\n{opt2}\n")
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_ts)
+    # the skipping contract, at BOTH versions: the fully-clustered v2
+    # and the merge-then-incrementally-reoptimized latest each read
+    # <= 1/3 of their ledgered files for the narrow band (manifest
+    # arithmetic only — no data I/O in the plan)
+    for ver in (2, latest_version(path)):
+        plan = prune_files(path, [("o_totalprice", lo, hi)], version=ver)
+        assert plan["files_total"] > 0 and not any(
+            "fs" not in s
+            for s in plan["manifest"]["stats"].values()
+        )
+        assert plan["files_read"] * 3 <= plan["files_total"], (
+            ver, plan["files_read"], plan["files_total"]
+        )
+    band_latest = scan_versioned(spark, path, "o_totalprice", lo, hi).select(
+        F.lit("band_latest").alias("tag"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    band_v2 = scan_versioned(
+        spark, path, "o_totalprice", lo, hi, version=2
+    ).select(
+        F.lit("band_v2").alias("tag"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        band_latest.unionByName(band_v2)
         .groupBy("tag", "status")
         .agg(
             F.count("*").cast("long").alias("cnt"),

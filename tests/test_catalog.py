@@ -275,3 +275,142 @@ def test_txn_pins_action_returned_version_not_latest(spark, tmp_path):
     assert latest_version(hp) == 3
     h = catalog_read(spark, cat, "head")
     assert h.filter(F.col("id") == 2).collect()[0]["price"] == 222.0
+
+
+def test_catalog_change_feed_joint_apply_law(spark, tmp_path):
+    """catalog_change_feed (round-10): per-table key-level feeds whose
+    spans all come from ONE pair of catalog manifests. Laws: (a) the
+    joint apply — old catalog snapshot + feeds == new catalog
+    snapshot, for EVERY member at once; (b) an up-to-date consumer
+    gets None for every table (manifest arithmetic only); (c) a table
+    newly registered between the versions arrives as a full insert
+    feed."""
+    from cvemate_spark.operators.catalog import catalog_change_feed
+    from cvemate_spark.operators.merge_versioned import apply_change_feed
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2
+
+    batch_h = spark.createDataFrame([Row(id=3, price=999.0)])
+    batch_s = spark.createDataFrame(
+        [Row(id=3, status="X"), Row(id=99, status="N")]
+    )
+    catalog_txn(  # cat v3: one txn moves BOTH tables
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(sk, p, batch_h),
+            "stat": lambda sk, p: merge_scoped_versioned(sk, p, batch_s),
+        },
+    )
+    feeds = catalog_change_feed(spark, cat, 2, 3)
+    assert set(feeds) == {"head", "stat"}
+    for name in ("head", "stat"):
+        old = catalog_read(spark, cat, name, version=2)
+        new = catalog_read(spark, cat, name, version=3)
+        applied = apply_change_feed(old, feeds[name], "id")
+        cols = sorted(new.columns)
+        assert (
+            applied.select(*cols).exceptAll(new.select(*cols)).count() == 0
+            and new.select(*cols).exceptAll(applied.select(*cols)).count()
+            == 0
+        ), name
+
+    # (b) up-to-date: every feed is None
+    assert all(
+        f is None for f in catalog_change_feed(spark, cat, 3, 3).values()
+    )
+
+    # (c) a table registered between the versions -> full insert feed
+    extra = spark.createDataFrame([Row(id=1, note="n1"), Row(id=2, note="n2")])
+    ep = str(tmp_path / "extra")
+    from cvemate_spark.operators.merge_versioned import (
+        write_bucket_table_versioned as _wv,
+    )
+
+    _wv(extra, ep, key="id", n_buckets=2)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp, "extra": ep})  # v4
+    feeds = catalog_change_feed(spark, cat, 3, 4)
+    assert feeds["head"] is None and feeds["stat"] is None
+    rows = feeds["extra"].collect()
+    assert {r["change"] for r in rows} == {"insert"} and len(rows) == 2
+
+
+def test_catalog_replica_crash_lands_on_joint_snapshot(spark, tmp_path):
+    """The round-10 replica law: the two-table consumer's pointer
+    publish makes its replicas a JOINT snapshot — a crash after all
+    data is written but before the pointer lands leaves readers on
+    the complete OLD pair (never head at v+1 with stat at v), and the
+    restarted poll converges exactly. The applied version lives IN
+    the pointer, so the A-B-A redelivery hazard is structurally
+    absent."""
+    from cvemate_spark.operators.catalog import (
+        read_catalog_replica, replicate_catalog,
+    )
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    rep = str(tmp_path / "rep")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2
+
+    r = replicate_catalog(spark, cat, rep)  # bootstrap at v2
+    assert r["advanced"] and r["applied_version"] == 2
+
+    def joint():
+        h = read_catalog_replica(spark, rep, "head")
+        s = read_catalog_replica(spark, rep, "stat")
+        j = h.join(s, "id").filter(F.col("id") == 3).collect()[0]
+        return (j["price"], j["status"])
+
+    assert joint() == (3.0, "O")
+
+    batch_h = spark.createDataFrame([Row(id=3, price=999.0)])
+    batch_s = spark.createDataFrame([Row(id=3, status="X")])
+    catalog_txn(  # cat v3 moves both
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(sk, p, batch_h),
+            "stat": lambda sk, p: merge_scoped_versioned(sk, p, batch_s),
+        },
+    )
+    # the worst crash: all new replica dirs written, pointer untouched
+    r = replicate_catalog(spark, cat, rep, crash_before_publish=True)
+    assert not r["advanced"]
+    assert joint() == (3.0, "O")  # still the complete OLD pair
+
+    # restart: converges to the complete NEW pair
+    r = replicate_catalog(spark, cat, rep)
+    assert r["advanced"] and r["applied_version"] == 3
+    assert joint() == (999.0, "X")
+
+    # revert head (A-B-A across a crash span) + advance stat; the
+    # pointer-held applied version makes the revert visible
+    batch_h2 = spark.createDataFrame([Row(id=3, price=3.0)])
+    batch_s2 = spark.createDataFrame([Row(id=3, status="O")])
+    catalog_txn(
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(sk, p, batch_h2),
+            "stat": lambda sk, p: merge_scoped_versioned(sk, p, batch_s2),
+        },
+    )
+    replicate_catalog(spark, cat, rep, crash_before_publish=True)
+    r = replicate_catalog(spark, cat, rep)
+    assert r["applied_version"] == 4
+    assert joint() == (3.0, "O")
+    # replicas equal the catalog snapshot EXACTLY, table by table
+    for name in ("head", "stat"):
+        want = catalog_read(spark, cat, name)
+        got = read_catalog_replica(spark, rep, name)
+        cols = sorted(want.columns)
+        assert (
+            got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+            and want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+        ), name
+    # an up-to-date poll is a no-op (no dirs churned)
+    before = sorted(os.listdir(rep)) if (os := __import__("os")) else None
+    r = replicate_catalog(spark, cat, rep)
+    assert not r["advanced"]
+    assert sorted(os.listdir(rep)) == before

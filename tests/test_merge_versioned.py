@@ -1445,3 +1445,89 @@ def test_feed_replica_aba_revert_converges(spark, tmp_path):
     }
     assert got == want and got["CVE-K"] == "A"
     assert read_replica_meta(replica)["applied_version"] == 3
+
+
+def test_optimize_versioned_clustered_skipping_laws(spark, tmp_path):
+    """The round-10 clustering surface (VERDICT r9 item 2), all laws
+    in one table lifecycle:
+    (1) optimize is CONTENT-NEUTRAL (snapshot identical before/after)
+        and committed (one new version; the pre-optimize version still
+        time-travels);
+    (2) after clustering, a value-band scan prunes at FILE grain
+        (prune_files reads < total ledgered files) and stays EXACT
+        (pruned ≡ unpruned law at the new grain);
+    (3) a later merge replaces touched buckets with single-file
+        generations — their ledger disappears, pruning degrades to
+        bucket grain for them (absent stats never skip), results exact;
+    (4) subset optimize (incremental re-clustering) rewrites only the
+        targeted buckets, content-neutral, and restores their ledger."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.merge_versioned import (
+        _load_manifest_full,
+        optimize_versioned,
+        prune_files,
+        scan_versioned,
+    )
+
+    path = str(tmp_path / "vbt_opt")
+    df = spark.createDataFrame(
+        [Row(id=i, val=float(i % 500), g=i % 3) for i in range(6000)]
+    )
+    write_bucket_table_versioned(df, path, key="id", n_buckets=4)
+
+    def snap(v=None):
+        return sorted(
+            (r["id"], r["val"], r["g"])
+            for r in read_bucket_table_versioned(spark, path, v).collect()
+        )
+
+    before = snap()
+    r = optimize_versioned(spark, path, cluster_by=["val"], files_per_bucket=6)
+    assert r["version"] == 2 and r["buckets_written"] == 4
+    assert r["files_written"] > 4  # multi-file: the ledger exists
+    # (1) content neutrality + time travel
+    assert snap() == before and snap(1) == before
+    assert latest_version(path) == 2
+    m2 = _load_manifest_full(path, 2)
+    assert m2["op"].startswith("optimize:val")
+    assert all("fs" in m2["stats"][i] for i in m2["buckets"])
+
+    # (2) file-grain pruning bites and is exact
+    plan = prune_files(path, [("val", 50.0, 99.0)])
+    assert 0 < plan["files_read"] < plan["files_total"]
+    assert plan["skipped_files"]
+    got = sorted(
+        (r2["id"], r2["val"])
+        for r2 in scan_versioned(spark, path, "val", 50.0, 99.0).collect()
+    )
+    want = sorted((i, v) for i, v, _ in before if 50.0 <= v <= 99.0)
+    assert got == want
+
+    # (3) merge de-clusters its touched buckets only; exactness holds
+    merge_scoped_versioned(
+        spark, path, spark.createDataFrame([Row(id=7, val=75.0, g=1)])
+    )
+    m3 = _load_manifest_full(path, latest_version(path))
+    degraded = [i for i in m3["buckets"] if "fs" not in m3["stats"][i]]
+    assert len(degraded) == 1
+    got3 = {
+        r2["id"]: r2["val"]
+        for r2 in scan_versioned(spark, path, "val", 50.0, 99.0).collect()
+    }
+    assert got3[7] == 75.0
+    assert len(got3) == len([1 for i, v, _ in before if 50.0 <= v <= 99.0 and i != 7]) + 1
+
+    # (4) subset re-optimize restores the degraded bucket's ledger
+    content_before = snap()
+    r4 = optimize_versioned(
+        spark, path, cluster_by=["val"], files_per_bucket=6,
+        buckets=[int(degraded[0])],
+    )
+    assert r4["buckets_written"] == 1
+    assert snap() == content_before
+    m4 = _load_manifest_full(path, latest_version(path))
+    assert all("fs" in m4["stats"][i] for i in m4["buckets"])
+    # only the targeted bucket's generation moved
+    moved = [i for i in m4["buckets"] if m4["buckets"][i] != m3["buckets"][i]]
+    assert moved == degraded
