@@ -1467,13 +1467,16 @@ def apply_change_feed(
     once feed delivery into exactly-once replica effects — the crash-
     between-apply-and-checkpoint case S19 exercises.
 
-    One anti join + one union: the anti join keys against the (batch-
-    sized) feed broadcast in practice; no full-table shuffle."""
+    One anti join + one union: the anti-join keys against the feed
+    are broadcast EXPLICITLY — a feed is batch-sized by contract
+    (cost ∝ change, never ∝ table), so the hint is always right and
+    spares the replica side a shuffle even when stale size stats
+    would have talked the planner out of it."""
     keys = [key] if isinstance(key, str) else list(key)
     live = feed.filter(F.col("change") != "delete").drop("change")
     if replica is None:
         return live
-    touched = feed.select(*keys)
+    touched = F.broadcast(feed.select(*keys))
     # allowMissingColumns: a feed crossing a SCHEMA EVOLUTION boundary
     # carries columns the replica predates (and vice versa after a
     # replica-side evolution) — the union fills them with nulls, which
@@ -1580,6 +1583,15 @@ def change_feed(
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:
         return None
+
+    if not m_from["buckets"]:
+        # bootstrap consumer (checkpointed at the metadata-only empty
+        # init): the old side is empty by construction, so the diff IS
+        # the new side tagged insert — no outer join, one read. Same
+        # rows the general path would produce (every key "payload from
+        # the surviving side", change='insert').
+        snap = read_bucket_table_versioned(spark, path, to_v)
+        return snap.withColumn("change", F.lit("insert"))
 
     def _side(manifest: dict[str, str]) -> list[str]:
         return [

@@ -443,7 +443,13 @@ def feed_replica(
                 return  # nothing changed, nothing held: no-op poll
             else:
                 out = cur  # content unchanged; the marker still advances
-            write_atomic(out, replica, meta={"applied_version": v})
+            # the replica is batch-sized here; 32 shuffle-partition
+            # output files would be pure task overhead per poll (a
+            # production replica is a bucketed table and merges
+            # instead of rewriting)
+            write_atomic(
+                out.coalesce(4), replica, meta={"applied_version": v}
+            )
         if crash_after_swap:
             return  # simulated kill: marker + rows already consistent
 

@@ -212,6 +212,38 @@ def main() -> None:
     )
     print(json.dumps(results[-1]))
 
+    # ---- versioned hot-bucket (zipf worst case through the VERSIONED
+    # path, r10 item 6): the same skewed shape as scoped_hot_bucket —
+    # every key in <=1% of the buckets — through merge_scoped_versioned,
+    # so the versioned commit's bound has the same two measured points
+    # as the in-place one: bytes_rewritten <= hot-set bytes, and skew
+    # REDUCES commit cost (fewer generation dirs, fewer manifest
+    # entries changed)
+    vuniform = results[-1]
+    vhot = (
+        orders.withColumn("__b", bucket_expr("o_orderkey", N_BUCKETS))
+        .filter(F.col("__b") < hot_buckets)
+        .drop("__b")
+        .limit(vuniform["batch_rows"])
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    n_vhot = vhot.count()
+    t = time.monotonic()
+    vhstats = merge_scoped_versioned(spark, vpath, vhot, now=T2)
+    dt = time.monotonic() - t
+    results.append(
+        {
+            "mode": "scoped_versioned_hot_bucket",
+            "hot_bucket_frac": hot_buckets / N_BUCKETS,
+            "batch_rows": n_vhot,
+            "sec": round(dt, 3),
+            "uniform_control_sec": vuniform["sec"],
+            "uniform_control_bytes": vuniform["bytes_rewritten"],
+            **vhstats,
+        }
+    )
+    print(json.dumps(results[-1]))
+
     # the old economics: full merge + whole-directory swap, once,
     # with the SMALLEST batch — cost should sit near the full-load
     # cost regardless of the batch being ~10 rows

@@ -156,6 +156,70 @@ def main() -> None:
     )
     assert miss is None  # keys are non-negative: bounds prove the miss
 
+    # ---- round 10: VALUE-predicate skipping via clustering --------
+    # the hash-layout honesty row first: a price band prunes ~nothing
+    # at bucket grain (every bucket spans the whole price range), then
+    # optimize_versioned sorts each bucket by price and rolls files so
+    # per-FILE min/max become selective — the Delta OPTIMIZE ZORDER
+    # economics, measured as pre/post pruning + wall on the same band
+    from cvemate_spark.operators.merge_versioned import (
+        optimize_versioned, prune_files,
+    )
+
+    band_lo, band_hi = 50000.0, 60000.0
+    band_pred = [("o_totalprice", band_lo, band_hi)]
+    pre_plan = prune_files(path, band_pred)
+    # the timed scan forces DATA-PAGE reads (sum of the band column +
+    # count together; bare count() answers from parquet metadata)
+    def band_scan():
+        r = (
+            scan_versioned(spark, path, "o_totalprice", band_lo, band_hi)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_totalprice").alias("s"),
+            )
+            .collect()[0]
+        )
+        return (r["n"], float(r["s"]))
+
+    pre_s, (pre_n, pre_sum) = timed(band_scan)
+    t = time.time()
+    ostats = optimize_versioned(
+        spark, path, cluster_by=["o_totalprice"], files_per_bucket=16
+    )
+    optimize_s = time.time() - t
+    post_plan = prune_files(path, band_pred)
+    post_s, (post_n, post_sum) = timed(band_scan)
+    # content neutrality + band exactness across the optimize
+    assert post_n == pre_n, (pre_n, post_n)
+    assert abs(post_sum - pre_sum) < 1e-6 * max(abs(pre_sum), 1.0)
+    assert read_bucket_table_versioned(spark, path).count() == n_rows
+    files_ratio = (
+        round(post_plan["files_total"] / max(post_plan["files_read"], 1), 1)
+        if post_plan["files_total"]
+        else None
+    )
+    # BYTES read under each plan — the scale-invariant signal (local
+    # wall-clock on 15 KB files is task-overhead-bound; at production
+    # file sizes the bytes ratio IS the wall ratio)
+    post_stats = post_plan["manifest"].get("stats") or {}
+    total_bytes = sum(s["bytes"] for s in post_stats.values())
+    pre_stats = pre_plan["manifest"].get("stats") or {}
+    pre_bytes = sum(
+        pre_stats[p.split("/")[-2].split("=")[1]]["bytes"]
+        for p in pre_plan["read"]
+        if not p.endswith(".parquet")
+    )
+    post_bytes = 0
+    for p in post_plan["read"]:
+        parts = p.split("/")
+        if p.endswith(".parquet"):
+            bid = parts[-3].split("=")[1]
+            post_bytes += post_stats[bid]["fs"][parts[-1]]["bytes"]
+        else:
+            bid = parts[-2].split("=")[1]
+            post_bytes += post_stats[bid]["bytes"]
+
     out = {
         "sf_dir": SF_DIR,
         "mult": MULT,
@@ -184,11 +248,40 @@ def main() -> None:
             "hit_s": round(hit_s, 3),
             "stats_proven_miss_s": round(miss_s, 4),
         },
+        "value_band_clustering": {
+            "band": [band_lo, band_hi],
+            "rows_out": post_n,
+            "pre_optimize": {
+                "scan_s": round(pre_s, 2),
+                "dirs_read": len(pre_plan["read"]),
+                "buckets_skipped": len(pre_plan["skipped"]),
+                "bytes_read": pre_bytes,
+            },
+            "optimize": {
+                "wall_s": round(optimize_s, 2),
+                "files_written": ostats["files_written"],
+                "rows_per_file": ostats["rows_per_file"],
+            },
+            "post_optimize": {
+                "scan_s": round(post_s, 2),
+                "files_read": post_plan["files_read"],
+                "files_total": post_plan["files_total"],
+                "files_prune_ratio": files_ratio,
+                "bytes_read": post_bytes,
+                "bytes_total": total_bytes,
+                "bytes_prune_ratio": (
+                    round(total_bytes / max(post_bytes, 1), 1)
+                ),
+                "scan_speedup": round(pre_s / post_s, 1) if post_s else None,
+            },
+        },
         "loadavg_1m": os.getloadavg()[0],
     }
-    name = (
-        "SKIPBENCH.json" if N_BUCKETS == 256 else f"SKIPBENCH_{N_BUCKETS}.json"
-    )
+    name = "SKIPBENCH.json"
+    if N_BUCKETS != 256:
+        name = f"SKIPBENCH_{N_BUCKETS}.json"
+    elif MULT != 10:
+        name = f"SKIPBENCH_x{MULT}.json"
     with open(f"/root/repo/{name}", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
