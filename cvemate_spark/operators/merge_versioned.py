@@ -440,6 +440,11 @@ def _stat_excludes(s: dict | None, lo, hi) -> bool:
     / uncoercible bounds never exclude (absent stats mean MUST READ)."""
     if s is None:
         return False
+    if lo is None and hi is None:
+        # unbounded "predicate": matches every row INCLUDING nulls —
+        # nothing is excludable (the all-null branch below is licensed
+        # only by a real bound's SQL null-exclusion)
+        return False
     if s["t"] == "null":
         # no non-null value of the column in this unit: no range
         # predicate (which excludes nulls by SQL semantics) can match
@@ -539,13 +544,21 @@ def prune_files(
     full = plan["manifest"]
     manifest = full["buckets"]
     stats = full.get("stats") or {}
+    # only BOUNDED predicates license file skips — an unbounded
+    # (col, None, None) matches every row including nulls, exactly
+    # the rule prune_generations applies at bucket grain
+    bounded = [
+        (c, lo, hi)
+        for c, lo, hi in predicates
+        if lo is not None or hi is not None
+    ]
     read: list[str] = []
     skipped_files: list[str] = []
     files_read = files_total = 0
     for i in plan["read"]:
         gdir = f"{path}/bucket={i}/{manifest[i]}"
         fs = (stats.get(i) or {}).get("fs")
-        if not fs or not predicates:
+        if not fs or not bounded:
             read.append(gdir)
             continue
         files_total += len(fs)
@@ -553,7 +566,7 @@ def prune_files(
             fcols = fs[fname].get("cols", {})
             if any(
                 _stat_excludes(fcols.get(col), lo, hi)
-                for col, lo, hi in predicates
+                for col, lo, hi in bounded
             ):
                 skipped_files.append(f"{gdir}/{fname}")
             else:
