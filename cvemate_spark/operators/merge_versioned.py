@@ -879,7 +879,10 @@ def _write_generations(
         if sort_by:
             # rows arrive bucket-grouped; sorting by (bucket, cols)
             # keeps each bucket's run contiguous AND ordered even when
-            # several buckets hash into one task
+            # several buckets hash into one task. Entries may be plain
+            # column names or Column EXPRESSIONS (the z-order path
+            # sorts by a computed Morton code without materializing it
+            # into the table schema).
             job = job.sortWithinPartitions("bucket", *sort_by)
         writer = job.write.mode("overwrite")
         if max_records_per_file:
@@ -1160,6 +1163,80 @@ def rebucket_versioned(
     }
 
 
+def _ledger_bounds(full: dict, column: str) -> tuple | None:
+    """Global (lo, hi) of a numeric column across the manifest's stats
+    ledger — pure manifest arithmetic. None when any bucket lacks
+    usable numeric stats for it (the z-order quantizer then falls back
+    to a one-job aggregate)."""
+    lo = hi = None
+    stats = full.get("stats") or {}
+    for i in full["buckets"]:
+        s = (stats.get(i) or {}).get("cols", {}).get(column)
+        if s is None or s.get("t") not in ("num",):
+            return None
+        lo = s["lo"] if lo is None else min(lo, s["lo"])
+        hi = s["hi"] if hi is None else max(hi, s["hi"])
+    return None if lo is None else (lo, hi)
+
+
+def _zorder_column(
+    df: DataFrame, full: dict, cluster_by: list[str], bits: int
+) -> F.Column:
+    """Morton z-value over the cluster columns, quantized to `bits`
+    per dimension using ledger-global bounds (one manifest pass; an
+    aggregate job only when the ledger lacks a column's bounds).
+    Interleaving gives every dimension equal stats selectivity, so a
+    box predicate on ANY subset of the columns prunes — lexicographic
+    sort gives the first column everything and the rest nothing."""
+    qcols = []
+    need_agg = [
+        c for c in cluster_by if _ledger_bounds(full, c) is None
+    ]
+    agg_bounds = {}
+    if need_agg:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in need_agg],
+            *[F.max(c).alias(f"hi_{c}") for c in need_agg],
+        ).collect()[0]
+        agg_bounds = {
+            c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in need_agg
+        }
+    for c in cluster_by:
+        lo, hi = agg_bounds.get(c) or _ledger_bounds(full, c)
+        span = float(hi) - float(lo)
+        if span <= 0:
+            q = F.lit(0).cast("bigint")
+        else:
+            q = F.least(
+                F.lit((1 << bits) - 1),
+                F.greatest(
+                    F.lit(0),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * F.lit(float((1 << bits) - 1))
+                    ).cast("bigint"),
+                ),
+            )
+        qcols.append(q)
+    if len(qcols) == 1:
+        return qcols[0]
+    # bit-interleave the quantizers round-robin (Morton code; for 2
+    # dims this is exactly layout.zorder_expr_spark's interleave,
+    # expressed over Column quantizers instead of named columns).
+    # NB: Column.__or__ is LOGICAL or — bit assembly must go through
+    # bitwiseOR.
+    parts = None
+    d = len(qcols)
+    for i in range(bits):
+        for j, q in enumerate(qcols):
+            p = F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * d + j
+            )
+            parts = p if parts is None else parts.bitwiseOR(p)
+    return parts
+
+
 def optimize_versioned(
     spark: SparkSession,
     path: str,
@@ -1167,6 +1244,8 @@ def optimize_versioned(
     files_per_bucket: int = 8,
     rows_per_file: int | None = None,
     buckets: list[int] | None = None,
+    zorder: bool = False,
+    zorder_bits: int = 8,
 ) -> dict:
     """OPTIMIZE ... ZORDER/CLUSTER BY economics for the versioned
     table: a content-neutral committed version whose generations are
@@ -1198,6 +1277,15 @@ def optimize_versioned(
     stats ledger). Reference semantics to beat: the reference has no
     layout management at all (mongodb_handler.py relies on a BTree
     index); Delta OPTIMIZE is the real contract here.
+
+    `zorder=True` (multi-column only) sorts by a Morton interleave of
+    the cluster columns — quantized against ledger-global bounds, so
+    usually zero extra jobs — instead of lexicographically: every
+    dimension gets equal per-file stats selectivity, so a box
+    predicate on ANY subset of the columns prunes, where the
+    lexicographic sort gives the first column everything and later
+    columns nothing (Delta's ZORDER BY vs a plain ORDER BY — the law
+    test measures the difference directly).
 
     Returns {version, buckets_written, files_written, rows_per_file}.
     """
@@ -1245,10 +1333,16 @@ def optimize_versioned(
             spark, dirs,
             StructType.fromJson(stored) if stored is not None else None,
         )
+        if zorder and len(cluster_by) > 1:
+            sort_key = [_zorder_column(
+                slice_df, full, list(cluster_by), zorder_bits
+            )]
+        else:
+            sort_key = list(cluster_by)
         new_gens = _write_generations(
             slice_df, path, key, n_buckets,
             buckets=[int(i) for i in target],
-            sort_by=list(cluster_by),
+            sort_by=sort_key,
             max_records_per_file=rows_per_file,
         )
         stats_all = dict(full.get("stats") or {})
@@ -1268,7 +1362,11 @@ def optimize_versioned(
         _commit(
             path, v, manifest, n_buckets,
             full.get("schema") or _schema_of(slice_df), stats_all,
-            op=f"optimize:{','.join(cluster_by)}",
+            op=(
+                f"optimize-z:{','.join(cluster_by)}" if zorder
+                and len(cluster_by) > 1
+                else f"optimize:{','.join(cluster_by)}"
+            ),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)

@@ -1531,3 +1531,74 @@ def test_optimize_versioned_clustered_skipping_laws(spark, tmp_path):
     # only the targeted bucket's generation moved
     moved = [i for i in m4["buckets"] if m4["buckets"][i] != m3["buckets"][i]]
     assert moved == degraded
+
+
+def test_optimize_zorder_prunes_every_dimension(spark, tmp_path):
+    """Z-ORDER law: with 2-D data clustered lexicographically by
+    (x, y), a y-only band cannot prune files (every x-run spans the
+    whole y range); the Morton interleave gives BOTH dimensions
+    selectivity. Content neutrality and exactness hold for both
+    layouts; the z layout must file-prune the y band strictly, and
+    the x band must still prune too."""
+    import random
+
+    from cvemate_spark.operators.merge_versioned import (
+        _load_manifest_full, optimize_versioned, prune_files,
+        scan_versioned_multi,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(id=i, x=rng.randrange(1000), y=rng.randrange(1000))
+        for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def build(zorder):
+        path = str(tmp_path / f"vbt_z{int(zorder)}")
+        write_bucket_table_versioned(df, path, key="id", n_buckets=4)
+        r = optimize_versioned(
+            spark, path, cluster_by=["x", "y"], files_per_bucket=16,
+            zorder=zorder,
+        )
+        assert r["files_written"] > 16
+        return path
+
+    lex, zed = build(False), build(True)
+    m = _load_manifest_full(zed, 2)
+    assert m["op"] == "optimize-z:x,y"
+
+    want = sorted(
+        (r.id, r.x, r.y) for r in rows if 400 <= r.y <= 499
+    )
+    for path in (lex, zed):
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in scan_versioned_multi(
+                spark, path, [("y", 400, 499)]
+            ).collect()
+        )
+        assert got == want  # exactness regardless of layout
+
+    def frac_read(path, preds):
+        p = prune_files(path, preds)
+        return p["files_read"] / p["files_total"]
+
+    y_band = [("y", 400, 499)]
+    x_band = [("x", 400, 499)]
+    box = [("x", 400, 499), ("y", 400, 499)]
+    # lexicographic: x prunes hard, y prunes ~nothing
+    assert frac_read(lex, x_band) <= 0.35
+    assert frac_read(lex, y_band) >= 0.9
+    # z-order: BOTH single-dimension bands prune strictly, and the
+    # 2-D box prunes harder than either band alone
+    assert frac_read(zed, x_band) <= 0.75
+    assert frac_read(zed, y_band) <= 0.75
+    assert frac_read(zed, box) < min(
+        frac_read(zed, x_band), frac_read(zed, y_band)
+    )
+    # the headline comparison: on the dimension the lexicographic
+    # sort NEGLECTS, z prunes strictly better (lex's x-primary layout
+    # can still win on predicates that include x — that is the
+    # expected trade, not a failure)
+    assert frac_read(zed, y_band) < frac_read(lex, y_band) - 0.1
