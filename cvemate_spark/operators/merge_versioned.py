@@ -1203,7 +1203,13 @@ def _zorder_column(
         }
     for c in cluster_by:
         lo, hi = agg_bounds.get(c) or _ledger_bounds(full, c)
-        span = float(hi) - float(lo)
+        if lo is None or hi is None:
+            # an entirely-null column (the agg fallback returns null
+            # bounds): every row quantizes to 0 — the dimension simply
+            # contributes no selectivity, content neutrality unharmed
+            span = 0.0
+        else:
+            span = float(hi) - float(lo)
         if span <= 0:
             q = F.lit(0).cast("bigint")
         else:

@@ -410,7 +410,9 @@ def test_catalog_replica_crash_lands_on_joint_snapshot(spark, tmp_path):
             and want.select(*cols).exceptAll(got.select(*cols)).count() == 0
         ), name
     # an up-to-date poll is a no-op (no dirs churned)
-    before = sorted(os.listdir(rep)) if (os := __import__("os")) else None
+    import os
+
+    before = sorted(os.listdir(rep))
     r = replicate_catalog(spark, cat, rep)
     assert not r["advanced"]
     assert sorted(os.listdir(rep)) == before
