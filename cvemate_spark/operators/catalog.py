@@ -315,7 +315,16 @@ def catalog_change_feed(
             f"catalog version {to_v} of {path} is not committed "
             f"(latest={committed})"
         )
-    m_from = _cat_load(path, since_version)["tables"]
+    try:
+        m_from = _cat_load(path, since_version)["tables"]
+    except FileNotFoundError:
+        raise ValueError(
+            f"catalog version {since_version} of {path} is no longer "
+            "retained (vacuumed): the consumer's span cannot be "
+            "computed — re-bootstrap the replica from the current "
+            "snapshot, or extend vacuum_catalog retention past the "
+            "slowest consumer"
+        ) from None
     m_to = _cat_load(path, to_v)["tables"]
     out: dict[str, DataFrame | None] = {}
     for name, entry in m_to.items():
@@ -330,6 +339,44 @@ def catalog_change_feed(
             continue
         if old["path"] == entry["path"] and old["version"] == entry["version"]:
             out[name] = None  # pin did not move: nothing to read
+            continue
+        if old["path"] != entry["path"]:
+            # the NAME was re-bound to a different table between the
+            # versions: the old version number belongs to the old
+            # path's history, so a single-table change_feed span does
+            # not exist. The correct feed is the full-snapshot diff —
+            # it carries the DELETES for rows only the old binding
+            # held (an insert-only feed would leave them stale in
+            # every replica). Keys come from the NEW table's meta
+            # (override via `keys`); a rebind that also changes the
+            # key column set fails loudly in the diff.
+            from .merge import BUCKET_META, table_diff
+
+            if key is None:
+                with open(os.path.join(entry["path"], BUCKET_META)) as f:
+                    key = json.load(f)["key"]
+            old_snap = read_bucket_table_versioned(
+                spark, old["path"], version=old["version"]
+            )
+            new_snap = read_bucket_table_versioned(
+                spark, entry["path"], version=entry["version"]
+            )
+            # align to the COLUMN UNION with typed nulls (table_diff
+            # keeps only shared columns; an unaligned diff would drop
+            # new-binding-only columns from the feed payload)
+            for col, typ in [
+                (f.name, f.dataType)
+                for f in new_snap.schema.fields
+                if f.name not in old_snap.columns
+            ]:
+                old_snap = old_snap.withColumn(col, F.lit(None).cast(typ))
+            for col, typ in [
+                (f.name, f.dataType)
+                for f in old_snap.schema.fields
+                if f.name not in new_snap.columns
+            ]:
+                new_snap = new_snap.withColumn(col, F.lit(None).cast(typ))
+            out[name] = table_diff(old_snap, new_snap, key=key)
             continue
         out[name] = change_feed(
             spark, entry["path"], old["version"], entry["version"], key=key

@@ -416,3 +416,100 @@ def test_catalog_replica_crash_lands_on_joint_snapshot(spark, tmp_path):
     r = replicate_catalog(spark, cat, rep)
     assert not r["advanced"]
     assert sorted(os.listdir(rep)) == before
+
+
+def test_catalog_feed_table_rebound_to_new_path(spark, tmp_path):
+    """Review-caught defect (round 10): a catalog NAME re-bound to a
+    DIFFERENT table path between two versions has no single-table
+    change_feed span (the old version number belongs to the old
+    path's history). The feed must be the full-snapshot diff — it
+    carries DELETES for rows only the old binding held and the new
+    binding's extra columns — and the replica consumer must land
+    exactly on the new binding's content."""
+    import os
+
+    from cvemate_spark.operators.catalog import (
+        catalog_change_feed, read_catalog_replica, replicate_catalog,
+    )
+    from cvemate_spark.operators.merge_versioned import (
+        apply_change_feed,
+        write_bucket_table_versioned as _wv,
+    )
+
+    old_t = spark.createDataFrame(
+        [Row(id=i, v=f"old{i}") for i in range(8)]
+    )
+    new_t = spark.createDataFrame(
+        [Row(id=i, v=f"new{i}", extra=float(i)) for i in range(4, 12)]
+    )
+    op, np_ = str(tmp_path / "told"), str(tmp_path / "tnew")
+    _wv(old_t, op, key="id", n_buckets=2)
+    _wv(new_t, np_, key="id", n_buckets=2)
+    cat = str(tmp_path / "cat")
+    rep = str(tmp_path / "rep")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"t": op})      # cat v2: name -> old path
+    replicate_catalog(spark, cat, rep)      # replica holds old content
+    catalog_txn(spark, cat, {"t": np_})     # cat v3: name REBOUND
+
+    feeds = catalog_change_feed(spark, cat, 2, 3)
+    rows = {r["id"]: (r["change"], r["v"]) for r in feeds["t"].collect()}
+    # rows only the old binding held are DELETES; shared ids update;
+    # new-only ids insert
+    assert all(rows[i][0] == "delete" for i in range(4))
+    assert all(rows[i][0] == "update" for i in range(4, 8))
+    assert all(rows[i][0] == "insert" for i in range(8, 12))
+    # the new-binding-only column survives into the feed payload
+    extras = {r["id"]: r["extra"] for r in feeds["t"].collect()}
+    assert extras[11] == 11.0
+
+    # apply law across the rebind: old snapshot + feed == new snapshot
+    applied = apply_change_feed(
+        spark.read.parquet(
+            os.path.join(
+                rep,
+                __import__("json").load(
+                    open(os.path.join(rep, "_REPLICA_STATE.json"))
+                )["dirs"]["t"],
+            )
+        ),
+        feeds["t"],
+        "id",
+    )
+    got = {r["id"]: (r["v"], r["extra"]) for r in applied.collect()}
+    want = {r.id: (r.v, r.extra) for r in new_t.collect()}
+    assert got == want
+
+    # and the consumer end-to-end
+    r = replicate_catalog(spark, cat, rep)
+    assert r["advanced"]
+    rep_rows = {
+        r2["id"]: (r2["v"], r2["extra"])
+        for r2 in read_catalog_replica(spark, rep, "t").collect()
+    }
+    assert rep_rows == want
+
+
+def test_catalog_feed_vacuumed_span_fails_loudly(spark, tmp_path):
+    """A consumer whose applied catalog version has been vacuumed must
+    get an ACTIONABLE error (re-bootstrap or extend retention), never
+    a bare FileNotFoundError — and never a silent wrong feed."""
+    from cvemate_spark.operators.catalog import (
+        catalog_change_feed, vacuum_catalog,
+    )
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # v2
+    for i in range(3):  # v3..v5
+        b = spark.createDataFrame([Row(id=1, price=50.0 + i)])
+        catalog_txn(
+            spark, cat, {"head": hp, "stat": sp},
+            actions={
+                "head": lambda sk, p, b=b: merge_scoped_versioned(sk, p, b)
+            },
+        )
+    vacuum_catalog(cat, keep=2)  # v2/v3 gone
+    with pytest.raises(ValueError, match="no longer retained"):
+        catalog_change_feed(spark, cat, 2, 5)
