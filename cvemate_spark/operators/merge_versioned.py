@@ -642,6 +642,144 @@ def scan_versioned(
     return scan_versioned_multi(spark, path, [(column, lo, hi)], version)
 
 
+KEYBLOOM_FILE = "_KEYBLOOM.json"
+
+
+def _write_key_blooms(
+    spark: SparkSession, path: str, key: str,
+    gens: dict[str, str], stats: dict[str, dict],
+    bits_per_key: int = 8, k: int = 4,
+) -> None:
+    """Per-generation KEY bloom filters, as SIDECAR files inside each
+    new generation dir (underscore-named: invisible to Spark scans;
+    immutable with the generation — the Iceberg-puffin shape, NOT in
+    the manifest, whose per-commit full rewrite must stay ∝ buckets,
+    never ∝ bloom bytes).
+
+    Built by ONE distributed job over the new generations only (cost
+    ∝ batch): each generation dir is scanned tagged with its bucket
+    id, k xxhash64 probes per key fold into 64-bit words via bit_or,
+    and the driver collects ≤ |touched buckets| x m/64 bounded ints —
+    never row data. `m` is sized from the fattest touched
+    generation's row count (bits_per_key bits/key, rounded to a power
+    of two — FP ≈ 2.5% at 8 bits / 4 probes) and recorded in the
+    sidecar so lookups use the exact build-time geometry.
+
+    Complements the footer min/max short-circuit: bounds prove misses
+    OUTSIDE [lo, hi]; the bloom proves misses INSIDE the range — the
+    common case for sparse CDC key spaces — with zero data pages
+    opened. Absent sidecars mean MUST READ, never a wrong miss."""
+    import base64
+
+    if not gens:
+        return
+    max_rows = max(
+        (stats.get(i, {}).get("rows", 0) for i in gens), default=0
+    )
+    m = 64
+    while m < max(64, bits_per_key * max_rows):
+        m *= 2
+    tagged = None
+    for i, g in sorted(gens.items()):
+        part = (
+            spark.read.parquet(f"{path}/bucket={i}/{g}")
+            .select(F.col(key).alias("__k"))
+            .withColumn("__b", F.lit(str(i)))
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    agg = (
+        tagged.withColumn(
+            "__pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("__k"), F.lit(j)), F.lit(m)
+                        )
+                        for j in range(k)
+                    ]
+                )
+            ),
+        )
+        .select(
+            "__b",
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("__b", "__w")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+        .collect()
+    )
+    words: dict[str, dict[int, int]] = {}
+    for r in agg:
+        words.setdefault(r["__b"], {})[r["__w"]] = r["__word"]
+    for i, g in sorted(gens.items()):
+        w = words.get(str(i), {})
+        arr = bytearray(m // 8)
+        for widx, val in w.items():
+            arr[widx * 8 : widx * 8 + 8] = (val & (2**64 - 1)).to_bytes(
+                8, "little"
+            )
+        sidecar = {
+            "m": m,
+            "k": k,
+            "bits_b64": base64.b64encode(bytes(arr)).decode("ascii"),
+        }
+        tmp = f"{path}/bucket={i}/{g}/.bloom-tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, f"{path}/bucket={i}/{g}/{KEYBLOOM_FILE}")
+
+
+def _bloom_proves_absent(
+    spark: SparkSession, gen_dir: str, value, key_type=None
+) -> bool:
+    """True iff the generation's key-bloom sidecar PROVES `value`
+    absent (any probe bit unset). Missing/corrupt sidecars mean MUST
+    READ. The probe hashes run through the same Spark xxhash64
+    expressions the builder used (one 1-row job — the bucket routing
+    job point lookups already pay has the same shape). `key_type` is
+    the COMMITTED key column type: xxhash64 is type-sensitive (a
+    Python int literal hashes as INT while a stored LongType column
+    hashes as BIGINT), so the probe literal must be cast to the exact
+    stored type — when the type is unknown, the bloom is skipped
+    (must-read, never a wrong miss)."""
+    import base64
+
+    if key_type is None:
+        return False
+    p = os.path.join(gen_dir, KEYBLOOM_FILE)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            sc = json.load(f)
+        m, k = sc["m"], sc["k"]
+        bits = base64.b64decode(sc["bits_b64"])
+    except (ValueError, KeyError):
+        return False
+    probe = F.lit(value).cast(key_type)
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(probe, F.lit(j)), F.lit(m)
+                ).alias(f"p{j}")
+                for j in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    for j in range(k):
+        pos = row[f"p{j}"]
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return True  # an unset probe bit: definitely absent
+    return False
+
+
 def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
@@ -736,6 +874,7 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str], path: str) 
 def write_bucket_table_versioned(
     df: DataFrame, path: str, key: str = "id", n_buckets: int = 16,
     constraints: dict[str, str] | None = None,
+    key_bloom: dict | bool | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -781,11 +920,17 @@ def write_bucket_table_versioned(
                 )
             if constraints is None:
                 constraints = old_meta.get("constraints")
+            if key_bloom is None:
+                key_bloom = old_meta.get("key_bloom")
+        if key_bloom is True:
+            key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
             "key": key, "n_buckets": n_buckets, "v": 2, "versioned": True,
         }
         if constraints:
             meta["constraints"] = constraints
+        if key_bloom:
+            meta["key_bloom"] = key_bloom
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -798,6 +943,11 @@ def write_bucket_table_versioned(
                 json.dump(meta, f)
         gens = _write_generations(df, path, key, n_buckets)
         stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
+        if key_bloom:
+            _write_key_blooms(
+                spark=df.sparkSession, path=path, key=key, gens=gens,
+                stats=stats, **key_bloom,
+            )
         v = 1 if existing_v is None else existing_v + 1
         _commit(path, v, gens, n_buckets, _schema_of(df), stats, op="load")
         if existing_v is not None:
@@ -821,6 +971,7 @@ def write_bucket_table_versioned(
 def init_bucket_table_versioned(
     path: str, key: str = "id", n_buckets: int = 16,
     constraints: dict[str, str] | None = None,
+    key_bloom: dict | bool | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
@@ -844,6 +995,10 @@ def init_bucket_table_versioned(
     meta = {"key": key, "n_buckets": n_buckets, "v": 2, "versioned": True}
     if constraints:
         meta["constraints"] = constraints
+    if key_bloom:
+        meta["key_bloom"] = (
+            {"bits_per_key": 8, "k": 4} if key_bloom is True else key_bloom
+        )
     with open(os.path.join(path, BUCKET_META), "w") as f:
         json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")
@@ -1061,6 +1216,15 @@ def merge_scoped_versioned(
             stats_all[str(i)] = st
             files += st["files"]
             bytes_ += st["bytes"]
+        if meta.get("key_bloom") and new_gens:
+            # sidecars land BEFORE the commit: a generation is never
+            # referenced without its bloom (readers treat an absent
+            # sidecar as must-read anyway, so a crash window is safe)
+            _write_key_blooms(
+                spark, path, key, new_gens,
+                {i: stats_all[i] for i in new_gens if i in stats_all},
+                **meta["key_bloom"],
+            )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, manifest, n_buckets, committed_schema,
@@ -1134,6 +1298,10 @@ def rebucket_versioned(
             )
             gens = _write_generations(snapshot, path, key, new_n_buckets)
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
+            if meta.get("key_bloom"):
+                _write_key_blooms(
+                    spark, path, key, gens, stats, **meta["key_bloom"]
+                )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, gens, new_n_buckets,
@@ -1364,6 +1532,12 @@ def optimize_versioned(
             st = _harvest_stats(path, int(i), g)
             stats_all[i] = st
             files += st["files"]
+        if meta.get("key_bloom") and new_gens:
+            _write_key_blooms(
+                spark, path, key, new_gens,
+                {i: stats_all[i] for i in new_gens if i in stats_all},
+                **meta["key_bloom"],
+            )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, manifest, n_buckets,
@@ -1444,6 +1618,25 @@ def read_bucket_for_key_versioned(
     from pyspark.sql.types import StructType
 
     stored = full.get("schema")  # reuse the loaded manifest
+    # bloom short-circuit: bounds prove misses outside [lo, hi]; the
+    # key-bloom sidecar (when the table opted in) proves misses INSIDE
+    # the range without opening a data page. The probe literal is cast
+    # to the COMMITTED key type (xxhash64 is type-sensitive); without
+    # a recorded schema the bloom is skipped — must-read, never a
+    # wrong miss.
+    if meta.get("key_bloom") and stored is not None:
+        ktype = next(
+            (
+                f.dataType
+                for f in StructType.fromJson(stored).fields
+                if f.name == meta["key"]
+            ),
+            None,
+        )
+        if ktype is not None and _bloom_proves_absent(
+            spark, f"{path}/bucket={bid}/{g}", value, ktype
+        ):
+            return None
     return _read_dirs(
         spark, [f"{path}/bucket={bid}/{g}"],
         StructType.fromJson(stored) if stored is not None else None,

@@ -19,7 +19,8 @@ and measures whether anything grows with history:
   * manifest count/bytes before and after vacuum
 
 Usage: python3 tools/manifestbench.py [sf_dir] [n_commits] [n_buckets]
-Writes MANIFESTBENCH.json.
+Writes MANIFESTBENCH.json (MANIFESTBENCH_<n>.json for n_buckets != 64
+— the decade points don't overwrite each other).
 """
 
 from __future__ import annotations
@@ -176,7 +177,11 @@ def main() -> None:
         },
         "loadavg_1m": os.getloadavg()[0],
     }
-    with open("/root/repo/MANIFESTBENCH.json", "w") as f:
+    name = (
+        "MANIFESTBENCH.json" if N_BUCKETS == 64
+        else f"MANIFESTBENCH_{N_BUCKETS}.json"
+    )
+    with open(f"/root/repo/{name}", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
     shutil.rmtree(SCRATCH, ignore_errors=True)
