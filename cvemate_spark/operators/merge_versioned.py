@@ -110,11 +110,14 @@ def _load_manifest_full(path: str, v: int) -> dict:
     return m
 
 
+HISTORY_LOG = "_HISTORY.jsonl"
+
+
 def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None,
-) -> None:
+) -> float:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {
         "v": v,
@@ -134,6 +137,7 @@ def _write_manifest(
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
+    return m["committed_at"]
 
 
 def _schema_of(df: DataFrame) -> dict:
@@ -819,10 +823,40 @@ def _commit(
                 for ph in _list_versions(path):
                     if ph > current and ph != v:
                         os.unlink(_manifest_path(path, ph))
-                _write_manifest(
+                stamp = _write_manifest(
                     path, v, buckets, n_buckets, schema, stats, op
                 )
                 os.replace(tmp, latest)
+                # commit-log line AFTER the pointer lands (the commit
+                # is durable at the replace; a crash right here just
+                # leaves this version to history()'s manifest-load
+                # fallback): one tiny JSONL row so history/version_at
+                # stay O(V x LINE), never O(V x manifest) — at 4096
+                # buckets a stats-bearing manifest is ~1.9 MB and
+                # loading 300 of them cost 14.7 s (MANIFESTBENCH_4096)
+                rows_total = bytes_total = None
+                if stats is not None:
+                    rows_total = sum(s["rows"] for s in stats.values())
+                    bytes_total = sum(s["bytes"] for s in stats.values())
+                line = json.dumps(
+                    {
+                        "v": v,
+                        "op": op,
+                        "committed_at": stamp,
+                        "n_buckets": n_buckets,
+                        "buckets": len(buckets),
+                        "rows": rows_total,
+                        "bytes": bytes_total,
+                        "n_columns": (
+                            len(schema["fields"])
+                            if schema is not None
+                            else None
+                        ),
+                    },
+                    sort_keys=True,
+                )
+                with open(os.path.join(path, HISTORY_LOG), "a") as hf:
+                    hf.write(line + "\n")
                 for old in _list_versions(path):
                     if old < v:
                         marker = os.path.join(path, f"v-{old}.superseded")
@@ -1696,13 +1730,39 @@ def read_changed_between(
     return _read_dirs(spark, dirs, table_schema(path, to_v))
 
 
+def _read_history_log(path: str) -> dict[int, dict]:
+    """The commit log as {version -> summary line}. Malformed lines
+    (a torn append from a crash mid-write) are skipped — their
+    versions fall back to a manifest load."""
+    p = os.path.join(path, HISTORY_LOG)
+    out: dict[int, dict] = {}
+    if not os.path.exists(p):
+        return out
+    with open(p) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                d = json.loads(ln)
+                out[int(d["v"])] = d
+            except (ValueError, KeyError, TypeError):
+                continue
+    return out
+
+
 def version_at(path: str, as_of: float | str) -> int:
     """Timestamp AS-OF resolution: the newest surviving version whose
     commit stamp is <= `as_of` (epoch seconds, or an ISO string read
     as UTC) — the Delta `TIMESTAMP AS OF` convenience on top of exact
-    version pinning. Raises if every surviving manifest is newer (the
-    as-of point predates retained history — vacuum may have reclaimed
-    it) or if manifests predate commit stamps."""
+    version pinning. Stamps come from the commit log (O(V) tiny lines
+    — at 4096 buckets loading every stats-bearing manifest instead
+    cost 11 s over 300 commits, MANIFESTBENCH_4096), falling back to
+    a manifest load for versions the log misses (pre-log tables, a
+    crash between pointer replace and log append). Raises if every
+    surviving manifest is newer (the as-of point predates retained
+    history — vacuum may have reclaimed it) or if manifests predate
+    commit stamps."""
     import datetime
 
     if isinstance(as_of, str):
@@ -1711,11 +1771,17 @@ def version_at(path: str, as_of: float | str) -> int:
             dt = dt.replace(tzinfo=datetime.timezone.utc)
         as_of = dt.timestamp()
     committed = latest_version(path)
+    log = _read_history_log(path)
     best = None
     for v in _list_versions(path):
         if v > committed:
             continue  # phantom manifest of a dead merger: not history
-        t = _load_manifest_full(path, v).get("committed_at")
+        entry = log.get(v)
+        t = (
+            entry.get("committed_at")
+            if entry is not None
+            else _load_manifest_full(path, v).get("committed_at")
+        )
         if t is not None and t <= as_of:
             best = v
     if best is None:
@@ -1728,17 +1794,36 @@ def version_at(path: str, as_of: float | str) -> int:
 
 def history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per surviving committed version, from
-    manifest arithmetic alone (no data I/O). Per version: the commit
-    operation (load/init/merge/rebucket — recorded since round 9; None
-    for older manifests), layout, bucket count, and the stats ledger's
+    the commit log (one tiny JSONL line per commit — O(V x line)),
+    falling back to a manifest load for versions the log misses
+    (pre-log tables; a crash between the pointer replace and the log
+    append). Per version: the commit operation (load/init/merge/
+    rebucket/optimize), layout, bucket count, and the stats ledger's
     row/byte totals (None when a version predates stats). `current`
     marks the pointer; versions older than the vacuum horizon are
     absent — history is exactly what time travel can still serve."""
     committed = latest_version(path)
+    log = _read_history_log(path)
     out = []
     for v in _list_versions(path):
         if v > committed:
             continue  # phantom manifest of a dead merger: not history
+        entry = log.get(v)
+        if entry is not None:
+            out.append(
+                {
+                    "version": v,
+                    "op": entry.get("op"),
+                    "committed_at": entry.get("committed_at"),
+                    "n_buckets": entry.get("n_buckets"),
+                    "buckets": entry.get("buckets"),
+                    "rows": entry.get("rows"),
+                    "bytes": entry.get("bytes"),
+                    "n_columns": entry.get("n_columns"),
+                    "current": v == committed,
+                }
+            )
+            continue
         m = _load_manifest_full(path, v)
         stats = m.get("stats")
         rows = bytes_ = None
@@ -1996,6 +2081,27 @@ def vacuum_bucket_versions(
                         continue
                     shutil.rmtree(sdir, ignore_errors=True)
                     removed_gens.append(sdir)
+                if removed_versions:
+                    # compact the commit log to surviving versions —
+                    # history == what time travel can still serve, and
+                    # the log must not grow past the vacuum horizon.
+                    # Atomic rewrite under both locks (no commit can
+                    # interleave an append)
+                    log = _read_history_log(path)
+                    survivors = set(_list_versions(path))
+                    tmp_log = os.path.join(
+                        path, f".hist-tmp-{uuid.uuid4().hex[:8]}"
+                    )
+                    with open(tmp_log, "w") as hf:
+                        for v in sorted(log):
+                            if v in survivors:
+                                hf.write(
+                                    json.dumps(log[v], sort_keys=True)
+                                    + "\n"
+                                )
+                    os.replace(
+                        tmp_log, os.path.join(path, HISTORY_LOG)
+                    )
             finally:
                 fcntl.flock(clock_, fcntl.LOCK_UN)
         fcntl.flock(mlock, fcntl.LOCK_UN)

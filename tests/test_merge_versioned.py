@@ -1675,3 +1675,63 @@ def test_key_bloom_point_lookup_laws(spark, tmp_path):
     m2 = _load_manifest_full(path, latest_version(path))
     for i, g in m2["buckets"].items():
         assert os.path.exists(f"{path}/bucket={i}/{g}/{KEYBLOOM_FILE}"), i
+
+
+def test_history_log_matches_manifest_fallback(spark, tmp_path):
+    """The commit log (round 10: O(V x tiny line) history/version_at
+    instead of O(V x manifest load)) must agree EXACTLY with the
+    manifest-derived rows: deleting the log file forces the fallback,
+    and the two listings are identical field for field. Vacuum
+    compacts the log to surviving versions; a version missing from
+    the log (crash between pointer replace and append) still appears
+    via fallback."""
+    import os
+
+    from cvemate_spark.operators.merge_versioned import (
+        HISTORY_LOG, history, version_at,
+    )
+
+    path = str(tmp_path / "vbt_histlog")
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "v2"}), now=T1
+    )
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "nvd", {"CVE-2": "v3"}), now=T2
+    )
+
+    from_log = history(path)
+    assert [h["version"] for h in from_log] == [1, 2, 3]
+    assert [h["op"] for h in from_log] == ["load", "merge", "merge"]
+    # the log file exists and carries one line per commit
+    log_path = os.path.join(path, HISTORY_LOG)
+    assert sum(1 for _ in open(log_path)) == 3
+
+    # fallback equality: same rows with the log gone
+    os.rename(log_path, log_path + ".bak")
+    from_manifests = history(path)
+    assert from_log == from_manifests
+    # version_at agrees through both sources
+    t_mid = from_log[1]["committed_at"]
+    v_fb = version_at(path, t_mid)
+    os.rename(log_path + ".bak", log_path)
+    assert version_at(path, t_mid) == v_fb == 2
+
+    # a TORN last line (crash mid-append) is skipped, not fatal
+    with open(log_path, "a") as f:
+        f.write('{"v": 99, "op": "gar')
+    assert history(path) == from_log
+
+    # vacuum compacts the log to surviving versions
+    with open(log_path) as f:
+        pass
+    vacuum_bucket_versions(path, keep=1)
+    kept = [h["version"] for h in history(path)]
+    assert kept == [3]
+    surviving_lines = [
+        __import__("json").loads(ln)["v"] for ln in open(log_path)
+    ]
+    assert surviving_lines == [3]
