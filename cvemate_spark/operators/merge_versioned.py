@@ -651,7 +651,7 @@ KEYBLOOM_FILE = "_KEYBLOOM.json"
 
 def _write_key_blooms(
     spark: SparkSession, path: str, key: str,
-    gens: dict[str, str], stats: dict[str, dict],
+    gens: dict[str, str], stats: dict[str, dict], n_buckets: int,
     bits_per_key: int = 8, k: int = 4,
 ) -> None:
     """Per-generation KEY bloom filters, as SIDECAR files inside each
@@ -661,10 +661,13 @@ def _write_key_blooms(
     never ∝ bloom bytes).
 
     Built by ONE distributed job over the new generations only (cost
-    ∝ batch): each generation dir is scanned tagged with its bucket
-    id, k xxhash64 probes per key fold into 64-bit words via bit_or,
-    and the driver collects ≤ |touched buckets| x m/64 bounded ints —
-    never row data. `m` is sized from the fattest touched
+    ∝ batch): one scan of the new dirs with the bucket id RECOMPUTED
+    from the key (the writer's own bucket_expr under the layout the
+    generations were written with — a union of per-dir scans would
+    put n_buckets relations in one plan, which chokes analysis on a
+    4096-bucket initial load); k xxhash64 probes per key fold into
+    64-bit words via bit_or, and the driver collects ≤ |touched
+    buckets| x m/64 bounded ints — never row data. `m` is sized from the fattest touched
     generation's row count (bits_per_key bits/key, rounded to a power
     of two — FP ≈ 2.5% at 8 bits / 4 probes) and recorded in the
     sidecar so lookups use the exact build-time geometry.
@@ -683,14 +686,16 @@ def _write_key_blooms(
     m = 64
     while m < max(64, bits_per_key * max_rows):
         m *= 2
-    tagged = None
-    for i, g in sorted(gens.items()):
-        part = (
-            spark.read.parquet(f"{path}/bucket={i}/{g}")
-            .select(F.col(key).alias("__k"))
-            .withColumn("__b", F.lit(str(i)))
+    from .merge import bucket_expr
+
+    dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(gens.items())]
+    tagged = (
+        _read_dirs(spark, dirs, None)
+        .select(F.col(key).alias("__k"))
+        .withColumn(
+            "__b", bucket_expr("__k", n_buckets).cast("string")
         )
-        tagged = part if tagged is None else tagged.unionByName(part)
+    )
     agg = (
         tagged.withColumn(
             "__pos",
@@ -980,7 +985,7 @@ def write_bucket_table_versioned(
         if key_bloom:
             _write_key_blooms(
                 spark=df.sparkSession, path=path, key=key, gens=gens,
-                stats=stats, **key_bloom,
+                stats=stats, n_buckets=n_buckets, **key_bloom,
             )
         v = 1 if existing_v is None else existing_v + 1
         _commit(path, v, gens, n_buckets, _schema_of(df), stats, op="load")
@@ -1257,7 +1262,7 @@ def merge_scoped_versioned(
             _write_key_blooms(
                 spark, path, key, new_gens,
                 {i: stats_all[i] for i in new_gens if i in stats_all},
-                **meta["key_bloom"],
+                n_buckets, **meta["key_bloom"],
             )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
@@ -1334,7 +1339,8 @@ def rebucket_versioned(
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
             if meta.get("key_bloom"):
                 _write_key_blooms(
-                    spark, path, key, gens, stats, **meta["key_bloom"]
+                    spark, path, key, gens, stats, new_n_buckets,
+                    **meta["key_bloom"],
                 )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
@@ -1570,7 +1576,7 @@ def optimize_versioned(
             _write_key_blooms(
                 spark, path, key, new_gens,
                 {i: stats_all[i] for i in new_gens if i in stats_all},
-                **meta["key_bloom"],
+                n_buckets, **meta["key_bloom"],
             )
         v = max([cur] + _list_versions(path)) + 1
         _commit(

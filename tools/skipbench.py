@@ -90,6 +90,7 @@ def main() -> None:
     write_bucket_table_versioned(
         merge_upsert(None, orders, key="o_orderkey", now=T0),
         path, key="o_orderkey", n_buckets=N_BUCKETS,
+        key_bloom=True,  # round 10: in-range point-lookup misses
     )
     load_s = time.time() - t
 
@@ -155,6 +156,22 @@ def main() -> None:
         lambda: read_bucket_for_key_versioned(spark, path, -1)
     )
     assert miss is None  # keys are non-negative: bounds prove the miss
+    # round 10: an IN-RANGE absent key — bounds cannot prove it, the
+    # key-bloom sidecar does (TPC-H only uses 1/4 of the orderkey
+    # space, so in-range gaps exist; probe until the bloom proves one)
+    keys_df = orders.select("o_orderkey")
+    inrange_absent = (
+        keys_df.select((F.col("o_orderkey") + 1).alias("k"))
+        .join(
+            keys_df.withColumnRenamed("o_orderkey", "k"), "k", "left_anti"
+        )
+        .agg(F.min("k"))
+        .collect()[0][0]
+    )
+    assert inrange_absent is not None
+    bloom_s, bloom_miss = timed(
+        lambda: read_bucket_for_key_versioned(spark, path, inrange_absent)
+    )
 
     # ---- round 10: VALUE-predicate skipping via clustering --------
     # the hash-layout honesty row first: a price band prunes ~nothing
@@ -247,6 +264,8 @@ def main() -> None:
         "point_lookup": {
             "hit_s": round(hit_s, 3),
             "stats_proven_miss_s": round(miss_s, 4),
+            "bloom_proven_inrange_miss_s": round(bloom_s, 4),
+            "bloom_proved_miss": bloom_miss is None,
         },
         "value_band_clustering": {
             "band": [band_lo, band_hi],
