@@ -116,7 +116,7 @@ HISTORY_LOG = "_HISTORY.jsonl"
 def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
-    op: str | None = None,
+    op: str | None = None, dv: dict | None = None,
 ) -> float:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {
@@ -134,6 +134,8 @@ def _write_manifest(
         m["stats"] = stats
     if op is not None:
         m["op"] = op
+    if dv:
+        m["dv"] = dv
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -602,7 +604,8 @@ def scan_versioned_multi(
     from pyspark.sql.types import StructType
 
     plan = prune_files(path, predicates, version)
-    stored = plan["manifest"].get("schema")
+    full_m = plan["manifest"]
+    stored = full_m.get("schema")
     schema = StructType.fromJson(stored) if stored is not None else None
     dirs = plan["read"]
     if not dirs:
@@ -614,6 +617,14 @@ def scan_versioned_multi(
         df = spark.createDataFrame([], schema)
     else:
         df = _read_dirs(spark, dirs, schema)
+        read_buckets = {
+            (d.split("/")[-3] if d.endswith(".parquet") else d.split("/")[-2])
+            .split("=")[1]
+            for d in dirs
+        }
+        with open(os.path.join(path, BUCKET_META)) as f:
+            _k = json.load(f)["key"]
+        df = _apply_dv(spark, path, full_m, sorted(read_buckets), df, _k)
     for column, lo, hi in predicates:
         c = F.col(column)
         if lo is not None:
@@ -789,10 +800,135 @@ def _bloom_proves_absent(
     return False
 
 
+def _apply_dv(
+    spark: SparkSession,
+    path: str,
+    full: dict,
+    bucket_ids,
+    df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Apply the manifest's DELETION VECTORS to a slice read: anti-join
+    the union of the given buckets' still-referenced DV key sets
+    (broadcast — DVs are delete-batch-sized by construction).
+
+    A DV dir spans every bucket its delete batch touched, but folds
+    happen PER BUCKET (a data merge rewrites some buckets and clears
+    only their refs), so each DV must be filtered to the rows of the
+    buckets that STILL reference it under this manifest — an
+    unfiltered key-only anti join would keep deleting a key that a
+    later merge legitimately re-inserted into a folded bucket (the
+    resurrection-blocking bug the DV law test pins). DV rows carry
+    their bucket id ("__dv_bucket") for exactly this filter. No DV
+    refs for the requested buckets -> the frame passes through
+    untouched (the pre-DV fast path, zero overhead)."""
+    dv_map = full.get("dv") or {}
+    by_name: dict[str, set[int]] = {}
+    for i in bucket_ids:
+        for n in dv_map.get(str(i), []):
+            by_name.setdefault(n, set()).add(int(i))
+    if not by_name:
+        return df
+    dv = None
+    for n, bs in sorted(by_name.items()):
+        part = (
+            spark.read.parquet(f"{path}/{n}")
+            .filter(F.col("__dv_bucket").isin(sorted(bs)))
+            .select(key)
+        )
+        dv = part if dv is None else dv.unionByName(part)
+    return df.join(F.broadcast(dv.distinct()), key, "left_anti")
+
+
+def merge_deletes_dv(
+    spark: SparkSession, path: str, keys_df: DataFrame
+) -> dict:
+    """DELETE as a DELETION VECTOR commit — the Delta 2.x merge-on-read
+    economics: zero data files rewritten; the commit writes ONE small
+    parquet dir of deleted keys (cost ∝ deleted keys) and a manifest
+    whose touched buckets gain a DV reference. Readers anti-join the
+    DV (every read surface goes through `_apply_dv`); the NEXT data
+    merge that touches a bucket FOLDS its DV (the target slice is read
+    DV-applied and the rewritten generation clears the reference), so
+    DVs never accumulate past one data-merge cycle per bucket; rebucket
+    and optimize fold every DV they rewrite. Time travel is exact: old
+    manifests don't reference the new DV. The rewrite-based delete leg
+    (`merge_scoped_versioned(deleted_col=...)`) remains the right call
+    for composite-identity tables — a DV deletes every row of a bucket
+    KEY (`keys_df` carries the bucket-key column only).
+
+    Stats stay VALID upper bounds: a DV only removes rows, so footer
+    min/max remain sound for skipping (a pruned bucket has no matching
+    live rows either) and `rows` becomes an upper bound until the fold.
+
+    Crash-safe like generations: the DV dir is unreferenced until the
+    manifest/pointer commit; a crash leaves an orphan for vacuum.
+    Returns {version, buckets_touched, dv_rows, dv_bytes}.
+    """
+    import fcntl
+    import glob as _glob
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        n_buckets = full["n_buckets"]
+        b = bucket_expr(key, n_buckets)
+        # bounded driver-side state: bucket ids only, never row data
+        touched = sorted(
+            r[0]
+            for r in keys_df.select(b.alias("__b")).distinct().collect()
+        )
+        # only buckets that HOLD data need a DV (a delete for a key in
+        # an absent bucket is a no-op)
+        touched = [i for i in touched if str(i) in full["buckets"]]
+        if not touched:
+            return {
+                "version": cur, "buckets_touched": 0,
+                "dv_rows": 0, "dv_bytes": 0,
+            }
+        dv_name = f"dv-{uuid.uuid4().hex[:12]}"
+        n_rows = keys_df.count()
+        (
+            keys_df.select(key)
+            .distinct()
+            # the bucket id travels WITH each deleted key so partial
+            # folds can filter the DV to still-referencing buckets
+            .withColumn("__dv_bucket", b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{dv_name}")
+        )
+        dv_bytes = sum(
+            os.path.getsize(f)
+            for f in _glob.glob(f"{path}/{dv_name}/*.parquet")
+        )
+        dv_all = {k2: list(v2) for k2, v2 in (full.get("dv") or {}).items()}
+        for i in touched:
+            dv_all.setdefault(str(i), []).append(dv_name)
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(
+            path, v, dict(full["buckets"]), n_buckets,
+            full.get("schema"), full.get("stats"), op="delete-dv",
+            dv=dv_all,
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v, "buckets_touched": len(touched),
+        "dv_rows": n_rows, "dv_bytes": dv_bytes,
+    }
+
+
 def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
-    op: str | None = None,
+    op: str | None = None, dv: dict | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -829,7 +965,7 @@ def _commit(
                     if ph > current and ph != v:
                         os.unlink(_manifest_path(path, ph))
                 stamp = _write_manifest(
-                    path, v, buckets, n_buckets, schema, stats, op
+                    path, v, buckets, n_buckets, schema, stats, op, dv
                 )
                 os.replace(tmp, latest)
                 # commit-log line AFTER the pointer lands (the commit
@@ -1195,6 +1331,13 @@ def merge_scoped_versioned(
         target = (
             _read_dirs(spark, existing, target_schema) if existing else None
         )
+        if target is not None:
+            # the target slice is read DV-APPLIED: the rewrite FOLDS
+            # the deletion vectors (deleted rows don't survive into
+            # the new generation) and the commit below clears the refs
+            target = _apply_dv(
+                spark, path, full, [str(i) for i in touched], target, key
+            )
         if merger is not None:
             merged = merger(target, updates)
         elif deleted_col is not None:
@@ -1264,10 +1407,15 @@ def merge_scoped_versioned(
                 {i: stats_all[i] for i in new_gens if i in stats_all},
                 n_buckets, **meta["key_bloom"],
             )
+        dv_all = {
+            k2: list(v2)
+            for k2, v2 in (full.get("dv") or {}).items()
+            if int(k2) not in set(touched)
+        }
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, manifest, n_buckets, committed_schema,
-            stats_all, op="merge",
+            stats_all, op="merge", dv=dv_all,
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1334,6 +1482,9 @@ def rebucket_versioned(
             snapshot = _read_dirs(
                 spark, dirs,
                 StructType.fromJson(stored) if stored is not None else None,
+            )
+            snapshot = _apply_dv(
+                spark, path, full, sorted(full["buckets"]), snapshot, key
             )
             gens = _write_generations(snapshot, path, key, new_n_buckets)
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
@@ -1547,6 +1698,7 @@ def optimize_versioned(
             spark, dirs,
             StructType.fromJson(stored) if stored is not None else None,
         )
+        slice_df = _apply_dv(spark, path, full, target, slice_df, key)
         if zorder and len(cluster_by) > 1:
             sort_key = [_zorder_column(
                 slice_df, full, list(cluster_by), zorder_bits
@@ -1578,6 +1730,11 @@ def optimize_versioned(
                 {i: stats_all[i] for i in new_gens if i in stats_all},
                 n_buckets, **meta["key_bloom"],
             )
+        dv_all = {
+            k2: list(v2)
+            for k2, v2 in (full.get("dv") or {}).items()
+            if k2 not in set(target)
+        }
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, manifest, n_buckets,
@@ -1587,6 +1744,7 @@ def optimize_versioned(
                 and len(cluster_by) > 1
                 else f"optimize:{','.join(cluster_by)}"
             ),
+            dv=dv_all,
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1614,10 +1772,13 @@ def read_bucket_table_versioned(
         raise FileNotFoundError(f"version {v} of {path} is empty")
     dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(manifest.items())]
     stored = full.get("schema")  # one manifest parse, not two
-    return _read_dirs(
+    df = _read_dirs(
         spark, dirs,
         StructType.fromJson(stored) if stored is not None else None,
     )
+    with open(os.path.join(path, BUCKET_META)) as f:
+        key = json.load(f)["key"]
+    return _apply_dv(spark, path, full, sorted(manifest), df, key)
 
 
 def read_bucket_for_key_versioned(
@@ -1658,6 +1819,21 @@ def read_bucket_for_key_versioned(
     from pyspark.sql.types import StructType
 
     stored = full.get("schema")  # reuse the loaded manifest
+    # a key present in the bucket's DELETION VECTORS is a definite
+    # miss for the whole bucket (DVs delete every row of a key)
+    dv_names = (full.get("dv") or {}).get(str(bid), [])
+    if dv_names:
+        hit = (
+            spark.read.parquet(*[f"{path}/{n}" for n in dv_names])
+            .filter(
+                (F.col(meta["key"]) == F.lit(value))
+                & (F.col("__dv_bucket") == F.lit(int(bid)))
+            )
+            .limit(1)
+            .count()
+        )
+        if hit:
+            return None
     # bloom short-circuit: bounds prove misses outside [lo, hi]; the
     # key-bloom sidecar (when the table opted in) proves misses INSIDE
     # the range without opening a data page. The probe literal is cast
@@ -1698,12 +1874,21 @@ def changed_buckets_between(
     if m_from["n_buckets"] != m_to["n_buckets"]:
         return sorted(int(i) for i in m_to["buckets"])  # re-hashed: all
     old, new = m_from["buckets"], m_to["buckets"]
+    dv_old, dv_new = m_from.get("dv") or {}, m_to.get("dv") or {}
+
+    def sig(m_b, m_dv, i):
+        # a bucket's identity = (generation, DV refs): a DV-only
+        # commit changes content without moving the generation
+        return (m_b.get(i), tuple(m_dv.get(i, [])))
+
     # symmetric difference over bucket ids: a bucket present only in
     # the OLD manifest (every row deleted since) is still a change —
     # read_changed_between has nothing to read for it (no current
     # rows), but change_feed must see it to emit the deletes
     return sorted(
-        int(i) for i in set(old) | set(new) if old.get(i) != new.get(i)
+        int(i)
+        for i in set(old) | set(new)
+        if sig(old, dv_old, i) != sig(new, dv_new, i)
     )
 
 
@@ -1725,7 +1910,8 @@ def read_changed_between(
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:
         return None
-    manifest = _load_manifest(path, to_v)
+    full = _load_manifest_full(path, to_v)
+    manifest = full["buckets"]
     dirs = [
         f"{path}/bucket={i}/{manifest[str(i)]}"
         for i in changed
@@ -1733,7 +1919,12 @@ def read_changed_between(
     ]
     if not dirs:
         return None
-    return _read_dirs(spark, dirs, table_schema(path, to_v))
+    df = _read_dirs(spark, dirs, table_schema(path, to_v))
+    with open(os.path.join(path, BUCKET_META)) as f:
+        key = json.load(f)["key"]
+    return _apply_dv(
+        spark, path, full, [str(i) for i in changed], df, key
+    )
 
 
 def _read_history_log(path: str) -> dict[int, dict]:
@@ -2013,9 +2204,14 @@ def change_feed(
                 else None
             )
         stored = m.get("schema")  # reuse the loaded manifests
-        return _read_dirs(
+        df = _read_dirs(
             spark, dirs,
             StructType.fromJson(stored) if stored is not None else None,
+        )
+        # each side applies ITS version's deletion vectors, so a
+        # DV-only commit shows up as row-level deletes in the diff
+        return _apply_dv(
+            spark, path, m, [str(i) for i in changed], df, bucket_key
         )
 
     new_df = _read(new_dirs, m_to, None)
@@ -2069,9 +2265,14 @@ def vacuum_bucket_versions(
                     os.unlink(marker)
                     removed_versions.append(v)
                 referenced = set()
+                dv_referenced = set()
                 for v in _list_versions(path):
-                    for i, g in _load_manifest(path, v).items():
+                    m_full = _load_manifest_full(path, v)
+                    for i, g in m_full["buckets"].items():
                         referenced.add(f"{path}/bucket={i}/{g}")
+                    for names in (m_full.get("dv") or {}).values():
+                        for n in names:
+                            dv_referenced.add(f"{path}/{n}")
                 for gdir in _glob.glob(f"{path}/bucket=*/g-*"):
                     if gdir in referenced:
                         continue
@@ -2079,6 +2280,13 @@ def vacuum_bucket_versions(
                         continue
                     shutil.rmtree(gdir, ignore_errors=True)
                     removed_gens.append(gdir)
+                for dvdir in _glob.glob(f"{path}/dv-*"):
+                    if dvdir in dv_referenced:
+                        continue
+                    if now - os.path.getmtime(dvdir) < grace_seconds:
+                        continue
+                    shutil.rmtree(dvdir, ignore_errors=True)
+                    removed_gens.append(dvdir)
                 # staging dirs a kill -9'd writer left behind (its
                 # try/finally never ran); we hold _MERGELOCK so no
                 # writer is mid-stage
