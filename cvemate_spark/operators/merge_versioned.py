@@ -117,6 +117,7 @@ def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
+    deltas: dict | None = None,
 ) -> float:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {
@@ -136,6 +137,12 @@ def _write_manifest(
         m["op"] = op
     if dv:
         m["dv"] = dv
+    if deltas:
+        # merge-on-read DELTA generations: {bucket -> ordered list of
+        # {"g": gen dir, "stats": footer stats}} — later entries
+        # supersede earlier ones and the base generation per key/column
+        # (operators read through _read_snapshot_slice's ordinal fold)
+        m["deltas"] = deltas
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -159,15 +166,102 @@ class SchemaConflict(ValueError):
     every file under the new type."""
 
 
+def _type_fingerprint(t):
+    """A type JSON with nullability flags and field metadata ERASED at
+    every nesting level — the identity under which already-committed
+    parquet files stay readable. Two types with equal fingerprints
+    differ at most in nullable/containsNull/valueContainsNull/metadata,
+    which are advisory for parquet reads; anything else (a physical
+    type change) is the read-bricking conflict `_union_schema` must
+    reject. Field ORDER inside structs is part of the fingerprint."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _type_fingerprint(f["type"]))
+                    for f in t["fields"]
+                ),
+            )
+        if k == "array":
+            return ("array", _type_fingerprint(t["elementType"]))
+        if k == "map":
+            return (
+                "map",
+                _type_fingerprint(t["keyType"]),
+                _type_fingerprint(t["valueType"]),
+            )
+        return ("other", json.dumps(t, sort_keys=True))
+    return t
+
+
+def _relax_type(old, new):
+    """Merge two fingerprint-equal type JSONs, keeping the new
+    definition but RELAXING nullability to the union (a flag true on
+    either side stays true): committing the narrower flag would claim
+    non-nullness for generations that legitimately hold nulls. The
+    symmetric fix for the full-outer-join drift — a merge whose target
+    passed through an outer join reports every struct field nullable
+    even when the committed type says otherwise."""
+    if not isinstance(new, dict):
+        return new
+    k = new.get("type")
+    if k == "struct":
+        old_by = {f["name"]: f for f in old["fields"]}
+        return {
+            **new,
+            "fields": [
+                {
+                    **f,
+                    "nullable": bool(
+                        f.get("nullable", True)
+                        or old_by[f["name"]].get("nullable", True)
+                    ),
+                    "type": _relax_type(
+                        old_by[f["name"]]["type"], f["type"]
+                    ),
+                }
+                for f in new["fields"]
+            ],
+        }
+    if k == "array":
+        return {
+            **new,
+            "containsNull": bool(
+                new.get("containsNull", True)
+                or old.get("containsNull", True)
+            ),
+            "elementType": _relax_type(
+                old["elementType"], new["elementType"]
+            ),
+        }
+    if k == "map":
+        return {
+            **new,
+            "valueContainsNull": bool(
+                new.get("valueContainsNull", True)
+                or old.get("valueContainsNull", True)
+            ),
+            "keyType": _relax_type(old["keyType"], new["keyType"]),
+            "valueType": _relax_type(old["valueType"], new["valueType"]),
+        }
+    return new
+
+
 def _union_schema(prev: dict | None, new: dict) -> dict:
     """Field-union of two schema JSONs: previous field ORDER is kept,
     fields only in the new schema append, fields only in the previous
     schema survive — a merge can never silently narrow the table.
-    A field present in BOTH must carry the SAME type (nullability and
-    metadata may drift; the new definition wins for those): parquet
-    files already committed under the previous type cannot be read
-    under a conflicting one, so a type change raises `SchemaConflict`
-    instead of committing a manifest that bricks untouched buckets."""
+    A field present in BOTH must carry the same type FINGERPRINT
+    (nullability and metadata may drift at any nesting level — a
+    merge's full-outer join marks every target column nullable, which
+    must not read as a type change; the committed definition relaxes
+    nullability to the union of both sides): parquet files already
+    committed under the previous type cannot be read under a
+    physically conflicting one, so a real type change raises
+    `SchemaConflict` instead of committing a manifest that bricks
+    untouched buckets."""
     if prev is None:
         return new
     new_by_name = {f["name"]: f for f in new["fields"]}
@@ -175,7 +269,8 @@ def _union_schema(prev: dict | None, new: dict) -> dict:
         f["name"]: (f["type"], new_by_name[f["name"]]["type"])
         for f in prev["fields"]
         if f["name"] in new_by_name
-        and new_by_name[f["name"]]["type"] != f["type"]
+        and _type_fingerprint(new_by_name[f["name"]]["type"])
+        != _type_fingerprint(f["type"])
     }
     if conflicts:
         raise SchemaConflict(
@@ -186,7 +281,21 @@ def _union_schema(prev: dict | None, new: dict) -> dict:
             )
             + " — a type change requires a full reload"
         )
-    out = [new_by_name.pop(f["name"], f) for f in prev["fields"]]
+    out = []
+    for f in prev["fields"]:
+        nf = new_by_name.pop(f["name"], None)
+        if nf is None:
+            out.append(f)
+            continue
+        out.append(
+            {
+                **nf,
+                "nullable": bool(
+                    nf.get("nullable", True) or f.get("nullable", True)
+                ),
+                "type": _relax_type(f["type"], nf["type"]),
+            }
+        )
     out += list(new_by_name.values())
     return {**new, "fields": out}
 
@@ -493,9 +602,18 @@ def prune_generations(
             "skipped": [],
             "manifest": full,
         }
+    deltas = full.get("deltas") or {}
     for i in sorted(full["buckets"]):
-        s = (stats.get(i) or {}).get("cols", {}).get(column)
-        if _stat_excludes(s, lo, hi):
+        # a bucket with merge-on-read deltas is excludable only when
+        # EVERY generation's stats exclude: the base may be out of
+        # range while a delta holds a matching (and winning) row, and
+        # vice versa — and DVs only remove rows, so exclusion stays
+        # sound. Absent stats on any generation mean MUST READ.
+        entries = [stats.get(i)] + [d.get("stats") for d in deltas.get(i, [])]
+        if all(
+            _stat_excludes((e or {}).get("cols", {}).get(column), lo, hi)
+            for e in entries
+        ):
             skipped.append(i)
         else:
             read.append(i)
@@ -560,8 +678,18 @@ def prune_files(
     ]
     read: list[str] = []
     skipped_files: list[str] = []
+    delta_buckets: list[str] = []
+    deltas = full.get("deltas") or {}
     files_read = files_total = 0
     for i in plan["read"]:
+        if deltas.get(i):
+            # merge-on-read bucket: the per-column ordinal fold means a
+            # skipped FILE could still contribute columns to a folded
+            # row that matches (base row superseded in the filtered
+            # column but not in others) — no sub-bucket grain is sound;
+            # the bucket reads whole through _read_snapshot_slice
+            delta_buckets.append(i)
+            continue
         gdir = f"{path}/bucket={i}/{manifest[i]}"
         fs = (stats.get(i) or {}).get("fs")
         if not fs or not bounded:
@@ -583,6 +711,7 @@ def prune_files(
         "read": read,
         "skipped": plan["skipped"],
         "skipped_files": skipped_files,
+        "delta_buckets": delta_buckets,
         "files_read": files_read,
         "files_total": files_total,
         "manifest": full,
@@ -608,23 +737,33 @@ def scan_versioned_multi(
     stored = full_m.get("schema")
     schema = StructType.fromJson(stored) if stored is not None else None
     dirs = plan["read"]
-    if not dirs:
-        if schema is None:
-            raise FileNotFoundError(
-                f"version {plan['version']} of {path}: nothing to read and "
-                "no recorded schema to type an empty result"
-            )
-        df = spark.createDataFrame([], schema)
-    else:
+    with open(os.path.join(path, BUCKET_META)) as f:
+        _k = json.load(f)["key"]
+    df = None
+    if dirs:
         df = _read_dirs(spark, dirs, schema)
         read_buckets = {
             (d.split("/")[-3] if d.endswith(".parquet") else d.split("/")[-2])
             .split("=")[1]
             for d in dirs
         }
-        with open(os.path.join(path, BUCKET_META)) as f:
-            _k = json.load(f)["key"]
         df = _apply_dv(spark, path, full_m, sorted(read_buckets), df, _k)
+    if plan.get("delta_buckets"):
+        # merge-on-read buckets read whole and FOLD (residual filters
+        # below apply to the folded — i.e. current — rows, never to a
+        # superseded version of a key)
+        folded = _read_snapshot_slice(
+            spark, path, full_m, plan["delta_buckets"], _k
+        )
+        if folded is not None:
+            df = folded if df is None else df.unionByName(folded)
+    if df is None:
+        if schema is None:
+            raise FileNotFoundError(
+                f"version {plan['version']} of {path}: nothing to read and "
+                "no recorded schema to type an empty result"
+            )
+        df = spark.createDataFrame([], schema)
     for column, lo, hi in predicates:
         c = F.col(column)
         if lo is not None:
@@ -800,6 +939,17 @@ def _bloom_proves_absent(
     return False
 
 
+def _dv_ref(e) -> tuple[str, int]:
+    """Normalize a manifest DV reference to (dir name, depth). Depth is
+    the delta-chain position the delete was committed at: the DV kills
+    rows of generations at ORDINAL <= depth only, so merge-on-read
+    deltas landing after it legitimately re-insert. Legacy plain-string
+    refs (written before MOR existed — no deltas then) are depth 0."""
+    if isinstance(e, dict):
+        return e["n"], int(e.get("d", 0))
+    return e, 0
+
+
 def _apply_dv(
     spark: SparkSession,
     path: str,
@@ -808,9 +958,11 @@ def _apply_dv(
     df: DataFrame,
     key: str,
 ) -> DataFrame:
-    """Apply the manifest's DELETION VECTORS to a slice read: anti-join
-    the union of the given buckets' still-referenced DV key sets
-    (broadcast — DVs are delete-batch-sized by construction).
+    """Apply the manifest's DELETION VECTORS to a SINGLE-GENERATION
+    slice read (no merge-on-read deltas for these buckets — delta
+    buckets take the ordinal-aware path inside `_read_snapshot_slice`):
+    anti-join the union of the given buckets' still-referenced DV key
+    sets (broadcast — DVs are delete-batch-sized by construction).
 
     A DV dir spans every bucket its delete batch touched, but folds
     happen PER BUCKET (a data merge rewrites some buckets and clears
@@ -821,11 +973,14 @@ def _apply_dv(
     resurrection-blocking bug the DV law test pins). DV rows carry
     their bucket id ("__dv_bucket") for exactly this filter. No DV
     refs for the requested buckets -> the frame passes through
-    untouched (the pre-DV fast path, zero overhead)."""
+    untouched (the pre-DV fast path, zero overhead). Depth is
+    irrelevant here: a bucket with no deltas has only ordinal-0 rows,
+    which every ref kills."""
     dv_map = full.get("dv") or {}
     by_name: dict[str, set[int]] = {}
     for i in bucket_ids:
-        for n in dv_map.get(str(i), []):
+        for e in dv_map.get(str(i), []):
+            n, _d = _dv_ref(e)
             by_name.setdefault(n, set()).add(int(i))
     if not by_name:
         return df
@@ -838,6 +993,106 @@ def _apply_dv(
         )
         dv = part if dv is None else dv.unionByName(part)
     return df.join(F.broadcast(dv.distinct()), key, "left_anti")
+
+
+def _fold_ordinals(df: DataFrame, key: str) -> DataFrame:
+    """Collapse a layered read (base generation = __ord 0, each
+    merge-on-read delta = its position in the bucket's delta list) to
+    the MERGED row per key, reproducing chained `merge_upsert`
+    semantics exactly: per column, the LAST non-null value by ordinal
+    wins (merge_upsert's coalesce(update, existing) per column — an
+    update never nulls a column out, so last-non-null IS the coalesce
+    chain); `created_at` takes the FIRST non-null (merge_upsert keeps
+    the original creation stamp). max_by/min_by ignore rows whose
+    ordering expression is null, which is what makes the null-guarded
+    ordinal a per-column filter. One hash aggregate (map-side
+    combinable) — the read-side price of write cost ∝ batch."""
+    cols = [c for c in df.columns if c not in (key, "__ord")]
+    aggs = []
+    for c in cols:
+        pick = F.min_by if c == "created_at" else F.max_by
+        aggs.append(
+            pick(c, F.when(F.col(c).isNotNull(), F.col("__ord"))).alias(c)
+        )
+    return df.groupBy(key).agg(*aggs)
+
+
+def _read_snapshot_slice(
+    spark: SparkSession,
+    path: str,
+    full: dict,
+    bucket_ids,
+    key: str,
+) -> DataFrame | None:
+    """THE snapshot read every surface goes through: the given
+    buckets' base generations, overlaid with their merge-on-read DELTA
+    generations (ordinal fold — later deltas supersede, per column),
+    with the manifest's deletion vectors applied. Tables that never
+    took a MOR merge hit the zero-overhead fast path (one multi-dir
+    parquet read + the DV pass-through). Deltas are read in LAYERS
+    (all buckets' j-th delta in one scan, j bounded by merges since
+    the last compaction), never one-job-per-dir. Returns None when
+    none of the requested buckets hold data."""
+    from pyspark.sql.types import StructType
+
+    manifest = full["buckets"]
+    ids = [str(i) for i in bucket_ids if str(i) in manifest]
+    if not ids:
+        return None
+    stored = full.get("schema")
+    schema = StructType.fromJson(stored) if stored is not None else None
+    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in ids]
+    deltas = full.get("deltas") or {}
+    depth = max((len(deltas.get(i, [])) for i in ids), default=0)
+    df = _read_dirs(spark, dirs, schema)
+    if not depth:
+        return _apply_dv(spark, path, full, ids, df, key)
+    df = df.withColumn("__ord", F.lit(0))
+    for j in range(1, depth + 1):
+        layer = [
+            f"{path}/bucket={i}/{deltas[i][j - 1]['g']}"
+            for i in ids
+            if len(deltas.get(i, [])) >= j
+        ]
+        df = df.unionByName(
+            _read_dirs(spark, layer, schema).withColumn(
+                "__ord", F.lit(j)
+            )
+        )
+    # ORDINAL-AWARE deletion vectors, applied BEFORE the fold: a DV
+    # committed at delta depth d kills rows of generations with
+    # ordinal <= d only — deltas landing after the delete re-insert,
+    # and a PARTIAL re-insert gets insert semantics (the dead base
+    # row's other columns never resurface through the fold: the CoW
+    # equivalence law pins this exact course)
+    dv_map = full.get("dv") or {}
+    groups: dict[tuple[str, int], set[int]] = {}
+    for i in ids:
+        for e in dv_map.get(str(i), []):
+            n, d = _dv_ref(e)
+            groups.setdefault((n, d), set()).add(int(i))
+    if groups:
+        dv = None
+        for (n, d), bs in sorted(groups.items()):
+            part = (
+                spark.read.parquet(f"{path}/{n}")
+                .filter(F.col("__dv_bucket").isin(sorted(bs)))
+                .select(
+                    F.col(key).alias("__dv_key"),
+                    F.lit(d).alias("__dv_depth"),
+                )
+            )
+            dv = part if dv is None else dv.unionByName(part)
+        dv = dv.groupBy("__dv_key").agg(
+            F.max("__dv_depth").alias("__dv_depth")
+        )
+        df = df.join(
+            F.broadcast(dv),
+            (F.col(key) == F.col("__dv_key"))
+            & (F.col("__ord") <= F.col("__dv_depth")),
+            "left_anti",
+        )
+    return _fold_ordinals(df, key)
 
 
 def merge_deletes_dv(
@@ -908,13 +1163,20 @@ def merge_deletes_dv(
             for f in _glob.glob(f"{path}/{dv_name}/*.parquet")
         )
         dv_all = {k2: list(v2) for k2, v2 in (full.get("dv") or {}).items()}
+        deltas_now = full.get("deltas") or {}
         for i in touched:
-            dv_all.setdefault(str(i), []).append(dv_name)
+            # ordinal scope: the delete applies to every generation
+            # that EXISTS now (base = 0 plus the current delta chain);
+            # merge-on-read deltas committed later sit above it and
+            # legitimately re-insert
+            dv_all.setdefault(str(i), []).append(
+                {"n": dv_name, "d": len(deltas_now.get(str(i), []))}
+            )
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, dict(full["buckets"]), n_buckets,
             full.get("schema"), full.get("stats"), op="delete-dv",
-            dv=dv_all,
+            dv=dv_all, deltas=full.get("deltas"),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -929,6 +1191,7 @@ def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
+    deltas: dict | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -965,7 +1228,8 @@ def _commit(
                     if ph > current and ph != v:
                         os.unlink(_manifest_path(path, ph))
                 stamp = _write_manifest(
-                    path, v, buckets, n_buckets, schema, stats, op, dv
+                    path, v, buckets, n_buckets, schema, stats, op, dv,
+                    deltas,
                 )
                 os.replace(tmp, latest)
                 # commit-log line AFTER the pointer lands (the commit
@@ -979,6 +1243,14 @@ def _commit(
                 if stats is not None:
                     rows_total = sum(s["rows"] for s in stats.values())
                     bytes_total = sum(s["bytes"] for s in stats.values())
+                    # delta generations count into the ledger totals
+                    # (rows become an upper bound until a fold, exactly
+                    # like DV-deleted rows)
+                    for lst in (deltas or {}).values():
+                        rows_total += sum(d["stats"]["rows"] for d in lst)
+                        bytes_total += sum(
+                            d["stats"]["bytes"] for d in lst
+                        )
                 line = json.dumps(
                     {
                         "v": v,
@@ -1255,6 +1527,167 @@ def _write_generations(
     return out
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """An optimistic merge lost its commit race: between its snapshot
+    read and its commit attempt, another writer committed a version
+    that touched one of THIS merge's buckets (or changed the layout),
+    and the retry budget ran out. The table is untouched — the loser's
+    generations are unreferenced orphans `vacuum_bucket_versions`
+    reclaims. Delta's ConcurrentAppend/ConcurrentDeleteRead shape."""
+
+
+def _prepare_scoped_merge(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    full: dict,
+    updates: DataFrame,
+    now=None,
+    deleted_col: str | None = None,
+    merger=None,
+    constraints: dict[str, str] | None = None,
+) -> dict | None:
+    """The WORK phase of a scoped merge, against the `full` manifest
+    snapshot: read the touched target slice DV-applied, merge, enforce
+    schema compatibility + CHECK constraints, write new generation dirs
+    (+ bloom sidecars), harvest footer stats. Everything here is safe
+    to run WITHOUT any lock — generation dirs are content-addressed and
+    unreferenced until a commit names them, so a parallel writer doing
+    the same can never collide on disk. Returns None for an empty
+    batch; otherwise {touched, new_gens, stats, batch_schema, files,
+    bytes} for a commit-assembly step to publish (serial or OCC)."""
+    key = meta["key"]
+    # the layout (bucket count) comes from the SNAPSHOT manifest, not
+    # the static meta: a rebucket_versioned commit may have changed it
+    n_buckets = full["n_buckets"]
+    b = bucket_expr(key, n_buckets)
+    # bounded driver-side state: ≤ n_buckets ints, never row data
+    touched = sorted(
+        r[0] for r in updates.select(b.alias("__b")).distinct().collect()
+    )
+    if not touched:
+        return None
+    # the target slice is read under the COMMITTED schema (a column an
+    # earlier merge added may be absent from these buckets' files),
+    # DELTA-FOLDED (merge-on-read generations supersede per key), and
+    # DV-APPLIED: the rewrite FOLDS the deltas and deletion vectors
+    # (neither survives into the new generation) and the commit
+    # assembly clears both kinds of refs
+    target = _read_snapshot_slice(spark, path, full, touched, key)
+    if merger is not None:
+        merged = merger(target, updates)
+    elif deleted_col is not None:
+        merged = merge_upsert_deletes(
+            target, updates, key=key, deleted_col=deleted_col, now=now
+        )
+    else:
+        merged = merge_upsert(target, updates, key=key, now=now)
+
+    batch_schema = _schema_of(merged)
+    # a TYPE conflict against the snapshot schema raises HERE — before
+    # a single byte lands — so a rejected batch leaves no orphans and
+    # no bricked manifest (the commit step re-unions against whatever
+    # manifest it actually publishes on)
+    _union_schema(full.get("schema"), batch_schema)
+
+    # table-level CHECK constraints (recorded at creation) plus any
+    # per-call additions, enforced on the merged slice BEFORE a
+    # single byte lands: a violating batch is rejected atomically
+    # (no generations, no manifest, no orphans — readers never
+    # know). The slice is persisted so the check and the write
+    # compute the merge join once, not twice.
+    effective = dict(meta.get("constraints") or {})
+    effective.update(constraints or {})
+    persisted = False
+    if effective:
+        merged = merged.persist()
+        persisted = True
+    try:
+        _enforce_constraints(merged, effective, path)
+        new_gens = _write_generations(
+            merged, path, key, n_buckets, touched
+        )
+    finally:
+        if persisted:
+            merged.unpersist()
+    stats_touched: dict[str, dict] = {}
+    files = bytes_ = 0
+    for i in touched:
+        g = new_gens.get(str(i))
+        if g is None:  # every row of this bucket deleted
+            continue
+        st = _harvest_stats(path, i, g)
+        stats_touched[str(i)] = st
+        files += st["files"]
+        bytes_ += st["bytes"]
+    if meta.get("key_bloom") and new_gens:
+        # sidecars land BEFORE the commit: a generation is never
+        # referenced without its bloom (readers treat an absent
+        # sidecar as must-read anyway, so a crash window is safe)
+        _write_key_blooms(
+            spark, path, key, new_gens,
+            {i: stats_touched[i] for i in new_gens if i in stats_touched},
+            n_buckets, **meta["key_bloom"],
+        )
+    return {
+        "touched": touched,
+        "new_gens": new_gens,
+        "stats": stats_touched,
+        "batch_schema": batch_schema,
+        "files": files,
+        "bytes": bytes_,
+    }
+
+
+def _assemble_scoped_commit(
+    path: str, commit_full: dict, prep: dict, op: str = "merge"
+) -> int:
+    """Publish a prepared merge on top of `commit_full` (the manifest
+    the commit actually lands on — the snapshot it was prepared
+    against, or a NEWER disjoint manifest when the OCC path rebases).
+    Stats and DV refs carry by reference for untouched buckets; the
+    committed schema is the publish-base schema unioned with what the
+    merge wrote (the union, not the batch schema alone, so a batch
+    touching only manifest-absent buckets can't narrow the table; the
+    rebase re-union can raise SchemaConflict when a concurrent commit
+    introduced a conflicting type — the table stays untouched, this
+    attempt's generations become vacuumable orphans). Must be called
+    under _MERGELOCK."""
+    manifest = dict(commit_full["buckets"])
+    stats_all = dict(commit_full.get("stats") or {})
+    committed_schema = _union_schema(
+        commit_full.get("schema"), prep["batch_schema"]
+    )
+    for i in prep["touched"]:
+        g = prep["new_gens"].get(str(i))
+        if g is None:  # every row of this bucket deleted
+            manifest.pop(str(i), None)
+            stats_all.pop(str(i), None)
+            continue
+        manifest[str(i)] = g
+        stats_all[str(i)] = prep["stats"][str(i)]
+    touched_set = set(prep["touched"])
+    dv_all = {
+        k2: list(v2)
+        for k2, v2 in (commit_full.get("dv") or {}).items()
+        if int(k2) not in touched_set
+    }
+    # merge-on-read deltas of the touched buckets were FOLDED into the
+    # new generations (the target slice reads through them), so their
+    # refs clear here; untouched buckets carry theirs by reference
+    deltas_all = {
+        k2: [dict(d) for d in v2]
+        for k2, v2 in (commit_full.get("deltas") or {}).items()
+        if int(k2) not in touched_set
+    }
+    v = max([commit_full["v"]] + _list_versions(path)) + 1
+    _commit(
+        path, v, manifest, commit_full["n_buckets"], committed_schema,
+        stats_all, op=op, dv=dv_all, deltas=deltas_all,
+    )
+    return v
+
+
 def merge_scoped_versioned(
     spark: SparkSession,
     path: str,
@@ -1271,7 +1704,9 @@ def merge_scoped_versioned(
     half-merged table and every pre-merge version remains time-
     travelable. Concurrent mergers serialize on `_MERGELOCK` (the
     read-merge-commit sequence is order-dependent only in timestamps,
-    so serializing preserves every batch); a merger that crashes after
+    so serializing preserves every batch; writers that want the merge
+    WORK to overlap use `merge_scoped_versioned_occ`, which holds the
+    lock only for commit validation); a merger that crashes after
     writing generations but before the pointer replace leaves only
     unreferenced orphan dirs — readers stay on the old version and
     `vacuum_bucket_versions` reclaims the orphans.
@@ -1283,139 +1718,349 @@ def merge_scoped_versioned(
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
-    key = meta["key"]
-    # the layout (bucket count) comes from the CURRENT manifest, not
-    # the static meta: a rebucket_versioned commit may have changed it
-    n_buckets = _load_manifest_full(path, latest_version(path))["n_buckets"]
-    b = bucket_expr(key, n_buckets)
-
-    # bounded driver-side state: ≤ n_buckets ints, never row data
-    touched = sorted(
-        r[0] for r in updates.select(b.alias("__b")).distinct().collect()
-    )
-    if not touched:
-        return {
-            "version": latest_version(path), "n_buckets": n_buckets,
-            "buckets_touched": 0, "files_rewritten": 0, "bytes_rewritten": 0,
-        }
-
     lock = open(os.path.join(path, "_MERGELOCK"), "w")
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
         cur = latest_version(path)
         full = _load_manifest_full(path, cur)
+        prep = _prepare_scoped_merge(
+            spark, path, meta, full, updates, now=now,
+            deleted_col=deleted_col, merger=merger, constraints=constraints,
+        )
+        if prep is None:
+            return {
+                "version": cur, "n_buckets": full["n_buckets"],
+                "buckets_touched": 0, "files_rewritten": 0,
+                "bytes_rewritten": 0,
+            }
+        v = _assemble_scoped_commit(path, full, prep, op="merge")
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v, "n_buckets": full["n_buckets"],
+        "buckets_touched": len(prep["touched"]),
+        "files_rewritten": prep["files"], "bytes_rewritten": prep["bytes"],
+    }
+
+
+def merge_scoped_versioned_occ(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    now=None,
+    deleted_col: str | None = None,
+    merger=None,
+    constraints: dict[str, str] | None = None,
+    max_retries: int = 3,
+    pre_commit_hook=None,
+) -> dict:
+    """OPTIMISTIC concurrency for scoped merges — Delta/Iceberg's
+    multi-writer commit protocol: the expensive phase (target read,
+    merge join, constraint scan, generation writes) runs with NO lock
+    held, so concurrent writers' Spark jobs genuinely overlap; only
+    commit VALIDATION serializes (manifest arithmetic under
+    `_MERGELOCK`, milliseconds). At validation:
+
+    * nothing committed since the snapshot -> publish as usual;
+    * intervening commits touched only DISJOINT buckets under the same
+      layout -> REBASE: publish on the newest manifest, carrying its
+      buckets/stats/DV refs and re-unioning its schema — sound because
+      a scoped merge reads and writes ONLY its touched buckets, so the
+      result equals running it after the intervening commits
+      (serializable, the two-writer law test hash-proves it);
+    * a touched bucket changed, or the layout changed (rebucket /
+      reload) -> this attempt's generations are abandoned as
+      vacuumable orphans and the merge RETRIES from the new snapshot
+      (fresh target slice, so upsert semantics stay exact), up to
+      `max_retries`; exhaustion raises `ConcurrentWriteConflict` with
+      the table untouched.
+
+    Why this matters at 100 TB: the serial path makes N concurrent
+    nightly feeds take N x (read+join+write) wall-clock even when they
+    touch disjoint buckets; under OCC their cluster work overlaps and
+    only the pointer dance serializes. Same guarantees as the serial
+    path otherwise (atomic cross-bucket commit, time travel, crash =
+    orphans). `pre_commit_hook` is a test seam: called after the work
+    phase, before the commit lock — the race-window injection the
+    two-writer laws use.
+
+    Returns the serial path's dict plus {rebased, attempts}.
+    """
+    import fcntl
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    attempts = 0
+    while True:
+        attempts += 1
+        base_v = latest_version(path)
+        base_full = _load_manifest_full(path, base_v)
+        prep = _prepare_scoped_merge(
+            spark, path, meta, base_full, updates, now=now,
+            deleted_col=deleted_col, merger=merger, constraints=constraints,
+        )
+        if prep is None:
+            return {
+                "version": base_v, "n_buckets": base_full["n_buckets"],
+                "buckets_touched": 0, "files_rewritten": 0,
+                "bytes_rewritten": 0, "rebased": False, "attempts": attempts,
+            }
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        conflict = None
+        lock = open(os.path.join(path, "_MERGELOCK"), "w")
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            cur = latest_version(path)
+            if cur == base_v:
+                v = _assemble_scoped_commit(path, base_full, prep)
+                rebased = False
+            else:
+                cur_full = _load_manifest_full(path, cur)
+                if cur_full["n_buckets"] != base_full["n_buckets"]:
+                    conflict = (
+                        f"layout changed under the merge "
+                        f"({base_full['n_buckets']} -> "
+                        f"{cur_full['n_buckets']} buckets)"
+                    )
+                else:
+                    overlap = _changed_sig_buckets(
+                        base_full, cur_full
+                    ) & set(prep["touched"])
+                    if overlap:
+                        conflict = (
+                            f"buckets {sorted(overlap)} changed by a "
+                            f"concurrent commit (v{base_v} -> v{cur})"
+                        )
+                    else:
+                        v = _assemble_scoped_commit(path, cur_full, prep)
+                        rebased = True
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
+        if conflict is None:
+            return {
+                "version": v, "n_buckets": base_full["n_buckets"],
+                "buckets_touched": len(prep["touched"]),
+                "files_rewritten": prep["files"],
+                "bytes_rewritten": prep["bytes"],
+                "rebased": rebased, "attempts": attempts,
+            }
+        if attempts > max_retries:
+            raise ConcurrentWriteConflict(
+                f"merge on {path} lost its commit race {attempts} times "
+                f"(last: {conflict}); generations from the failed "
+                "attempts are unreferenced orphans for vacuum"
+            )
+
+
+def merge_scoped_versioned_mor(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    now=None,
+    constraints: dict[str, str] | None = None,
+    max_depth: int = 8,
+) -> dict:
+    """MERGE-ON-READ upsert — the Delta deletion-vector / Iceberg
+    merge-on-read WRITE economics for updates: the batch lands as a
+    DELTA generation per touched bucket (write cost ∝ BATCH ROWS, no
+    target read, no join, no bucket rewrite — the copy-on-write path
+    rewrites every touched bucket whole, so a 1-row update to a 25 MB
+    bucket costs 25 MB there and ~1 KB here), and reads reproduce
+    upsert semantics through `_read_snapshot_slice`'s ordinal fold
+    (per column, last non-null across base + deltas wins — exactly
+    chained `merge_upsert`, including the audit-column rules; the
+    equivalence law in tests/test_merge_versioned.py hash-compares a
+    MOR table against a CoW clone at every version).
+
+    What bounds the read-side debt:
+
+    * a bucket's delta chain is capped at `max_depth`: a batch landing
+      on a bucket already at the cap LEVELS it — that bucket (only)
+      folds base+deltas+batch into a fresh base generation, LSM-style
+      amortization, cost ∝ that bucket;
+    * any copy-on-write merge / optimize / rebucket touching a bucket
+      FOLDS its deltas and clears the refs; `compact_versioned` does
+      it on demand;
+    * value-predicate skipping degrades to bucket grain for
+      delta-carrying buckets (the per-column fold makes sub-bucket
+      skips unsound — prune_files routes them whole) and recovers at
+      the next fold.
+
+    Deletion-vector interplay: DV refs are ORDINAL-SCOPED ({"n", "d"}
+    — a delete kills generations at ordinal <= d, the chain depth at
+    its commit), so a MOR delta landing after a delete re-inserts by
+    simply sitting above it, and a PARTIAL re-insert gets insert
+    semantics: the dead base row's other columns never resurface
+    through the fold (a bucket-global DV would either keep deleting
+    the new row or, if subtracted, resurrect the whole old row — both
+    diverge from the CoW result the equivalence law pins).
+
+    CHECK constraints force a folded read of the touched slice (the
+    constraint must see the EFFECTIVE merged row — a cross-column
+    CHECK can be violated by the combination of old and new columns
+    even when each side passes alone), so constrained tables keep CoW
+    read costs on their merges; unconstrained tables get the pure
+    batch-∝ write. Plain upsert only (unique bucket key): tables
+    maintained by a custom `merger` or tombstone deletes keep the
+    copy-on-write legs.
+
+    Returns {version, n_buckets, buckets_touched, delta_buckets,
+    leveled_buckets, files_written, bytes_written}.
+    """
+    import fcntl
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        n_buckets = full["n_buckets"]
         manifest = dict(full["buckets"])
-        if full["n_buckets"] != n_buckets:
-            # a rebucket committed between the probe and the lock:
-            # recompute the touched set under the real layout
-            n_buckets = full["n_buckets"]
-            b = bucket_expr(key, n_buckets)
-            touched = sorted(
-                r[0]
-                for r in updates.select(b.alias("__b")).distinct().collect()
-            )
-        existing = [
-            f"{path}/bucket={i}/{manifest[str(i)]}"
-            for i in touched
+        b = bucket_expr(key, n_buckets)
+        touched = sorted(
+            r[0]
+            for r in updates.select(b.alias("__b")).distinct().collect()
+        )
+        if not touched:
+            return {
+                "version": cur, "n_buckets": n_buckets,
+                "buckets_touched": 0, "delta_buckets": 0,
+                "leveled_buckets": 0, "files_written": 0,
+                "bytes_written": 0,
+            }
+        now_col = (
+            F.lit(now).cast("timestamp") if now is not None
+            else F.current_timestamp()
+        )
+        from .merge import AUDIT_COLS
+
+        stamped = updates.select(
+            key,
+            *[
+                c for c in updates.columns
+                if c != key and c not in AUDIT_COLS
+            ],
+            now_col.alias("created_at"),
+            now_col.alias("updated_at"),
+        )
+        batch_schema = _schema_of(stamped)
+        committed_schema = _union_schema(full.get("schema"), batch_schema)
+
+        deltas_all = {
+            k2: [dict(d) for d in v2]
+            for k2, v2 in (full.get("deltas") or {}).items()
+        }
+        absent = [i for i in touched if str(i) not in manifest]
+        capped = [
+            i for i in touched
             if str(i) in manifest
+            and len(deltas_all.get(str(i), [])) >= max_depth
         ]
-        # read the target slice under the COMMITTED schema: a column an
-        # earlier merge added may be absent from these buckets' files,
-        # and dropping it here would silently un-evolve the table
-        from pyspark.sql.types import StructType
+        mor = [i for i in touched if i not in set(absent) | set(capped)]
 
-        stored = full.get("schema")
-        target_schema = (
-            StructType.fromJson(stored) if stored is not None else None
-        )
-        target = (
-            _read_dirs(spark, existing, target_schema) if existing else None
-        )
-        if target is not None:
-            # the target slice is read DV-APPLIED: the rewrite FOLDS
-            # the deletion vectors (deleted rows don't survive into
-            # the new generation) and the commit below clears the refs
-            target = _apply_dv(
-                spark, path, full, [str(i) for i in touched], target, key
-            )
-        if merger is not None:
-            merged = merger(target, updates)
-        elif deleted_col is not None:
-            merged = merge_upsert_deletes(
-                target, updates, key=key, deleted_col=deleted_col, now=now
-            )
-        else:
-            merged = merge_upsert(target, updates, key=key, now=now)
-
-        # the committed schema: the PREVIOUS committed schema unioned
-        # with what the merge wrote. The union (not merged's schema
-        # alone) matters when the batch touches only buckets absent
-        # from the manifest: target is None, so merged carries only the
-        # batch's columns — committing that narrow schema would make
-        # every earlier-evolved column vanish from reads even though
-        # its data is still on disk. Previous field order is kept;
-        # batch-new fields append; DROP COLUMN is deliberately not a
-        # merge side effect; a TYPE conflict raises (SchemaConflict)
-        # HERE — before a single byte lands — so a rejected batch
-        # leaves no orphans and no bricked manifest.
-        committed_schema = _union_schema(
-            full.get("schema"), _schema_of(merged)
-        )
-
-        # table-level CHECK constraints (recorded at creation) plus any
-        # per-call additions, enforced on the merged slice BEFORE a
-        # single byte lands: a violating batch is rejected atomically
-        # (no generations, no manifest, no orphans — readers never
-        # know). The slice is persisted so the check and the write
-        # compute the merge join once, not twice.
         effective = dict(meta.get("constraints") or {})
         effective.update(constraints or {})
-        persisted = False
         if effective:
-            merged = merged.persist()
-            persisted = True
-        try:
-            _enforce_constraints(merged, effective, path)
-            new_gens = _write_generations(
-                merged, path, key, n_buckets, touched
-            )
-        finally:
-            if persisted:
-                merged.unpersist()
-        # stats carry by reference for untouched buckets (their
-        # generations didn't move); touched buckets re-harvest from the
-        # new generations' footers — metadata-only, cost ∝ batch
-        stats_all = dict(full.get("stats") or {})
+            # CHECK must see the EFFECTIVE merged rows: fold the
+            # current touched slice under the batch (one read — the
+            # price of constraints on a MOR table)
+            target = _read_snapshot_slice(spark, path, full, touched, key)
+            layered = stamped.withColumn("__ord", F.lit(1))
+            if target is not None:
+                for col, typ in [
+                    (f.name, f.dataType)
+                    for f in target.schema.fields
+                    if f.name not in stamped.columns
+                ]:
+                    layered = layered.withColumn(
+                        col, F.lit(None).cast(typ)
+                    )
+                base_l = target.withColumn("__ord", F.lit(0))
+                for col, typ in [
+                    (f.name, f.dataType)
+                    for f in stamped.schema.fields
+                    if f.name not in target.columns
+                ]:
+                    base_l = base_l.withColumn(col, F.lit(None).cast(typ))
+                layered = base_l.unionByName(layered)
+            _enforce_constraints(_fold_ordinals(layered, key), effective, path)
+
         files = bytes_ = 0
-        for i in touched:
-            g = new_gens.get(str(i))
-            if g is None:  # every row of this bucket deleted
-                manifest.pop(str(i), None)
-                stats_all.pop(str(i), None)
-                continue
-            manifest[str(i)] = g
-            st = _harvest_stats(path, i, g)
-            stats_all[str(i)] = st
-            files += st["files"]
-            bytes_ += st["bytes"]
-        if meta.get("key_bloom") and new_gens:
-            # sidecars land BEFORE the commit: a generation is never
-            # referenced without its bloom (readers treat an absent
-            # sidecar as must-read anyway, so a crash window is safe)
+        stats_all = dict(full.get("stats") or {})
+
+        # delta + absent legs: ONE generation-write job over the batch
+        # rows only — this is the whole write cost for those buckets
+        light = absent + mor
+        new_gens: dict[str, str] = {}
+        if light:
+            part = stamped.filter(b.isin([int(i) for i in light]))
+            new_gens = _write_generations(
+                part, path, key, n_buckets, light
+            )
+        # leveling leg: capped buckets fold base+deltas+batch into a
+        # fresh base generation (cost ∝ those buckets)
+        leveled_gens: dict[str, str] = {}
+        if capped:
+            target_l = _read_snapshot_slice(spark, path, full, capped, key)
+            batch_l = updates.filter(b.isin([int(i) for i in capped]))
+            merged_l = merge_upsert(target_l, batch_l, key=key, now=now)
+            leveled_gens = _write_generations(
+                merged_l, path, key, n_buckets, capped
+            )
+        harvested: dict[str, dict] = {}
+        for gens in (new_gens, leveled_gens):
+            for i, g in gens.items():
+                st = _harvest_stats(path, int(i), g)
+                harvested[i] = st
+                files += st["files"]
+                bytes_ += st["bytes"]
+        if meta.get("key_bloom") and (new_gens or leveled_gens):
+            both = {**new_gens, **leveled_gens}
             _write_key_blooms(
-                spark, path, key, new_gens,
-                {i: stats_all[i] for i in new_gens if i in stats_all},
+                spark, path, key, both,
+                {i: harvested[i] for i in both if i in harvested},
                 n_buckets, **meta["key_bloom"],
             )
+
         dv_all = {
-            k2: list(v2)
-            for k2, v2 in (full.get("dv") or {}).items()
-            if int(k2) not in set(touched)
+            k2: list(v2) for k2, v2 in (full.get("dv") or {}).items()
         }
+        # DV refs are ORDINAL-SCOPED ({"n": name, "d": depth}): they
+        # kill only generations at or below the delta depth they were
+        # committed at, so a new delta re-inserting a deleted key
+        # simply sits ABOVE the DV — no subtraction, and a PARTIAL
+        # re-insert gets insert semantics (the dead base row's other
+        # columns stay dead, exactly the CoW result)
+
+        for i, g in new_gens.items():
+            if i in {str(a) for a in absent}:
+                manifest[i] = g
+                stats_all[i] = harvested[i]
+            else:
+                deltas_all.setdefault(i, []).append(
+                    {"g": g, "stats": harvested[i]}
+                )
+        for i in capped:
+            si = str(i)
+            g = leveled_gens.get(si)
+            if g is None:  # cannot happen for an upsert (no deletes)
+                manifest.pop(si, None)
+                stats_all.pop(si, None)
+            else:
+                manifest[si] = g
+                stats_all[si] = harvested[si]
+            deltas_all.pop(si, None)  # folded into the new base
+            dv_all.pop(si, None)  # folded too (slice read DV-applied)
         v = max([cur] + _list_versions(path)) + 1
         _commit(
-            path, v, manifest, n_buckets, committed_schema,
-            stats_all, op="merge", dv=dv_all,
+            path, v, manifest, n_buckets, committed_schema, stats_all,
+            op="merge-mor", dv=dv_all, deltas=deltas_all,
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1423,8 +2068,88 @@ def merge_scoped_versioned(
     return {
         "version": v, "n_buckets": n_buckets,
         "buckets_touched": len(touched),
-        "files_rewritten": files, "bytes_rewritten": bytes_,
+        "delta_buckets": len(mor) + len(absent),
+        "leveled_buckets": len(capped),
+        "files_written": files, "bytes_written": bytes_,
     }
+
+
+def compact_versioned(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> dict:
+    """Fold merge-on-read DELTAS and DELETION VECTORS into fresh base
+    generations — one content-neutral committed version (the law test
+    hash-compares before/after), restoring single-generation reads
+    and sub-bucket data skipping for the folded buckets. Default
+    scope: every bucket that currently carries deltas or DV refs
+    (cost ∝ the un-compacted subset, untouched buckets carried by
+    manifest reference — the incremental cadence a 100 TB table runs
+    off-peak, exactly Delta's REORG/OPTIMIZE shape for DV tables).
+    Returns {version, buckets_compacted}."""
+    import fcntl
+
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        n_buckets = full["n_buckets"]
+        manifest = dict(full["buckets"])
+        dirty = sorted(
+            {int(i) for i in (full.get("deltas") or {})}
+            | {int(i) for i in (full.get("dv") or {}) if i in manifest}
+        )
+        target = (
+            dirty if buckets is None
+            else sorted(set(dirty) & {int(i) for i in buckets})
+        )
+        if not target:
+            return {"version": cur, "buckets_compacted": 0}
+        folded = _read_snapshot_slice(spark, path, full, target, key)
+        gens = (
+            _write_generations(folded, path, key, n_buckets, target)
+            if folded is not None
+            else {}
+        )
+        stats_all = dict(full.get("stats") or {})
+        for i in target:
+            si = str(i)
+            g = gens.get(si)
+            if g is None:  # every row of the bucket was DV-deleted
+                manifest.pop(si, None)
+                stats_all.pop(si, None)
+            else:
+                manifest[si] = g
+                stats_all[si] = _harvest_stats(path, i, g)
+        if meta.get("key_bloom") and gens:
+            _write_key_blooms(
+                spark, path, key, gens,
+                {i: stats_all[i] for i in gens if i in stats_all},
+                n_buckets, **meta["key_bloom"],
+            )
+        tset = {str(i) for i in target}
+        dv_all = {
+            k2: list(v2)
+            for k2, v2 in (full.get("dv") or {}).items()
+            if k2 not in tset
+        }
+        deltas_all = {
+            k2: [dict(d) for d in v2]
+            for k2, v2 in (full.get("deltas") or {}).items()
+            if k2 not in tset
+        }
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(
+            path, v, manifest, n_buckets, full.get("schema"), stats_all,
+            op="compact", dv=dv_all, deltas=deltas_all,
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {"version": v, "buckets_compacted": len(target)}
 
 
 def rebucket_versioned(
@@ -1476,15 +2201,10 @@ def rebucket_versioned(
             # manifest commit under the new layout — no Spark job
             gens, stats = {}, {}
         else:
-            from pyspark.sql.types import StructType
-
-            stored = full.get("schema")
-            snapshot = _read_dirs(
-                spark, dirs,
-                StructType.fromJson(stored) if stored is not None else None,
-            )
-            snapshot = _apply_dv(
-                spark, path, full, sorted(full["buckets"]), snapshot, key
+            # the snapshot reads THROUGH deltas and DVs (the rewrite
+            # folds both; the new manifest carries neither)
+            snapshot = _read_snapshot_slice(
+                spark, path, full, sorted(full["buckets"]), key
             )
             gens = _write_generations(snapshot, path, key, new_n_buckets)
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
@@ -1690,15 +2410,9 @@ def optimize_versioned(
                     / max(len(manifest), 1)
                 )
             rows_per_file = max(1, math.ceil(per_bucket / files_per_bucket))
-        dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in target]
-        from pyspark.sql.types import StructType
-
-        stored = full.get("schema")
-        slice_df = _read_dirs(
-            spark, dirs,
-            StructType.fromJson(stored) if stored is not None else None,
-        )
-        slice_df = _apply_dv(spark, path, full, target, slice_df, key)
+        # the slice reads THROUGH deltas and DVs (the clustered rewrite
+        # folds both — the commit clears their refs for these buckets)
+        slice_df = _read_snapshot_slice(spark, path, full, target, key)
         if zorder and len(cluster_by) > 1:
             sort_key = [_zorder_column(
                 slice_df, full, list(cluster_by), zorder_bits
@@ -1735,6 +2449,11 @@ def optimize_versioned(
             for k2, v2 in (full.get("dv") or {}).items()
             if k2 not in set(target)
         }
+        deltas_all = {
+            k2: [dict(d) for d in v2]
+            for k2, v2 in (full.get("deltas") or {}).items()
+            if k2 not in set(target)
+        }
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, manifest, n_buckets,
@@ -1744,7 +2463,7 @@ def optimize_versioned(
                 and len(cluster_by) > 1
                 else f"optimize:{','.join(cluster_by)}"
             ),
-            dv=dv_all,
+            dv=dv_all, deltas=deltas_all,
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1764,21 +2483,13 @@ def read_bucket_table_versioned(
     travel). One manifest resolves to one consistent generation set —
     a concurrent merge's commit flips the whole table at once."""
     v = _resolve_version(path, version)
-    from pyspark.sql.types import StructType
-
     full = _load_manifest_full(path, v)
     manifest = full["buckets"]
     if not manifest:
         raise FileNotFoundError(f"version {v} of {path} is empty")
-    dirs = [f"{path}/bucket={i}/{g}" for i, g in sorted(manifest.items())]
-    stored = full.get("schema")  # one manifest parse, not two
-    df = _read_dirs(
-        spark, dirs,
-        StructType.fromJson(stored) if stored is not None else None,
-    )
     with open(os.path.join(path, BUCKET_META)) as f:
         key = json.load(f)["key"]
-    return _apply_dv(spark, path, full, sorted(manifest), df, key)
+    return _read_snapshot_slice(spark, path, full, sorted(manifest), key)
 
 
 def read_bucket_for_key_versioned(
@@ -1797,49 +2508,53 @@ def read_bucket_for_key_versioned(
     g = manifest.get(str(bid))
     if g is None:
         return None
-    # stats short-circuit: the bucket's key min/max can prove the value
-    # absent without opening any data page (definite miss -> None)
-    s = (
-        (full.get("stats") or {}).get(str(bid), {})
-        .get("cols", {})
-        .get(meta["key"])
-    )
-    if s is not None:
-        if s["t"] == "null":
-            return None
-        cv = _coerce_bound(s["t"], value)
-        if cv is not None:
-            slo, shi = s["lo"], s["hi"]
-            if s["t"] == "dec":
-                import decimal
 
-                slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
-            if cv < slo or cv > shi:
-                return None
+    def _key_stats_exclude(st: dict | None) -> bool:
+        # a generation's key min/max proving the value absent means it
+        # contributes NO row of this key — droppable from the lookup
+        s = (st or {}).get("cols", {}).get(meta["key"])
+        if s is None:
+            return False
+        if s["t"] == "null":
+            return True
+        cv = _coerce_bound(s["t"], value)
+        if cv is None:
+            return False
+        slo, shi = s["lo"], s["hi"]
+        if s["t"] == "dec":
+            import decimal
+
+            slo, shi = decimal.Decimal(slo), decimal.Decimal(shi)
+        return cv < slo or cv > shi
+
     from pyspark.sql.types import StructType
 
     stored = full.get("schema")  # reuse the loaded manifest
-    # a key present in the bucket's DELETION VECTORS is a definite
-    # miss for the whole bucket (DVs delete every row of a key)
-    dv_names = (full.get("dv") or {}).get(str(bid), [])
-    if dv_names:
-        hit = (
-            spark.read.parquet(*[f"{path}/{n}" for n in dv_names])
-            .filter(
-                (F.col(meta["key"]) == F.lit(value))
-                & (F.col("__dv_bucket") == F.lit(int(bid)))
+    # DELETION VECTORS are ordinal-scoped: a hit at depth d proves the
+    # key absent from every generation with ordinal <= d (for a table
+    # without merge-on-read deltas that is the whole bucket — the old
+    # definite-miss short circuit); generations ABOVE the deepest hit
+    # may hold a legitimate re-insert and stay in the lookup
+    dv_gate = -1  # ordinals <= dv_gate are dead for this key
+    dv_refs = [
+        _dv_ref(e) for e in (full.get("dv") or {}).get(str(bid), [])
+    ]
+    if dv_refs:
+        probe = None
+        for n, d in sorted(dv_refs):
+            part = (
+                spark.read.parquet(f"{path}/{n}")
+                .filter(
+                    (F.col(meta["key"]) == F.lit(value))
+                    & (F.col("__dv_bucket") == F.lit(int(bid)))
+                )
+                .select(F.lit(d).alias("__d"))
             )
-            .limit(1)
-            .count()
-        )
-        if hit:
-            return None
-    # bloom short-circuit: bounds prove misses outside [lo, hi]; the
-    # key-bloom sidecar (when the table opted in) proves misses INSIDE
-    # the range without opening a data page. The probe literal is cast
-    # to the COMMITTED key type (xxhash64 is type-sensitive); without
-    # a recorded schema the bloom is skipped — must-read, never a
-    # wrong miss.
+            probe = part if probe is None else probe.unionByName(part)
+        hits = [r["__d"] for r in probe.collect()]
+        if hits:
+            dv_gate = max(hits)
+    ktype = None
     if meta.get("key_bloom") and stored is not None:
         ktype = next(
             (
@@ -1849,14 +2564,44 @@ def read_bucket_for_key_versioned(
             ),
             None,
         )
+    # every generation of the bucket — base + merge-on-read deltas —
+    # is short-circuited INDEPENDENTLY: footer key bounds prove misses
+    # outside [lo, hi], the key-bloom sidecar (when the table opted
+    # in; probe cast to the committed key type — xxhash64 is
+    # type-sensitive) proves misses inside it, both without opening a
+    # data page. A generation proven key-free contributes nothing and
+    # drops from the read; all generations proven key-free = a
+    # definite miss.
+    gens = [(f"{path}/bucket={bid}/{g}", 0, (full.get("stats") or {}).get(str(bid)))]
+    for j, d in enumerate((full.get("deltas") or {}).get(str(bid), [])):
+        gens.append((f"{path}/bucket={bid}/{d['g']}", j + 1, d.get("stats")))
+    live = []
+    for gdir, ordn, st in gens:
+        if ordn <= dv_gate:
+            continue  # DV-deleted at this ordinal: dead for this key
+        if _key_stats_exclude(st):
+            continue
         if ktype is not None and _bloom_proves_absent(
-            spark, f"{path}/bucket={bid}/{g}", value, ktype
+            spark, gdir, value, ktype
         ):
-            return None
-    return _read_dirs(
-        spark, [f"{path}/bucket={bid}/{g}"],
-        StructType.fromJson(stored) if stored is not None else None,
-    ).filter(F.col(meta["key"]) == F.lit(value))
+            continue
+        live.append((gdir, ordn))
+    if not live:
+        return None
+    schema = StructType.fromJson(stored) if stored is not None else None
+    if len(gens) == 1:
+        return _read_dirs(spark, [live[0][0]], schema).filter(
+            F.col(meta["key"]) == F.lit(value)
+        )
+    df = None
+    for gdir, ordn in live:
+        part = (
+            _read_dirs(spark, [gdir], schema)
+            .filter(F.col(meta["key"]) == F.lit(value))
+            .withColumn("__ord", F.lit(ordn))
+        )
+        df = part if df is None else df.unionByName(part)
+    return _fold_ordinals(df, meta["key"])
 
 
 def changed_buckets_between(
@@ -1873,23 +2618,38 @@ def changed_buckets_between(
     m_to = _load_manifest_full(path, to_v)
     if m_from["n_buckets"] != m_to["n_buckets"]:
         return sorted(int(i) for i in m_to["buckets"])  # re-hashed: all
+    return sorted(_changed_sig_buckets(m_from, m_to))
+
+
+def _changed_sig_buckets(m_from: dict, m_to: dict) -> set[int]:
+    """Bucket ids whose SIGNATURE — (generation dir, DV refs) — differs
+    between two same-layout manifests. A bucket's identity is that
+    pair: a DV-only commit changes content without moving the
+    generation, and generation names are content-addressed uuids that
+    are never reused, so signature equality == untouched. Symmetric
+    difference over bucket ids: a bucket present only in the OLD
+    manifest (every row deleted since) is still a change —
+    read_changed_between has nothing to read for it (no current rows),
+    but change_feed must see it to emit the deletes, and the OCC
+    commit validation must count it as a conflict."""
     old, new = m_from["buckets"], m_to["buckets"]
     dv_old, dv_new = m_from.get("dv") or {}, m_to.get("dv") or {}
+    dl_old, dl_new = m_from.get("deltas") or {}, m_to.get("deltas") or {}
 
-    def sig(m_b, m_dv, i):
-        # a bucket's identity = (generation, DV refs): a DV-only
-        # commit changes content without moving the generation
-        return (m_b.get(i), tuple(m_dv.get(i, [])))
+    def sig(m_b, m_dv, m_dl, i):
+        # (generation, DV refs, MOR delta gens): a delta-only commit
+        # changes content without moving the base generation
+        return (
+            m_b.get(i),
+            tuple(_dv_ref(e) for e in m_dv.get(i, [])),
+            tuple(d["g"] for d in m_dl.get(i, [])),
+        )
 
-    # symmetric difference over bucket ids: a bucket present only in
-    # the OLD manifest (every row deleted since) is still a change —
-    # read_changed_between has nothing to read for it (no current
-    # rows), but change_feed must see it to emit the deletes
-    return sorted(
+    return {
         int(i)
         for i in set(old) | set(new)
-        if sig(old, dv_old, i) != sig(new, dv_new, i)
-    )
+        if sig(old, dv_old, dl_old, i) != sig(new, dv_new, dl_new, i)
+    }
 
 
 def read_changed_between(
@@ -1911,20 +2671,9 @@ def read_changed_between(
     if not changed:
         return None
     full = _load_manifest_full(path, to_v)
-    manifest = full["buckets"]
-    dirs = [
-        f"{path}/bucket={i}/{manifest[str(i)]}"
-        for i in changed
-        if str(i) in manifest
-    ]
-    if not dirs:
-        return None
-    df = _read_dirs(spark, dirs, table_schema(path, to_v))
     with open(os.path.join(path, BUCKET_META)) as f:
         key = json.load(f)["key"]
-    return _apply_dv(
-        spark, path, full, [str(i) for i in changed], df, key
-    )
+    return _read_snapshot_slice(spark, path, full, changed, key)
 
 
 def _read_history_log(path: str) -> dict[int, dict]:
@@ -2185,37 +2934,17 @@ def change_feed(
         snap = read_bucket_table_versioned(spark, path, to_v)
         return snap.withColumn("change", F.lit("insert"))
 
-    def _side(manifest: dict[str, str]) -> list[str]:
-        return [
-            f"{path}/bucket={i}/{manifest[str(i)]}"
-            for i in changed
-            if str(i) in manifest
-        ]
+    def _read(m: dict, like: DataFrame | None):
+        # each side reads THROUGH its version's deltas and deletion
+        # vectors (_read_snapshot_slice), so a DV-only or MOR-delta
+        # commit shows up as exact row-level changes in the diff
+        df = _read_snapshot_slice(spark, path, m, changed, bucket_key)
+        if df is None and like is not None:
+            return spark.createDataFrame([], like.schema)
+        return df
 
-    old_dirs, new_dirs = _side(m_from["buckets"]), _side(m_to["buckets"])
-
-    from pyspark.sql.types import StructType
-
-    def _read(dirs: list[str], m: dict, like: DataFrame | None):
-        if not dirs:
-            return (
-                spark.createDataFrame([], like.schema)
-                if like is not None
-                else None
-            )
-        stored = m.get("schema")  # reuse the loaded manifests
-        df = _read_dirs(
-            spark, dirs,
-            StructType.fromJson(stored) if stored is not None else None,
-        )
-        # each side applies ITS version's deletion vectors, so a
-        # DV-only commit shows up as row-level deletes in the diff
-        return _apply_dv(
-            spark, path, m, [str(i) for i in changed], df, bucket_key
-        )
-
-    new_df = _read(new_dirs, m_to, None)
-    old_df = _read(old_dirs, m_from, new_df)
+    new_df = _read(m_to, None)
+    old_df = _read(m_from, new_df)
     if old_df is None and new_df is None:
         return None
     if new_df is None:
@@ -2270,9 +2999,14 @@ def vacuum_bucket_versions(
                     m_full = _load_manifest_full(path, v)
                     for i, g in m_full["buckets"].items():
                         referenced.add(f"{path}/bucket={i}/{g}")
+                    # merge-on-read delta generations are LIVE data —
+                    # reclaiming one would drop committed rows
+                    for i, lst in (m_full.get("deltas") or {}).items():
+                        for d in lst:
+                            referenced.add(f"{path}/bucket={i}/{d['g']}")
                     for names in (m_full.get("dv") or {}).values():
-                        for n in names:
-                            dv_referenced.add(f"{path}/{n}")
+                        for e in names:
+                            dv_referenced.add(f"{path}/{_dv_ref(e)[0]}")
                 for gdir in _glob.glob(f"{path}/bucket=*/g-*"):
                     if gdir in referenced:
                         continue

@@ -131,17 +131,23 @@ DRIVER_GATE: tuple[str, ...] = (
     "s10_tws", "s11_recovery", "s12_media", "s13_drift", "s14_kmv",
     "s15_cms", "s16_quantile",
     # --- entrants: round-10 new capabilities, first driver proof —
-    # clustered file-grain data skipping (optimize_versioned) and the
-    # catalog-level change feed with jointly-atomic replication (2)
-    "e_versioned_cluster_skip", "e_catalog_feed",
+    # clustered file-grain data skipping (optimize_versioned), the
+    # catalog-level change feed with jointly-atomic replication, and
+    # multi-writer optimistic concurrency (merge_scoped_versioned_occ)
+    # and merge-on-read deltas (merge_scoped_versioned_mor +
+    # compact_versioned + ordinal-scoped DVs); q01/q06 cede — headline
+    # standing re-entries, builders unchanged this round, driver-green
+    # r1/r9 (4)
+    "e_versioned_cluster_skip", "e_catalog_feed", "e_merge_concurrent",
+    "e_merge_mor",
     # --- re-entries: changed-closure engine surface (5; e_gapfill and
     # e_hll_merge ceded to the round-10 entrants — closure-only hash
     # changes, re-proven locally by the round-10 pin refresh)
     "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join",
     "curate_pipeline2",
     # --- re-entries: the headline suite (bench-correlated standing
-    # re-entry vehicle) (10)
-    "q01", "q06", "q11", "q17", "q19", "dedup_minhash", "dedup_exact",
+    # re-entry vehicle) (8)
+    "q11", "q17", "q19", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup",
 )
 

@@ -3050,3 +3050,334 @@ def e_rebucket_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "status")
     )
+
+
+# ------------------------------------------------- e_merge_concurrent
+@REG.add(
+    "e_merge_concurrent",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey AS k, o_totalprice + 5.0 AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 61 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 5.0, 'C'
+        FROM orders WHERE o_orderkey % 751 = 0
+    ),
+    final AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM base t FULL OUTER JOIN upd u ON t.k = u.k
+    ),
+    hist AS (
+        SELECT 1 AS version, status, price FROM base
+        UNION ALL SELECT 3, status, price FROM final
+    )
+    SELECT version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY version, status ORDER BY version, status
+    """,
+    doc="Multi-writer OPTIMISTIC concurrency on the versioned table "
+    "(operators/merge_versioned.py::merge_scoped_versioned_occ — the "
+    "Delta/Iceberg commit protocol the serial _MERGELOCK path can't "
+    "give): two writers' merge WORK (target read, join, generation "
+    "writes) runs with NO lock held and genuinely overlaps — a "
+    "two-party barrier in the pre-commit seam proves both snapshotted "
+    "the same base version before either committed — then commit "
+    "validation serializes on manifest arithmetic only: the second "
+    "committer sees the first's version, proves bucket-signature "
+    "DISJOINTNESS, and REBASES (publishes its generations on the "
+    "newest manifest, carrying the winner's buckets/stats/schema/DV "
+    "refs by reference). The oracle hashes v1 and the post-race final "
+    "snapshot: the race outcome must equal the sequential application "
+    "of both batches regardless of commit order (the batches split "
+    "one update set by bucket parity, so their union is "
+    "order-independent — serializability, not just atomicity). "
+    "Overlap/layout conflicts retry from the new snapshot and "
+    "exhaustion raises with the table untouched "
+    "(tests/test_merge_versioned.py::test_occ_*). At 100 TB this is "
+    "what lets N nightly feeds overlap their cluster work instead of "
+    "taking N x (read+join+write) serialized wall-clock.",
+)
+def e_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import threading
+
+    from ..operators.merge import bucket_expr, merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+        read_bucket_table_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:occ-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/occver_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        upd = (
+            orders.filter(F.col("o_orderkey") % 61 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 751 == 0).select(
+                    (F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                    F.lit(5.0).alias("o_totalprice"),
+                    F.lit("C").alias("o_orderstatus"),
+                )
+            )
+        )
+        # one update set split by bucket PARITY: the writers' touched
+        # bucket sets are disjoint by construction, and their union is
+        # commit-order independent — which is what makes the racy
+        # final snapshot oracle-hashable
+        par = F.pmod(bucket_expr("o_orderkey", MS_BUCKETS), F.lit(2))
+        batches = {
+            "A": upd.filter(par == 0),
+            "B": upd.filter(par == 1),
+        }
+        assert all(b.limit(1).count() == 1 for b in batches.values())
+        barrier = threading.Barrier(2, timeout=300)
+        results, errs = {}, []
+
+        def run(name):
+            try:
+                results[name] = merge_scoped_versioned_occ(
+                    spark, path, batches[name], now=T_MERGE,
+                    pre_commit_hook=barrier.wait,
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=run, args=(n,)) for n in ("A", "B")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        # both landed off the SAME snapshot: one plain commit, one
+        # rebase — the protocol's proof that the work really overlapped
+        assert sorted(r["version"] for r in results.values()) == [2, 3]
+        assert sorted(r["rebased"] for r in results.values()) == [
+            False, True,
+        ]
+        with open(done, "w") as f:
+            f.write(f"{results}\n")
+    hist = None
+    for v in (1, 3):  # v2 content is racy (commit order); v1/v3 exact
+        snap = read_bucket_table_versioned(spark, path, version=v).select(
+            F.lit(v).alias("version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = snap if hist is None else hist.unionByName(snap)
+    return (
+        hist.groupBy("version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("version", "status")
+    )
+
+
+# -------------------------------------------------------- e_merge_mor
+@REG.add(
+    "e_merge_mor",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd_a AS (
+        SELECT o_orderkey AS k, o_totalprice + 3.0 AS price
+        FROM orders WHERE o_orderkey % 83 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, 3.0
+        FROM orders WHERE o_orderkey % 831 = 0
+    ),
+    v2 AS (  -- MOR delta merge: per-column coalesce, status carried
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               t.status AS status
+        FROM base t FULL OUTER JOIN upd_a u ON t.k = u.k
+    ),
+    v3 AS (  -- DV delete
+        SELECT * FROM v2 WHERE k NOT IN (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 419 = 0
+        )
+    ),
+    upd_b AS (  -- re-insert a deleted stripe (DV subtract) + updates
+        SELECT o_orderkey AS k, 7.0 AS price, 'R' AS status
+        FROM orders WHERE o_orderkey % 419 = 0 AND o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 11.0, NULL
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 419 <> 0
+    ),
+    v4 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.price, t.price) AS price,
+               COALESCE(u.status, t.status) AS status
+        FROM v3 t FULL OUTER JOIN upd_b u ON t.k = u.k
+    ),
+    hist AS (
+        SELECT 1 AS version, status, price FROM base
+        UNION ALL SELECT 2, status, price FROM v2
+        UNION ALL SELECT 3, status, price FROM v3
+        UNION ALL SELECT 4, status, price FROM v4
+        UNION ALL SELECT 5, status, price FROM v4  -- compact: neutral
+    )
+    SELECT version, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY version, status ORDER BY version, status
+    """,
+    doc="MERGE-ON-READ on the versioned table "
+    "(operators/merge_versioned.py::merge_scoped_versioned_mor + "
+    "compact_versioned — Delta deletion-vector / Iceberg MoR write "
+    "economics): an upsert batch lands as per-bucket DELTA generations "
+    "with NO target read, NO join and NO bucket rewrite (write bytes "
+    "∝ batch rows; the CoW path rewrites every touched bucket whole — "
+    "a 1-row update to a 25 MB bucket costs 25 MB there, ~1 KB here), "
+    "and reads reproduce upsert semantics through the ordinal fold "
+    "(per column, last non-null across base+deltas — exactly chained "
+    "merge_upsert; hash-equivalence law vs a CoW clone in "
+    "tests/test_merge_versioned.py). The course: load -> MOR "
+    "update+insert -> DV DELETE -> a second MOR merge that RE-INSERTS "
+    "part of the deleted stripe (exercising the DV-subtract commit: "
+    "without it the bucket-global DV would keep deleting the new row) "
+    "-> compact_versioned folding deltas+DVs into fresh base "
+    "generations. All five versions are read back via time travel and "
+    "aggregated, so the oracle hash proves every fold layer AND that "
+    "compaction is content-neutral (v5 ≡ v4 by CTE). Read debt is "
+    "bounded: delta chains cap at max_depth (LSM leveling), any CoW "
+    "merge/optimize/compact folds, skipping degrades only to bucket "
+    "grain for delta buckets. At 100 TB this is the path for "
+    "high-frequency small-batch feeds where CoW write amplification "
+    "(bucket bytes / batch bytes) dominates the nightly bill.",
+)
+def e_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        compact_versioned,
+        merge_deletes_dv,
+        merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:mor-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/morver_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        batch_a = (
+            orders.filter(F.col("o_orderkey") % 83 == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(3.0)).alias("o_totalprice"),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 831 == 0).select(
+                    (F.col("o_orderkey") + INS_OFFSET).alias("o_orderkey"),
+                    F.lit(3.0).alias("o_totalprice"),
+                )
+            )
+        )
+        s2 = merge_scoped_versioned_mor(
+            spark, path, batch_a, now=T_MERGE
+        )
+        assert s2["leveled_buckets"] == 0 and s2["delta_buckets"] > 0
+        s3 = merge_deletes_dv(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 419 == 0).select(
+                "o_orderkey"
+            ),
+        )
+        batch_b = (
+            orders.filter(
+                (F.col("o_orderkey") % 419 == 0)
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+            .select(
+                "o_orderkey",
+                F.lit(7.0).alias("o_totalprice"),
+                F.lit("R").alias("o_orderstatus"),
+            )
+            .unionByName(
+                orders.filter(
+                    (F.col("o_orderkey") % 97 == 0)
+                    & (F.col("o_orderkey") % 419 != 0)
+                ).select(
+                    "o_orderkey",
+                    (F.col("o_totalprice") + F.lit(11.0)).alias(
+                        "o_totalprice"
+                    ),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                )
+            )
+        )
+        s4 = merge_scoped_versioned_mor(spark, path, batch_b, now=T_MERGE)
+        s5 = compact_versioned(spark, path)
+        assert (
+            s2["version"], s3["version"], s4["version"], s5["version"]
+        ) == (2, 3, 4, 5)
+        with open(done, "w") as f:
+            f.write(f"{s2}\n{s3}\n{s4}\n{s5}\n")
+    hist = None
+    for v in (1, 2, 3, 4, 5):
+        snap = read_bucket_table_versioned(spark, path, version=v).select(
+            F.lit(v).alias("version"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = snap if hist is None else hist.unionByName(snap)
+    return (
+        hist.groupBy("version", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("version", "status")
+    )

@@ -1735,3 +1735,639 @@ def test_history_log_matches_manifest_fallback(spark, tmp_path):
         __import__("json").loads(ln)["v"] for ln in open(log_path)
     ]
     assert surviving_lines == [3]
+
+
+# ---------------------------------------------------------------------
+# Optimistic concurrency (merge_scoped_versioned_occ): the Delta-style
+# multi-writer protocol — merge WORK runs lock-free, only commit
+# validation serializes; disjoint-bucket writers rebase, overlapping
+# writers retry from the new snapshot, exhaustion raises with the
+# table untouched.
+# ---------------------------------------------------------------------
+
+
+def _buckets_of(spark, keys, n_buckets):
+    from cvemate_spark.operators.merge import bucket_expr
+
+    df = spark.createDataFrame([Row(id=k) for k in keys])
+    return {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", bucket_expr("id", n_buckets).alias("b")
+        ).collect()
+    }
+
+
+def test_occ_disjoint_merges_overlap_and_serialize(spark, tmp_path):
+    """Two OCC writers whose work phases GENUINELY overlap (both
+    snapshot the same base version — a barrier in the pre-commit seam
+    proves neither committed before the other finished its work):
+    both land, exactly one rebases, and the final content equals the
+    sequential application of both batches."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+    )
+
+    keys = [f"CVE-{i}" for i in range(120)]
+    base = _batch(spark, "nvd", {k: f"n{k}" for k in keys})
+    path = str(tmp_path / "occ1")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    bmap = _buckets_of(spark, keys, 8)
+    even = [k for k in keys if bmap[k] % 2 == 0][:10]
+    odd = [k for k in keys if bmap[k] % 2 == 1][:10]
+    assert even and odd
+    batches = {
+        "A": _batch(spark, "nvd", {k: "A" for k in even}),
+        "B": _batch(spark, "nvd", {k: "B" for k in odd}),
+    }
+    barrier = threading.Barrier(2, timeout=120)
+    results, errs = {}, []
+
+    def run(name):
+        try:
+            results[name] = merge_scoped_versioned_occ(
+                spark, path, batches[name], now=T1,
+                pre_commit_hook=barrier.wait,
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(n,)) for n in ("A", "B")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["version"] for r in results.values()) == [2, 3]
+    assert sorted(r["rebased"] for r in results.values()) == [False, True]
+    assert [r["attempts"] for r in results.values()] == [1, 1]
+    expected = {k: f"n{k}" for k in keys}
+    expected.update({k: "A" for k in even})
+    expected.update({k: "B" for k in odd})
+    assert _as_map(read_bucket_table_versioned(spark, path)) == expected
+    # the intermediate version holds exactly the first-committed batch
+    mid = _as_map(read_bucket_table_versioned(spark, path, version=2))
+    a_mid = [k for k in even if mid[k] == "A"]
+    b_mid = [k for k in odd if mid[k] == "B"]
+    assert (len(a_mid), len(b_mid)) in ((len(even), 0), (0, len(odd)))
+
+
+def test_occ_overlap_conflicts_retries_and_converges(spark, tmp_path):
+    """A concurrent commit into the SAME bucket is a conflict: the OCC
+    merge abandons its attempt and retries from the new snapshot —
+    the retry re-reads the target, so the conflicting writer's row is
+    upserted over, exactly the serial A-then-B result."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "occ2")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    calls = []
+
+    def inject_once():
+        if not calls:
+            calls.append(1)
+            merge_scoped_versioned(
+                spark, path,
+                _batch(spark, "nvd", {"CVE-1": "A", "CVE-500": "A"}),
+                now=T1,
+            )
+
+    res = merge_scoped_versioned_occ(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "B"}), now=T2,
+        pre_commit_hook=inject_once,
+    )
+    assert res["attempts"] == 2 and res["rebased"] is False
+    assert res["version"] == 3
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "B" and m["CVE-500"] == "A"
+
+
+def test_occ_retry_exhaustion_raises_and_leaves_table_untouched(
+    spark, tmp_path
+):
+    """Retry budget exhausted -> ConcurrentWriteConflict; the loser's
+    generations are unreferenced orphans vacuum reclaims; committed
+    content is exactly the winners'."""
+    import pytest
+
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        ConcurrentWriteConflict,
+        merge_scoped_versioned_occ,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "occ3")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    seq = []
+
+    def always_conflict():
+        seq.append(1)
+        merge_scoped_versioned(
+            spark, path,
+            _batch(spark, "nvd", {"CVE-2": f"W{len(seq)}"}), now=T1,
+        )
+
+    with pytest.raises(ConcurrentWriteConflict):
+        merge_scoped_versioned_occ(
+            spark, path, _batch(spark, "nvd", {"CVE-1": "loser"}),
+            now=T2, max_retries=1, pre_commit_hook=always_conflict,
+        )
+    assert len(seq) == 2  # initial attempt + one retry, both beaten
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "n1" and m["CVE-2"] == "W2"
+    # the loser's two attempts left orphan generations; vacuum reclaims
+    # them without touching anything referenced
+    out = vacuum_bucket_versions(
+        path, keep=len(mv._list_versions(path)), grace_seconds=0.0
+    )
+    assert out["removed_versions"] == [] and out["removed_gens"]
+    assert _as_map(read_bucket_table_versioned(spark, path)) == m
+
+
+def test_occ_rebase_carries_evolution_and_dv(spark, tmp_path):
+    """A rebase publishes on the CONCURRENT commit's manifest: a column
+    the concurrent writer added survives (schema re-union), and a DV
+    the concurrent writer registered on an untouched bucket keeps
+    deleting — the rebase must carry buckets, stats, schema AND DV
+    refs by reference."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge_versioned import (
+        merge_deletes_dv,
+        merge_scoped_versioned_occ,
+    )
+
+    keys = [f"CVE-{i}" for i in range(60)]
+    path = str(tmp_path / "occ4")
+    write_bucket_table_versioned(
+        merge_upsert(
+            None, _batch(spark, "nvd", {k: f"n{k}" for k in keys}), now=T0
+        ),
+        path, key="id", n_buckets=8,
+    )
+    bmap = _buckets_of(spark, keys, 8)
+    k_mine = keys[0]
+    k_evo = next(k for k in keys if bmap[k] != bmap[k_mine])
+    k_del = next(
+        k for k in keys
+        if bmap[k] not in (bmap[k_mine], bmap[k_evo])
+    )
+
+    def concurrent_writes():
+        if calls:
+            return
+        calls.append(1)
+        evo = spark.createDataFrame(
+            [Row(id=k_evo, nvd="evolved", extra="X")]
+        )
+        merge_scoped_versioned(spark, path, evo, now=T1)
+        merge_deletes_dv(
+            spark, path, spark.createDataFrame([Row(id=k_del)])
+        )
+
+    calls = []
+    res = merge_scoped_versioned_occ(
+        spark, path, _batch(spark, "nvd", {k_mine: "mine"}), now=T2,
+        pre_commit_hook=concurrent_writes,
+    )
+    assert res["rebased"] is True and res["attempts"] == 1
+    snap = read_bucket_table_versioned(spark, path)
+    assert "extra" in snap.columns
+    rows = {r["id"]: r for r in snap.collect()}
+    assert k_del not in rows  # the concurrent DV still deletes
+    assert rows[k_mine]["nvd"] == "mine" and rows[k_mine]["extra"] is None
+    assert rows[k_evo]["extra"] == "X"
+    assert len(rows) == len(keys) - 1
+
+
+def test_occ_layout_change_retries_under_new_layout(spark, tmp_path):
+    """A rebucket committing mid-merge is a layout conflict: the OCC
+    merge retries and lands under the NEW bucket count."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+        rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    path = str(tmp_path / "occ5")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    calls = []
+
+    def rebucket_once():
+        if not calls:
+            calls.append(1)
+            rebucket_versioned(spark, path, 4)
+
+    res = merge_scoped_versioned_occ(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "upd"}), now=T1,
+        pre_commit_hook=rebucket_once,
+    )
+    assert res["attempts"] == 2 and res["n_buckets"] == 4
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "upd" and len(m) == 40
+
+
+def test_nullability_drift_is_not_a_type_conflict(spark, tmp_path):
+    """Regression law (round-10 latent bug, caught by a fresh rebuild
+    of cve_pipeline_versioned): merge_upsert's full-outer join marks
+    every target column NULLABLE — including nested struct fields —
+    so a second merge's committed-vs-batch schema comparison sees
+    nullable:false -> true at some nesting level. That is nullability
+    DRIFT (advisory for parquet reads), not a type change: it must
+    commit, with the recorded schema relaxed to the nullable union.
+    A real nested type change must still raise."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        SchemaConflict,
+        init_bucket_table_versioned,
+        table_schema,
+    )
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "vbt_nulldrift")
+    init_bucket_table_versioned(path, key="id", n_buckets=4)
+    # first merge commits a NON-NULLABLE nested struct (struct() of
+    # non-null literals infers nullable=false on the inner field)
+    base = spark.range(0, 20).select(
+        F.concat(F.lit("CVE-"), F.col("id")).alias("id"),
+        F.struct(F.lit(1.5).alias("score")).alias("nvd"),
+    )
+    merge_scoped_versioned(spark, path, base, now=T0)
+    # second merge touches the same buckets: its merged frame carries
+    # nvd from the outer join, now nullable at every level
+    upd = spark.createDataFrame([Row(id="CVE-1", epss=0.9)])
+    merge_scoped_versioned(spark, path, upd, now=T1)  # must NOT raise
+    snap = read_bucket_table_versioned(spark, path)
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows["CVE-1"]["epss"] == 0.9
+    assert rows["CVE-1"]["nvd"]["score"] == 1.5
+    assert len(rows) == 20
+    # the committed schema relaxed nullability to the union
+    sch = table_schema(path)
+    nvd = next(f for f in sch.fields if f.name == "nvd")
+    assert nvd.nullable
+    # a REAL nested type change is still a fingerprint conflict (the
+    # enforcement path for target-less absent-bucket batches is pinned
+    # in test_merge_type_conflict_raises_before_any_write; with a live
+    # target Spark's own analyzer cast rejects even earlier)
+    from cvemate_spark.operators.merge_versioned import _union_schema
+
+    committed = sch.jsonValue()
+    bad = spark.createDataFrame([Row(id="CVE-1")]).select(
+        "id", F.struct(F.lit("high").alias("score")).alias("nvd")
+    )
+    with pytest.raises(SchemaConflict):
+        _union_schema(committed, bad.schema.jsonValue())
+
+
+# ---------------------------------------------------------------------
+# Merge-on-read deltas (merge_scoped_versioned_mor / compact_versioned):
+# write cost ∝ batch rows, upsert semantics reproduced at read time by
+# the ordinal fold; equivalence with copy-on-write is the master law.
+# ---------------------------------------------------------------------
+
+
+def _rows_sorted(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    ), cols
+
+
+def test_mor_equals_cow_at_every_version(spark, tmp_path):
+    """THE equivalence law: the same batch sequence through
+    merge_scoped_versioned_mor and through the copy-on-write path
+    produces IDENTICAL snapshots (all columns, audit stamps included)
+    at every version — MOR is a physical-layout choice, never a
+    semantics choice."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    p_mor = str(tmp_path / "mor_a")
+    p_cow = str(tmp_path / "cow_a")
+    for p in (p_mor, p_cow):
+        write_bucket_table_versioned(
+            merge_upsert(None, base, now=T0), p, key="id", n_buckets=4
+        )
+    batches = [
+        _batch(spark, "nvd", {"CVE-1": "u1", "CVE-900": "ins"}),
+        _batch(spark, "epss", {"CVE-1": "e1", "CVE-2": "e2"}),
+        _batch(spark, "nvd", {"CVE-900": "ins2", "CVE-3": "u3"}),
+    ]
+    for t, batch in zip((T1, T1, T2), batches):
+        r_mor = merge_scoped_versioned_mor(spark, p_mor, batch, now=t)
+        r_cow = merge_scoped_versioned(spark, p_cow, batch, now=t)
+        assert r_mor["version"] == r_cow["version"]
+    # the hard course: DV delete, then a PARTIAL update of a deleted
+    # key — both sides must give INSERT semantics (the dead row's
+    # other columns stay dead; the ordinal-scoped DV pins this, a
+    # bucket-global DV diverges either way)
+    from cvemate_spark.operators.merge_versioned import merge_deletes_dv
+
+    dead = spark.createDataFrame([Row(id="CVE-2"), Row(id="CVE-7")])
+    for p in (p_mor, p_cow):
+        merge_deletes_dv(spark, p, dead)
+    partial = _batch(spark, "epss", {"CVE-2": "again", "CVE-8": "e8"})
+    merge_scoped_versioned_mor(spark, p_mor, partial, now=T2)
+    merge_scoped_versioned(spark, p_cow, partial, now=T2)
+    for v in (1, 2, 3, 4, 5, 6):
+        m_rows, m_cols = _rows_sorted(
+            read_bucket_table_versioned(spark, p_mor, version=v)
+        )
+        c_rows, c_cols = _rows_sorted(
+            read_bucket_table_versioned(spark, p_cow, version=v)
+        )
+        assert m_cols == c_cols, (v, m_cols, c_cols)
+        assert m_rows == c_rows, f"version {v} diverged"
+
+
+def test_mor_per_column_fold_and_audit_stamps(spark, tmp_path):
+    """Stacked deltas fold PER COLUMN (a later batch that doesn't
+    carry a column must not null it out), created_at keeps the
+    original stamp, updated_at takes the latest."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "mor_b")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "vA"}), now=T1
+    )
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "epss", {"CVE-1": "eB"}), now=T2
+    )
+    row = {
+        r["id"]: r
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }["CVE-1"]
+    assert row["nvd"] == "vA"  # delta 2 had no nvd: must not null out
+    assert row["epss"] == "eB"
+    assert str(row["created_at"]).startswith("2024-01-01")
+    assert str(row["updated_at"]).startswith("2024-01-03")
+
+
+def test_mor_dv_reinsert_and_point_lookup(spark, tmp_path):
+    """DV refs are ordinal-scoped: a MOR delta landing after a delete
+    re-inserts by sitting ABOVE the DV's depth — the row is back in
+    snapshots AND point lookups (whose DV gate now drops only the
+    ordinals at or below the deepest hit); a later DV delete (deeper
+    scope) removes it again."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_deletes_dv,
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "mor_c")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2,
+    )
+    merge_deletes_dv(
+        spark, path, spark.createDataFrame([Row(id="CVE-1"), Row(id="CVE-2")])
+    )
+    assert "CVE-1" not in _as_map(read_bucket_table_versioned(spark, path))
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "back"}), now=T1
+    )
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "back"
+    assert "CVE-2" not in m  # the sibling delete survives the subtract
+    hit = read_bucket_for_key_versioned(spark, path, "CVE-1")
+    assert hit is not None and hit.collect()[0]["nvd"] == "back"
+    gone = read_bucket_for_key_versioned(spark, path, "CVE-2")
+    assert gone is None or gone.count() == 0
+    merge_deletes_dv(spark, path, spark.createDataFrame([Row(id="CVE-1")]))
+    assert "CVE-1" not in _as_map(read_bucket_table_versioned(spark, path))
+    gone2 = read_bucket_for_key_versioned(spark, path, "CVE-1")
+    assert gone2 is None or gone2.count() == 0
+
+
+def test_mor_cow_merge_folds_deltas(spark, tmp_path):
+    """A copy-on-write merge touching a delta-carrying bucket FOLDS
+    its deltas (reads through them, clears the refs); untouched
+    buckets keep theirs by reference."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    keys = [f"CVE-{i}" for i in range(40)]
+    path = str(tmp_path / "mor_d")
+    write_bucket_table_versioned(
+        merge_upsert(
+            None, _batch(spark, "nvd", {k: f"n{k}" for k in keys}), now=T0
+        ),
+        path, key="id", n_buckets=4,
+    )
+    bmap = _buckets_of(spark, keys, 4)
+    k_a = keys[0]
+    k_b = next(k for k in keys if bmap[k] != bmap[k_a])
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {k_a: "dA", k_b: "dB"}), now=T1
+    )
+    full = mv._load_manifest_full(path, latest_version(path))
+    assert {int(i) for i in full.get("deltas", {})} == {
+        bmap[k_a], bmap[k_b],
+    }
+    # CoW merge on k_a's bucket only
+    merge_scoped_versioned(
+        spark, path, _batch(spark, "epss", {k_a: "eA"}), now=T2
+    )
+    full2 = mv._load_manifest_full(path, latest_version(path))
+    assert str(bmap[k_a]) not in full2.get("deltas", {})
+    assert str(bmap[k_b]) in full2.get("deltas", {})
+    m = {
+        r["id"]: r
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert m[k_a]["nvd"] == "dA" and m[k_a]["epss"] == "eA"
+    assert m[k_b]["nvd"] == "dB"
+
+
+def test_mor_levels_at_max_depth(spark, tmp_path):
+    """The depth cap: a batch landing on a bucket whose delta chain is
+    at max_depth LEVELS that bucket (fresh base generation, refs
+    cleared) while other buckets keep taking cheap deltas."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "mor_e")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    r1 = merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "a"}), now=T1,
+        max_depth=2,
+    )
+    r2 = merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-2": "b"}), now=T1,
+        max_depth=2,
+    )
+    assert (r1["leveled_buckets"], r2["leveled_buckets"]) == (0, 0)
+    r3 = merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-3": "c"}), now=T2,
+        max_depth=2,
+    )
+    assert r3["leveled_buckets"] == 1 and r3["delta_buckets"] == 0
+    full = mv._load_manifest_full(path, latest_version(path))
+    assert not full.get("deltas")
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert (m["CVE-1"], m["CVE-2"], m["CVE-3"]) == ("a", "b", "c")
+
+
+def test_compact_versioned_content_neutral_and_vacuum(spark, tmp_path):
+    """compact_versioned folds deltas+DVs into fresh base generations:
+    content identical (law), refs cleared, PRE-compact versions still
+    time-travel through their deltas, and vacuum reclaims the old
+    delta generations only after the retention horizon passes —
+    never a referenced one."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned,
+        merge_deletes_dv,
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    path = str(tmp_path / "mor_f")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "u", "CVE-901": "i"}),
+        now=T1,
+    )
+    merge_deletes_dv(spark, path, spark.createDataFrame([Row(id="CVE-5")]))
+    pre_v = latest_version(path)
+    pre_rows, pre_cols = _rows_sorted(
+        read_bucket_table_versioned(spark, path)
+    )
+    out = compact_versioned(spark, path)
+    assert out["buckets_compacted"] >= 1
+    full = mv._load_manifest_full(path, latest_version(path))
+    assert not full.get("deltas") and not full.get("dv")
+    post_rows, post_cols = _rows_sorted(
+        read_bucket_table_versioned(spark, path)
+    )
+    assert (pre_rows, pre_cols) == (post_rows, post_cols)
+    # pre-compact version still folds exactly
+    tt_rows, _ = _rows_sorted(
+        read_bucket_table_versioned(spark, path, version=pre_v)
+    )
+    assert tt_rows == pre_rows
+    # vacuum with every version retained keeps the delta generations
+    vacuum_bucket_versions(path, keep=len(mv._list_versions(path)))
+    assert tt_rows == _rows_sorted(
+        read_bucket_table_versioned(spark, path, version=pre_v)
+    )[0]
+    # dropping retention reclaims superseded manifests + orphan deltas
+    out2 = vacuum_bucket_versions(path, keep=1, grace_seconds=0.0)
+    assert out2["removed_versions"]
+    assert post_rows == _rows_sorted(
+        read_bucket_table_versioned(spark, path)
+    )[0]
+
+
+def test_mor_change_feed_and_pruned_scan(spark, tmp_path):
+    """A MOR delta commit shows up in the key-level change feed as
+    exact row-level changes (the apply law holds), and the stats-
+    pruned scan over a MOR table equals the unpruned read — pruning
+    degrades to bucket grain for delta buckets, never to wrong rows.
+    The fold must run BEFORE residual filters: a superseded base row
+    matching the predicate must not resurrect."""
+    from cvemate_spark.operators.merge_versioned import (
+        apply_change_feed,
+        change_feed,
+        merge_scoped_versioned_mor,
+        scan_versioned,
+    )
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [Row(id=f"CVE-{i}", score=float(i)) for i in range(30)]
+    )
+    path = str(tmp_path / "mor_g")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    v1 = latest_version(path)
+    snap1 = read_bucket_table_versioned(spark, path, version=v1)
+    # CVE-20's score drops below the band: the base row (20.0) matches
+    # score >= 10 but the CURRENT row (1.0) must not
+    merge_scoped_versioned_mor(
+        spark, path,
+        spark.createDataFrame(
+            [Row(id="CVE-20", score=1.0), Row(id="CVE-900", score=99.0)]
+        ),
+        now=T1,
+    )
+    feed = change_feed(spark, path, v1)
+    kinds = {r["id"]: r["change"] for r in feed.collect()}
+    assert kinds == {"CVE-20": "update", "CVE-900": "insert"}
+    replayed, rc = _rows_sorted(
+        apply_change_feed(snap1, feed, key="id")
+    )
+    now_rows, nc = _rows_sorted(read_bucket_table_versioned(spark, path))
+    assert (replayed, rc) == (now_rows, nc)
+    scanned = scan_versioned(spark, path, "score", lo=10.0)
+    ids = {r["id"] for r in scanned.collect()}
+    assert "CVE-20" not in ids  # no resurrection through the fold
+    assert "CVE-900" in ids
+    expected = {f"CVE-{i}" for i in range(10, 30) if i != 20} | {"CVE-900"}
+    assert ids == expected
+
+
+def test_mor_constraint_sees_effective_row(spark, tmp_path):
+    """A cross-column CHECK must be evaluated on the EFFECTIVE merged
+    row: a batch whose columns pass alone but violate in combination
+    with the standing row is rejected atomically."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        ConstraintViolation,
+        merge_scoped_versioned_mor,
+    )
+
+    path = str(tmp_path / "mor_h")
+    base = spark.createDataFrame([Row(id="CVE-1", lo=1.0, hi=5.0)])
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1,
+        constraints={"ordered": "lo <= hi"},
+    )
+    v0 = latest_version(path)
+    # hi=0.5 passes alone; combined with the standing lo=1.0 violates
+    with pytest.raises(ConstraintViolation):
+        merge_scoped_versioned_mor(
+            spark, path,
+            spark.createDataFrame([Row(id="CVE-1", hi=0.5)]), now=T1,
+        )
+    assert latest_version(path) == v0
+    ok = merge_scoped_versioned_mor(
+        spark, path,
+        spark.createDataFrame([Row(id="CVE-1", hi=9.0)]), now=T1,
+    )
+    assert ok["version"] == v0 + 1
+    row = read_bucket_table_versioned(spark, path).collect()[0]
+    assert row["hi"] == 9.0 and row["lo"] == 1.0

@@ -244,6 +244,68 @@ def main() -> None:
     )
     print(json.dumps(results[-1]))
 
+    # ---- MERGE-ON-READ economics (round-10 addition): the same
+    # batches through merge_scoped_versioned_mor — write bytes ∝ BATCH
+    # ROWS (delta generations only), vs the CoW rungs above whose
+    # bytes ∝ touched-bucket SIZE. Then the read-side debt (snapshot
+    # wall with deltas standing) and the compaction that retires it.
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned, merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+    )
+
+    for mod, tag in ((100_000, "tiny"), (1_000, "rung")):
+        mbatch = (
+            orders.filter(F.col("o_orderkey") % mod == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+        )
+        n_m = mbatch.count()
+        cow_control = next(
+            (r for r in results
+             if r["mode"] == "scoped" and r["batch_rows"] == n_m),
+            None,
+        )
+        t = time.monotonic()
+        mstats = merge_scoped_versioned_mor(spark, vpath, mbatch, now=T2)
+        dt = time.monotonic() - t
+        results.append(
+            {
+                "mode": f"mor_{tag}",
+                "batch_rows": n_m,
+                "sec": round(dt, 3),
+                "cow_control_bytes": (
+                    cow_control["bytes_rewritten"] if cow_control else None
+                ),
+                "cow_control_sec": (
+                    cow_control["sec"] if cow_control else None
+                ),
+                **mstats,
+            }
+        )
+        print(json.dumps(results[-1]))
+    # read premium while deltas stand, then compaction retires it
+    t = time.monotonic()
+    mor_read_rows = read_bucket_table_versioned(spark, vpath).count()
+    mor_read_s = time.monotonic() - t
+    t = time.monotonic()
+    cstats2 = compact_versioned(spark, vpath)
+    compact_s = time.monotonic() - t
+    t = time.monotonic()
+    flat_read_rows = read_bucket_table_versioned(spark, vpath).count()
+    flat_read_s = time.monotonic() - t
+    results.append(
+        {
+            "mode": "mor_read_and_compact",
+            "read_with_deltas_sec": round(mor_read_s, 3),
+            "read_after_compact_sec": round(flat_read_s, 3),
+            "compact_sec": round(compact_s, 3),
+            "rows": mor_read_rows,
+            "rows_after": flat_read_rows,
+            **cstats2,
+        }
+    )
+    print(json.dumps(results[-1]))
+
     # the old economics: full merge + whole-directory swap, once,
     # with the SMALLEST batch — cost should sit near the full-load
     # cost regardless of the batch being ~10 rows
