@@ -995,6 +995,31 @@ def _apply_dv(
     return df.join(F.broadcast(dv.distinct()), key, "left_anti")
 
 
+def _fold_rows(df: DataFrame, fold: dict) -> DataFrame:
+    """Whole-row KEEP-LATEST fold for merge-on-read tables maintained
+    by `keep_latest_merge` semantics (recorded table policy
+    `mor_fold`: {"keys": [...], "order_by": [[col, "desc"|"asc"],
+    ...]}): per composite key, the greatest row by the INTRINSIC
+    comparator wins — not arrival order, which is what makes
+    out-of-order CDC replay converge (a late batch carrying an older
+    event must lose to the newer row already standing, exactly as the
+    CoW merger decides). The layer ordinal is only the final
+    tie-break, so equal-comparator rows resolve deterministically to
+    the newest layer."""
+    order = [
+        F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+        for c, d in fold["order_by"]
+    ]
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(*fold["keys"]).orderBy(*order, F.desc("__ord"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ord")
+    )
+
+
 def _fold_ordinals(df: DataFrame, key: str) -> DataFrame:
     """Collapse a layered read (base generation = __ord 0, each
     merge-on-read delta = its position in the bucket's delta list) to
@@ -1092,6 +1117,10 @@ def _read_snapshot_slice(
             & (F.col("__ord") <= F.col("__dv_depth")),
             "left_anti",
         )
+    with open(os.path.join(path, BUCKET_META)) as f:
+        fold = json.load(f).get("mor_fold")
+    if fold:
+        return _fold_rows(df, fold)
     return _fold_ordinals(df, key)
 
 
@@ -1322,6 +1351,7 @@ def write_bucket_table_versioned(
     df: DataFrame, path: str, key: str = "id", n_buckets: int = 16,
     constraints: dict[str, str] | None = None,
     key_bloom: dict | bool | None = None,
+    mor_fold: dict | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -1369,6 +1399,8 @@ def write_bucket_table_versioned(
                 constraints = old_meta.get("constraints")
             if key_bloom is None:
                 key_bloom = old_meta.get("key_bloom")
+            if mor_fold is None:
+                mor_fold = old_meta.get("mor_fold")
         if key_bloom is True:
             key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
@@ -1378,6 +1410,13 @@ def write_bucket_table_versioned(
             meta["constraints"] = constraints
         if key_bloom:
             meta["key_bloom"] = key_bloom
+        if mor_fold:
+            if key not in mor_fold.get("keys", []):
+                raise ValueError(
+                    f"mor_fold keys {mor_fold.get('keys')} must include "
+                    f"the bucket key {key!r}"
+                )
+            meta["mor_fold"] = mor_fold
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -1419,6 +1458,7 @@ def init_bucket_table_versioned(
     path: str, key: str = "id", n_buckets: int = 16,
     constraints: dict[str, str] | None = None,
     key_bloom: dict | bool | None = None,
+    mor_fold: dict | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
@@ -1446,6 +1486,19 @@ def init_bucket_table_versioned(
         meta["key_bloom"] = (
             {"bits_per_key": 8, "k": 4} if key_bloom is True else key_bloom
         )
+    if mor_fold:
+        # recorded READ policy for merge-on-read tables maintained by
+        # keep-latest semantics: {"keys": [...], "order_by": [[col,
+        # "desc"|"asc"], ...]} — every snapshot read folds whole rows
+        # by this intrinsic comparator instead of the per-column
+        # ordinal coalesce. The bucket key must be one of the fold
+        # keys (a row's competitors must live in its own bucket).
+        if key not in mor_fold.get("keys", []):
+            raise ValueError(
+                f"mor_fold keys {mor_fold.get('keys')} must include the "
+                f"bucket key {key!r}"
+            )
+        meta["mor_fold"] = mor_fold
     with open(os.path.join(path, BUCKET_META), "w") as f:
         json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")
@@ -1934,21 +1987,28 @@ def merge_scoped_versioned_mor(
                 "leveled_buckets": 0, "files_written": 0,
                 "bytes_written": 0,
             }
-        now_col = (
-            F.lit(now).cast("timestamp") if now is not None
-            else F.current_timestamp()
-        )
-        from .merge import AUDIT_COLS
+        fold = meta.get("mor_fold")
+        if fold:
+            # keep-latest tables (recorded policy): rows are whole
+            # events ranked by an intrinsic comparator at read time —
+            # the batch lands verbatim, no audit stamping
+            stamped = updates
+        else:
+            now_col = (
+                F.lit(now).cast("timestamp") if now is not None
+                else F.current_timestamp()
+            )
+            from .merge import AUDIT_COLS
 
-        stamped = updates.select(
-            key,
-            *[
-                c for c in updates.columns
-                if c != key and c not in AUDIT_COLS
-            ],
-            now_col.alias("created_at"),
-            now_col.alias("updated_at"),
-        )
+            stamped = updates.select(
+                key,
+                *[
+                    c for c in updates.columns
+                    if c != key and c not in AUDIT_COLS
+                ],
+                now_col.alias("created_at"),
+                now_col.alias("updated_at"),
+            )
         batch_schema = _schema_of(stamped)
         committed_schema = _union_schema(full.get("schema"), batch_schema)
 
@@ -1989,7 +2049,11 @@ def merge_scoped_versioned_mor(
                 ]:
                     base_l = base_l.withColumn(col, F.lit(None).cast(typ))
                 layered = base_l.unionByName(layered)
-            _enforce_constraints(_fold_ordinals(layered, key), effective, path)
+            folded_eff = (
+                _fold_rows(layered, fold) if fold
+                else _fold_ordinals(layered, key)
+            )
+            _enforce_constraints(folded_eff, effective, path)
 
         files = bytes_ = 0
         stats_all = dict(full.get("stats") or {})
@@ -1999,7 +2063,33 @@ def merge_scoped_versioned_mor(
         light = absent + mor
         new_gens: dict[str, str] = {}
         if light:
-            part = stamped.filter(b.isin([int(i) for i in light]))
+            # filter by the CAPPED complement: capped buckets are the
+            # few at max_depth, while `light` can be thousands wide —
+            # an isin over the small set keeps the plan literal-free
+            part = (
+                stamped.filter(~b.isin([int(i) for i in capped]))
+                if capped
+                else stamped
+            )
+            if fold:
+                # fold tables: dedup the batch by the intrinsic
+                # comparator BEFORE it lands — a raw batch can carry
+                # several rows per composite key, and a base
+                # generation (absent-bucket leg) is read on the
+                # depth-0 fast path, which must be able to trust that
+                # generations hold final-state rows. Also shrinks the
+                # delta layers for free (what the CoW merger's window
+                # would have discarded anyway).
+                from .merge import keep_latest_merge
+
+                part = keep_latest_merge(
+                    None, part,
+                    keys=list(fold["keys"]),
+                    order_by=[
+                        F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+                        for c, d in fold["order_by"]
+                    ],
+                )
             new_gens = _write_generations(
                 part, path, key, n_buckets, light
             )
@@ -2008,8 +2098,24 @@ def merge_scoped_versioned_mor(
         leveled_gens: dict[str, str] = {}
         if capped:
             target_l = _read_snapshot_slice(spark, path, full, capped, key)
-            batch_l = updates.filter(b.isin([int(i) for i in capped]))
-            merged_l = merge_upsert(target_l, batch_l, key=key, now=now)
+            batch_l = stamped.filter(b.isin([int(i) for i in capped]))
+            if fold:
+                from .merge import keep_latest_merge
+
+                merged_l = keep_latest_merge(
+                    target_l, batch_l,
+                    keys=list(fold["keys"]),
+                    order_by=[
+                        F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+                        for c, d in fold["order_by"]
+                    ],
+                )
+            else:
+                merged_l = merge_upsert(
+                    target_l, updates.filter(
+                        b.isin([int(i) for i in capped])
+                    ), key=key, now=now,
+                )
             leveled_gens = _write_generations(
                 merged_l, path, key, n_buckets, capped
             )
@@ -2601,6 +2707,9 @@ def read_bucket_for_key_versioned(
             .withColumn("__ord", F.lit(ordn))
         )
         df = part if df is None else df.unionByName(part)
+    fold = meta.get("mor_fold")
+    if fold:
+        return _fold_rows(df, fold)
     return _fold_ordinals(df, meta["key"])
 
 
@@ -2776,6 +2885,13 @@ def history(path: str) -> list[dict]:
         if stats is not None:
             rows = sum(s["rows"] for s in stats.values())
             bytes_ = sum(s["bytes"] for s in stats.values())
+            # same accounting as the commit-log line: delta
+            # generations count into the totals (upper bound until a
+            # fold, like DV-deleted rows) — the log ≡ fallback law
+            # must hold for MOR commits too
+            for lst in (m.get("deltas") or {}).values():
+                rows += sum(d["stats"]["rows"] for d in lst)
+                bytes_ += sum(d["stats"]["bytes"] for d in lst)
         out.append(
             {
                 "version": v,

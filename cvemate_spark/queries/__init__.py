@@ -135,19 +135,20 @@ DRIVER_GATE: tuple[str, ...] = (
     # catalog-level change feed with jointly-atomic replication, and
     # multi-writer optimistic concurrency (merge_scoped_versioned_occ)
     # and merge-on-read deltas (merge_scoped_versioned_mor +
-    # compact_versioned + ordinal-scoped DVs); q01/q06 cede — headline
+    # compact_versioned + ordinal-scoped DVs + the keep-latest fold
+    # policy driving the s20 MOR replay); q01/q06/q17 cede — headline
     # standing re-entries, builders unchanged this round, driver-green
-    # r1/r9 (4)
+    # r1/r9 (5)
     "e_versioned_cluster_skip", "e_catalog_feed", "e_merge_concurrent",
-    "e_merge_mor",
+    "e_merge_mor", "s20_mor_replay",
     # --- re-entries: changed-closure engine surface (5; e_gapfill and
     # e_hll_merge ceded to the round-10 entrants — closure-only hash
     # changes, re-proven locally by the round-10 pin refresh)
     "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join",
     "curate_pipeline2",
     # --- re-entries: the headline suite (bench-correlated standing
-    # re-entry vehicle) (8)
-    "q11", "q17", "q19", "dedup_minhash", "dedup_exact",
+    # re-entry vehicle) (7)
+    "q11", "q19", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup",
 )
 

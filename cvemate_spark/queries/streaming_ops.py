@@ -129,6 +129,38 @@ def s18_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s20_mor_replay",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S20: the S18 CDC replay landing through MERGE-ON-READ deltas "
+    "(operators/merge_versioned.py::merge_scoped_versioned_mor with a "
+    "recorded keep-latest fold policy) — each micro-batch lands "
+    "verbatim as per-bucket delta generations with NO target read, no "
+    "window and no bucket rewrite (write bytes ∝ batch rows; "
+    "MERGEBENCH: 30 KB vs 1.2 MB CoW for a 20-row batch), one atomic "
+    "time-travelable commit per batch; reads rank whole rows by the "
+    "intrinsic (ts, event_id) comparator so the OUT-OF-ORDER replay "
+    "converges exactly as the CoW merger decides — a late chunk's "
+    "older event loses at read time. The closing compact_versioned "
+    "folds the chains (the off-peak cadence; chains also self-level "
+    "at max_depth). Same batch Q20 keep-latest oracle as S3/S17/S18: "
+    "the hash proves MOR replay ≡ CoW replay ≡ batch. "
+    "streaming/jobs.py::mor_replay.",
+)
+def s20_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.mor_replay(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s19_feed_replica",
     """
     SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts

@@ -357,6 +357,79 @@ def scoped_replay_versioned(
     )
 
 
+def mor_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 2
+) -> DataFrame:
+    """S20: the S18 CDC replay landing through MERGE-ON-READ deltas —
+    the write-amplification fix for high-frequency micro-batches.
+
+    S17/S18 pay (touched-bucket bytes) per micro-batch: every chunk
+    re-reads and rewrites the bucket directories its users hash into,
+    so N small batches cost N x bucket-size even when each batch is a
+    few rows (MERGEBENCH: a 20-row batch rewrites 1.2 MB CoW vs 30 KB
+    MOR). Here the target records a keep-latest FOLD POLICY
+    (mor_fold: keys=(user_id, event_type), order_by=(ts desc,
+    event_id desc)) and each micro-batch lands verbatim as per-bucket
+    delta generations via `merge_scoped_versioned_mor` — no target
+    read, no window, no rewrite, one atomic commit per batch, still
+    time-travelable per batch boundary. Reads rank whole rows by the
+    INTRINSIC comparator (not arrival order), which is exactly what
+    makes the out-of-order replay converge: a late chunk carrying an
+    older event loses at read time just as it would have lost in the
+    CoW merger. A closing `compact_versioned` folds the chains back
+    to one generation per bucket (the off-peak cadence; delta chains
+    also self-level at max_depth). Convergence oracle: batch Q20
+    keep-latest — the same oracle as S3/S17/S18, so the hash proves
+    MOR replay ≡ CoW replay ≡ batch.
+    """
+    from ..operators.merge_versioned import (
+        compact_versioned,
+        init_bucket_table_versioned,
+        latest_version,
+        merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s20_{os.getpid()}"
+    target, ckpt = f"{run_dir}/target", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    init_bucket_table_versioned(
+        target, key="user_id", n_buckets=16,
+        mor_fold={
+            "keys": ["user_id", "event_type"],
+            "order_by": [["ts", "desc"], ["event_id", "desc"]],
+        },
+    )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        merge_scoped_versioned_mor(batch.sparkSession, target, batch)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # empty init + one version per micro-batch + the compaction commit
+    assert latest_version(target) == 1 + n_chunks
+    compact_versioned(spark, target)
+    assert latest_version(target) == 2 + n_chunks
+    return read_bucket_table_versioned(spark, target).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def feed_replica(
     spark: SparkSession, sf_dir: str, n_chunks: int = 3
 ) -> DataFrame:

@@ -2371,3 +2371,145 @@ def test_mor_constraint_sees_effective_row(spark, tmp_path):
     assert ok["version"] == v0 + 1
     row = read_bucket_table_versioned(spark, path).collect()[0]
     assert row["hi"] == 9.0 and row["lo"] == 1.0
+
+
+def test_mor_fold_policy_out_of_order_and_dv(spark, tmp_path):
+    """Keep-latest fold policy (mor_fold): out-of-order MOR batches
+    converge by the INTRINSIC comparator — a later batch carrying an
+    OLDER event loses at read time, exactly as the CoW merger would
+    have decided — and the result matches a CoW clone driven through
+    keep_latest_merge at every version. A DV delete then removes a
+    user's rows; a later delta re-inserts above it."""
+    from cvemate_spark.operators.merge import keep_latest_merge
+    from cvemate_spark.operators.merge_versioned import (
+        init_bucket_table_versioned,
+        merge_deletes_dv,
+        merge_scoped_versioned_mor,
+    )
+    import pyspark.sql.functions as F
+
+    fold = {
+        "keys": ["user_id", "event_type"],
+        "order_by": [["ts", "desc"], ["event_id", "desc"]],
+    }
+    p_mor = str(tmp_path / "fold_mor")
+    p_cow = str(tmp_path / "fold_cow")
+    init_bucket_table_versioned(
+        p_mor, key="user_id", n_buckets=2, mor_fold=fold
+    )
+    init_bucket_table_versioned(p_cow, key="user_id", n_buckets=2)
+
+    def ev(uid, etype, ts, eid):
+        return Row(user_id=uid, event_type=etype, ts=ts, event_id=eid)
+
+    # chunk 2 carries an OLDER event for (u1, click) than chunk 1
+    chunks = [
+        [ev(1, "click", "2024-01-05", 50), ev(2, "view", "2024-01-02", 20)],
+        [ev(1, "click", "2024-01-01", 10), ev(1, "buy", "2024-01-03", 30)],
+    ]
+    merger = lambda cur, b: keep_latest_merge(
+        cur, b, keys=["user_id", "event_type"],
+        order_by=[F.desc("ts"), F.desc("event_id")],
+    )
+    for chunk in chunks:
+        batch = spark.createDataFrame(chunk)
+        merge_scoped_versioned_mor(spark, p_mor, batch)
+        merge_scoped_versioned(spark, p_cow, batch, merger=merger)
+    for v in (2, 3):
+        got, gc = _rows_sorted(
+            read_bucket_table_versioned(spark, p_mor, version=v)
+        )
+        want, wc = _rows_sorted(
+            read_bucket_table_versioned(spark, p_cow, version=v)
+        )
+        assert (got, gc) == (want, wc), f"version {v}"
+    rows = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in read_bucket_table_versioned(spark, p_mor).collect()
+    }
+    # the out-of-order older click LOST
+    assert rows[(1, "click")] == 50 and rows[(1, "buy")] == 30
+    # DV delete of user 1, then a re-insert above it
+    merge_deletes_dv(spark, p_mor, spark.createDataFrame([Row(user_id=1)]))
+    left = {
+        (r["user_id"], r["event_type"])
+        for r in read_bucket_table_versioned(spark, p_mor).collect()
+    }
+    assert left == {(2, "view")}
+    merge_scoped_versioned_mor(
+        spark, p_mor,
+        spark.createDataFrame([ev(1, "click", "2024-01-06", 60)]),
+    )
+    rows2 = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in read_bucket_table_versioned(spark, p_mor).collect()
+    }
+    # only the re-inserted row returns; the DV'd older rows stay dead
+    assert rows2 == {(1, "click"): 60, (2, "view"): 20}
+    # point lookup folds by policy: all of user 1's current rows
+    hit = read_bucket_for_key_versioned(spark, p_mor, 1)
+    assert {(r["user_id"], r["event_type"], r["event_id"])
+            for r in hit.collect()} == {(1, "click", 60)}
+
+
+def test_mor_fold_policy_recorded_and_validated(spark, tmp_path):
+    """The fold policy is table META: recorded at creation, inherited
+    on reload, and the bucket key must be one of the fold keys."""
+    import pytest
+
+    from cvemate_spark.operators.merge_versioned import (
+        init_bucket_table_versioned,
+    )
+
+    with pytest.raises(ValueError):
+        init_bucket_table_versioned(
+            str(tmp_path / "bad"), key="user_id", n_buckets=2,
+            mor_fold={"keys": ["event_type"], "order_by": [["ts", "desc"]]},
+        )
+    fold = {"keys": ["id"], "order_by": [["ts", "desc"]]}
+    path = str(tmp_path / "fold_meta")
+    base = spark.createDataFrame([Row(id="a", ts="2024-01-01", v=1)])
+    write_bucket_table_versioned(
+        base, path, key="id", n_buckets=2, mor_fold=fold
+    )
+    # reload without re-passing inherits the policy
+    write_bucket_table_versioned(base, path, key="id", n_buckets=2)
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(path, "_BUCKETS")))
+    assert meta.get("mor_fold") == fold
+
+
+def test_mor_fold_intra_batch_duplicates_on_fresh_buckets(spark, tmp_path):
+    """A raw MOR batch carrying SEVERAL rows per composite key — the
+    normal shape of an events chunk — must land deduplicated: the
+    absent-bucket leg writes BASE generations that the depth-0 fast
+    path reads without a fold, so generations must hold final-state
+    rows (the review-caught duplicate-survival edge)."""
+    from cvemate_spark.operators.merge_versioned import (
+        init_bucket_table_versioned,
+        merge_scoped_versioned_mor,
+    )
+
+    path = str(tmp_path / "fold_dup")
+    init_bucket_table_versioned(
+        path, key="user_id", n_buckets=2,
+        mor_fold={
+            "keys": ["user_id", "event_type"],
+            "order_by": [["ts", "desc"], ["event_id", "desc"]],
+        },
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="click", ts="2024-01-01", event_id=1),
+            Row(user_id=1, event_type="click", ts="2024-01-03", event_id=3),
+            Row(user_id=1, event_type="click", ts="2024-01-02", event_id=2),
+            Row(user_id=2, event_type="view", ts="2024-01-01", event_id=4),
+        ]
+    )
+    merge_scoped_versioned_mor(spark, path, batch)
+    rows = read_bucket_table_versioned(spark, path).collect()
+    got = {(r["user_id"], r["event_type"], r["event_id"]) for r in rows}
+    assert got == {(1, "click", 3), (2, "view", 4)}
+    assert len(rows) == 2  # no duplicate survived the fast path

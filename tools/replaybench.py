@@ -29,6 +29,7 @@ QUERIES = [
     "s17_scoped_replay",
     "s18_versioned_replay",
     "s19_feed_replica",
+    "s20_mor_replay",
 ]
 
 
