@@ -1915,6 +1915,9 @@ def merge_scoped_versioned_mor(
     now=None,
     constraints: dict[str, str] | None = None,
     max_depth: int = 8,
+    occ: bool = False,
+    max_retries: int = 3,
+    pre_commit_hook=None,
 ) -> dict:
     """MERGE-ON-READ upsert — the Delta deletion-vector / Iceberg
     merge-on-read WRITE economics for updates: the batch lands as a
@@ -1960,223 +1963,340 @@ def merge_scoped_versioned_mor(
     maintained by a custom `merger` or tombstone deletes keep the
     copy-on-write legs.
 
+    `occ=True` runs the whole work phase (classification, constraint
+    fold, generation writes, harvest, blooms) with NO lock held and
+    validates at commit exactly like `merge_scoped_versioned_occ`:
+    same-snapshot -> publish; bucket-signature-disjoint intervening
+    commits -> REBASE onto the newest manifest (sound: disjointness
+    means this merge's buckets — base, deltas AND DV refs — are
+    untouched, so its delta appends and levelings compose with the
+    winner's commit exactly as if run after it); overlap/layout ->
+    retry from the fresh snapshot, exhaustion raises
+    ConcurrentWriteConflict with only vacuumable orphans left. This
+    is the concurrent-ingestion shape (N feeds MOR-appending all
+    night): the serial lock would stack even their batch-∝ writes.
+
     Returns {version, n_buckets, buckets_touched, delta_buckets,
-    leveled_buckets, files_written, bytes_written}.
+    leveled_buckets, files_written, bytes_written, rebased, attempts}.
     """
     import fcntl
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     key = meta["key"]
-    lock = open(os.path.join(path, "_MERGELOCK"), "w")
-    fcntl.flock(lock, fcntl.LOCK_EX)
-    try:
-        cur = latest_version(path)
-        full = _load_manifest_full(path, cur)
-        n_buckets = full["n_buckets"]
-        manifest = dict(full["buckets"])
-        b = bucket_expr(key, n_buckets)
-        touched = sorted(
-            r[0]
-            for r in updates.select(b.alias("__b")).distinct().collect()
-        )
-        if not touched:
+    attempts = 0
+    while True:
+        attempts += 1
+        lock = None
+        if not occ:
+            lock = open(os.path.join(path, "_MERGELOCK"), "w")
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        conflict = None
+        try:
+            result = _mor_attempt(
+                spark, path, meta, updates, now, constraints, max_depth,
+            )
+            if result["empty"]:
+                return {
+                    "version": result["cur"],
+                    "n_buckets": result["n_buckets"],
+                    "buckets_touched": 0, "delta_buckets": 0,
+                    "leveled_buckets": 0, "files_written": 0,
+                    "bytes_written": 0, "rebased": False,
+                    "attempts": attempts,
+                }
+            if occ:
+                if pre_commit_hook is not None:
+                    pre_commit_hook()
+                lock = open(os.path.join(path, "_MERGELOCK"), "w")
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                cur2 = latest_version(path)
+                if cur2 == result["cur"]:
+                    v = result["publish"](result["full"])
+                    rebased = False
+                else:
+                    cur_full2 = _load_manifest_full(path, cur2)
+                    if cur_full2["n_buckets"] != result["n_buckets"]:
+                        conflict = (
+                            f"layout changed under the merge "
+                            f"({result['n_buckets']} -> "
+                            f"{cur_full2['n_buckets']} buckets)"
+                        )
+                    else:
+                        overlap = _changed_sig_buckets(
+                            result["full"], cur_full2
+                        ) & set(result["touched"])
+                        if overlap:
+                            conflict = (
+                                f"buckets {sorted(overlap)} changed by "
+                                f"a concurrent commit "
+                                f"(v{result['cur']} -> v{cur2})"
+                            )
+                        else:
+                            v = result["publish"](cur_full2)
+                            rebased = True
+            else:
+                v = result["publish"](result["full"])
+                rebased = False
+        finally:
+            if lock is not None:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+                lock.close()
+        if conflict is None:
             return {
-                "version": cur, "n_buckets": n_buckets,
-                "buckets_touched": 0, "delta_buckets": 0,
-                "leveled_buckets": 0, "files_written": 0,
-                "bytes_written": 0,
+                "version": v, "n_buckets": result["n_buckets"],
+                "buckets_touched": len(result["touched"]),
+                "delta_buckets": result["delta_buckets"],
+                "leveled_buckets": result["leveled_buckets"],
+                "files_written": result["files"],
+                "bytes_written": result["bytes"],
+                "rebased": rebased, "attempts": attempts,
             }
-        fold = meta.get("mor_fold")
+        if attempts > max_retries:
+            raise ConcurrentWriteConflict(
+                f"MOR merge on {path} lost its commit race {attempts} "
+                f"times (last: {conflict}); generations from the failed "
+                "attempts are unreferenced orphans for vacuum"
+            )
+
+
+def _mor_attempt(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    updates: DataFrame,
+    now,
+    constraints: dict[str, str] | None,
+    max_depth: int,
+) -> dict:
+    """One MOR work pass against the current committed snapshot. All
+    disk effects are unreferenced generation dirs (+ bloom sidecars
+    inside them) until the returned `publish(commit_full)` closure
+    assembles and commits a manifest — publish against the snapshot it
+    was prepared on (serial / no-race OCC) or against a newer
+    signature-disjoint manifest (OCC rebase)."""
+    key = meta["key"]
+    cur = latest_version(path)
+    full = _load_manifest_full(path, cur)
+    n_buckets = full["n_buckets"]
+    manifest = full["buckets"]
+    b = bucket_expr(key, n_buckets)
+    touched = sorted(
+        r[0]
+        for r in updates.select(b.alias("__b")).distinct().collect()
+    )
+    if not touched:
+        return {"empty": True, "cur": cur, "n_buckets": n_buckets}
+    fold = meta.get("mor_fold")
+    if fold:
+        # keep-latest tables (recorded policy): rows are whole
+        # events ranked by an intrinsic comparator at read time —
+        # the batch lands verbatim, no audit stamping
+        stamped = updates
+    else:
+        now_col = (
+            F.lit(now).cast("timestamp") if now is not None
+            else F.current_timestamp()
+        )
+        from .merge import AUDIT_COLS
+
+        stamped = updates.select(
+            key,
+            *[
+                c for c in updates.columns
+                if c != key and c not in AUDIT_COLS
+            ],
+            now_col.alias("created_at"),
+            now_col.alias("updated_at"),
+        )
+    batch_schema = _schema_of(stamped)
+    # type-conflict check BEFORE any byte lands (publish re-unions
+    # against whatever manifest it actually commits on)
+    _union_schema(full.get("schema"), batch_schema)
+
+    deltas_all = {
+        k2: [dict(d) for d in v2]
+        for k2, v2 in (full.get("deltas") or {}).items()
+    }
+    absent = [i for i in touched if str(i) not in manifest]
+    capped = [
+        i for i in touched
+        if str(i) in manifest
+        and len(deltas_all.get(str(i), [])) >= max_depth
+    ]
+    mor = [i for i in touched if i not in set(absent) | set(capped)]
+
+    effective = dict(meta.get("constraints") or {})
+    effective.update(constraints or {})
+    if effective:
+        # CHECK must see the EFFECTIVE merged rows: fold the
+        # current touched slice under the batch (one read — the
+        # price of constraints on a MOR table)
+        target = _read_snapshot_slice(spark, path, full, touched, key)
+        layered = stamped.withColumn("__ord", F.lit(1))
+        if target is not None:
+            for col, typ in [
+                (f.name, f.dataType)
+                for f in target.schema.fields
+                if f.name not in stamped.columns
+            ]:
+                layered = layered.withColumn(
+                    col, F.lit(None).cast(typ)
+                )
+            base_l = target.withColumn("__ord", F.lit(0))
+            for col, typ in [
+                (f.name, f.dataType)
+                for f in stamped.schema.fields
+                if f.name not in target.columns
+            ]:
+                base_l = base_l.withColumn(col, F.lit(None).cast(typ))
+            layered = base_l.unionByName(layered)
+        folded_eff = (
+            _fold_rows(layered, fold) if fold
+            else _fold_ordinals(layered, key)
+        )
+        _enforce_constraints(folded_eff, effective, path)
+
+    files = bytes_ = 0
+
+    # delta + absent legs: ONE generation-write job over the batch
+    # rows only — this is the whole write cost for those buckets
+    light = absent + mor
+    new_gens: dict[str, str] = {}
+    if light:
+        # filter by the CAPPED complement: capped buckets are the
+        # few at max_depth, while `light` can be thousands wide —
+        # an isin over the small set keeps the plan literal-free
+        part = (
+            stamped.filter(~b.isin([int(i) for i in capped]))
+            if capped
+            else stamped
+        )
         if fold:
-            # keep-latest tables (recorded policy): rows are whole
-            # events ranked by an intrinsic comparator at read time —
-            # the batch lands verbatim, no audit stamping
-            stamped = updates
-        else:
-            now_col = (
-                F.lit(now).cast("timestamp") if now is not None
-                else F.current_timestamp()
-            )
-            from .merge import AUDIT_COLS
+            # fold tables: dedup the batch by the intrinsic
+            # comparator BEFORE it lands — a raw batch can carry
+            # several rows per composite key, and a base
+            # generation (absent-bucket leg) is read on the
+            # depth-0 fast path, which must be able to trust that
+            # generations hold final-state rows. Also shrinks the
+            # delta layers for free (what the CoW merger's window
+            # would have discarded anyway).
+            from .merge import keep_latest_merge
 
-            stamped = updates.select(
-                key,
-                *[
-                    c for c in updates.columns
-                    if c != key and c not in AUDIT_COLS
+            part = keep_latest_merge(
+                None, part,
+                keys=list(fold["keys"]),
+                order_by=[
+                    F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+                    for c, d in fold["order_by"]
                 ],
-                now_col.alias("created_at"),
-                now_col.alias("updated_at"),
             )
-        batch_schema = _schema_of(stamped)
-        committed_schema = _union_schema(full.get("schema"), batch_schema)
+        new_gens = _write_generations(
+            part, path, key, n_buckets, light
+        )
+    # leveling leg: capped buckets fold base+deltas+batch into a
+    # fresh base generation (cost ∝ those buckets)
+    leveled_gens: dict[str, str] = {}
+    if capped:
+        target_l = _read_snapshot_slice(spark, path, full, capped, key)
+        batch_l = stamped.filter(b.isin([int(i) for i in capped]))
+        if fold:
+            from .merge import keep_latest_merge
 
-        deltas_all = {
+            merged_l = keep_latest_merge(
+                target_l, batch_l,
+                keys=list(fold["keys"]),
+                order_by=[
+                    F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+                    for c, d in fold["order_by"]
+                ],
+            )
+        else:
+            merged_l = merge_upsert(
+                target_l, updates.filter(
+                    b.isin([int(i) for i in capped])
+                ), key=key, now=now,
+            )
+        leveled_gens = _write_generations(
+            merged_l, path, key, n_buckets, capped
+        )
+    harvested: dict[str, dict] = {}
+    for gens in (new_gens, leveled_gens):
+        for i, g in gens.items():
+            st = _harvest_stats(path, int(i), g)
+            harvested[i] = st
+            files += st["files"]
+            bytes_ += st["bytes"]
+    if meta.get("key_bloom") and (new_gens or leveled_gens):
+        both = {**new_gens, **leveled_gens}
+        _write_key_blooms(
+            spark, path, key, both,
+            {i: harvested[i] for i in both if i in harvested},
+            n_buckets, **meta["key_bloom"],
+        )
+
+    def publish(commit_full: dict) -> int:
+        """Assemble and commit this attempt on `commit_full` — the
+        snapshot it was prepared on, or a newer signature-disjoint
+        manifest (OCC rebase: the touched buckets' base/deltas/DV are
+        unchanged by construction, so the appends and levelings
+        compose as if run after the intervening commits). Must be
+        called under _MERGELOCK. DV refs stay ORDINAL-SCOPED: a new
+        delta re-inserting a deleted key simply sits above the DV —
+        no subtraction, and a PARTIAL re-insert gets insert semantics
+        (the dead base row's other columns stay dead, exactly the CoW
+        result)."""
+        manifest2 = dict(commit_full["buckets"])
+        stats2 = dict(commit_full.get("stats") or {})
+        deltas2 = {
             k2: [dict(d) for d in v2]
-            for k2, v2 in (full.get("deltas") or {}).items()
+            for k2, v2 in (commit_full.get("deltas") or {}).items()
         }
-        absent = [i for i in touched if str(i) not in manifest]
-        capped = [
-            i for i in touched
-            if str(i) in manifest
-            and len(deltas_all.get(str(i), [])) >= max_depth
-        ]
-        mor = [i for i in touched if i not in set(absent) | set(capped)]
-
-        effective = dict(meta.get("constraints") or {})
-        effective.update(constraints or {})
-        if effective:
-            # CHECK must see the EFFECTIVE merged rows: fold the
-            # current touched slice under the batch (one read — the
-            # price of constraints on a MOR table)
-            target = _read_snapshot_slice(spark, path, full, touched, key)
-            layered = stamped.withColumn("__ord", F.lit(1))
-            if target is not None:
-                for col, typ in [
-                    (f.name, f.dataType)
-                    for f in target.schema.fields
-                    if f.name not in stamped.columns
-                ]:
-                    layered = layered.withColumn(
-                        col, F.lit(None).cast(typ)
-                    )
-                base_l = target.withColumn("__ord", F.lit(0))
-                for col, typ in [
-                    (f.name, f.dataType)
-                    for f in stamped.schema.fields
-                    if f.name not in target.columns
-                ]:
-                    base_l = base_l.withColumn(col, F.lit(None).cast(typ))
-                layered = base_l.unionByName(layered)
-            folded_eff = (
-                _fold_rows(layered, fold) if fold
-                else _fold_ordinals(layered, key)
-            )
-            _enforce_constraints(folded_eff, effective, path)
-
-        files = bytes_ = 0
-        stats_all = dict(full.get("stats") or {})
-
-        # delta + absent legs: ONE generation-write job over the batch
-        # rows only — this is the whole write cost for those buckets
-        light = absent + mor
-        new_gens: dict[str, str] = {}
-        if light:
-            # filter by the CAPPED complement: capped buckets are the
-            # few at max_depth, while `light` can be thousands wide —
-            # an isin over the small set keeps the plan literal-free
-            part = (
-                stamped.filter(~b.isin([int(i) for i in capped]))
-                if capped
-                else stamped
-            )
-            if fold:
-                # fold tables: dedup the batch by the intrinsic
-                # comparator BEFORE it lands — a raw batch can carry
-                # several rows per composite key, and a base
-                # generation (absent-bucket leg) is read on the
-                # depth-0 fast path, which must be able to trust that
-                # generations hold final-state rows. Also shrinks the
-                # delta layers for free (what the CoW merger's window
-                # would have discarded anyway).
-                from .merge import keep_latest_merge
-
-                part = keep_latest_merge(
-                    None, part,
-                    keys=list(fold["keys"]),
-                    order_by=[
-                        F.desc(c) if str(d).lower() == "desc" else F.asc(c)
-                        for c, d in fold["order_by"]
-                    ],
-                )
-            new_gens = _write_generations(
-                part, path, key, n_buckets, light
-            )
-        # leveling leg: capped buckets fold base+deltas+batch into a
-        # fresh base generation (cost ∝ those buckets)
-        leveled_gens: dict[str, str] = {}
-        if capped:
-            target_l = _read_snapshot_slice(spark, path, full, capped, key)
-            batch_l = stamped.filter(b.isin([int(i) for i in capped]))
-            if fold:
-                from .merge import keep_latest_merge
-
-                merged_l = keep_latest_merge(
-                    target_l, batch_l,
-                    keys=list(fold["keys"]),
-                    order_by=[
-                        F.desc(c) if str(d).lower() == "desc" else F.asc(c)
-                        for c, d in fold["order_by"]
-                    ],
-                )
-            else:
-                merged_l = merge_upsert(
-                    target_l, updates.filter(
-                        b.isin([int(i) for i in capped])
-                    ), key=key, now=now,
-                )
-            leveled_gens = _write_generations(
-                merged_l, path, key, n_buckets, capped
-            )
-        harvested: dict[str, dict] = {}
-        for gens in (new_gens, leveled_gens):
-            for i, g in gens.items():
-                st = _harvest_stats(path, int(i), g)
-                harvested[i] = st
-                files += st["files"]
-                bytes_ += st["bytes"]
-        if meta.get("key_bloom") and (new_gens or leveled_gens):
-            both = {**new_gens, **leveled_gens}
-            _write_key_blooms(
-                spark, path, key, both,
-                {i: harvested[i] for i in both if i in harvested},
-                n_buckets, **meta["key_bloom"],
-            )
-
-        dv_all = {
-            k2: list(v2) for k2, v2 in (full.get("dv") or {}).items()
+        dv2 = {
+            k2: list(v2)
+            for k2, v2 in (commit_full.get("dv") or {}).items()
         }
-        # DV refs are ORDINAL-SCOPED ({"n": name, "d": depth}): they
-        # kill only generations at or below the delta depth they were
-        # committed at, so a new delta re-inserting a deleted key
-        # simply sits ABOVE the DV — no subtraction, and a PARTIAL
-        # re-insert gets insert semantics (the dead base row's other
-        # columns stay dead, exactly the CoW result)
-
+        committed_schema = _union_schema(
+            commit_full.get("schema"), batch_schema
+        )
+        absent_set = {str(a) for a in absent}
         for i, g in new_gens.items():
-            if i in {str(a) for a in absent}:
-                manifest[i] = g
-                stats_all[i] = harvested[i]
+            if i in absent_set:
+                manifest2[i] = g
+                stats2[i] = harvested[i]
             else:
-                deltas_all.setdefault(i, []).append(
+                deltas2.setdefault(i, []).append(
                     {"g": g, "stats": harvested[i]}
                 )
         for i in capped:
             si = str(i)
             g = leveled_gens.get(si)
             if g is None:  # cannot happen for an upsert (no deletes)
-                manifest.pop(si, None)
-                stats_all.pop(si, None)
+                manifest2.pop(si, None)
+                stats2.pop(si, None)
             else:
-                manifest[si] = g
-                stats_all[si] = harvested[si]
-            deltas_all.pop(si, None)  # folded into the new base
-            dv_all.pop(si, None)  # folded too (slice read DV-applied)
-        v = max([cur] + _list_versions(path)) + 1
+                manifest2[si] = g
+                stats2[si] = harvested[si]
+            deltas2.pop(si, None)  # folded into the new base
+            dv2.pop(si, None)  # folded too (slice read DV-applied)
+        v = max([commit_full["v"]] + _list_versions(path)) + 1
         _commit(
-            path, v, manifest, n_buckets, committed_schema, stats_all,
-            op="merge-mor", dv=dv_all, deltas=deltas_all,
+            path, v, manifest2, n_buckets, committed_schema, stats2,
+            op="merge-mor", dv=dv2, deltas=deltas2,
         )
-    finally:
-        fcntl.flock(lock, fcntl.LOCK_UN)
-        lock.close()
+        return v
+
     return {
-        "version": v, "n_buckets": n_buckets,
-        "buckets_touched": len(touched),
+        "empty": False,
+        "cur": cur,
+        "full": full,
+        "n_buckets": n_buckets,
+        "touched": touched,
         "delta_buckets": len(mor) + len(absent),
         "leveled_buckets": len(capped),
-        "files_written": files, "bytes_written": bytes_,
+        "files": files,
+        "bytes": bytes_,
+        "publish": publish,
     }
 
 

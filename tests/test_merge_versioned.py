@@ -2513,3 +2513,89 @@ def test_mor_fold_intra_batch_duplicates_on_fresh_buckets(spark, tmp_path):
     got = {(r["user_id"], r["event_type"], r["event_id"]) for r in rows}
     assert got == {(1, "click", 3), (2, "view", 4)}
     assert len(rows) == 2  # no duplicate survived the fast path
+
+
+def test_mor_occ_disjoint_writers_overlap_and_rebase(spark, tmp_path):
+    """occ=True on the MOR path: two delta writers' work phases
+    genuinely overlap (barrier seam), both land, exactly one rebases,
+    and the content equals the sequential application — the
+    concurrent-ingestion shape (N feeds MOR-appending all night)."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    keys = [f"CVE-{i}" for i in range(80)]
+    path = str(tmp_path / "morocc1")
+    write_bucket_table_versioned(
+        merge_upsert(
+            None, _batch(spark, "nvd", {k: f"n{k}" for k in keys}), now=T0
+        ),
+        path, key="id", n_buckets=8,
+    )
+    bmap = _buckets_of(spark, keys, 8)
+    even = [k for k in keys if bmap[k] % 2 == 0][:8]
+    odd = [k for k in keys if bmap[k] % 2 == 1][:8]
+    barrier = threading.Barrier(2, timeout=120)
+    results, errs = {}, []
+
+    def run(name, ks, val):
+        try:
+            results[name] = merge_scoped_versioned_mor(
+                spark, path, _batch(spark, "nvd", {k: val for k in ks}),
+                now=T1, occ=True, pre_commit_hook=barrier.wait,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=run, args=("A", even, "A")),
+        threading.Thread(target=run, args=("B", odd, "B")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["version"] for r in results.values()) == [2, 3]
+    assert sorted(r["rebased"] for r in results.values()) == [False, True]
+    expected = {k: f"n{k}" for k in keys}
+    expected.update({k: "A" for k in even})
+    expected.update({k: "B" for k in odd})
+    assert _as_map(read_bucket_table_versioned(spark, path)) == expected
+    # both landed as DELTAS on their buckets
+    full = mv._load_manifest_full(path, latest_version(path))
+    assert {int(i) for i in full.get("deltas", {})} == {
+        bmap[k] for k in even + odd
+    }
+
+
+def test_mor_occ_same_bucket_conflict_retries(spark, tmp_path):
+    """A concurrent delta commit into the SAME bucket is a signature
+    conflict (delta lists are part of the bucket signature): the OCC
+    MOR merge retries from the new snapshot and both batches land."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "morocc2")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    calls = []
+
+    def inject_once():
+        if not calls:
+            calls.append(1)
+            merge_scoped_versioned_mor(
+                spark, path, _batch(spark, "nvd", {"CVE-2": "W"}), now=T1
+            )
+
+    res = merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "B"}), now=T2,
+        occ=True, pre_commit_hook=inject_once,
+    )
+    assert res["attempts"] == 2 and res["version"] == 3
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "B" and m["CVE-2"] == "W"
