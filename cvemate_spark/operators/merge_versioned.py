@@ -18,12 +18,34 @@ data files are IMMUTABLE, commits only add files and atomically
 publish a new manifest.
 
 Layout under `path/`:
-    _BUCKETS                   layout meta {key, n_buckets, versioned}
+    _BUCKETS                   layout meta {key, n_buckets, versioned,
+                               constraints?, key_bloom?, mor_fold?}
     _LATEST                    the committed version number (pointer FILE)
     _COMMITLOCK / _MERGELOCK   flock files (pointer advance / merger serialization)
-    v-<n>.json                 immutable manifest: {bucket id -> generation dir}
+    v-<n>.json                 immutable manifest: {buckets: {id -> generation
+                               dir}, schema, stats, op, committed_at,
+                               dv?: {id -> [{n, d}]} (ordinal-scoped deletion
+                               vectors), deltas?: {id -> [{g, stats}]}
+                               (merge-on-read delta chains)}
     v-<n>.superseded           vacuum grace marker (stamped when displaced)
-    bucket=<i>/g-<hex>/        immutable per-bucket generation (parquet)
+    _HISTORY.jsonl             commit log (one line per commit; O(1)/line history)
+    bucket=<i>/g-<hex>/        immutable per-bucket generation (parquet,
+                               optional _KEYBLOOM.json sidecar)
+    dv-<hex>/                  deletion-vector key sets (parquet)
+
+Write protocols on top of the manifest-pointer commit:
+    merge_scoped_versioned      copy-on-write (touched buckets rewritten)
+    merge_scoped_versioned_occ  same, multi-writer OPTIMISTIC concurrency
+                                (work lock-free; disjoint writers rebase)
+    merge_scoped_versioned_mor  merge-on-read (batch lands as delta
+                                generations; reads fold — per-column
+                                ordinal coalesce, or whole-row keep-latest
+                                under a recorded mor_fold policy); occ=True
+                                for concurrent ingestion
+    merge_deletes_dv            deletes as ordinal-scoped deletion vectors
+    compact_versioned           folds deltas+DVs back to single generations
+    optimize_versioned          clustered/z-ordered layout (file-grain skipping)
+    rebucket_versioned          online layout migration
 
 A scoped merge writes NEW generation dirs for the touched buckets only
 (never mutating an existing one), writes manifest v-(n+1) mapping the

@@ -513,3 +513,46 @@ def test_catalog_feed_vacuumed_span_fails_loudly(spark, tmp_path):
     vacuum_catalog(cat, keep=2)  # v2/v3 gone
     with pytest.raises(ValueError, match="no longer retained"):
         catalog_change_feed(spark, cat, 2, 5)
+
+
+def test_catalog_txn_pins_mor_action_version(spark, tmp_path):
+    """A MOR merge as a catalog transaction action: the txn pins the
+    version the action RETURNS (merge_scoped_versioned_mor returns its
+    dict like the CoW path), and catalog_read at that catalog version
+    serves the joint snapshot with the delta chain folded."""
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.catalog import (
+        catalog_init, catalog_read, catalog_txn,
+    )
+    from cvemate_spark.operators.merge import merge_upsert
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+        write_bucket_table_versioned,
+    )
+
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    tpath = str(tmp_path / "t1")
+    base = spark.createDataFrame([Row(id=f"k{i}", v=i) for i in range(10)])
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now="2024-01-01 00:00:00"),
+        tpath, key="id", n_buckets=2,
+    )
+
+    def action(sk, p):
+        return merge_scoped_versioned_mor(
+            sk, p,
+            sk.createDataFrame([Row(id="k1", v=999), Row(id="k99", v=1)]),
+            now="2024-01-02 00:00:00",
+        )
+
+    out = catalog_txn(
+        spark, cat, members={"t1": tpath}, actions={"t1": action}
+    )
+    assert out["tables"]["t1"] == 2
+    snap = catalog_read(
+        spark, cat, "t1", version=out["catalog_version"]
+    )
+    m = {r["id"]: r["v"] for r in snap.collect()}
+    assert m["k1"] == 999 and m["k99"] == 1 and len(m) == 11

@@ -2599,3 +2599,51 @@ def test_mor_occ_same_bucket_conflict_retries(spark, tmp_path):
     assert res["attempts"] == 2 and res["version"] == 3
     m = _as_map(read_bucket_table_versioned(spark, path))
     assert m["CVE-1"] == "B" and m["CVE-2"] == "W"
+
+
+def test_optimize_and_rebucket_fold_mor_deltas(spark, tmp_path):
+    """optimize_versioned and rebucket_versioned read THROUGH delta
+    chains and DVs: both are content-neutral on a MOR table, clear the
+    folded refs, and (optimize) restore a file-grain-prunable layout."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        merge_deletes_dv,
+        merge_scoped_versioned_mor,
+        optimize_versioned,
+        rebucket_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [Row(id=f"CVE-{i}", score=float(i)) for i in range(60)]
+    )
+    path = str(tmp_path / "mor_opt")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    merge_scoped_versioned_mor(
+        spark, path,
+        spark.createDataFrame(
+            [Row(id="CVE-1", score=100.5), Row(id="CVE-990", score=7.0)]
+        ),
+        now=T1,
+    )
+    merge_deletes_dv(spark, path, spark.createDataFrame([Row(id="CVE-2")]))
+    pre, pre_cols = _rows_sorted(read_bucket_table_versioned(spark, path))
+
+    out = optimize_versioned(spark, path, cluster_by=["score"])
+    full = mv._load_manifest_full(path, out["version"])
+    assert not full.get("deltas") and not full.get("dv")
+    post, post_cols = _rows_sorted(read_bucket_table_versioned(spark, path))
+    assert (pre, pre_cols) == (post, post_cols)
+
+    # another MOR delta, then an online rebucket folds it too
+    merge_scoped_versioned_mor(
+        spark, path, spark.createDataFrame([Row(id="CVE-3", score=42.0)]),
+        now=T2,
+    )
+    pre2, _ = _rows_sorted(read_bucket_table_versioned(spark, path))
+    r = rebucket_versioned(spark, path, 8)
+    full2 = mv._load_manifest_full(path, r["version"])
+    assert not full2.get("deltas") and full2["n_buckets"] == 8
+    post2, _ = _rows_sorted(read_bucket_table_versioned(spark, path))
+    assert pre2 == post2
