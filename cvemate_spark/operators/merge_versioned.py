@@ -139,7 +139,7 @@ def _write_manifest(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
-    deltas: dict | None = None,
+    deltas: dict | None = None, dead_phys: list | None = None,
 ) -> float:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {
@@ -165,6 +165,12 @@ def _write_manifest(
         # supersede earlier ones and the base generation per key/column
         # (operators read through _read_snapshot_slice's ordinal fold)
         m["deltas"] = deltas
+    if dead_phys:
+        # physical names of DROPPED columns: still present in old data
+        # files, so a later merge may not ADD a column whose name
+        # would collide with one (_union_schema raises) — the rule
+        # that keeps dropped data from leaking into a new column
+        m["dead_phys"] = sorted(dead_phys)
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -271,7 +277,19 @@ def _relax_type(old, new):
     return new
 
 
-def _union_schema(prev: dict | None, new: dict) -> dict:
+def _reserved_phys(full: dict) -> set[str]:
+    """Physical names a NEW column may not take: every mapped physical
+    name still live in the schema, plus the physical names of DROPPED
+    columns (their data lingers in old files) — reusing either would
+    read the old column's bytes into the new logical column."""
+    out = set((full.get("dead_phys") or []))
+    out |= set(_phys_map(full.get("schema")).values())
+    return out
+
+
+def _union_schema(
+    prev: dict | None, new: dict, reserved_phys: set[str] | None = None,
+) -> dict:
     """Field-union of two schema JSONs: previous field ORDER is kept,
     fields only in the new schema append, fields only in the previous
     schema survive — a merge can never silently narrow the table.
@@ -309,15 +327,36 @@ def _union_schema(prev: dict | None, new: dict) -> dict:
         if nf is None:
             out.append(f)
             continue
-        out.append(
-            {
-                **nf,
-                "nullable": bool(
-                    nf.get("nullable", True) or f.get("nullable", True)
-                ),
-                "type": _relax_type(f["type"], nf["type"]),
+        merged = {
+            **nf,
+            "nullable": bool(
+                nf.get("nullable", True) or f.get("nullable", True)
+            ),
+            "type": _relax_type(f["type"], nf["type"]),
+        }
+        # COLUMN MAPPING survives merges: the batch side never carries
+        # the phys metadata (it was built from logical names), so the
+        # committed field keeps the previous mapping
+        prev_phys = (f.get("metadata") or {}).get("phys")
+        if prev_phys:
+            merged["metadata"] = {
+                **(merged.get("metadata") or {}), "phys": prev_phys,
             }
+        out.append(merged)
+    if reserved_phys:
+        # a NEW column may not take a physical name that old data
+        # files still use (a renamed column's birth name, a dropped
+        # column's name): files would leak the old bytes into it
+        clashes = sorted(
+            n for n in new_by_name if n in reserved_phys
         )
+        if clashes:
+            raise SchemaConflict(
+                f"new column(s) {clashes} collide with the physical "
+                "name of a renamed or dropped column still present in "
+                "data files — pick a different name, or do a full "
+                "reload (which rewrites files and clears mappings)"
+            )
     out += list(new_by_name.values())
     return {**new, "fields": out}
 
@@ -335,13 +374,62 @@ def table_schema(path: str, version: int | None = None):
     return StructType.fromJson(s) if s is not None else None
 
 
-def _read_dirs(spark: SparkSession, dirs: list[str], schema) -> DataFrame:
+def _phys_map(schema_json: dict | None) -> dict[str, str]:
+    """COLUMN MAPPING (Delta's columnMapping=name shape): logical ->
+    physical column name, only the non-identity entries. A field's
+    physical name — the name its data files actually store — is fixed
+    at column birth and recorded in the field metadata ("phys") when a
+    RENAME moves the logical name away from it. Empty for tables that
+    never altered: every code path below is feature-gated on that."""
+    if not schema_json:
+        return {}
+    out = {}
+    for f in schema_json["fields"]:
+        p = (f.get("metadata") or {}).get("phys")
+        if p and p != f["name"]:
+            out[f["name"]] = p
+    return out
+
+
+def _physical_struct(schema_json: dict):
+    """The StructType under which the data FILES read: field names
+    replaced by their physical names (top level only — nested fields
+    are not renameable, `alter_bucket_table_versioned` rejects
+    attempts)."""
+    from pyspark.sql.types import StructType
+
+    fields = [
+        {**f, "name": (f.get("metadata") or {}).get("phys") or f["name"]}
+        for f in schema_json["fields"]
+    ]
+    return StructType.fromJson({**schema_json, "fields": fields})
+
+
+def _read_dirs(
+    spark: SparkSession, dirs: list[str], schema,
+    schema_json: dict | None = None,
+) -> DataFrame:
     """Read generation dirs under the manifest-recorded schema when one
     exists: generations written before a column was added simply fill
     it with nulls (parquet reads by name), and the column ORDER is the
-    committed one regardless of which file the inference would pick."""
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    df = reader.parquet(*dirs)
+    committed one regardless of which file the inference would pick.
+    When the committed schema carries COLUMN MAPPINGS (pass
+    `schema_json` — renamed columns whose files store the birth-time
+    physical name), the scan runs under the PHYSICAL schema and
+    projects to logical names, so a rename never touches a data file."""
+    pmap = _phys_map(schema_json)
+    if pmap:
+        df = spark.read.schema(_physical_struct(schema_json)).parquet(*dirs)
+        inv = {p: l for l, p in pmap.items()}
+        df = df.select(
+            *[
+                F.col(f.name).alias(inv.get(f.name, f.name))
+                for f in df.schema.fields
+            ]
+        )
+    else:
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        df = reader.parquet(*dirs)
     return df.drop("bucket") if "bucket" in df.columns else df
 
 
@@ -625,6 +713,10 @@ def prune_generations(
             "manifest": full,
         }
     deltas = full.get("deltas") or {}
+    # stats are harvested from data-file FOOTERS, so their keys are
+    # PHYSICAL column names — translate the (logical) predicate column
+    # through the mapping (identity for never-altered tables)
+    pcol = _phys_map(full.get("schema")).get(column, column)
     for i in sorted(full["buckets"]):
         # a bucket with merge-on-read deltas is excludable only when
         # EVERY generation's stats exclude: the base may be out of
@@ -633,7 +725,7 @@ def prune_generations(
         # sound. Absent stats on any generation mean MUST READ.
         entries = [stats.get(i)] + [d.get("stats") for d in deltas.get(i, [])]
         if all(
-            _stat_excludes((e or {}).get("cols", {}).get(column), lo, hi)
+            _stat_excludes((e or {}).get("cols", {}).get(pcol), lo, hi)
             for e in entries
         ):
             skipped.append(i)
@@ -693,8 +785,9 @@ def prune_files(
     # only BOUNDED predicates license file skips — an unbounded
     # (col, None, None) matches every row including nulls, exactly
     # the rule prune_generations applies at bucket grain
+    pmap = _phys_map(full.get("schema"))
     bounded = [
-        (c, lo, hi)
+        (pmap.get(c, c), lo, hi)
         for c, lo, hi in predicates
         if lo is not None or hi is not None
     ]
@@ -763,7 +856,7 @@ def scan_versioned_multi(
         _k = json.load(f)["key"]
     df = None
     if dirs:
-        df = _read_dirs(spark, dirs, schema)
+        df = _read_dirs(spark, dirs, schema, schema_json=stored)
         read_buckets = {
             (d.split("/")[-3] if d.endswith(".parquet") else d.split("/")[-2])
             .split("=")[1]
@@ -1091,7 +1184,7 @@ def _read_snapshot_slice(
     dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in ids]
     deltas = full.get("deltas") or {}
     depth = max((len(deltas.get(i, [])) for i in ids), default=0)
-    df = _read_dirs(spark, dirs, schema)
+    df = _read_dirs(spark, dirs, schema, schema_json=stored)
     if not depth:
         return _apply_dv(spark, path, full, ids, df, key)
     df = df.withColumn("__ord", F.lit(0))
@@ -1102,7 +1195,7 @@ def _read_snapshot_slice(
             if len(deltas.get(i, [])) >= j
         ]
         df = df.unionByName(
-            _read_dirs(spark, layer, schema).withColumn(
+            _read_dirs(spark, layer, schema, schema_json=stored).withColumn(
                 "__ord", F.lit(j)
             )
         )
@@ -1228,6 +1321,7 @@ def merge_deletes_dv(
             path, v, dict(full["buckets"]), n_buckets,
             full.get("schema"), full.get("stats"), op="delete-dv",
             dv=dv_all, deltas=full.get("deltas"),
+            dead_phys=full.get("dead_phys"),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1242,7 +1336,7 @@ def _commit(
     path: str, v: int, buckets: dict[str, str], n_buckets: int,
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
-    deltas: dict | None = None,
+    deltas: dict | None = None, dead_phys: list | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -1280,7 +1374,7 @@ def _commit(
                         os.unlink(_manifest_path(path, ph))
                 stamp = _write_manifest(
                     path, v, buckets, n_buckets, schema, stats, op, dv,
-                    deltas,
+                    deltas, dead_phys,
                 )
                 os.replace(tmp, latest)
                 # commit-log line AFTER the pointer lands (the commit
@@ -1532,6 +1626,7 @@ def _write_generations(
     buckets: list[int] | None = None,
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    pmap: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """One Spark job: bucket the rows, land each written bucket as an
     immutable `bucket=<i>/g-<hex>` generation dir (a rename off the
@@ -1561,6 +1656,18 @@ def _write_generations(
             # sorts by a computed Morton code without materializing it
             # into the table schema).
             job = job.sortWithinPartitions("bucket", *sort_by)
+        if pmap:
+            # COLUMN MAPPING: data files store PHYSICAL names (the
+            # birth-time name a rename moved the logical name away
+            # from) — projected LAST so sort/bucket expressions above
+            # resolved against the logical frame; the narrow
+            # projection preserves within-partition order
+            job = job.select(
+                *[
+                    F.col(c).alias(pmap.get(c, c))
+                    for c in job.columns
+                ]
+            )
         writer = job.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option(
@@ -1663,7 +1770,10 @@ def _prepare_scoped_merge(
     # a single byte lands — so a rejected batch leaves no orphans and
     # no bricked manifest (the commit step re-unions against whatever
     # manifest it actually publishes on)
-    _union_schema(full.get("schema"), batch_schema)
+    union0 = _union_schema(
+        full.get("schema"), batch_schema, _reserved_phys(full)
+    )
+    pmap = _phys_map(union0)
 
     # table-level CHECK constraints (recorded at creation) plus any
     # per-call additions, enforced on the merged slice BEFORE a
@@ -1680,7 +1790,7 @@ def _prepare_scoped_merge(
     try:
         _enforce_constraints(merged, effective, path)
         new_gens = _write_generations(
-            merged, path, key, n_buckets, touched
+            merged, path, key, n_buckets, touched, pmap=pmap
         )
     finally:
         if persisted:
@@ -1731,7 +1841,8 @@ def _assemble_scoped_commit(
     manifest = dict(commit_full["buckets"])
     stats_all = dict(commit_full.get("stats") or {})
     committed_schema = _union_schema(
-        commit_full.get("schema"), prep["batch_schema"]
+        commit_full.get("schema"), prep["batch_schema"],
+        _reserved_phys(commit_full),
     )
     for i in prep["touched"]:
         g = prep["new_gens"].get(str(i))
@@ -1759,6 +1870,7 @@ def _assemble_scoped_commit(
     _commit(
         path, v, manifest, commit_full["n_buckets"], committed_schema,
         stats_all, op=op, dv=dv_all, deltas=deltas_all,
+        dead_phys=commit_full.get("dead_phys"),
     )
     return v
 
@@ -2134,7 +2246,10 @@ def _mor_attempt(
     batch_schema = _schema_of(stamped)
     # type-conflict check BEFORE any byte lands (publish re-unions
     # against whatever manifest it actually commits on)
-    _union_schema(full.get("schema"), batch_schema)
+    union0 = _union_schema(
+        full.get("schema"), batch_schema, _reserved_phys(full)
+    )
+    pmap = _phys_map(union0)
 
     deltas_all = {
         k2: [dict(d) for d in v2]
@@ -2214,7 +2329,7 @@ def _mor_attempt(
                 ],
             )
         new_gens = _write_generations(
-            part, path, key, n_buckets, light
+            part, path, key, n_buckets, light, pmap=pmap
         )
     # leveling leg: capped buckets fold base+deltas+batch into a
     # fresh base generation (cost ∝ those buckets)
@@ -2240,7 +2355,7 @@ def _mor_attempt(
                 ), key=key, now=now,
             )
         leveled_gens = _write_generations(
-            merged_l, path, key, n_buckets, capped
+            merged_l, path, key, n_buckets, capped, pmap=pmap
         )
     harvested: dict[str, dict] = {}
     for gens in (new_gens, leveled_gens):
@@ -2279,7 +2394,8 @@ def _mor_attempt(
             for k2, v2 in (commit_full.get("dv") or {}).items()
         }
         committed_schema = _union_schema(
-            commit_full.get("schema"), batch_schema
+            commit_full.get("schema"), batch_schema,
+            _reserved_phys(commit_full),
         )
         absent_set = {str(a) for a in absent}
         for i, g in new_gens.items():
@@ -2305,6 +2421,7 @@ def _mor_attempt(
         _commit(
             path, v, manifest2, n_buckets, committed_schema, stats2,
             op="merge-mor", dv=dv2, deltas=deltas2,
+            dead_phys=commit_full.get("dead_phys"),
         )
         return v
 
@@ -2320,6 +2437,129 @@ def _mor_attempt(
         "bytes": bytes_,
         "publish": publish,
     }
+
+
+def alter_bucket_table_versioned(
+    path: str,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> dict:
+    """RENAME / DROP COLUMN without touching a data file — Delta's
+    column-mapping (name mode) economics: one metadata-only commit.
+
+    A renamed column keeps its birth-time PHYSICAL name (recorded in
+    the schema field metadata as "phys"); every read runs the scan
+    under the physical schema and projects to logical names
+    (`_read_dirs`), every write projects back (`_write_generations`),
+    and stats pruning translates predicates — so rename costs one
+    manifest, not a table rewrite. A dropped column simply leaves the
+    schema; its bytes linger in old files, unread, and its physical
+    name goes into the manifest's `dead_phys` reservation: a later
+    merge may NOT add a column whose name collides with a dead or
+    renamed-away physical name (SchemaConflict — reusing it would read
+    the old column's bytes into the new one; a full reload rewrites
+    files and clears mappings, freeing the names).
+
+    Time travel is exact: pre-alter versions read under their own
+    schemas with the old names. The change feed across an alter
+    boundary reports a rename as drop+add (name-mode mapping has no
+    column identity across versions — Delta's CDF has the same shape).
+
+    Guard rails: the bucket KEY is not renameable/droppable (bucketing,
+    point lookups and DVs are keyed on it); columns referenced by
+    recorded CHECK constraints or the mor_fold policy must be released
+    from those first (raise). Returns {version, schema_columns}.
+    """
+    import fcntl
+    import re
+
+    rename = dict(rename or {})
+    drop = list(drop or [])
+    if not rename and not drop:
+        raise ValueError("alter: nothing to do (no rename, no drop)")
+    with open(os.path.join(path, BUCKET_META)) as f:
+        meta = json.load(f)
+    key = meta["key"]
+    touched_cols = set(rename) | set(drop)
+    if key in touched_cols:
+        raise ValueError(
+            f"alter may not rename or drop the bucket key {key!r}"
+        )
+    for cname, expr in (meta.get("constraints") or {}).items():
+        hit = sorted(
+            c for c in touched_cols
+            if re.search(rf"\b{re.escape(c)}\b", expr)
+        )
+        if hit:
+            raise ValueError(
+                f"alter touches column(s) {hit} referenced by CHECK "
+                f"constraint {cname!r} ({expr!r}) — update or clear "
+                "the constraint first (reload with constraints=...)"
+            )
+    fold = meta.get("mor_fold")
+    if fold:
+        fold_cols = set(fold.get("keys", [])) | {
+            c for c, _d in fold.get("order_by", [])
+        }
+        hit = sorted(touched_cols & fold_cols)
+        if hit:
+            raise ValueError(
+                f"alter touches column(s) {hit} referenced by the "
+                "mor_fold policy — not renameable in place"
+            )
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        schema = full.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"alter needs a recorded schema on {path} (tables "
+                "written before schema recording must reload first)"
+            )
+        names = {f["name"] for f in schema["fields"]}
+        missing = sorted(touched_cols - names)
+        if missing:
+            raise ValueError(f"alter: no such column(s) {missing}")
+        taken = (names - set(drop) - set(rename)) | set(rename.values())
+        if len(taken) != len(names) - len(drop):
+            raise ValueError(
+                f"alter: rename targets collide with existing columns "
+                f"({sorted(set(rename.values()) & (names - set(rename)))})"
+            )
+        dead = set(full.get("dead_phys") or [])
+        new_fields = []
+        for f in schema["fields"]:
+            phys = (f.get("metadata") or {}).get("phys") or f["name"]
+            if f["name"] in drop:
+                dead.add(phys)
+                continue
+            if f["name"] in rename:
+                f = {
+                    **f,
+                    "name": rename[f["name"]],
+                    "metadata": {
+                        **(f.get("metadata") or {}), "phys": phys,
+                    },
+                }
+            new_fields.append(f)
+        new_schema = {**schema, "fields": new_fields}
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(
+            path, v, dict(full["buckets"]), full["n_buckets"],
+            new_schema, full.get("stats"),
+            op="alter:" + ",".join(
+                [f"{a}->{b}" for a, b in sorted(rename.items())]
+                + [f"-{c}" for c in sorted(drop)]
+            ),
+            dv=full.get("dv"), deltas=full.get("deltas"),
+            dead_phys=sorted(dead),
+        )
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {"version": v, "schema_columns": len(new_fields)}
 
 
 def compact_versioned(
@@ -2358,7 +2598,10 @@ def compact_versioned(
             return {"version": cur, "buckets_compacted": 0}
         folded = _read_snapshot_slice(spark, path, full, target, key)
         gens = (
-            _write_generations(folded, path, key, n_buckets, target)
+            _write_generations(
+                folded, path, key, n_buckets, target,
+                pmap=_phys_map(full.get("schema")),
+            )
             if folded is not None
             else {}
         )
@@ -2393,6 +2636,7 @@ def compact_versioned(
         _commit(
             path, v, manifest, n_buckets, full.get("schema"), stats_all,
             op="compact", dv=dv_all, deltas=deltas_all,
+            dead_phys=full.get("dead_phys"),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -2454,7 +2698,10 @@ def rebucket_versioned(
             snapshot = _read_snapshot_slice(
                 spark, path, full, sorted(full["buckets"]), key
             )
-            gens = _write_generations(snapshot, path, key, new_n_buckets)
+            gens = _write_generations(
+                snapshot, path, key, new_n_buckets,
+                pmap=_phys_map(full.get("schema")),
+            )
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
             if meta.get("key_bloom"):
                 _write_key_blooms(
@@ -2464,8 +2711,14 @@ def rebucket_versioned(
         v = max([cur] + _list_versions(path)) + 1
         _commit(
             path, v, gens, new_n_buckets,
-            _schema_of(snapshot) if dirs else full.get("schema"), stats,
+            # the snapshot frame is LOGICAL; keep the committed schema
+            # (phys metadata included — the rewrite wrote physical
+            # names) rather than deriving a mapping-less one from it
+            full.get("schema") if full.get("schema") is not None
+            else (_schema_of(snapshot) if dirs else None),
+            stats,
             op="rebucket",
+            dead_phys=full.get("dead_phys"),
         )
         # refresh the meta hint (readers/mergers resolve the layout
         # from the manifest; the meta records the key and the LATEST
@@ -2497,6 +2750,7 @@ def _ledger_bounds(full: dict, column: str) -> tuple | None:
     to a one-job aggregate)."""
     lo = hi = None
     stats = full.get("stats") or {}
+    column = _phys_map(full.get("schema")).get(column, column)
     for i in full["buckets"]:
         s = (stats.get(i) or {}).get("cols", {}).get(column)
         if s is None or s.get("t") not in ("num",):
@@ -2672,6 +2926,7 @@ def optimize_versioned(
             buckets=[int(i) for i in target],
             sort_by=sort_key,
             max_records_per_file=rows_per_file,
+            pmap=_phys_map(full.get("schema")),
         )
         stats_all = dict(full.get("stats") or {})
         files = 0
@@ -2712,6 +2967,7 @@ def optimize_versioned(
                 else f"optimize:{','.join(cluster_by)}"
             ),
             dv=dv_all, deltas=deltas_all,
+            dead_phys=full.get("dead_phys"),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -2838,13 +3094,13 @@ def read_bucket_for_key_versioned(
         return None
     schema = StructType.fromJson(stored) if stored is not None else None
     if len(gens) == 1:
-        return _read_dirs(spark, [live[0][0]], schema).filter(
-            F.col(meta["key"]) == F.lit(value)
-        )
+        return _read_dirs(
+            spark, [live[0][0]], schema, schema_json=stored
+        ).filter(F.col(meta["key"]) == F.lit(value))
     df = None
     for gdir, ordn in live:
         part = (
-            _read_dirs(spark, [gdir], schema)
+            _read_dirs(spark, [gdir], schema, schema_json=stored)
             .filter(F.col(meta["key"]) == F.lit(value))
             .withColumn("__ord", F.lit(ordn))
         )

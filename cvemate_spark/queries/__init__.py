@@ -136,19 +136,20 @@ DRIVER_GATE: tuple[str, ...] = (
     # multi-writer optimistic concurrency (merge_scoped_versioned_occ)
     # and merge-on-read deltas (merge_scoped_versioned_mor +
     # compact_versioned + ordinal-scoped DVs + the keep-latest fold
-    # policy driving the s20 MOR replay); q01/q06/q17 cede — headline
-    # standing re-entries, builders unchanged this round, driver-green
-    # r1/r9 (5)
+    # policy driving the s20 MOR replay) and column mapping
+    # (alter_bucket_table_versioned: RENAME/DROP without rewrite);
+    # q01/q06/q17/q11 cede — headline standing re-entries, builders
+    # unchanged this round, driver-green r1/r9 (6)
     "e_versioned_cluster_skip", "e_catalog_feed", "e_merge_concurrent",
-    "e_merge_mor", "s20_mor_replay",
+    "e_merge_mor", "s20_mor_replay", "e_versioned_rename",
     # --- re-entries: changed-closure engine surface (5; e_gapfill and
     # e_hll_merge ceded to the round-10 entrants — closure-only hash
     # changes, re-proven locally by the round-10 pin refresh)
     "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join",
     "curate_pipeline2",
     # --- re-entries: the headline suite (bench-correlated standing
-    # re-entry vehicle) (7)
-    "q11", "q19", "dedup_minhash", "dedup_exact",
+    # re-entry vehicle) (6)
+    "q19", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup",
 )
 

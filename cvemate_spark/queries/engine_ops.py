@@ -3381,3 +3381,130 @@ def e_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "status")
     )
+
+
+# --------------------------------------------------- e_versioned_rename
+@REG.add(
+    "e_versioned_rename",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    upd AS (  -- post-alter merge addresses the column by its NEW name
+        SELECT o_orderkey AS k, o_totalprice + 9.0 AS amount
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    v3 AS (
+        SELECT COALESCE(u.k, t.k) AS k,
+               COALESCE(u.amount, t.price) AS amount
+        FROM base t FULL OUTER JOIN upd u ON t.k = u.k
+    ),
+    hist AS (
+        -- v1: pre-alter snapshot under the OLD names (price, status)
+        SELECT 1 AS version, status AS tag,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM base GROUP BY status
+        UNION ALL
+        -- v3: post-alter post-merge, 'amount' live, 'status' dropped
+        SELECT 3, 'ALL',
+               CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE),
+               CAST(count(*) AS BIGINT)
+        FROM v3
+    )
+    SELECT version, tag, total, cnt FROM hist ORDER BY version, tag
+    """,
+    doc="RENAME/DROP COLUMN without a rewrite "
+    "(operators/merge_versioned.py::alter_bucket_table_versioned — "
+    "Delta column-mapping, name mode): one metadata-only commit "
+    "renames price->amount and drops status; data files keep their "
+    "birth-time PHYSICAL names (the builder asserts not one "
+    "generation dir changed), reads scan under the physical schema "
+    "and project to logical names, writes project back, and stats "
+    "pruning translates predicates through the mapping. A post-alter "
+    "merge updates rows THROUGH the new name (its generation stores "
+    "the physical name — raw-file assert); the dropped column's "
+    "physical name is RESERVED (dead_phys) so no later merge can leak "
+    "its lingering bytes into a new column (SchemaConflict law). Time "
+    "travel is exact: the oracle hashes v1 under the OLD names "
+    "(price/status grouped) and the post-merge snapshot under the NEW "
+    "name — proving the mapping layer end to end at both grains. At "
+    "100 TB a rename costs one manifest instead of a table rewrite.",
+)
+def e_versioned_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        alter_bucket_table_versioned,
+        merge_scoped_versioned,
+        read_bucket_table_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:ren-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/renver_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            path, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        gens_before = sorted(_glob.glob(f"{path}/bucket=*/g-*"))
+        s2 = alter_bucket_table_versioned(
+            path, rename={"price": "amount"}, drop=["status"]
+        )
+        # METADATA-ONLY: the alter moved no data file
+        assert sorted(_glob.glob(f"{path}/bucket=*/g-*")) == gens_before
+        batch = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            "o_orderkey",
+            (F.col("price") + F.lit(9.0)).alias("amount"),
+        )
+        s3 = merge_scoped_versioned(spark, path, batch, now=T_MERGE)
+        assert (s2["version"], s3["version"]) == (2, 3)
+        # the post-alter generation stores the PHYSICAL column name
+        new_dirs = sorted(
+            set(_glob.glob(f"{path}/bucket=*/g-*")) - set(gens_before)
+        )
+        assert new_dirs
+        raw_cols = spark.read.parquet(*new_dirs).columns
+        assert "price" in raw_cols and "amount" not in raw_cols
+        with open(done, "w") as f:
+            f.write(f"{s2}\n{s3}\n")
+    v1 = read_bucket_table_versioned(spark, path, version=1)
+    pre = (
+        v1.groupBy(F.col("status").alias("tag"))
+        .agg(
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .select(F.lit(1).alias("version"), "tag", "total", "cnt")
+    )
+    v3 = read_bucket_table_versioned(spark, path)
+    post = v3.agg(
+        F.sum(F.col("amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.count("*").cast("long").alias("cnt"),
+    ).select(
+        F.lit(3).alias("version"), F.lit("ALL").alias("tag"),
+        "total", "cnt",
+    )
+    return pre.unionByName(post).orderBy("version", "tag")

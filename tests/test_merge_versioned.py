@@ -2647,3 +2647,195 @@ def test_optimize_and_rebucket_fold_mor_deltas(spark, tmp_path):
     assert not full2.get("deltas") and full2["n_buckets"] == 8
     post2, _ = _rows_sorted(read_bucket_table_versioned(spark, path))
     assert pre2 == post2
+
+
+# ---------------------------------------------------------------------
+# Column mapping (alter_bucket_table_versioned): RENAME/DROP COLUMN as
+# one metadata-only commit — files keep physical names, reads project.
+# ---------------------------------------------------------------------
+
+
+def test_alter_rename_without_rewrite(spark, tmp_path):
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        SchemaConflict,
+        alter_bucket_table_versioned,
+        prune_generations,
+        read_bucket_for_key_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", price=float(i), status="A") for i in range(30)]
+    )
+    path = str(tmp_path / "alt1")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    gens_before = set(_gens(path))
+    out = alter_bucket_table_versioned(path, rename={"price": "amount"})
+    assert out["version"] == 2
+    # METADATA-ONLY: not one data file moved
+    assert set(_gens(path)) == gens_before
+    snap = read_bucket_table_versioned(spark, path)
+    assert "amount" in snap.columns and "price" not in snap.columns
+    vals = {r["id"]: r["amount"] for r in snap.collect()}
+    assert vals["k7"] == 7.0 and len(vals) == 30
+    # time travel reads the OLD name
+    old = read_bucket_table_versioned(spark, path, version=1)
+    assert "price" in old.columns and "amount" not in old.columns
+    # merges keep working THROUGH the mapping (update via new name);
+    # the new generation's files store the PHYSICAL name
+    merge_scoped_versioned(
+        spark, path,
+        spark.createDataFrame([Row(id="k7", amount=777.0)]), now=T1,
+    )
+    snap2 = {r["id"]: r["amount"]
+             for r in read_bucket_table_versioned(spark, path).collect()}
+    assert snap2["k7"] == 777.0 and snap2["k8"] == 8.0
+    hit = read_bucket_for_key_versioned(spark, path, "k7")
+    assert hit.collect()[0]["amount"] == 777.0
+    # raw physical check: data files carry 'price', never 'amount'
+    import glob as _glob
+
+    raw = spark.read.parquet(*_glob.glob(f"{path}/bucket=*/g-*"))
+    assert "price" in raw.columns and "amount" not in raw.columns
+    # stats pruning translates: the renamed column still prunes
+    full = mv._load_manifest_full(path, latest_version(path))
+    plan = prune_generations(path, "amount", lo=500.0)
+    assert set(plan["read"]) | set(plan["skipped"]) == set(full["buckets"])
+    assert plan["skipped"]  # only k7's bucket can hold amount >= 500
+    got = {
+        r["id"]
+        for r in mv.scan_versioned(
+            spark, path, "amount", lo=500.0
+        ).collect()
+    }
+    assert got == {"k7"}
+    # the renamed-away physical name is RESERVED: a merge adding a new
+    # column called 'price' would read old bytes into it — refused
+    import pytest
+
+    with pytest.raises(SchemaConflict):
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame([Row(id="k1", price=1.0)]), now=T2,
+        )
+
+
+def test_alter_drop_leak_guard_and_reload_release(spark, tmp_path):
+    from cvemate_spark.operators.merge_versioned import (
+        SchemaConflict,
+        alter_bucket_table_versioned,
+    )
+    import pytest
+
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", v=i, secret=f"s{i}") for i in range(12)]
+    )
+    path = str(tmp_path / "alt2")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    alter_bucket_table_versioned(path, drop=["secret"])
+    snap = read_bucket_table_versioned(spark, path)
+    assert "secret" not in snap.columns
+    # time travel still has it
+    assert "secret" in read_bucket_table_versioned(
+        spark, path, version=1
+    ).columns
+    # re-adding a column with the dropped name would LEAK the old
+    # bytes out of the files — refused
+    with pytest.raises(SchemaConflict):
+        merge_scoped_versioned(
+            spark, path,
+            spark.createDataFrame([Row(id="k1", secret="new")]), now=T1,
+        )
+    # an unrelated new column is fine
+    merge_scoped_versioned(
+        spark, path,
+        spark.createDataFrame([Row(id="k1", note="n")]), now=T1,
+    )
+    # a full reload rewrites files under logical names and clears the
+    # mappings + reservations: the name is free again
+    write_bucket_table_versioned(
+        read_bucket_table_versioned(spark, path), path,
+        key="id", n_buckets=2,
+    )
+    merge_scoped_versioned(
+        spark, path,
+        spark.createDataFrame([Row(id="k1", secret="fresh")]), now=T2,
+    )
+    rows = {r["id"]: r for r in
+            read_bucket_table_versioned(spark, path).collect()}
+    assert rows["k1"]["secret"] == "fresh"
+    assert rows["k2"]["secret"] is None  # no resurrection of s2
+
+
+def test_alter_guards(spark, tmp_path):
+    from cvemate_spark.operators.merge_versioned import (
+        alter_bucket_table_versioned,
+        init_bucket_table_versioned,
+    )
+    import pytest
+
+    base = spark.createDataFrame([Row(id="a", x=1.0, y=2.0)])
+    path = str(tmp_path / "alt3")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1,
+        constraints={"pos": "x >= 0"},
+    )
+    with pytest.raises(ValueError):  # bucket key untouchable
+        alter_bucket_table_versioned(path, rename={"id": "key"})
+    with pytest.raises(ValueError):  # constraint-referenced column
+        alter_bucket_table_versioned(path, rename={"x": "x2"})
+    with pytest.raises(ValueError):  # unknown column
+        alter_bucket_table_versioned(path, drop=["nope"])
+    with pytest.raises(ValueError):  # target collides with existing
+        alter_bucket_table_versioned(path, rename={"y": "x"})
+    # fold-policy columns are protected too
+    p2 = str(tmp_path / "alt3f")
+    init_bucket_table_versioned(
+        p2, key="u", n_buckets=1,
+        mor_fold={"keys": ["u", "t"], "order_by": [["ts", "desc"]]},
+    )
+    with pytest.raises(ValueError):
+        alter_bucket_table_versioned(p2, rename={"t": "t2"})
+
+
+def test_alter_on_mor_table_folds_through_mapping(spark, tmp_path):
+    """Rename while MOR delta chains stand: the fold reads base and
+    deltas under the physical schema and returns logical names;
+    compaction keeps the mapping."""
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        alter_bucket_table_versioned,
+        compact_versioned,
+        merge_scoped_versioned_mor,
+    )
+
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", price=float(i)) for i in range(20)]
+    )
+    path = str(tmp_path / "alt4")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    merge_scoped_versioned_mor(
+        spark, path, spark.createDataFrame([Row(id="k1", price=100.0)]),
+        now=T1,
+    )
+    alter_bucket_table_versioned(path, rename={"price": "amount"})
+    # a MOR delta WRITTEN AFTER the rename stores the physical name
+    merge_scoped_versioned_mor(
+        spark, path, spark.createDataFrame([Row(id="k2", amount=200.0)]),
+        now=T2,
+    )
+    m = {r["id"]: r["amount"]
+         for r in read_bucket_table_versioned(spark, path).collect()}
+    assert m["k1"] == 100.0 and m["k2"] == 200.0 and m["k3"] == 3.0
+    compact_versioned(spark, path)
+    full = mv._load_manifest_full(path, latest_version(path))
+    assert not full.get("deltas")
+    m2 = {r["id"]: r["amount"]
+          for r in read_bucket_table_versioned(spark, path).collect()}
+    assert m2 == m
