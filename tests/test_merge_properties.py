@@ -96,3 +96,95 @@ def test_disjoint_source_order_convergence(spark, batches, seed):
     order_b = list(by_src)
     random.Random(seed).shuffle(order_b)
     assert fold(order_a) == fold(order_b)
+
+
+def test_mor_random_program_matches_python_model(spark, tmp_path):
+    """Model-based soak (added after the round-closing battery, run
+    standalone): random interleavings of MOR upserts, CoW upserts, DV
+    deletes and compactions against a pure-Python reference model of
+    upsert semantics (per column: a non-null batch value overwrites,
+    null/absent keeps; DV delete kills the key; a later upsert of a
+    deleted key is an INSERT — prior columns stay dead). Seeded RNG,
+    four programs x eight ops."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.merge import merge_upsert
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned,
+        init_bucket_table_versioned,
+        merge_deletes_dv,
+        merge_scoped_versioned,
+        merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+    )
+
+    T0 = "2024-01-01 00:00:00"
+    KEYS = [f"k{i}" for i in range(8)]
+    COLS = ["p", "q", "r"]
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [
+                Row(id=k, **{c: vals.get(c) for c in COLS})
+                for k, vals in rows.items()
+            ],
+            schema="id string, p double, q double, r double",
+        )
+
+    for seed in (7, 23, 51, 94):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"soak{seed}")
+        init_bucket_table_versioned(path, key="id", n_buckets=2)
+        model: dict[str, dict] = {}
+        for step in range(8):
+            op = rng.choice(["mor", "mor", "cow", "dv", "compact"])
+            if op == "compact":
+                compact_versioned(spark, path)
+            elif op == "dv":
+                victims = rng.sample(KEYS, rng.randint(1, 3))
+                live = [k for k in victims if k in model]
+                merge_deletes_dv(
+                    spark, path,
+                    spark.createDataFrame([Row(id=k) for k in victims]),
+                )
+                for k in live:
+                    model.pop(k, None)
+            else:
+                picked = rng.sample(KEYS, rng.randint(1, 4))
+                rows = {
+                    k: {
+                        c: (
+                            None if rng.random() < 0.3
+                            else round(rng.uniform(0, 9), 1)
+                        )
+                        for c in rng.sample(COLS, rng.randint(1, 3))
+                    }
+                    for k in picked
+                }
+                fn = (
+                    merge_scoped_versioned_mor if op == "mor"
+                    else merge_scoped_versioned
+                )
+                fn(spark, path, batch_df(rows), now=T0)
+                for k, vals in rows.items():
+                    cur = model.setdefault(k, {c: None for c in COLS})
+                    for c, v in vals.items():
+                        if v is not None:
+                            cur[c] = v
+            try:
+                got = {
+                    r["id"]: {c: r[c] for c in COLS}
+                    for r in read_bucket_table_versioned(spark, path)
+                    .select("id", *COLS)
+                    .collect()
+                }
+            except FileNotFoundError:
+                got = {}  # empty manifest: every key deleted
+            want = {
+                k: {c: vals.get(c) for c in COLS}
+                for k, vals in model.items()
+            }
+            assert got == want, (seed, step, op, got, want)
