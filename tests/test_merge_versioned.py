@@ -2839,3 +2839,53 @@ def test_alter_on_mor_table_folds_through_mapping(spark, tmp_path):
     m2 = {r["id"]: r["amount"]
           for r in read_bucket_table_versioned(spark, path).collect()}
     assert m2 == m
+
+
+def test_occ_four_writers_all_land_serializably(spark, tmp_path):
+    """Four concurrent OCC writers on disjoint bucket quadrants, all
+    snapshotting the same base version (4-party barrier): every one
+    lands (three of them via rebase chains — each successive committer
+    rebases past ALL earlier winners), history is linear v2..v5, and
+    the content equals the sequential application."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+    )
+
+    keys = [f"CVE-{i}" for i in range(200)]
+    path = str(tmp_path / "occ4w")
+    write_bucket_table_versioned(
+        merge_upsert(None, _batch(spark, "nvd", {k: "0" for k in keys}),
+                     now=T0),
+        path, key="id", n_buckets=8,
+    )
+    bmap = _buckets_of(spark, keys, 8)
+    quadrant = {q: [k for k in keys if bmap[k] % 4 == q][:6]
+                for q in range(4)}
+    assert all(quadrant.values())
+    barrier = threading.Barrier(4, timeout=180)
+    results, errs = {}, []
+
+    def run(q):
+        try:
+            results[q] = merge_scoped_versioned_occ(
+                spark, path,
+                _batch(spark, "nvd", {k: f"w{q}" for k in quadrant[q]}),
+                now=T1, pre_commit_hook=barrier.wait, max_retries=5,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(q,)) for q in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(r["version"] for r in results.values()) == [2, 3, 4, 5]
+    assert sorted(r["rebased"] for r in results.values()) == [
+        False, True, True, True,
+    ]
+    expected = {k: "0" for k in keys}
+    for q, ks in quadrant.items():
+        expected.update({k: f"w{q}" for k in ks})
+    assert _as_map(read_bucket_table_versioned(spark, path)) == expected
