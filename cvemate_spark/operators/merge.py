@@ -194,7 +194,16 @@ def keep_latest_merge(
     the per-key ordering — union + window, commutative across batch
     orderings, so replaying unordered chunks converges (tested as S3).
     """
-    allrows = updates if target is None else target.unionByName(updates)
+    # allowMissingColumns: a column-subset or schema-evolving batch
+    # null-pads against the target (and vice versa) instead of
+    # throwing — the versioned MOR leveling leg otherwise accepts a
+    # batch shape as deltas for max_depth-1 merges and then fails the
+    # moment a bucket hits the leveling cap
+    allrows = (
+        updates
+        if target is None
+        else target.unionByName(updates, allowMissingColumns=True)
+    )
     w = W.partitionBy(*keys).orderBy(*order_by)
     return (
         allrows.withColumn("__rn", F.row_number().over(w))

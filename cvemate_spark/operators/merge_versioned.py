@@ -118,18 +118,258 @@ def _load_manifest(path: str, v: int) -> dict[str, str]:
     return _load_manifest_full(path, v)["buckets"]
 
 
-def _load_manifest_full(path: str, v: int) -> dict:
-    """The whole manifest: {v, n_buckets, buckets}. Each manifest
-    carries ITS OWN bucket count — re-bucketing (rebucket_versioned)
-    is just another committed version, so time travel across a layout
-    change resolves each version under the layout it was written
-    with."""
+# ------------------------------------------------ sharded manifests
+# A monolithic full-snapshot manifest grows with TABLE WIDTH, not
+# change size: at 4096 buckets every commit rewrote a ~1.9 MB JSON
+# (MANIFESTBENCH_4096 — 300 commits = 564 MB of manifests) and a point
+# lookup parsed all of it. Format 2 splits the bucket-level payload
+# (buckets/stats/dv/deltas) into per-bucket-range SHARD files under
+# `_manifest/`, content-addressed by payload hash, referenced from a
+# small root `v-N.json` that also carries per-shard column-bound
+# rollups — the Iceberg manifest-list / Delta-checkpoint shape:
+#   * commit bytes ∝ touched shards (unchanged shards are carried as
+#     the same file reference — same content, same hash, no write);
+#   * a point lookup loads root + ONE shard (O(touched), not O(width));
+#   * a bounded range scan skips whole shards by the root rollups
+#     before per-bucket stats are even loaded.
+# Both formats stay readable forever: time travel across the
+# `shard_manifest_versioned` migration boundary reads each version
+# under the format it was written with.
+MANIFEST_DIR = "_manifest"
+# tables at least this wide auto-shard (below it one manifest is
+# already O(small)); explicit opt-in/out via meta "manifest_shard_size"
+AUTO_SHARD_MIN_BUCKETS = 256
+DEFAULT_SHARD_SIZE = 64
+
+
+def _table_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, BUCKET_META)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _shard_size_for(path: str, n_buckets: int) -> int | None:
+    """Buckets per manifest shard for NEW commits of this table: the
+    meta's recorded "manifest_shard_size" when present (0 = explicitly
+    monolithic), else the auto policy. None = monolithic."""
+    s = _table_meta(path).get("manifest_shard_size")
+    if s is not None:
+        return int(s) or None
+    return DEFAULT_SHARD_SIZE if n_buckets >= AUTO_SHARD_MIN_BUCKETS else None
+
+
+def _load_root(path: str, v: int) -> dict:
+    """The raw v-N.json: for format-2 manifests the small root (shard
+    refs + rollups + schema), for legacy manifests the whole thing."""
     with open(_manifest_path(path, v)) as f:
         m = json.load(f)
     if "n_buckets" not in m:  # manifests written before layout-in-manifest
         with open(os.path.join(path, BUCKET_META)) as f:
             m["n_buckets"] = json.load(f)["n_buckets"]
     return m
+
+
+def _assemble_shards(path: str, root: dict, shard_keys: set | None) -> dict:
+    """Materialize a format-2 root into the legacy full-manifest shape,
+    loading only `shard_keys` (None = all). The raw root rides along as
+    "_root" so commit assembly can carry unchanged shard files by
+    reference. The result is PARTIAL when shard_keys is given — sound
+    only for consumers that touch the requested buckets."""
+    full = {k: v2 for k, v2 in root.items() if k != "shards"}
+    full["_root"] = root
+    buckets: dict = {}
+    stats: dict = {}
+    dv: dict = {}
+    deltas: dict = {}
+    for s in sorted(root["shards"], key=int):
+        if shard_keys is not None and s not in shard_keys:
+            continue
+        with open(os.path.join(path, MANIFEST_DIR, root["shards"][s]["f"])) as f:
+            sub = json.load(f)
+        buckets.update(sub.get("buckets") or {})
+        stats.update(sub.get("stats") or {})
+        dv.update(sub.get("dv") or {})
+        deltas.update(sub.get("deltas") or {})
+    full["buckets"] = buckets
+    if stats:
+        full["stats"] = stats
+    if dv:
+        full["dv"] = dv
+    if deltas:
+        full["deltas"] = deltas
+    return full
+
+
+def _slice_from_root(path: str, root: dict, bucket_ids) -> dict:
+    """Full-manifest-shaped dict covering (at least) `bucket_ids`
+    (None = everything). For legacy manifests the root IS the full
+    manifest; for format-2 roots only the covering shards load."""
+    if root.get("format") != 2:
+        return root
+    want = None
+    if bucket_ids is not None:
+        size = root["shard_size"]
+        want = {str(int(i) // size) for i in bucket_ids}
+    return _assemble_shards(path, root, want)
+
+
+def _load_manifest_full(path: str, v: int) -> dict:
+    """The whole manifest: {v, n_buckets, buckets, [stats/dv/deltas/
+    schema/...]}. Each manifest carries ITS OWN bucket count —
+    re-bucketing (rebucket_versioned) is just another committed
+    version, so time travel across a layout change resolves each
+    version under the layout it was written with. Sharded (format-2)
+    manifests assemble transparently."""
+    return _slice_from_root(path, _load_root(path, v), None)
+
+
+def _load_manifest_slice(path: str, v: int, bucket_ids) -> dict:
+    """Partial manifest covering `bucket_ids` — the point-lookup /
+    pruned-scan loader: root + only the shards those buckets live in,
+    O(touched) instead of O(table width)."""
+    return _slice_from_root(path, _load_root(path, v), bucket_ids)
+
+
+def _shard_rollup(sub: dict) -> dict:
+    """Per-column combined bounds over EVERY generation (base +
+    merge-on-read deltas) of every bucket in a shard payload — the
+    root-level skipping entry that lets a bounded scan drop whole
+    shards without loading them. A column appears only when every
+    generation carries usable stats for it (absent stats must never
+    skip — the same conservatism as bucket grain); mixed stat tags
+    drop the column; all-null generations are neutral for bounds and
+    alone yield {"t": "null"}. Sound because shard exclusion by the
+    combined bounds implies every generation excludes individually."""
+    import decimal
+
+    stats = sub.get("stats") or {}
+    deltas = sub.get("deltas") or {}
+    entries = []
+    for i in sub.get("buckets") or {}:
+        st = stats.get(i)
+        if st is None:
+            return {}  # a bucket with no stats: nothing skips
+        entries.append(st)
+        for d in deltas.get(i, []):
+            ds = d.get("stats")
+            if ds is None:
+                return {}
+            entries.append(ds)
+    if not entries:
+        return {}
+    common = set(entries[0].get("cols") or {})
+    for e in entries[1:]:
+        common &= set(e.get("cols") or {})
+    out: dict = {}
+    for c in sorted(common):
+        t = None
+        lo = hi = None
+        ok = True
+        for e in entries:
+            s = e["cols"][c]
+            if s["t"] == "null":
+                continue  # contributes no bounds (and excludes anyway)
+            if t is None:
+                t, lo, hi = s["t"], s["lo"], s["hi"]
+            elif s["t"] != t:
+                ok = False
+                break
+            elif t == "dec":
+                if decimal.Decimal(s["lo"]) < decimal.Decimal(lo):
+                    lo = s["lo"]
+                if decimal.Decimal(s["hi"]) > decimal.Decimal(hi):
+                    hi = s["hi"]
+            else:
+                lo = min(lo, s["lo"])
+                hi = max(hi, s["hi"])
+        if not ok:
+            continue
+        out[c] = {"t": "null"} if t is None else {"t": t, "lo": lo, "hi": hi}
+    return out
+
+
+def _write_manifest_shards(
+    path: str, buckets: dict, stats: dict | None, dv: dict | None,
+    deltas: dict | None, n_buckets: int, shard_size: int,
+    base_full: dict | None, changed: set | None,
+) -> dict:
+    """Write (or reuse) the shard files for one commit and return the
+    root's shards map. A shard whose bucket range contains no
+    `changed` bucket carries the BASE manifest's entry verbatim — same
+    content, same file, zero bytes written; `changed=None` rebuilds
+    everything (the safe default). Shard files are content-addressed
+    (payload hash), so even a rebuilt-identical shard lands on the
+    existing file. CALLER CONTRACT: `changed` must contain every
+    bucket whose entry in ANY of buckets/stats/dv/deltas differs from
+    `base_full` — a missed bucket would carry a stale shard (the
+    sharded≡monolithic twin law in tests/test_merge_versioned.py is
+    the tripwire)."""
+    import hashlib
+
+    stats = stats or {}
+    dv = dv or {}
+    deltas = deltas or {}
+    mdir = os.path.join(path, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    by_shard: dict[int, list] = {}
+    for i in set(buckets) | set(stats) | set(dv) | set(deltas):
+        by_shard.setdefault(int(i) // shard_size, []).append(i)
+    base_shards = None
+    base_root = (base_full or {}).get("_root")
+    if (
+        changed is not None
+        and base_root is not None
+        and base_root.get("format") == 2
+        and base_root.get("shard_size") == shard_size
+        and base_root.get("n_buckets") == n_buckets
+    ):
+        base_shards = base_root["shards"]
+    changed_sh = (
+        {int(b) // shard_size for b in changed}
+        if changed is not None
+        else None
+    )
+    shards: dict[str, dict] = {}
+    for s in sorted(by_shard):
+        ids = by_shard[s]
+        key_s = str(s)
+        if (
+            base_shards is not None
+            and s not in changed_sh
+            and key_s in base_shards
+        ):
+            shards[key_s] = base_shards[key_s]
+            continue
+        sub: dict = {"buckets": {i: buckets[i] for i in ids if i in buckets}}
+        part = {i: stats[i] for i in ids if i in stats}
+        if part:
+            sub["stats"] = part
+        part = {i: dv[i] for i in ids if i in dv}
+        if part:
+            sub["dv"] = part
+        part = {i: deltas[i] for i in ids if i in deltas}
+        if part:
+            sub["deltas"] = part
+        blob = json.dumps(sub, sort_keys=True, separators=(",", ":"))
+        h = hashlib.sha256(blob.encode()).hexdigest()[:20]
+        fname = f"ms-{h}.json"
+        fpath = os.path.join(mdir, fname)
+        if not os.path.exists(fpath):
+            tmp = os.path.join(mdir, f".ms-tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(blob)
+            os.replace(tmp, fpath)
+        entry: dict = {
+            "f": fname,
+            "ids": sorted(int(i) for i in sub["buckets"]),
+        }
+        roll = _shard_rollup(sub)
+        if roll:
+            entry["cols"] = roll
+        shards[key_s] = entry
+    return shards
 
 
 HISTORY_LOG = "_HISTORY.jsonl"
@@ -140,37 +380,53 @@ def _write_manifest(
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
     deltas: dict | None = None, dead_phys: list | None = None,
+    base_full: dict | None = None, changed: set | None = None,
 ) -> float:
     tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex[:8]}")
     m: dict = {
         "v": v,
         "n_buckets": n_buckets,
-        "buckets": buckets,
         # wall-clock commit stamp for timestamp AS-OF resolution; the
         # version number stays the exact watermark (no clock surface),
         # this is the human-facing convenience on top
         "committed_at": time.time(),
+        # the fold policy THIS version was written under, recorded so
+        # time-travel reads fold pre-policy-change versions correctly
+        # even if a reload later changes the policy (manifests written
+        # before this key fall back to the mutable meta)
+        "mor_fold": _table_meta(path).get("mor_fold"),
     }
     if schema is not None:
         m["schema"] = schema
-    if stats is not None:
-        m["stats"] = stats
     if op is not None:
         m["op"] = op
-    if dv:
-        m["dv"] = dv
-    if deltas:
-        # merge-on-read DELTA generations: {bucket -> ordered list of
-        # {"g": gen dir, "stats": footer stats}} — later entries
-        # supersede earlier ones and the base generation per key/column
-        # (operators read through _read_snapshot_slice's ordinal fold)
-        m["deltas"] = deltas
     if dead_phys:
         # physical names of DROPPED columns: still present in old data
         # files, so a later merge may not ADD a column whose name
         # would collide with one (_union_schema raises) — the rule
         # that keeps dropped data from leaking into a new column
         m["dead_phys"] = sorted(dead_phys)
+    shard_size = _shard_size_for(path, n_buckets)
+    if shard_size:
+        m["format"] = 2
+        m["shard_size"] = shard_size
+        m["shards"] = _write_manifest_shards(
+            path, buckets, stats, dv, deltas, n_buckets, shard_size,
+            base_full, changed,
+        )
+    else:
+        m["buckets"] = buckets
+        if stats is not None:
+            m["stats"] = stats
+        if dv:
+            m["dv"] = dv
+        if deltas:
+            # merge-on-read DELTA generations: {bucket -> ordered list
+            # of {"g": gen dir, "stats": footer stats}} — later entries
+            # supersede earlier ones and the base generation per
+            # key/column (operators read through _read_snapshot_slice's
+            # ordinal fold)
+            m["deltas"] = deltas
     with open(tmp, "w") as f:
         json.dump(m, f, indent=0, sort_keys=True)
     os.replace(tmp, _manifest_path(path, v))
@@ -694,12 +950,48 @@ def prune_generations(
     when None) actually touch under a version's manifest stats?
     Pure manifest arithmetic — no Spark job, no data I/O. Returns
     {version, read, skipped, manifest}; buckets without usable stats
-    for the column are always read (absent stats never skip)."""
+    for the column are always read (absent stats never skip).
+
+    On a SHARDED (format-2) manifest a bounded predicate first tests
+    each shard's root-level rollup bounds: an excluded shard's buckets
+    all skip WITHOUT loading the shard file, so plan cost is O(shards
+    that can match), not O(table width) — the returned "manifest" is
+    then PARTIAL (complete for every `read` bucket, which is all any
+    scan consumer touches)."""
     v = _resolve_version(path, version)
-    full = _load_manifest_full(path, v)
-    stats = full.get("stats") or {}
+    root = _load_root(path, v)
     read: list[str] = []
     skipped: list[str] = []
+    if root.get("format") == 2 and (lo is not None or hi is not None):
+        pcol = _phys_map(root.get("schema")).get(column, column)
+        load_keys: set[str] = set()
+        for s, e in root["shards"].items():
+            if _stat_excludes((e.get("cols") or {}).get(pcol), lo, hi):
+                skipped.extend(str(i) for i in e["ids"])
+            else:
+                load_keys.add(s)
+        full = _assemble_shards(path, root, load_keys)
+        stats = full.get("stats") or {}
+        deltas = full.get("deltas") or {}
+        for i in sorted(full["buckets"]):
+            entries = [stats.get(i)] + [
+                d.get("stats") for d in deltas.get(i, [])
+            ]
+            if all(
+                _stat_excludes((e or {}).get("cols", {}).get(pcol), lo, hi)
+                for e in entries
+            ):
+                skipped.append(i)
+            else:
+                read.append(i)
+        return {
+            "version": v,
+            "read": sorted(read),
+            "skipped": sorted(skipped),
+            "manifest": full,
+        }
+    full = _slice_from_root(path, root, None)
+    stats = full.get("stats") or {}
     if lo is None and hi is None:
         # no predicate, no pruning: an unbounded scan returns EVERY
         # row, including nulls — even an all-null generation's rows
@@ -1232,8 +1524,15 @@ def _read_snapshot_slice(
             & (F.col("__ord") <= F.col("__dv_depth")),
             "left_anti",
         )
-    with open(os.path.join(path, BUCKET_META)) as f:
-        fold = json.load(f).get("mor_fold")
+    # the fold policy comes from the VERSION'S manifest, not the
+    # mutable meta: a reload may change the policy, and time-travel
+    # reads of pre-change versions must fold under the policy they
+    # were written with (manifests older than fold recording fall
+    # back to the meta — the only source their era had)
+    if "mor_fold" in full:
+        fold = full["mor_fold"]
+    else:
+        fold = _table_meta(path).get("mor_fold")
     if fold:
         return _fold_rows(df, fold)
     return _fold_ordinals(df, key)
@@ -1322,6 +1621,7 @@ def merge_deletes_dv(
             full.get("schema"), full.get("stats"), op="delete-dv",
             dv=dv_all, deltas=full.get("deltas"),
             dead_phys=full.get("dead_phys"),
+            base_full=full, changed=set(touched),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -1337,6 +1637,7 @@ def _commit(
     schema: dict | None = None, stats: dict | None = None,
     op: str | None = None, dv: dict | None = None,
     deltas: dict | None = None, dead_phys: list | None = None,
+    base_full: dict | None = None, changed: set | None = None,
 ) -> None:
     """The commit: publish manifest v AND advance `_LATEST` to it,
     both under `_COMMITLOCK`. The manifest lands only here — a merger
@@ -1374,7 +1675,8 @@ def _commit(
                         os.unlink(_manifest_path(path, ph))
                 stamp = _write_manifest(
                     path, v, buckets, n_buckets, schema, stats, op, dv,
-                    deltas, dead_phys,
+                    deltas, dead_phys, base_full=base_full,
+                    changed=changed,
                 )
                 os.replace(tmp, latest)
                 # commit-log line AFTER the pointer lands (the commit
@@ -1468,6 +1770,7 @@ def write_bucket_table_versioned(
     constraints: dict[str, str] | None = None,
     key_bloom: dict | bool | None = None,
     mor_fold: dict | None = None,
+    manifest_shard_size: int | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -1517,6 +1820,8 @@ def write_bucket_table_versioned(
                 key_bloom = old_meta.get("key_bloom")
             if mor_fold is None:
                 mor_fold = old_meta.get("mor_fold")
+            if manifest_shard_size is None:
+                manifest_shard_size = old_meta.get("manifest_shard_size")
         if key_bloom is True:
             key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
@@ -1533,6 +1838,11 @@ def write_bucket_table_versioned(
                     f"the bucket key {key!r}"
                 )
             meta["mor_fold"] = mor_fold
+        if manifest_shard_size is not None:
+            # explicit manifest layout policy (0 = monolithic even
+            # above the auto threshold); absent = the auto rule in
+            # _shard_size_for
+            meta["manifest_shard_size"] = int(manifest_shard_size)
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -1756,11 +2066,40 @@ def _prepare_scoped_merge(
     # (neither survives into the new generation) and the commit
     # assembly clears both kinds of refs
     target = _read_snapshot_slice(spark, path, full, touched, key)
+    fold = meta.get("mor_fold")
     if merger is not None:
         merged = merger(target, updates)
     elif deleted_col is not None:
+        if fold:
+            # tombstone deletes key on the bucket key ALONE — on a
+            # keep-latest fold table (composite key) that would delete
+            # every row of the key's group; route deletes through
+            # merge_deletes_dv or a custom merger instead
+            raise ValueError(
+                f"table {path} records a mor_fold policy (keys="
+                f"{fold['keys']}): deleted_col tombstones key on the "
+                f"bucket key alone and would collapse composite-key "
+                "groups — use merge_deletes_dv or a custom merger"
+            )
         merged = merge_upsert_deletes(
             target, updates, key=key, deleted_col=deleted_col, now=now
+        )
+    elif fold:
+        # a recorded keep-latest policy binds EVERY merge surface, not
+        # just the MOR leg: the default upsert keys on the bucket key
+        # alone, so a composite-key target would fan out in its
+        # full-outer join and the corrupted result would commit
+        # silently. Route the default CoW leg through the same
+        # comparator the read-side fold and the MOR legs use.
+        from .merge import keep_latest_merge
+
+        merged = keep_latest_merge(
+            target, updates,
+            keys=list(fold["keys"]),
+            order_by=[
+                F.desc(c) if str(d).lower() == "desc" else F.asc(c)
+                for c, d in fold["order_by"]
+            ],
         )
     else:
         merged = merge_upsert(target, updates, key=key, now=now)
@@ -1871,6 +2210,7 @@ def _assemble_scoped_commit(
         path, v, manifest, commit_full["n_buckets"], committed_schema,
         stats_all, op=op, dv=dv_all, deltas=deltas_all,
         dead_phys=commit_full.get("dead_phys"),
+        base_full=commit_full, changed=set(prep["touched"]),
     )
     return v
 
@@ -2422,6 +2762,7 @@ def _mor_attempt(
             path, v, manifest2, n_buckets, committed_schema, stats2,
             op="merge-mor", dv=dv2, deltas=deltas2,
             dead_phys=commit_full.get("dead_phys"),
+            base_full=commit_full, changed=set(touched),
         )
         return v
 
@@ -2555,11 +2896,77 @@ def alter_bucket_table_versioned(
             ),
             dv=full.get("dv"), deltas=full.get("deltas"),
             dead_phys=sorted(dead),
+            # metadata-only: every bucket entry is byte-identical, so a
+            # sharded manifest reuses EVERY shard file (root only)
+            base_full=full, changed=set(),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
     return {"version": v, "schema_columns": len(new_fields)}
+
+
+def shard_manifest_versioned(
+    path: str, shard_size: int = DEFAULT_SHARD_SIZE
+) -> dict:
+    """Migrate a table's manifest layout to SHARDED (format 2) — or
+    back to monolithic with `shard_size=0` — as one metadata-only
+    commit: no data file moves, no generation rewrites, and the
+    committed content is byte-for-byte the same table (the
+    content-neutrality law in tests/test_merge_versioned.py
+    hash-compares across the boundary). Older versions stay readable
+    under the format they were written with; every LATER commit
+    inherits the recorded policy from the table meta.
+
+    Why: a monolithic full-snapshot manifest costs O(table width) to
+    write per commit and to parse per plan — at 4096 buckets that was
+    ~1.9 MB/commit and 564 MB over 300 commits (MANIFESTBENCH_4096).
+    Sharded, a commit writes the small root plus only the shards its
+    touched buckets live in (unchanged shards carry as the same
+    content-addressed file), and point lookups / bounded scans load
+    O(touched) shards. This is Iceberg's manifest-list / Delta's
+    checkpoint answer, applied at the bucket-range grain.
+
+    Returns {version, shard_size, shards}."""
+    import fcntl
+
+    if shard_size < 0:
+        raise ValueError(f"shard_size must be >= 0, got {shard_size}")
+    meta_path = os.path.join(path, BUCKET_META)
+    lock = open(os.path.join(path, "_MERGELOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        cur = latest_version(path)
+        full = _load_manifest_full(path, cur)
+        # record the policy FIRST (under the lock): _write_manifest
+        # resolves the format from the meta at commit time. A crash
+        # between the meta write and the commit is benign — the table
+        # stays on `cur` and the next commit simply writes the new
+        # format.
+        meta["manifest_shard_size"] = int(shard_size)
+        tmp = f"{meta_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        v = max([cur] + _list_versions(path)) + 1
+        _commit(
+            path, v, dict(full["buckets"]), full["n_buckets"],
+            full.get("schema"), full.get("stats"),
+            op=f"shard-manifest:{shard_size}",
+            dv=full.get("dv"), deltas=full.get("deltas"),
+            dead_phys=full.get("dead_phys"),
+        )
+        root = _load_root(path, v)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "version": v,
+        "shard_size": shard_size,
+        "shards": len(root.get("shards") or {}),
+    }
 
 
 def compact_versioned(
@@ -2637,6 +3044,7 @@ def compact_versioned(
             path, v, manifest, n_buckets, full.get("schema"), stats_all,
             op="compact", dv=dv_all, deltas=deltas_all,
             dead_phys=full.get("dead_phys"),
+            base_full=full, changed=set(target),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -2968,6 +3376,7 @@ def optimize_versioned(
             ),
             dv=dv_all, deltas=deltas_all,
             dead_phys=full.get("dead_phys"),
+            base_full=full, changed=set(target),
         )
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
@@ -3000,15 +3409,18 @@ def read_bucket_for_key_versioned(
     spark: SparkSession, path: str, value, version: int | None = None
 ) -> DataFrame | None:
     """Point lookup: prune to the ONE generation dir that can hold
-    `value` under the pinned (or latest) version."""
+    `value` under the pinned (or latest) version. On a sharded
+    manifest this loads the root plus the single shard the bucket
+    lives in — O(1) in table width, the format-2 design point."""
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     v = _resolve_version(path, version)
     from .merge import bucket_of_value
 
-    full = _load_manifest_full(path, v)
+    root = _load_root(path, v)
+    bid = bucket_of_value(spark, value, root["n_buckets"])
+    full = _slice_from_root(path, root, [bid])
     manifest = full["buckets"]
-    bid = bucket_of_value(spark, value, full["n_buckets"])
     g = manifest.get(str(bid))
     if g is None:
         return None
@@ -3105,7 +3517,10 @@ def read_bucket_for_key_versioned(
             .withColumn("__ord", F.lit(ordn))
         )
         df = part if df is None else df.unionByName(part)
-    fold = meta.get("mor_fold")
+    fold = (
+        full["mor_fold"] if "mor_fold" in full
+        else meta.get("mor_fold")
+    )
     if fold:
         return _fold_rows(df, fold)
     return _fold_ordinals(df, meta["key"])
@@ -3509,8 +3924,15 @@ def vacuum_bucket_versions(
                     removed_versions.append(v)
                 referenced = set()
                 dv_referenced = set()
+                shard_referenced = set()
                 for v in _list_versions(path):
-                    m_full = _load_manifest_full(path, v)
+                    root = _load_root(path, v)
+                    # format-2 shard files referenced by any surviving
+                    # root stay; the rest are displaced history or a
+                    # crashed commit's orphans (grace-aged below)
+                    for e in (root.get("shards") or {}).values():
+                        shard_referenced.add(e["f"])
+                    m_full = _slice_from_root(path, root, None)
                     for i, g in m_full["buckets"].items():
                         referenced.add(f"{path}/bucket={i}/{g}")
                     # merge-on-read delta generations are LIVE data —
@@ -3543,6 +3965,16 @@ def vacuum_bucket_versions(
                         continue
                     shutil.rmtree(sdir, ignore_errors=True)
                     removed_gens.append(sdir)
+                mdir = os.path.join(path, MANIFEST_DIR)
+                if os.path.isdir(mdir):
+                    for fn in os.listdir(mdir):
+                        if fn in shard_referenced:
+                            continue
+                        fp = os.path.join(mdir, fn)
+                        if now - os.path.getmtime(fp) < grace_seconds:
+                            continue
+                        os.unlink(fp)
+                        removed_gens.append(fp)
                 if removed_versions:
                     # compact the commit log to surviving versions —
                     # history == what time travel can still serve, and

@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # file-listing jobs get ONE task per path by default (capped at
+        # 10000): planning a 4096-generation versioned table spent
+        # 5.9 s of its 6.9 s in that listing job's task overhead
+        # (MANIFESTBENCH_4096 plan_s). Bounding the listing parallelism
+        # to ~2x cores turns it into 64 fat tasks — 0.85 s for the same
+        # plan — and on a real cluster a bounded task count is equally
+        # right (10000 tiny listing tasks is pure scheduler overhead).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism",
+            "64",
+        )
     )
     # precedence: explicit extra_conf argument > env override > default
     # (the reference's os.getenv(NAME, ini_default) chain,
