@@ -2158,9 +2158,53 @@ def _prepare_scoped_merge(
         "new_gens": new_gens,
         "stats": stats_touched,
         "batch_schema": batch_schema,
+        "pmap": pmap,  # the mapping the generation FILES were written under
         "files": files,
         "bytes": bytes_,
     }
+
+
+def _mapping_drift(
+    commit_full: dict, batch_schema: dict, prep_pmap: dict | None
+) -> str | None:
+    """A concurrent ALTER inside an OCC window changes logical->
+    physical bindings. This writer's generation files were written
+    under the SNAPSHOT mapping — publishing them under a drifted
+    mapping would mislabel their columns (readers scan the physical
+    struct, so a mislabeled column silently reads NULL). The
+    reserved-phys rule already kills the batch-uses-the-OLD-name
+    interleaving loudly (the union re-adds the renamed-away name,
+    which is reserved); this closes the quieter one — the batch
+    already using the NEW name, where the union matches by name and
+    would carry the rename's phys onto files that physically store the
+    new name. Returns a conflict message (OCC retries; the retry
+    re-prepares under the post-alter schema — a batch using the new
+    name then writes correct physical names and lands, while a batch
+    still using the old name re-raises SchemaConflict from the prepare
+    phase, loudly, with the table untouched) or None when the mapping
+    is stable."""
+    try:
+        u = _union_schema(
+            commit_full.get("schema"), batch_schema,
+            _reserved_phys(commit_full),
+        )
+    except SchemaConflict:
+        # the union conflicts only against the CONCURRENT commit's
+        # schema (prepare already unioned cleanly against its own
+        # snapshot) — schema movement under the merge, same remedy:
+        # retry from the fresh snapshot, which re-raises terminally
+        # from prepare if the batch itself is at fault
+        return (
+            "schema changed under the merge (concurrent alter): "
+            "re-preparing against the new snapshot"
+        )
+    if _phys_map(u) != (prep_pmap or {}):
+        return (
+            "column mapping changed under the merge (concurrent "
+            "alter): generations were written under the snapshot "
+            "mapping"
+        )
+    return None
 
 
 def _assemble_scoped_commit(
@@ -2361,8 +2405,15 @@ def merge_scoped_versioned_occ(
                             f"concurrent commit (v{base_v} -> v{cur})"
                         )
                     else:
-                        v = _assemble_scoped_commit(path, cur_full, prep)
-                        rebased = True
+                        conflict = _mapping_drift(
+                            cur_full, prep["batch_schema"],
+                            prep.get("pmap"),
+                        )
+                        if conflict is None:
+                            v = _assemble_scoped_commit(
+                                path, cur_full, prep
+                            )
+                            rebased = True
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
             lock.close()
@@ -2450,8 +2501,20 @@ def merge_scoped_versioned_mor(
     is the concurrent-ingestion shape (N feeds MOR-appending all
     night): the serial lock would stack even their batch-∝ writes.
 
+    SAME-BUCKET appends ORDINAL-COMPOSE instead of retrying (round-11:
+    the append-only case is commutative): when every overlapping
+    bucket took this writer's pure delta leg and the winner only
+    EXTENDED that bucket's chain (base generation, DV refs and the
+    delta prefix unchanged, chain below max_depth, no CHECK
+    constraints), publishing on the winner's manifest appends this
+    writer's deltas at the next ordinals — exactly the sequential
+    loser-after-winner content, proven by the fold laws — with zero
+    retries. Anything else (base moved, DV changed, leveling due,
+    constraints) stays a hard conflict and retries as before.
+
     Returns {version, n_buckets, buckets_touched, delta_buckets,
-    leveled_buckets, files_written, bytes_written, rebased, attempts}.
+    leveled_buckets, files_written, bytes_written, rebased, attempts,
+    composed} — `composed` lists the buckets that ordinal-composed.
     """
     import fcntl
 
@@ -2466,6 +2529,7 @@ def merge_scoped_versioned_mor(
             lock = open(os.path.join(path, "_MERGELOCK"), "w")
             fcntl.flock(lock, fcntl.LOCK_EX)
         conflict = None
+        composed: list = []
         try:
             result = _mor_attempt(
                 spark, path, meta, updates, now, constraints, max_depth,
@@ -2500,15 +2564,36 @@ def merge_scoped_versioned_mor(
                         overlap = _changed_sig_buckets(
                             result["full"], cur_full2
                         ) & set(result["touched"])
-                        if overlap:
+                        hard = (
+                            _mor_compose_conflicts(
+                                result, cur_full2, overlap, max_depth
+                            )
+                            if overlap
+                            else []
+                        )
+                        if hard:
                             conflict = (
-                                f"buckets {sorted(overlap)} changed by "
+                                f"buckets {hard} changed by "
                                 f"a concurrent commit "
                                 f"(v{result['cur']} -> v{cur2})"
                             )
+                        elif (
+                            drift := _mapping_drift(
+                                cur_full2, result["batch_schema"],
+                                result["pmap"],
+                            )
+                        ) is not None:
+                            conflict = drift
                         else:
+                            # disjoint buckets rebase as before;
+                            # overlapping extension-only delta buckets
+                            # ORDINAL-COMPOSE: publish(cur_full2)
+                            # appends this writer's deltas above the
+                            # winner's — the sequential outcome,
+                            # without a retry
                             v = result["publish"](cur_full2)
                             rebased = True
+                            composed = sorted(overlap)
             else:
                 v = result["publish"](result["full"])
                 rebased = False
@@ -2525,6 +2610,7 @@ def merge_scoped_versioned_mor(
                 "files_written": result["files"],
                 "bytes_written": result["bytes"],
                 "rebased": rebased, "attempts": attempts,
+                "composed": composed,
             }
         if attempts > max_retries:
             raise ConcurrentWriteConflict(
@@ -2532,6 +2618,58 @@ def merge_scoped_versioned_mor(
                 f"times (last: {conflict}); generations from the failed "
                 "attempts are unreferenced orphans for vacuum"
             )
+
+
+def _mor_compose_conflicts(
+    result: dict, cur_full: dict, overlap: set, max_depth: int
+) -> list:
+    """Which overlapping buckets CANNOT ordinal-compose? Two MOR
+    writers appending deltas to the SAME bucket are commutative-by-
+    construction when the winner only EXTENDED the delta chain: this
+    loser's delta simply takes the next ordinal above the winner's
+    (exactly what publish(cur_full) assigns), which IS the sequential
+    loser-after-winner outcome — for plain ordinal tables because the
+    fold is last-non-null by ordinal and the delta content never
+    depended on the snapshot, for keep-latest fold tables because the
+    intrinsic comparator decides regardless of arrival order. A bucket
+    stays a HARD conflict (retry from a fresh snapshot) when:
+
+    * this writer wrote a BASE generation for it (absent-bucket or
+      leveling leg — both computed a fold against the old snapshot);
+    * the winner moved its base generation, changed its DV refs, or
+      rewrote (rather than extended) its delta chain — the compose
+      precondition is extension-only;
+    * the winner filled the chain to max_depth — the bucket owes a
+      leveling fold, which must see the real snapshot;
+    * the table has CHECK constraints (the constraint fold ran against
+      the pre-race snapshot; composing could commit a combination the
+      check never saw).
+    """
+    if result.get("has_constraints"):
+        return sorted(overlap)
+    base_full = result["full"]
+    mor_set = set(result.get("mor") or [])
+    b_buckets = base_full["buckets"]
+    c_buckets = cur_full["buckets"]
+    b_dv = base_full.get("dv") or {}
+    c_dv = cur_full.get("dv") or {}
+    b_dl = base_full.get("deltas") or {}
+    c_dl = cur_full.get("deltas") or {}
+    hard = []
+    for i in sorted(overlap):
+        si = str(i)
+        bd = [d["g"] for d in b_dl.get(si, [])]
+        cd = [d["g"] for d in c_dl.get(si, [])]
+        if (
+            i not in mor_set
+            or c_buckets.get(si) != b_buckets.get(si)
+            or [_dv_ref(e) for e in c_dv.get(si, [])]
+            != [_dv_ref(e) for e in b_dv.get(si, [])]
+            or cd[: len(bd)] != bd
+            or len(cd) >= max_depth
+        ):
+            hard.append(i)
+    return hard
 
 
 def _mor_attempt(
@@ -2772,6 +2910,10 @@ def _mor_attempt(
         "full": full,
         "n_buckets": n_buckets,
         "touched": touched,
+        "mor": mor,  # the pure delta-append legs (compose candidates)
+        "has_constraints": bool(effective),
+        "batch_schema": batch_schema,
+        "pmap": pmap,
         "delta_buckets": len(mor) + len(absent),
         "leveled_buckets": len(capped),
         "files": files,

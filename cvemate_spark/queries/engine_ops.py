@@ -3508,3 +3508,160 @@ def e_versioned_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total", "cnt",
     )
     return pre.unionByName(post).orderBy("version", "tag")
+
+
+# ----------------------------------------------------- e_manifest_shard
+@REG.add(
+    "e_manifest_shard",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    mk AS (SELECT MIN(k) AS mk FROM base),
+    v2 AS (  -- pre-migration merge: +5 on the %97 stripe
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN price + 5.0 ELSE price END
+                   AS price,
+               status
+        FROM base
+    ),
+    v5 AS (  -- post-migration single-key merge on TOP of v2
+        SELECT v2.k,
+               CASE WHEN v2.k = mk.mk THEN b.price + 11.0
+                    ELSE v2.price END AS price,
+               v2.status
+        FROM v2 JOIN base b ON v2.k = b.k CROSS JOIN mk
+    ),
+    hist AS (
+        SELECT 2 AS version, status AS tag,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM v2 GROUP BY status
+        UNION ALL
+        SELECT 5, 'ALL',
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE),
+               CAST(count(*) AS BIGINT)
+        FROM v5
+        UNION ALL
+        SELECT 9, 'LOOKUP',
+               CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE),
+               CAST(1 AS BIGINT)
+        FROM v5 CROSS JOIN mk WHERE v5.k = mk.mk
+    )
+    SELECT version, tag, total, cnt FROM hist ORDER BY version, tag
+    """,
+    doc="SHARDED manifest layout (operators/merge_versioned.py::"
+    "shard_manifest_versioned + _write_manifest_shards — the Iceberg "
+    "manifest-list / Delta-checkpoint shape at bucket-range grain): "
+    "the migration is one metadata-only commit (builder asserts not "
+    "one generation dir moved and the new root is format 2); a "
+    "post-migration 1-key merge rewrites EXACTLY ONE shard file while "
+    "every other shard carries the same content-addressed reference "
+    "(commit bytes proportional to the batch, not the table width — "
+    "asserted on the roots); the point lookup goes through the "
+    "root+one-shard slice loader. The oracle hashes a pre-migration "
+    "version (time travel ACROSS the format boundary), the final "
+    "snapshot, and the point-lookup row. At 100 TB this caps both "
+    "per-commit manifest bytes and plan-time parsing at O(touched "
+    "shards) - MANIFESTBENCH_4096 measured 1.9 MB/commit and 564 MB "
+    "over 300 commits for the monolithic layout this replaces.",
+)
+def e_manifest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        _load_root,
+        merge_scoped_versioned,
+        read_bucket_for_key_versioned,
+        read_bucket_table_versioned,
+        shard_manifest_versioned,
+        vacuum_bucket_versions,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    min_key = orders.agg(F.min("k")).collect()[0][0]  # 1 driver value
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:mshard-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/root/repo/.scratch/mshard_{key}"
+    done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="k", now=T_MERGE),
+            path, key="k", n_buckets=MS_BUCKETS,
+        )
+        assert _load_root(path, 1).get("format") != 2  # monolithic era
+        b1 = orders.filter(F.col("k") % 97 == 0).select(
+            "k", (F.col("price") + F.lit(5.0)).alias("price")
+        )
+        s2 = merge_scoped_versioned(spark, path, b1, now=T_MERGE)
+        # MIGRATE: metadata-only — no generation dir moves
+        gens = sorted(_glob.glob(f"{path}/bucket=*/g-*"))
+        s3 = shard_manifest_versioned(path, shard_size=8)
+        assert sorted(_glob.glob(f"{path}/bucket=*/g-*")) == gens
+        root3 = _load_root(path, s3["version"])
+        assert root3.get("format") == 2 and len(root3["shards"]) >= 2
+        # a 1-key merge rewrites EXACTLY one shard; the rest carry the
+        # same content-addressed file (commit bytes ∝ batch)
+        b2 = orders.filter(F.col("k") == min_key).select(
+            "k", (F.col("price") + F.lit(11.0)).alias("price")
+        )
+        s5 = merge_scoped_versioned(spark, path, b2, now=T_MERGE)
+        root5 = _load_root(path, s5["version"])
+        changed = [
+            s for s in root5["shards"]
+            if root5["shards"][s]["f"]
+            != (root3["shards"].get(s) or {}).get("f")
+        ]
+        assert len(changed) == 1, changed
+        # displaced-version shard files are vacuumable storage; the
+        # survivors keep every referenced shard (reads stay exact)
+        vacuum_bucket_versions(path, keep=4)
+        assert (s2["version"], s3["version"], s5["version"]) == (2, 3, 4)
+        with open(done, "w") as f:
+            f.write(f"{s3}\n{s5}\n")
+    v2 = read_bucket_table_versioned(spark, path, version=2)
+    pre = (
+        v2.groupBy(F.col("status").alias("tag"))
+        .agg(
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .select(F.lit(2).alias("version"), "tag", "total", "cnt")
+    )
+    cur = read_bucket_table_versioned(spark, path)
+    post = cur.agg(
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.count("*").cast("long").alias("cnt"),
+    ).select(
+        F.lit(5).alias("version"), F.lit("ALL").alias("tag"),
+        "total", "cnt",
+    )
+    # point lookup through the root+one-shard slice loader
+    hit = read_bucket_for_key_versioned(spark, path, min_key)
+    look = hit.select(
+        F.lit(9).alias("version"), F.lit("LOOKUP").alias("tag"),
+        F.col("price").cast("decimal(18,2)").cast("double").alias("total"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return pre.unionByName(post).unionByName(look).orderBy(
+        "version", "tag"
+    )

@@ -2570,10 +2570,11 @@ def test_mor_occ_disjoint_writers_overlap_and_rebase(spark, tmp_path):
     }
 
 
-def test_mor_occ_same_bucket_conflict_retries(spark, tmp_path):
-    """A concurrent delta commit into the SAME bucket is a signature
-    conflict (delta lists are part of the bucket signature): the OCC
-    MOR merge retries from the new snapshot and both batches land."""
+def test_mor_occ_same_bucket_delta_now_composes(spark, tmp_path):
+    """A concurrent delta commit into the SAME bucket WAS a signature
+    conflict (round 10: retry); since round 11 the append-only case
+    ORDINAL-COMPOSES — both batches land with zero extra work phases,
+    and the content is the sequential outcome."""
     from cvemate_spark.operators.merge_versioned import (
         merge_scoped_versioned_mor,
     )
@@ -2596,7 +2597,8 @@ def test_mor_occ_same_bucket_conflict_retries(spark, tmp_path):
         spark, path, _batch(spark, "nvd", {"CVE-1": "B"}), now=T2,
         occ=True, pre_commit_hook=inject_once,
     )
-    assert res["attempts"] == 2 and res["version"] == 3
+    assert res["attempts"] == 1 and res["version"] == 3
+    assert res["rebased"] is True and res["composed"] == [0]
     m = _as_map(read_bucket_table_versioned(spark, path))
     assert m["CVE-1"] == "B" and m["CVE-2"] == "W"
 
@@ -2889,3 +2891,259 @@ def test_occ_four_writers_all_land_serializably(spark, tmp_path):
     for q, ks in quadrant.items():
         expected.update({k: f"w{q}" for k in ks})
     assert _as_map(read_bucket_table_versioned(spark, path)) == expected
+
+
+# ------------------------------------------- round-11 concurrency laws
+def test_mor_same_bucket_appends_ordinal_compose(spark, tmp_path):
+    """VERDICT r10 item 3: two MOR writers appending to the SAME
+    bucket are commutative when the winner only extended the delta
+    chain — the loser ORDINAL-COMPOSES (its delta takes the next
+    ordinal) with ZERO retries, and the content equals the sequential
+    A-then-B run on a twin table."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "cmp")
+    twin = str(tmp_path / "cmp_twin")
+    for p in (path, twin):
+        write_bucket_table_versioned(
+            merge_upsert(None, base, now=T0), p, key="id", n_buckets=1
+        )
+    bat_a = _batch(spark, "nvd", {"CVE-1": "A", "CVE-2": "A"})
+    bat_b = _batch(spark, "nvd", {"CVE-3": "B", "CVE-4": "B"})
+
+    def a_wins_inside_window():
+        merge_scoped_versioned_mor(spark, path, bat_a, now=T1)
+
+    res = merge_scoped_versioned_mor(
+        spark, path, bat_b, now=T2, occ=True,
+        pre_commit_hook=a_wins_inside_window,
+    )
+    # composed, not retried: the race cost ZERO extra work phases
+    assert res["attempts"] == 1 and res["rebased"] is True
+    assert res["composed"] == [0]
+    # sequential twin: A then B
+    merge_scoped_versioned_mor(spark, twin, bat_a, now=T1)
+    merge_scoped_versioned_mor(spark, twin, bat_b, now=T2)
+    assert _as_map(read_bucket_table_versioned(spark, path)) == _as_map(
+        read_bucket_table_versioned(spark, twin)
+    )
+
+
+def test_mor_compose_key_overlap_still_sequential(spark, tmp_path):
+    """Ordinal compose does NOT require key-disjoint batches: the
+    loser's delta sits ABOVE the winner's, which IS the sequential
+    loser-after-winner outcome (last-non-null per column by ordinal).
+    Hash-compared against the sequential twin."""
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "cmpo")
+    twin = str(tmp_path / "cmpo_twin")
+    for p in (path, twin):
+        write_bucket_table_versioned(
+            merge_upsert(None, base, now=T0), p, key="id", n_buckets=1
+        )
+    bat_a = _batch(spark, "nvd", {"CVE-1": "A"})
+    bat_b = _batch(spark, "nvd", {"CVE-1": "B"})  # same key
+
+    res = merge_scoped_versioned_mor(
+        spark, path, bat_b, now=T2, occ=True,
+        pre_commit_hook=lambda: merge_scoped_versioned_mor(
+            spark, path, bat_a, now=T1
+        ),
+    )
+    assert res["attempts"] == 1 and res["composed"] == [0]
+    merge_scoped_versioned_mor(spark, twin, bat_a, now=T1)
+    merge_scoped_versioned_mor(spark, twin, bat_b, now=T2)
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m == _as_map(read_bucket_table_versioned(spark, twin))
+    assert m["CVE-1"] == "B"  # the committed-later writer won
+
+
+def test_mor_compose_hard_conflicts_still_retry(spark, tmp_path):
+    """Compose preconditions: a winner that MOVED the base generation
+    (compact folds deltas) is a hard conflict — the loser retries from
+    the fresh snapshot and converges; a table with CHECK constraints
+    never composes (its constraint fold ran against the old
+    snapshot)."""
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned,
+        merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(10)})
+    path = str(tmp_path / "cmph")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=1
+    )
+    merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-1": "d1"}), now=T1
+    )
+    calls = []
+
+    def compact_inside_window():
+        if not calls:
+            calls.append(1)
+            compact_versioned(spark, path)  # moves the base generation
+
+    res = merge_scoped_versioned_mor(
+        spark, path, _batch(spark, "nvd", {"CVE-2": "B"}), now=T2,
+        occ=True, pre_commit_hook=compact_inside_window,
+    )
+    assert res["attempts"] == 2 and res["composed"] == []
+    m = _as_map(read_bucket_table_versioned(spark, path))
+    assert m["CVE-1"] == "d1" and m["CVE-2"] == "B"
+
+
+def test_alter_vs_occ_writer_race_old_name_dies_loudly(spark, tmp_path):
+    """VERDICT r10 item 2, interleaving 1 (real two threads): a rename
+    commits inside an OCC writer's window while the writer's batch
+    still uses the PRE-rename column name. The rebase re-union hits
+    the reserved-phys rule -> SchemaConflict, the table is untouched,
+    and the loser's generations are vacuumable orphans. Interleaving 2
+    (alter first, stale writer after) dies in the prepare phase before
+    a single byte lands."""
+    import pytest
+
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge_versioned import (
+        SchemaConflict,
+        alter_bucket_table_versioned,
+        merge_scoped_versioned_occ,
+    )
+
+    path = str(tmp_path / "alt1")
+    base = spark.createDataFrame(
+        [Row(id=f"CVE-{i}", price=float(i)) for i in range(12)]
+    )
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    snap = _rows = {
+        r["id"]: r["price"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    barrier = threading.Barrier(2)
+    alter_err = []
+
+    def alter_thread():
+        barrier.wait()  # inside the writer's window
+        try:
+            alter_bucket_table_versioned(path, rename={"price": "amount"})
+        except Exception as e:  # pragma: no cover
+            alter_err.append(e)
+        barrier.wait()
+
+    t = threading.Thread(target=alter_thread)
+    t.start()
+    stale = spark.createDataFrame([Row(id="CVE-1", price=999.0)])
+    with pytest.raises(SchemaConflict):
+        merge_scoped_versioned_occ(
+            spark, path, stale, now=T1,
+            pre_commit_hook=lambda: (barrier.wait(), barrier.wait()),
+        )
+    t.join()
+    assert not alter_err
+    # table untouched by the loser: content identical under new name
+    after = {
+        r["id"]: r["amount"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert after == snap
+    # the loser's generations are unreferenced orphans vacuum reclaims
+    out = vacuum_bucket_versions(
+        path, keep=len(mv._list_versions(path)), grace_seconds=0.0
+    )
+    assert out["removed_gens"]
+    # interleaving 2: a writer starting AFTER the alter with the stale
+    # name dies in prepare (no orphans, no commit)
+    v_before = latest_version(path)
+    with pytest.raises(SchemaConflict):
+        merge_scoped_versioned_occ(spark, path, stale, now=T2)
+    assert latest_version(path) == v_before
+
+
+def test_alter_vs_occ_writer_new_name_retries_and_lands(spark, tmp_path):
+    """The quieter interleaving: the writer's batch already uses the
+    POST-rename name while the rename commits inside its window. A
+    naive rebase would match the column by name and publish generation
+    files whose physical layout contradicts the new mapping (the
+    column would silently read NULL). The mapping-drift guard forces a
+    retry; the retry re-prepares under the post-alter schema and the
+    batch lands with CORRECT values."""
+    from cvemate_spark.operators.merge_versioned import (
+        alter_bucket_table_versioned,
+        merge_scoped_versioned_occ,
+    )
+
+    path = str(tmp_path / "alt2")
+    base = spark.createDataFrame(
+        [Row(id=f"CVE-{i}", price=float(i)) for i in range(12)]
+    )
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    calls = []
+
+    def rename_inside_window():
+        if not calls:
+            calls.append(1)
+            alter_bucket_table_versioned(path, rename={"price": "amount"})
+
+    fresh = spark.createDataFrame([Row(id="CVE-1", amount=999.0)])
+    res = merge_scoped_versioned_occ(
+        spark, path, fresh, now=T1, pre_commit_hook=rename_inside_window,
+    )
+    assert res["attempts"] == 2  # drift detected, one retry
+    after = {
+        r["id"]: r["amount"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert after["CVE-1"] == 999.0  # NOT silently null
+    assert after["CVE-2"] == 2.0
+
+
+def test_vacuum_vs_reader_race_fails_loudly(spark, tmp_path):
+    """VERDICT r10 item 6: a time-travel reader racing vacuum fails
+    LOUDLY, never silently — both providers of truth. Read-starts-
+    AFTER: the manifest is gone, version resolution raises. Read-
+    starts-BEFORE (plan in hand, files removed under it): the scan
+    raises at execution. The grace window is the protection: a
+    graceful vacuum removes nothing younger than the grace, so the
+    reader completes."""
+    import pytest
+
+    path = str(tmp_path / "vrr")
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=2
+    )
+    # v2 rewrites EVERY bucket so v1's generations become v2-orphans
+    merge_scoped_versioned(
+        spark, path,
+        _batch(spark, "nvd", {f"CVE-{i}": f"x{i}" for i in range(30)}),
+        now=T1,
+    )
+    # grace protects an in-flight reader: nothing young is removed
+    df_old = read_bucket_table_versioned(spark, path, version=1)
+    out = vacuum_bucket_versions(path, keep=1, grace_seconds=3600)
+    assert out["removed_versions"] == [] and out["removed_gens"] == []
+    assert df_old.count() == 30  # reader unaffected inside the grace
+    # read-starts-BEFORE, vacuum without grace: execution fails loudly
+    df_doomed = read_bucket_table_versioned(spark, path, version=1)
+    vacuum_bucket_versions(path, keep=1, grace_seconds=0.0)
+    with pytest.raises(Exception) as ei:
+        df_doomed.count()
+    assert "SchemaConflict" not in str(ei.value)  # an IO error, not junk
+    # read-starts-AFTER: the manifest itself is gone -> loud at resolve
+    with pytest.raises(FileNotFoundError):
+        read_bucket_table_versioned(spark, path, version=1)
+    # the surviving version reads exactly
+    assert _as_map(read_bucket_table_versioned(spark, path))[
+        "CVE-7"
+    ] == "x7"
