@@ -198,6 +198,120 @@ def catalog_txn(
     }
 
 
+class CatalogConflict(RuntimeError):
+    """An optimistic catalog transaction raced a table REBIND: another
+    transaction re-pointed one of this transaction's member names at a
+    different table path, so the version pins are not comparable and
+    no automatic merge is sound. The catalog is untouched by the
+    loser; its member-table commits remain valid table-level history
+    (referenced by nothing until a later transaction pins them)."""
+
+
+def catalog_txn_occ(
+    spark: SparkSession,
+    path: str,
+    members: dict[str, str],
+    actions: dict | None = None,
+    pre_publish_hook=None,
+) -> dict:
+    """OPTIMISTIC multi-table transaction — the merge-level OCC shape
+    one level up (VERDICT r10 item 5): `catalog_txn` holds `_CATLOCK`
+    across every member action, so independent transactions over
+    DISJOINT tables serialize their whole work phases; here the member
+    actions run with NO catalog lock (each is its own atomic
+    table-level commit, serialized by the member's own lock or OCC),
+    and only the catalog PUBLISH validates under `_CATLOCK` —
+    milliseconds of pointer arithmetic.
+
+    Validation against a catalog that moved since the snapshot:
+
+    * member names bound to the SAME paths -> REBASE: publish on the
+      newest manifest — the winner's table set carries, this
+      transaction's members upsert into it, and a member BOTH touched
+      takes the NEWEST pin (member histories are linear — each table's
+      own lock ordered the two actions, so the higher version already
+      contains both effects; pinning it is the sequential outcome).
+      No action ever re-runs: member commits are durable the moment
+      they land, so a catalog retry that re-ran them would
+      double-apply.
+    * a member name re-bound to a DIFFERENT path -> CatalogConflict
+      (version pins across different paths are incomparable); the
+      loser's member commits stay valid table history, unreferenced.
+
+    Semantic difference from the serial `catalog_txn`, by design:
+    members UPSERT into the catalog's table set rather than replacing
+    it — two concurrent transactions over disjoint tables must not
+    unregister each other's members. Dropping a table from the catalog
+    remains the serial transaction's job.
+
+    Returns {catalog_version, tables: {name: version}, rebased}.
+    `pre_publish_hook` is the race-window test seam (the two-writer
+    law in tests/test_catalog.py).
+    """
+    import fcntl
+
+    base_v = catalog_latest(path)
+    # WORK PHASE — lock-free: each action is that table's own atomic
+    # commit; overlapping transactions' Spark jobs genuinely overlap
+    acted: dict[str, int] = {}
+    for name, fn in (actions or {}).items():
+        if name not in members:
+            raise KeyError(f"action for unregistered table {name!r}")
+        res = fn(spark, members[name])
+        if isinstance(res, bool):
+            continue
+        if isinstance(res, int):
+            acted[name] = res
+        elif isinstance(res, dict) and isinstance(res.get("version"), int):
+            acted[name] = res["version"]
+    pinned = {
+        name: {
+            "path": tpath,
+            "version": acted.get(name, latest_version(tpath)),
+        }
+        for name, tpath in members.items()
+    }
+    if pre_publish_hook is not None:
+        pre_publish_hook()
+    lock = open(os.path.join(path, "_CATLOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = catalog_latest(path)
+        if cur == base_v:
+            tables = pinned
+            rebased = False
+        else:
+            cur_m = _cat_load(path, cur)["tables"]
+            rebinds = sorted(
+                n for n in members
+                if n in cur_m and cur_m[n]["path"] != members[n]
+            )
+            if rebinds:
+                raise CatalogConflict(
+                    f"catalog txn on {path} lost its race: member(s) "
+                    f"{rebinds} were re-bound to different table paths "
+                    f"by a concurrent transaction (v{base_v} -> v{cur})"
+                )
+            tables = {k: dict(e) for k, e in cur_m.items()}
+            for n, e in pinned.items():
+                old = tables.get(n)
+                # linear member history: the higher pin contains both
+                # transactions' effects — never roll a pin back
+                if old is None or old["version"] <= e["version"]:
+                    tables[n] = e
+            rebased = True
+        v = catalog_latest(path) + 1
+        _cat_commit(path, v, tables)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "catalog_version": v,
+        "tables": {n: p["version"] for n, p in tables.items()},
+        "rebased": rebased,
+    }
+
+
 def catalog_read(
     spark: SparkSession, path: str, name: str, version: int | None = None
 ) -> DataFrame:

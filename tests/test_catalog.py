@@ -556,3 +556,130 @@ def test_catalog_txn_pins_mor_action_version(spark, tmp_path):
     )
     m = {r["id"]: r["v"] for r in snap.collect()}
     assert m["k1"] == 999 and m["k99"] == 1 and len(m) == 11
+
+
+# --------------------------------------------- round-11: catalog OCC
+def test_catalog_occ_disjoint_txns_overlap_and_both_land(spark, tmp_path):
+    """VERDICT r10 item 5: two transactions over DISJOINT member sets
+    run their work phases concurrently (real two threads, barrier in
+    the publish seam) and both land — the loser rebases, upserting its
+    members into the winner's table set, so neither unregisters the
+    other. The final joint snapshot carries both merges."""
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "catocc")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})
+    barrier = threading.Barrier(2)
+    results: dict[str, dict] = {}
+    errs: list[Exception] = []
+
+    def act_head(s, p):
+        return merge_scoped_versioned(
+            s, p, spark.createDataFrame([Row(id=1, price=111.0)]), now=T1
+        )
+
+    def act_stat(s, p):
+        return merge_scoped_versioned(
+            s, p, spark.createDataFrame([Row(id=2, status="X")]), now=T1
+        )
+
+    def run(tag, members, actions):
+        try:
+            results[tag] = catalog_txn_occ(
+                spark, cat, members, actions,
+                pre_publish_hook=barrier.wait,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(
+        target=run, args=("A", {"head": hp}, {"head": act_head})
+    )
+    t2 = threading.Thread(
+        target=run, args=("B", {"stat": sp}, {"stat": act_stat})
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert sorted(r["catalog_version"] for r in results.values()) == [3, 4]
+    assert sorted(r["rebased"] for r in results.values()) == [False, True]
+    # the final snapshot holds BOTH tables at their post-merge versions
+    final = catalog_latest(cat)
+    head = {r["id"]: r["price"] for r in catalog_read(
+        spark, cat, "head", version=final).collect()}
+    stat = {r["id"]: r["status"] for r in catalog_read(
+        spark, cat, "stat", version=final).collect()}
+    assert head[1] == 111.0 and stat[2] == "X"
+
+
+def test_catalog_occ_contended_member_pins_newest(spark, tmp_path):
+    """Two OCC transactions acting on the SAME member: the member's
+    own lock serializes the merges (linear history), so the loser's
+    rebase pins the NEWEST version — which contains both effects —
+    never rolling the winner's pin back."""
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "catocc2")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp})
+    calls = []
+
+    def winner_inside_window():
+        if not calls:
+            calls.append(1)
+            catalog_txn_occ(
+                spark, cat, {"head": hp},
+                {"head": lambda s, p: merge_scoped_versioned(
+                    s, p, spark.createDataFrame([Row(id=5, price=555.0)]),
+                    now=T1,
+                )},
+            )
+
+    res = catalog_txn_occ(
+        spark, cat, {"head": hp},
+        {"head": lambda s, p: merge_scoped_versioned(
+            s, p, spark.createDataFrame([Row(id=6, price=666.0)]), now=T1,
+        )},
+        pre_publish_hook=winner_inside_window,
+    )
+    assert res["rebased"] is True
+    # the published pin is the newest linear version: both rows live
+    head = {r["id"]: r["price"] for r in catalog_read(
+        spark, cat, "head").collect()}
+    assert head[5] == 555.0 and head[6] == 666.0
+    # and the pin never regressed below the winner's
+    assert res["tables"]["head"] == latest_version(hp)
+
+
+def test_catalog_occ_rebind_race_raises(spark, tmp_path):
+    """A member name re-bound to a DIFFERENT path by a concurrent
+    transaction is the hard conflict: version pins across paths are
+    incomparable, so the loser raises CatalogConflict and the catalog
+    keeps the winner's binding untouched."""
+    from cvemate_spark.operators.catalog import (
+        CatalogConflict,
+        catalog_txn_occ,
+    )
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "catocc3")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp})
+
+    def rebind_inside_window():
+        catalog_txn(spark, cat, {"head": sp})  # re-bind name -> other path
+
+    with pytest.raises(CatalogConflict):
+        catalog_txn_occ(
+            spark, cat, {"head": hp},
+            {"head": lambda s, p: merge_scoped_versioned(
+                s, p, spark.createDataFrame([Row(id=9, price=9.0)]), now=T1,
+            )},
+            pre_publish_hook=rebind_inside_window,
+        )
+    # winner's binding stands; the loser's member commit is valid
+    # (unreferenced) table-level history
+    m = catalog_read(spark, cat, "head").columns
+    assert "status" in m  # the catalog serves the re-bound table
