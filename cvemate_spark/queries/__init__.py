@@ -101,56 +101,46 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-10 rotation (VERDICT r9 item 1). The r9 gate went
-    # green 50/50 in CORRECTNESS_r09.json, so its members cede.
-    # Entrants: the 8 round-9 additions the r9 verdict shortlisted —
-    # a green row for each closes cumulative driver evidence at
-    # 210/211 + t_compress rows-only. The remaining slots follow the
-    # re-entry policy: round 10's semantic edits to merge.py
-    # (write_atomic meta co-location), merge_versioned.py (schema
-    # enforcement, constraint-inheriting reload), catalog.py (phantom
-    # sweep, action-returned pinning) and streaming/jobs.py (A-B-A-
-    # proof feed_replica) pull the versioned/merge family, the
-    # streaming ladder, and the composed pipelines back in. Every
-    # other changed-hash query (the wide engine_ops closure) is
-    # re-proven locally by tools/update_gate_hashes.py before its pin
-    # refreshes (the policy's documented alternative to a gate slot).
-    # --- entrants: round-9 additions, first driver proof (8)
-    "e_change_feed", "e_versioned_evolve", "e_versioned_skip",
-    "e_merge_constraint", "e_catalog_txn", "cve_pipeline_versioned",
-    "s18_versioned_replay", "s19_feed_replica",
-    # --- re-entries: versioned/merge family, builders changed this
-    # round (advice fixes land here) (10)
-    "e_merge_scoped_versioned", "e_rebucket_versioned", "e_time_travel",
-    "e_table_diff", "e_merge_delete", "e_merge_scoped",
-    "cve_pipeline_fold", "cve_pipeline", "s3_merge_replay",
-    "s17_scoped_replay",
-    # --- re-entries: streaming ladder (jobs.py changed) (15)
-    "s1_tumbling", "s2_sliding", "s4_session", "s5_stateful",
-    "s6_dedup", "s7_join", "s8_static_join", "s9_outer_join",
-    "s10_tws", "s11_recovery", "s12_media", "s13_drift", "s14_kmv",
-    "s15_cms", "s16_quantile",
-    # --- entrants: round-10 new capabilities, first driver proof —
-    # clustered file-grain data skipping (optimize_versioned), the
-    # catalog-level change feed with jointly-atomic replication, and
-    # multi-writer optimistic concurrency (merge_scoped_versioned_occ)
-    # and merge-on-read deltas (merge_scoped_versioned_mor +
-    # compact_versioned + ordinal-scoped DVs + the keep-latest fold
-    # policy driving the s20 MOR replay) and column mapping
-    # (alter_bucket_table_versioned: RENAME/DROP without rewrite);
-    # q01/q06/q17/q11 cede — headline standing re-entries, builders
-    # unchanged this round, driver-green r1/r9 (6)
-    "e_versioned_cluster_skip", "e_catalog_feed", "e_merge_concurrent",
-    "e_merge_mor", "s20_mor_replay", "e_versioned_rename",
-    # --- re-entries: changed-closure engine surface (5; e_gapfill and
-    # e_hll_merge ceded to the round-10 entrants — closure-only hash
-    # changes, re-proven locally by the round-10 pin refresh)
-    "e_asof", "e_zorder_part", "e_scd2", "e_ivm_join",
-    "curate_pipeline2",
+    # ---- Round-11 rotation (VERDICT r10 item 7 + ADVICE low 4). The
+    # r10 gate went green 50/50 in CORRECTNESS_r10.json. Round 11's
+    # semantic edits land in merge_versioned.py (SHARDED format-2
+    # manifests, ordinal-compose rebase for same-bucket MOR appends,
+    # the mapping-drift OCC guard, fold-policy-per-manifest,
+    # fold-honoring CoW legs), merge.py (keep_latest_merge null-pads),
+    # catalog.py (catalog_txn_occ) and session.py (bounded listing
+    # parallelism) — the whole versioned/merge/catalog family
+    # re-enters. The four headline queries ceded in r10 (q01/q06/
+    # q11/q17) rotate back per the advisory, so every headline query
+    # gates driver regressions again. The streaming window ladder
+    # (s1/s2/s4/s6-s9, s13-s16; jobs.py UNCHANGED this round,
+    # driver-green r10) cedes its slots; every other changed-hash
+    # query is re-proven locally by tools/update_gate_hashes.py
+    # before its pin refreshes.
+    # --- entrant: round-11 new capability, first driver proof (1)
+    "e_manifest_shard",
+    # --- re-entries: versioned/merge/catalog family, builders
+    # changed this round (25)
+    "e_merge_concurrent", "e_merge_mor", "s20_mor_replay",
+    "e_versioned_rename", "e_versioned_cluster_skip", "e_catalog_feed",
+    "e_catalog_txn", "e_merge_scoped_versioned", "e_rebucket_versioned",
+    "e_time_travel", "e_table_diff", "e_merge_delete", "e_merge_scoped",
+    "cve_pipeline_versioned", "cve_pipeline_fold", "cve_pipeline",
+    "s3_merge_replay", "s17_scoped_replay", "s18_versioned_replay",
+    "s19_feed_replica", "e_change_feed", "e_versioned_evolve",
+    "e_versioned_skip", "e_merge_constraint", "e_zorder_part",
+    # --- re-entries: the r10-ceded headline queries rotate back (4)
+    "q01", "q06", "q11", "q17",
     # --- re-entries: the headline suite (bench-correlated standing
     # re-entry vehicle) (6)
     "q19", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh", "emb_neardup",
+    # --- re-entries: changed-closure engine surface (engine_ops.py
+    # gained e_manifest_shard, so every e_* hash moved) (9)
+    "e_asof", "e_scd2", "e_ivm_join", "curate_pipeline2",
+    "e_gapfill", "e_hll_merge", "e_pivot", "e_unpivot", "g_pagerank",
+    # --- re-entries: the stateful/recovery streaming spine (the
+    # riskiest streaming surfaces keep standing driver coverage) (5)
+    "s5_stateful", "s10_tws", "s11_recovery", "s12_media", "s14_kmv",
 )
 
 

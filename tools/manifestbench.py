@@ -80,10 +80,12 @@ def main() -> None:
     # not batch compute, so the batch is as small as possible
     shutil.rmtree(SCRATCH, ignore_errors=True)
     path = f"{SCRATCH}/vt"
-    write_bucket_table_versioned_ = __import__(
+    _mv = __import__(
         "cvemate_spark.operators.merge_versioned",
         fromlist=["write_bucket_table_versioned"],
-    ).write_bucket_table_versioned
+    )
+    write_bucket_table_versioned_ = _mv.write_bucket_table_versioned
+    read_bucket_for_key_versioned_ = _mv.read_bucket_for_key_versioned
     write_bucket_table_versioned_(
         merge_upsert(None, orders, key="o_orderkey", now=T0),
         path, key="o_orderkey", n_buckets=N_BUCKETS,
@@ -128,20 +130,42 @@ def main() -> None:
     feed_rows = feed.count() if feed is not None else 0
     feed_s = time.time() - t
 
+    def _manifest_bytes() -> tuple[int, int]:
+        """(root bytes, shard bytes) — sharded (format-2) tables keep
+        the bucket payload in content-addressed _manifest/ shard files;
+        counting only v-*.json would under-report their storage."""
+        roots = sum(
+            os.path.getsize(f"{path}/{f}")
+            for f in os.listdir(path)
+            if f.startswith("v-") and f.endswith(".json")
+        )
+        mdir = f"{path}/_manifest"
+        shards = (
+            sum(
+                os.path.getsize(f"{mdir}/{f}")
+                for f in os.listdir(mdir)
+            )
+            if os.path.isdir(mdir)
+            else 0
+        )
+        return roots, shards
+
     man_count = V
-    man_bytes = sum(
-        os.path.getsize(f"{path}/{f}")
-        for f in os.listdir(path)
-        if f.startswith("v-") and f.endswith(".json")
-    )
+    root_bytes, shard_bytes = _manifest_bytes()
+    man_bytes = root_bytes + shard_bytes
+    # POINT-LOOKUP plan time: the O(touched)-in-width claim (sharded:
+    # root + one shard; monolithic: the whole manifest)
+    t = time.time()
+    hit = read_bucket_for_key_versioned_(spark, path, int(keys[0]))
+    point_plan_s = time.time() - t
+    t = time.time()
+    hit.collect()
+    point_collect_s = time.time() - t
     t = time.time()
     vac = vacuum_bucket_versions(path, keep=2)
     vacuum_s = time.time() - t
-    man_bytes_after = sum(
-        os.path.getsize(f"{path}/{f}")
-        for f in os.listdir(path)
-        if f.startswith("v-") and f.endswith(".json")
-    )
+    rb_after, sb_after = _manifest_bytes()
+    man_bytes_after = rb_after + sb_after
     # the table still reads exactly after compaction
     assert read_bucket_table_versioned(spark, path).count() == n
 
@@ -164,9 +188,15 @@ def main() -> None:
             "change_feed_from_midpoint_s": round(feed_s, 2),
             "change_feed_rows": feed_rows,
         },
+        "point_lookup": {
+            "plan_s": round(point_plan_s, 3),
+            "collect_s": round(point_collect_s, 3),
+        },
         "manifests": {
             "count": man_count,
             "bytes": man_bytes,
+            "root_bytes": root_bytes,
+            "shard_bytes": shard_bytes,
             "bytes_per_manifest": man_bytes // max(man_count, 1),
         },
         "vacuum": {

@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""OCC contention economics (VERDICT r10 item 4): N concurrent
+writers against one versioned table — wall clock, retries, rebases,
+ordinal-composes, and orphan bytes, for:
+
+  * cow_disjoint: CoW OCC writers over bucket-disjoint key sets
+    (the nightly-feeds shape — work phases overlap, rebases free)
+  * cow_overlap:  CoW OCC writers all hitting the SAME buckets
+    (worst case — every loser pays retry x work-phase)
+  * mor_overlap:  MOR OCC writers on the same buckets, key-disjoint
+    (round-11 ordinal compose: same contention, ZERO retries)
+
+plus a serial baseline per scenario (the same batches, one after
+another, through the locked path). Orphan bytes = generation dirs no
+manifest references when the dust settles — the disk cost of lost
+races, reclaimed by vacuum.
+
+Usage: python3 tools/occbench.py [sf_dir] [writers_csv]
+Writes OCCBENCH.json.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+WRITERS = [2, 4, 8]
+for a in sys.argv[1:]:
+    if "/" in a:
+        SF_DIR = a
+    elif "," in a or a.isdigit():
+        WRITERS = [int(x) for x in a.split(",")]
+
+SCRATCH = "/root/repo/.scratch/occbench"
+N_BUCKETS = 256
+ROWS_PER_WRITER = 200
+T0 = "2026-01-01 00:00:00"
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _dirs, fs in os.walk(d)
+        for f in fs
+    )
+
+
+def _orphan_bytes(path: str) -> int:
+    from cvemate_spark.operators import merge_versioned as mv
+
+    referenced = set()
+    for v in mv._list_versions(path):
+        full = mv._load_manifest_full(path, v)
+        for i, g in full["buckets"].items():
+            referenced.add(f"{path}/bucket={i}/{g}")
+        for i, lst in (full.get("deltas") or {}).items():
+            for d in lst:
+                referenced.add(f"{path}/bucket={i}/{d['g']}")
+    return sum(
+        _dir_bytes(g)
+        for g in glob.glob(f"{path}/bucket=*/g-*")
+        if g not in referenced
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators import merge_versioned as mv
+    from cvemate_spark.operators.merge import bucket_expr, merge_upsert
+    from cvemate_spark.session import get_spark
+
+    spark = get_spark()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = merge_upsert(None, orders, key="o_orderkey", now=T0)
+
+    # key pools, bucketed once: disjoint scenarios split by bucket
+    # parity, overlap scenarios all draw keys from ONE bucket's pool
+    b = bucket_expr("o_orderkey", N_BUCKETS)
+    keyed = orders.select(
+        F.col("o_orderkey").alias("k"), b.alias("bkt")
+    ).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in keyed:
+        by_bucket.setdefault(r["bkt"], []).append(r["k"])
+    hot = max(by_bucket, key=lambda i: len(by_bucket[i]))
+
+    def batch_df(keys, tag):
+        return spark.createDataFrame(
+            [(int(k), 1.0, tag) for k in keys],
+            "o_orderkey long, o_totalprice double, o_orderstatus string",
+        )
+
+    def writer_batches(n, mode):
+        """n key-disjoint batches: disjoint -> writer i owns buckets
+        with bucket%n==i; overlap -> all writers draw from the single
+        hottest bucket (bucket-overlapping, key-disjoint)."""
+        out = []
+        if mode == "disjoint":
+            for i in range(n):
+                keys = [
+                    k for bkt, ks in by_bucket.items()
+                    if bkt % n == i for k in ks
+                ][:ROWS_PER_WRITER]
+                out.append(batch_df(keys, f"W{i}"))
+        else:
+            pool = by_bucket[hot]
+            per = max(1, min(ROWS_PER_WRITER, len(pool) // n))
+            for i in range(n):
+                out.append(batch_df(pool[i * per:(i + 1) * per], f"W{i}"))
+        return out
+
+    results: dict[str, dict] = {}
+    for n in WRITERS:
+        for scen, mode, merge_kind in (
+            (f"cow_disjoint_{n}w", "disjoint", "cow"),
+            (f"cow_overlap_{n}w", "overlap", "cow"),
+            (f"mor_overlap_{n}w", "overlap", "mor"),
+        ):
+            path = f"{SCRATCH}/{scen}"
+            shutil.rmtree(path, ignore_errors=True)
+            mv.write_bucket_table_versioned(
+                base, path, key="o_orderkey", n_buckets=N_BUCKETS
+            )
+            batches = writer_batches(n, mode)
+
+            def run_one(df, acc):
+                if merge_kind == "cow":
+                    acc.append(mv.merge_scoped_versioned_occ(
+                        spark, path, df, now=T0, max_retries=2 * n,
+                    ))
+                else:
+                    acc.append(mv.merge_scoped_versioned_mor(
+                        spark, path, df, now=T0, occ=True,
+                        max_retries=2 * n,
+                    ))
+
+            accs: list[dict] = []
+            threads = [
+                threading.Thread(target=run_one, args=(df, accs))
+                for df in batches
+            ]
+            t = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            wall = time.time() - t
+            orphans = _orphan_bytes(path)
+
+            # serial baseline: same batches through the locked path
+            path_s = f"{SCRATCH}/{scen}_serial"
+            shutil.rmtree(path_s, ignore_errors=True)
+            mv.write_bucket_table_versioned(
+                base, path_s, key="o_orderkey", n_buckets=N_BUCKETS
+            )
+            t = time.time()
+            for df in batches:
+                if merge_kind == "cow":
+                    mv.merge_scoped_versioned(spark, path_s, df, now=T0)
+                else:
+                    mv.merge_scoped_versioned_mor(spark, path_s, df, now=T0)
+            serial_wall = time.time() - t
+
+            results[scen] = {
+                "writers": n,
+                "wall_s": round(wall, 2),
+                "serial_wall_s": round(serial_wall, 2),
+                "speedup": round(serial_wall / wall, 2),
+                "attempts": sum(a["attempts"] for a in accs),
+                "rebased": sum(1 for a in accs if a["rebased"]),
+                "composed_buckets": sum(
+                    len(a.get("composed") or []) for a in accs
+                ),
+                "orphan_bytes": orphans,
+            }
+            print(json.dumps({scen: results[scen]}))
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path_s, ignore_errors=True)
+
+    out = {
+        "sf_dir": SF_DIR,
+        "n_buckets": N_BUCKETS,
+        "rows_per_writer": ROWS_PER_WRITER,
+        "scenarios": results,
+        "loadavg_1m": os.getloadavg()[0],
+    }
+    with open("/root/repo/OCCBENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
