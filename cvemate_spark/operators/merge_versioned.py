@@ -361,15 +361,31 @@ def _write_manifest_shards(
             with open(tmp, "w") as f:
                 f.write(blob)
             os.replace(tmp, fpath)
-        entry: dict = {
-            "f": fname,
-            "ids": sorted(int(i) for i in sub["buckets"]),
-        }
+        entry: dict = {"f": fname}
+        ids_sorted = sorted(int(i) for i in sub["buckets"])
+        if ids_sorted and ids_sorted == list(
+            range(ids_sorted[0], ids_sorted[-1] + 1)
+        ):
+            # dense shard (every bucket occupied — the common case on
+            # a loaded table): O(1) range instead of an O(shard_size)
+            # id list, so the root stays O(n_shards) not O(n_buckets)
+            entry["r"] = [ids_sorted[0], ids_sorted[-1]]
+        else:
+            entry["ids"] = ids_sorted
         roll = _shard_rollup(sub)
         if roll:
             entry["cols"] = roll
         shards[key_s] = entry
     return shards
+
+
+def _entry_ids(e: dict) -> list[int]:
+    """Bucket ids a root shard entry covers — explicit list ("ids") or
+    dense range ("r"), whichever the writer chose."""
+    if "ids" in e:
+        return e["ids"]
+    lo, hi = e["r"]
+    return list(range(lo, hi + 1))
 
 
 HISTORY_LOG = "_HISTORY.jsonl"
@@ -967,7 +983,7 @@ def prune_generations(
         load_keys: set[str] = set()
         for s, e in root["shards"].items():
             if _stat_excludes((e.get("cols") or {}).get(pcol), lo, hi):
-                skipped.extend(str(i) for i in e["ids"])
+                skipped.extend(str(i) for i in _entry_ids(e))
             else:
                 load_keys.add(s)
         full = _assemble_shards(path, root, load_keys)

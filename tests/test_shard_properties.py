@@ -90,9 +90,12 @@ def test_shard_split_round_trips_exactly(tmp_path_factory, payload):
     assert (full.get("stats") or {}) == stats
     assert (full.get("dv") or {}) == dv
     assert (full.get("deltas") or {}) == deltas
-    # ids in the root cover exactly the manifest buckets
+    # ids in the root cover exactly the manifest buckets (explicit
+    # list or dense range encoding)
+    from cvemate_spark.operators.merge_versioned import _entry_ids
+
     listed = sorted(
-        i for e in shards.values() for i in e["ids"]
+        i for e in shards.values() for i in _entry_ids(e)
     )
     assert listed == sorted(int(i) for i in buckets)
     # slice load: every bucket resolves through its own shard alone
