@@ -3692,12 +3692,36 @@ def changed_buckets_between(
     version number IS the consumer's watermark: unlike timestamp
     freshness (merge.py::changed_buckets_since) there is no precision
     or clock-skew surface at all, and a layout change (rebucket)
-    degrades safely to "everything changed"."""
+    degrades safely to "everything changed".
+
+    Sharded (format-2) manifests diff at the ROOT first: a shard whose
+    content-addressed file reference is identical in both versions is
+    byte-identical, so only the differing shards load — the consumer's
+    poll costs O(changed shards), not O(table width), exactly the
+    sharded commit's economics applied to the read side."""
     to_v = _resolve_version(path, to_version)
-    m_from = _load_manifest_full(path, since_version)
-    m_to = _load_manifest_full(path, to_v)
-    if m_from["n_buckets"] != m_to["n_buckets"]:
-        return sorted(int(i) for i in m_to["buckets"])  # re-hashed: all
+    r_from = _load_root(path, since_version)
+    r_to = _load_root(path, to_v)
+    if r_from["n_buckets"] != r_to["n_buckets"]:
+        full_to = _slice_from_root(path, r_to, None)
+        return sorted(int(i) for i in full_to["buckets"])  # re-hashed
+    if (
+        r_from.get("format") == 2
+        and r_to.get("format") == 2
+        and r_from.get("shard_size") == r_to.get("shard_size")
+    ):
+        sh_from = r_from["shards"]
+        sh_to = r_to["shards"]
+        diff = {
+            s for s in set(sh_from) | set(sh_to)
+            if (sh_from.get(s) or {}).get("f")
+            != (sh_to.get(s) or {}).get("f")
+        }
+        m_from = _assemble_shards(path, r_from, diff)
+        m_to = _assemble_shards(path, r_to, diff)
+        return sorted(_changed_sig_buckets(m_from, m_to))
+    m_from = _slice_from_root(path, r_from, None)
+    m_to = _slice_from_root(path, r_to, None)
     return sorted(_changed_sig_buckets(m_from, m_to))
 
 
@@ -3750,7 +3774,8 @@ def read_changed_between(
     changed = changed_buckets_between(path, since_version, to_v)
     if not changed:
         return None
-    full = _load_manifest_full(path, to_v)
+    # slice load: only the shards the changed buckets live in
+    full = _load_manifest_slice(path, to_v, changed)
     with open(os.path.join(path, BUCKET_META)) as f:
         key = json.load(f)["key"]
     return _read_snapshot_slice(spark, path, full, changed, key)
@@ -3962,8 +3987,15 @@ def change_feed(
             "row's bucket is a function of the diff key"
         )
     to_v = _resolve_version(path, to_version)
-    m_from = _load_manifest_full(path, since_version)
-    m_to = _load_manifest_full(path, to_v)
+    r_from = _load_root(path, since_version)
+    r_to = _load_root(path, to_v)
+
+    def _root_empty(root: dict) -> bool:
+        # emptiness is decidable from the ROOT alone (no shard loads):
+        # a format-2 root with no shard entries references no buckets
+        if root.get("format") == 2:
+            return not root["shards"]
+        return not root["buckets"]
 
     from .merge import table_diff
 
@@ -3987,21 +4019,21 @@ def change_feed(
             new_df = new_df.withColumn(col, F.lit(None).cast(typ))
         return table_diff(old_df, new_df, key=key)
 
-    if m_from["n_buckets"] != m_to["n_buckets"]:
+    if r_from["n_buckets"] != r_to["n_buckets"]:
         # layout changed between the versions: bucket ids are not
         # comparable — diff the full snapshots. Either side may be the
         # metadata-only EMPTY init (a consumer checkpointed at v1 must
         # still catch up across a later rebucket): empty -> a typed
         # empty frame, never a read error
-        def _snap(m: dict, v: int, like: DataFrame | None):
-            if m["buckets"]:
+        def _snap(root: dict, v: int, like: DataFrame | None):
+            if not _root_empty(root):
                 return read_bucket_table_versioned(spark, path, v)
             if like is not None:
                 return spark.createDataFrame([], like.schema)
             return None
 
-        new_df = _snap(m_to, to_v, None)
-        old_df = _snap(m_from, since_version, new_df)
+        new_df = _snap(r_to, to_v, None)
+        old_df = _snap(r_from, since_version, new_df)
         if old_df is None and new_df is None:
             return None
         if new_df is None:
@@ -4012,7 +4044,7 @@ def change_feed(
     if not changed:
         return None
 
-    if not m_from["buckets"]:
+    if _root_empty(r_from):
         # bootstrap consumer (checkpointed at the metadata-only empty
         # init): the old side is empty by construction, so the diff IS
         # the new side tagged insert — no outer join, one read. Same
@@ -4020,6 +4052,11 @@ def change_feed(
         # the surviving side", change='insert').
         snap = read_bucket_table_versioned(spark, path, to_v)
         return snap.withColumn("change", F.lit("insert"))
+
+    # slice loads: only the shards the changed buckets live in — the
+    # consumer's whole poll is O(changed), root to data pages
+    m_from = _slice_from_root(path, r_from, changed)
+    m_to = _slice_from_root(path, r_to, changed)
 
     def _read(m: dict, like: DataFrame | None):
         # each side reads THROUGH its version's deltas and deletion

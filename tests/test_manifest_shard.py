@@ -265,3 +265,82 @@ def test_auto_shard_threshold(spark, tmp_path):
         narrow, key="id", n_buckets=8,
     )
     assert mv._load_root(narrow, 1).get("format") != 2
+
+
+def test_change_feed_and_diff_match_monolithic_twin(spark, tmp_path):
+    """The O(changed) fast paths (root shard-ref diff in
+    changed_buckets_between, slice loads in change_feed /
+    read_changed_between) return exactly the monolithic twin's
+    answers — including across a MOR delta commit and a DV delete,
+    whose changes live in shard content, not the buckets map."""
+    pm = str(tmp_path / "fm")
+    ps = str(tmp_path / "fs")
+    base = merge_upsert(None, _base(spark), key="id", now=T0)
+    mv.write_bucket_table_versioned(base, pm, key="id", n_buckets=16)
+    mv.write_bucket_table_versioned(
+        base, ps, key="id", n_buckets=16, manifest_shard_size=4
+    )
+    upd = spark.createDataFrame(
+        [(3, 99.0, "sX")], "id long, val double, tag string"
+    )
+    mo = spark.createDataFrame(
+        [(5, 55.0, "sY")], "id long, val double, tag string"
+    )
+    dk = spark.createDataFrame([(7,)], "id long")
+    for p in (pm, ps):
+        mv.merge_scoped_versioned(spark, p, upd, now=T0)       # v2
+        mv.merge_scoped_versioned_mor(spark, p, mo, now=T0)    # v3
+        mv.merge_deletes_dv(spark, p, dk)                      # v4
+    for lo, hi in [(1, 4), (1, 2), (2, 3), (3, 4)]:
+        assert mv.changed_buckets_between(pm, lo, hi) == \
+            mv.changed_buckets_between(ps, lo, hi), (lo, hi)
+    for since in (1, 2, 3):
+        fm = mv.change_feed(spark, pm, since)
+        fs = mv.change_feed(spark, ps, since)
+        rm = sorted(
+            (r["id"], r["change"]) for r in fm.collect()
+        ) if fm is not None else None
+        rs = sorted(
+            (r["id"], r["change"]) for r in fs.collect()
+        ) if fs is not None else None
+        assert rm == rs, since
+        cm = mv.read_changed_between(spark, pm, since)
+        cs = mv.read_changed_between(spark, ps, since)
+        assert sorted(r["id"] for r in cm.collect()) == \
+            sorted(r["id"] for r in cs.collect()), since
+    # up-to-date consumer: no shard loads, no read, None
+    v = mv.latest_version(ps)
+    assert mv.change_feed(spark, ps, v) is None
+    assert mv.changed_buckets_between(ps, v, v) == []
+
+
+def test_multi_predicate_prune_on_partial_manifests(spark, tmp_path):
+    """prune_generations_multi intersects per-column plans whose
+    PARTIAL manifests may have loaded different shard sets; the
+    composed scan must still be exact (≡ residual filters on the full
+    read)."""
+    path = str(tmp_path / "multi")
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, _base(spark), key="id", now=T0),
+        path, key="id", n_buckets=32, manifest_shard_size=4,
+    )
+    one = spark.createDataFrame(
+        [(3, -5.0, "z"), (9, -7.0, "z")],
+        "id long, val double, tag string",
+    )
+    mv.merge_scoped_versioned(spark, path, one, now=T0)
+    preds = [("val", -10.0, -1.0), ("id", 0, 5)]
+    got = sorted(
+        r["id"]
+        for r in mv.scan_versioned_multi(spark, path, preds).collect()
+    )
+    assert got == [3]
+    full = mv.read_bucket_table_versioned(spark, path)
+    want = sorted(
+        r["id"]
+        for r in full.filter(
+            (full.val >= -10.0) & (full.val <= -1.0)
+            & (full.id >= 0) & (full.id <= 5)
+        ).collect()
+    )
+    assert got == want
