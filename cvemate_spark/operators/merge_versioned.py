@@ -171,6 +171,29 @@ def _load_root(path: str, v: int) -> dict:
     return m
 
 
+# parsed-shard cache: shard files are IMMUTABLE (content-addressed by
+# payload hash), so a parse is valid forever — a commit loop that
+# full-loads the latest manifest per merge re-parses only the shards
+# the previous commit changed. Entries are shared dicts: consumers
+# treat shard payloads as read-only (every mutator in this module
+# copies before writing — the sharded≡monolithic twin law is the
+# tripwire). Bounded FIFO: ~the working set of a few versions.
+_SHARD_CACHE: dict[str, dict] = {}
+_SHARD_CACHE_MAX = 1024
+
+
+def _load_shard(path: str, fname: str) -> dict:
+    fpath = os.path.join(path, MANIFEST_DIR, fname)
+    sub = _SHARD_CACHE.get(fpath)
+    if sub is None:
+        with open(fpath) as f:
+            sub = json.load(f)
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[fpath] = sub
+    return sub
+
+
 def _assemble_shards(path: str, root: dict, shard_keys: set | None) -> dict:
     """Materialize a format-2 root into the legacy full-manifest shape,
     loading only `shard_keys` (None = all). The raw root rides along as
@@ -186,8 +209,7 @@ def _assemble_shards(path: str, root: dict, shard_keys: set | None) -> dict:
     for s in sorted(root["shards"], key=int):
         if shard_keys is not None and s not in shard_keys:
             continue
-        with open(os.path.join(path, MANIFEST_DIR, root["shards"][s]["f"])) as f:
-            sub = json.load(f)
+        sub = _load_shard(path, root["shards"][s]["f"])
         buckets.update(sub.get("buckets") or {})
         stats.update(sub.get("stats") or {})
         dv.update(sub.get("dv") or {})
