@@ -160,6 +160,53 @@ def test_gate_hash_closure_and_sensitivity():
     # jobs` behind an empty streaming/__init__.py hid jobs.py edits)
     deps = _closure("cvemate_spark.queries.streaming_ops")
     assert "cvemate_spark.streaming.jobs" in deps
+    # PARENTHESIZED multi-line imports must enter the closure (round-11
+    # blind spot: `from ..operators.merge_versioned import (\n...` in
+    # 28 query-module sites never hashed the versioned layer, so the
+    # re-entry tripwire was blind to merge_versioned edits)
+    deps = _closure("cvemate_spark.queries.engine_ops")
+    assert "cvemate_spark.operators.merge_versioned" in deps
+    assert "cvemate_spark.operators.catalog" in deps
+    # the closure records only the BASE module for the multi-line form
+    # (continuation names are symbols): assert the tree keeps it that
+    # way — no `from pkg import (submodule, ...)` anywhere
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "cvemate_spark"
+    offenders = []
+    pat = re.compile(r"^\s*from\s+(\.+[\w.]*|cvemate_spark[\w.]*)"
+                     r"\s+import\s+\($", re.MULTILINE)
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in pat.finditer(src):
+            # names on following lines until ')': none may be a module
+            tail = src[m.end():src.index(")", m.end())]
+            for name in tail.replace("\n", " ").split(","):
+                name = name.strip()
+                if not name:
+                    continue
+                base = m.group(1)
+                if base.startswith("."):
+                    # resolve relative to this file's package
+                    rel = py.relative_to(pkg.parent).with_suffix("")
+                    parts = str(rel).split("/")[:-1]
+                    up = len(base) - len(base.lstrip(".")) - 1
+                    root = parts[: len(parts) - up] if up else parts
+                    dotted = ".".join(
+                        root + ([base.lstrip(".")] if base.lstrip(".") else [])
+                    )
+                else:
+                    dotted = base
+                cand = pkg.parent / (
+                    dotted.replace(".", "/") + "/" + name + ".py"
+                )
+                if cand.is_file():
+                    offenders.append(f"{py}: from {base} import ({name}")
+    assert not offenders, (
+        "parenthesized `from pkg import (submodule...)` found — the "
+        f"closure would miss these modules: {offenders}"
+    )
 
     spec = REGISTRY.specs["q11"]
     h = builder_hash(spec)

@@ -35,9 +35,19 @@ REPO = Path(__file__).resolve().parent.parent
 PKG = REPO / "cvemate_spark"
 HASH_FILE = REPO / "tests" / "gate_hashes.json"
 
+# `import\s+\(?` — PARENTHESIZED multi-line imports must match too:
+# `from ..operators.merge_versioned import (\n    alter..., \n)` was
+# invisible to the old `[\w ,]+` names group (it cannot match "("),
+# so 28 query-module imports of the versioned layer never entered any
+# closure and the re-entry tripwire was blind to merge_versioned edits
+# (round-11 find, same class as the round-6 jobs.py blind spot). The
+# names group may be empty for the multi-line form — the BASE module
+# is what the closure needs; continuation-line names are symbols (no
+# `from pkg import (submodule, ...)` exists in the tree, asserted in
+# tests/test_registry.py).
 _IMPORT_RE = re.compile(
-    r"^\s*from\s+(\.+)([\w.]*)\s+import\s+([\w ,]+)"
-    r"|^\s*from\s+(cvemate_spark[\w.]*)\s+import\s+([\w ,]+)",
+    r"^\s*from\s+(\.+)([\w.]*)\s+import\s+\(?\s*([\w ,]*)"
+    r"|^\s*from\s+(cvemate_spark[\w.]*)\s+import\s+\(?\s*([\w ,]*)",
     re.MULTILINE,
 )
 
