@@ -344,3 +344,67 @@ def test_multi_predicate_prune_on_partial_manifests(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_shard_edges_empty_rebucket_and_rich_payload(spark, tmp_path):
+    """Edge interleavings: (a) migrating an EMPTY init yields a
+    zero-shard format-2 root and the first merge + bootstrap feed work;
+    (b) rebucketing a sharded table rebuilds shards under the new
+    layout (and the cross-layout feed stays content-neutral);
+    (c) migrating a table carrying live MOR deltas AND DV refs keeps
+    both in the shard payload — reads identical across the boundary."""
+    # (a) empty init
+    p1 = str(tmp_path / "t1")
+    mv.init_bucket_table_versioned(p1, key="id", n_buckets=8)
+    r = mv.shard_manifest_versioned(p1, shard_size=2)
+    assert mv._load_root(p1, r["version"]).get("format") == 2
+    assert r["shards"] == 0
+    b = spark.createDataFrame([(1, "x")], "id long, v string")
+    mv.merge_scoped_versioned(spark, p1, b, now=T0)
+    feed = mv.change_feed(spark, p1, 1)
+    assert sorted(x["change"] for x in feed.collect()) == ["insert"]
+
+    # (b) rebucket a sharded table
+    p2 = str(tmp_path / "t2")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as double) as val")
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, df, key="id", now=T0),
+        p2, key="id", n_buckets=16, manifest_shard_size=4,
+    )
+    mv.rebucket_versioned(spark, p2, 32)
+    root = mv._load_root(p2, mv.latest_version(p2))
+    assert root["n_buckets"] == 32 and root.get("format") == 2
+    assert mv.read_bucket_table_versioned(spark, p2).count() == 100
+    f2 = mv.change_feed(spark, p2, 1)
+    assert f2 is None or f2.count() == 0  # rebucket is content-neutral
+    assert [
+        x["id"] for x in mv.read_bucket_for_key_versioned(
+            spark, p2, 7
+        ).collect()
+    ] == [7]
+
+    # (c) migrate with live deltas + DVs
+    p3 = str(tmp_path / "t3")
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, df, key="id", now=T0), p3, key="id",
+        n_buckets=16,
+    )
+    mv.merge_scoped_versioned_mor(
+        spark, p3,
+        spark.createDataFrame([(5, 55.0)], "id long, val double"),
+        now=T0,
+    )
+    mv.merge_deletes_dv(spark, p3, spark.createDataFrame([(7,)], "id long"))
+    before = sorted(
+        tuple(x) for x in mv.read_bucket_table_versioned(spark, p3)
+        .select("id", "val").collect()
+    )
+    mv.shard_manifest_versioned(p3, shard_size=4)
+    after = sorted(
+        tuple(x) for x in mv.read_bucket_table_versioned(spark, p3)
+        .select("id", "val").collect()
+    )
+    assert before == after and (5, 55.0) in after
+    assert all(t[0] != 7 for t in after)
+    full = mv._load_manifest_full(p3, mv.latest_version(p3))
+    assert full.get("deltas") and full.get("dv")
