@@ -15,8 +15,10 @@ another, through the locked path). Orphan bytes = generation dirs no
 manifest references when the dust settles — the disk cost of lost
 races, reclaimed by vacuum.
 
-Usage: python3 tools/occbench.py [sf_dir] [writers_csv]
-Writes OCCBENCH.json.
+Usage: python3 tools/occbench.py [sf_dir] [writers_csv] [xN] [bN]
+  xN (e.g. x10) multiplies the orders corpus; bN (e.g. b4096) sets
+  the bucket count. Writes OCCBENCH.json (OCCBENCH_<buckets>.json
+  when bN is given — decade points don't overwrite each other).
 """
 
 from __future__ import annotations
@@ -33,14 +35,21 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.1"
 WRITERS = [2, 4, 8]
+N_BUCKETS = 256
+MULTIPLIER = 1
+OUT_NAME = "OCCBENCH.json"
 for a in sys.argv[1:]:
     if "/" in a:
         SF_DIR = a
+    elif a.startswith("x") and a[1:].isdigit():
+        MULTIPLIER = int(a[1:])
+    elif a.startswith("b") and a[1:].isdigit():
+        N_BUCKETS = int(a[1:])
+        OUT_NAME = f"OCCBENCH_{N_BUCKETS}.json"
     elif "," in a or a.isdigit():
         WRITERS = [int(x) for x in a.split(",")]
 
 SCRATCH = "/root/repo/.scratch/occbench"
-N_BUCKETS = 256
 ROWS_PER_WRITER = 200
 T0 = "2026-01-01 00:00:00"
 
@@ -82,18 +91,44 @@ def main() -> None:
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+    if MULTIPLIER > 1:
+        # the mergebench xN corpus derivation: disjoint key stripes
+        orders = (
+            spark.range(MULTIPLIER)
+            .crossJoin(orders)
+            .select(
+                (F.col("o_orderkey") * MULTIPLIER + F.col("id"))
+                .alias("o_orderkey"),
+                "o_totalprice", "o_orderstatus",
+            )
+        )
     base = merge_upsert(None, orders, key="o_orderkey", now=T0)
 
-    # key pools, bucketed once: disjoint scenarios split by bucket
-    # parity, overlap scenarios all draw keys from ONE bucket's pool
+    # key pools, BOUNDED driver state: disjoint scenarios split by
+    # bucket parity (per-writer limited collect), overlap scenarios
+    # all draw keys from ONE bucket's pool (count agg + one limited
+    # collect — never the whole key column)
     b = bucket_expr("o_orderkey", N_BUCKETS)
-    keyed = orders.select(
-        F.col("o_orderkey").alias("k"), b.alias("bkt")
-    ).collect()
-    by_bucket: dict[int, list[int]] = {}
-    for r in keyed:
-        by_bucket.setdefault(r["bkt"], []).append(r["k"])
-    hot = max(by_bucket, key=lambda i: len(by_bucket[i]))
+    keyed = orders.select(F.col("o_orderkey").alias("k"), b.alias("bkt"))
+    counts = keyed.groupBy("bkt").count().collect()  # <= n_buckets rows
+    hot = max(counts, key=lambda r: r["count"])["bkt"]
+    max_writers = max(WRITERS)
+    hot_pool = [
+        r["k"]
+        for r in keyed.filter(F.col("bkt") == int(hot))
+        .limit(ROWS_PER_WRITER * max_writers)
+        .collect()
+    ]
+    by_bucket = {int(hot): hot_pool}
+    disjoint_pool: dict[tuple[int, int], list[int]] = {}
+    for n in WRITERS:
+        for i in range(n):
+            disjoint_pool[(n, i)] = [
+                r["k"]
+                for r in keyed.filter(F.col("bkt") % n == i)
+                .limit(ROWS_PER_WRITER)
+                .collect()
+            ]
 
     def batch_df(keys, tag):
         return spark.createDataFrame(
@@ -108,13 +143,11 @@ def main() -> None:
         out = []
         if mode == "disjoint":
             for i in range(n):
-                keys = [
-                    k for bkt, ks in by_bucket.items()
-                    if bkt % n == i for k in ks
-                ][:ROWS_PER_WRITER]
-                out.append(batch_df(keys, f"W{i}"))
+                out.append(
+                    batch_df(disjoint_pool[(n, i)], f"W{i}")
+                )
         else:
-            pool = by_bucket[hot]
+            pool = by_bucket[int(hot)]
             per = max(1, min(ROWS_PER_WRITER, len(pool) // n))
             for i in range(n):
                 out.append(batch_df(pool[i * per:(i + 1) * per], f"W{i}"))
@@ -190,12 +223,13 @@ def main() -> None:
 
     out = {
         "sf_dir": SF_DIR,
+        "multiplier": MULTIPLIER,
         "n_buckets": N_BUCKETS,
         "rows_per_writer": ROWS_PER_WRITER,
         "scenarios": results,
         "loadavg_1m": os.getloadavg()[0],
     }
-    with open("/root/repo/OCCBENCH.json", "w") as f:
+    with open(f"/root/repo/{OUT_NAME}", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
     shutil.rmtree(SCRATCH, ignore_errors=True)
