@@ -1923,6 +1923,7 @@ def init_bucket_table_versioned(
     constraints: dict[str, str] | None = None,
     key_bloom: dict | bool | None = None,
     mor_fold: dict | None = None,
+    manifest_shard_size: int | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
@@ -1963,6 +1964,8 @@ def init_bucket_table_versioned(
                 f"bucket key {key!r}"
             )
         meta["mor_fold"] = mor_fold
+    if manifest_shard_size is not None:
+        meta["manifest_shard_size"] = int(manifest_shard_size)
     with open(os.path.join(path, BUCKET_META), "w") as f:
         json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")

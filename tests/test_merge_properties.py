@@ -188,3 +188,128 @@ def test_mor_random_program_matches_python_model(spark, tmp_path):
                 for k, vals in model.items()
             }
             assert got == want, (seed, step, op, got, want)
+
+
+def test_sharded_occ_random_program_matches_python_model(spark, tmp_path):
+    """Round-11 soak: the same random-program model, now on SHARDED
+    (format-2) tables, with two extra ops — a mid-program manifest
+    MIGRATION (shard size flips 2 -> 0 -> 2, metadata-only by law)
+    and an OCC MOR merge whose pre-commit hook injects a CONCURRENT
+    MOR batch into the same table (the ordinal-compose path: both
+    batches must land, modelled in commit order — hook's batch first,
+    then the composing writer's). Seeded RNG, three programs x nine
+    ops, checked against the pure-Python upsert model after every
+    step."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned,
+        init_bucket_table_versioned,
+        merge_deletes_dv,
+        merge_scoped_versioned,
+        merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+        shard_manifest_versioned,
+    )
+
+    T0 = "2024-01-01 00:00:00"
+    KEYS = [f"k{i}" for i in range(8)]
+    COLS = ["p", "q", "r"]
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            [
+                Row(id=k, **{c: vals.get(c) for c in COLS})
+                for k, vals in rows.items()
+            ],
+            schema="id string, p double, q double, r double",
+        )
+
+    def rand_rows(rng, n_hi=4):
+        picked = rng.sample(KEYS, rng.randint(1, n_hi))
+        return {
+            k: {
+                c: (
+                    None if rng.random() < 0.3
+                    else round(rng.uniform(0, 9), 1)
+                )
+                for c in rng.sample(COLS, rng.randint(1, 3))
+            }
+            for k in picked
+        }
+
+    def apply_model(model, rows):
+        for k, vals in rows.items():
+            cur = model.setdefault(k, {c: None for c in COLS})
+            for c, v in vals.items():
+                if v is not None:
+                    cur[c] = v
+
+    for seed in (11, 42, 77):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"soak{seed}")
+        init_bucket_table_versioned(
+            path, key="id", n_buckets=4, manifest_shard_size=2
+        )
+        model: dict[str, dict] = {}
+        shard_state = 2
+        for step in range(9):
+            op = rng.choice(
+                ["mor", "cow", "dv", "compact", "occ_compose", "migrate"]
+            )
+            if op == "migrate":
+                shard_state = 0 if shard_state else 2
+                shard_manifest_versioned(path, shard_size=shard_state)
+            elif op == "compact":
+                compact_versioned(spark, path)
+            elif op == "dv":
+                victims = rng.sample(KEYS, rng.randint(1, 3))
+                merge_deletes_dv(
+                    spark, path,
+                    spark.createDataFrame([Row(id=k) for k in victims]),
+                )
+                for k in victims:
+                    model.pop(k, None)
+            elif op == "occ_compose":
+                rows_winner = rand_rows(rng)
+                rows_loser = rand_rows(rng)
+                fired = []
+
+                def winner_inside_window():
+                    if not fired:
+                        fired.append(1)
+                        merge_scoped_versioned_mor(
+                            spark, path, batch_df(rows_winner), now=T0,
+                        )
+
+                merge_scoped_versioned_mor(
+                    spark, path, batch_df(rows_loser), now=T0,
+                    occ=True, pre_commit_hook=winner_inside_window,
+                )
+                # commit order: winner (inside the window) then loser
+                apply_model(model, rows_winner)
+                apply_model(model, rows_loser)
+            else:
+                rows = rand_rows(rng)
+                fn = (
+                    merge_scoped_versioned_mor if op == "mor"
+                    else merge_scoped_versioned
+                )
+                fn(spark, path, batch_df(rows), now=T0)
+                apply_model(model, rows)
+            try:
+                got = {
+                    r["id"]: {c: r[c] for c in COLS}
+                    for r in read_bucket_table_versioned(spark, path)
+                    .select("id", *COLS)
+                    .collect()
+                }
+            except FileNotFoundError:
+                got = {}
+            want = {
+                k: {c: vals.get(c) for c in COLS}
+                for k, vals in model.items()
+            }
+            assert got == want, (seed, step, op, got, want)
