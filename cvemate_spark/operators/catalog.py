@@ -277,11 +277,9 @@ def catalog_txn_occ(
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
         cur = catalog_latest(path)
-        if cur == base_v:
-            tables = pinned
-            rebased = False
-        else:
-            cur_m = _cat_load(path, cur)["tables"]
+        cur_m = _cat_load(path, cur)["tables"]
+        rebased = cur != base_v
+        if rebased:
             rebinds = sorted(
                 n for n in members
                 if n in cur_m and cur_m[n]["path"] != members[n]
@@ -292,14 +290,26 @@ def catalog_txn_occ(
                     f"{rebinds} were re-bound to different table paths "
                     f"by a concurrent transaction (v{base_v} -> v{cur})"
                 )
-            tables = {k: dict(e) for k, e in cur_m.items()}
-            for n, e in pinned.items():
-                old = tables.get(n)
-                # linear member history: the higher pin contains both
-                # transactions' effects — never roll a pin back
-                if old is None or old["version"] <= e["version"]:
-                    tables[n] = e
-            rebased = True
+        # UPSERT into the current table set on BOTH paths — the
+        # uncontended fast path must not replace the catalog with only
+        # this transaction's members (that would unregister every
+        # other table: the documented upsert semantics hold regardless
+        # of contention; dropping tables is the serial txn's job)
+        tables = {k: dict(e) for k, e in cur_m.items()}
+        for n, e in pinned.items():
+            old = tables.get(n)
+            # linear member history: the higher pin contains both
+            # transactions' effects — never roll a pin back. A path
+            # mismatch here can only be THIS transaction's intentional
+            # rebind of the name (uncontended — the raced case raised
+            # above): versions across paths are incomparable, take
+            # the new binding.
+            if (
+                old is None
+                or old["path"] != e["path"]
+                or old["version"] <= e["version"]
+            ):
+                tables[n] = e
         v = catalog_latest(path) + 1
         _cat_commit(path, v, tables)
     finally:

@@ -187,22 +187,29 @@ def keep_latest_merge(
     updates: DataFrame,
     keys: list[str],
     order_by: list,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """Upsert keeping, per key, the greatest row by `order_by`.
 
     The ST-3 late-data semantics: late records simply lose (or win)
     the per-key ordering — union + window, commutative across batch
     orderings, so replaying unordered chunks converges (tested as S3).
+
+    `allow_missing_columns` null-pads a column-subset batch against
+    the target (and vice versa) instead of throwing. Default False:
+    for plain callers a missing or misspelled batch column is a bug,
+    and null-padding it would let a winning batch row silently null
+    out existing values — the strict union is the tripwire. The
+    versioned layer passes True: its fold/MOR legs legitimately see
+    schema-evolving batches, and it validates batch columns against
+    the recorded table schema before reaching this union.
     """
-    # allowMissingColumns: a column-subset or schema-evolving batch
-    # null-pads against the target (and vice versa) instead of
-    # throwing — the versioned MOR leveling leg otherwise accepts a
-    # batch shape as deltas for max_depth-1 merges and then fails the
-    # moment a bucket hits the leveling cap
     allrows = (
         updates
         if target is None
-        else target.unionByName(updates, allowMissingColumns=True)
+        else target.unionByName(
+            updates, allowMissingColumns=allow_missing_columns
+        )
     )
     w = W.partitionBy(*keys).orderBy(*order_by)
     return (

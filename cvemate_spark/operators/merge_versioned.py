@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -178,8 +179,15 @@ def _load_root(path: str, v: int) -> dict:
 # treat shard payloads as read-only (every mutator in this module
 # copies before writing — the sharded≡monolithic twin law is the
 # tripwire). Bounded FIFO: ~the working set of a few versions.
+# Mutations are lock-guarded: concurrent OCC/MOR writer threads are a
+# supported pattern (catalog_txn_occ runs member actions on real
+# threads), and an unguarded evict could race two threads into
+# popping the same first key — the second pop raising KeyError
+# mid-commit. Reads stay lock-free (dict get is atomic under the GIL;
+# a miss just re-parses an immutable file).
 _SHARD_CACHE: dict[str, dict] = {}
 _SHARD_CACHE_MAX = 1024
+_SHARD_CACHE_LOCK = threading.Lock()
 
 
 def _load_shard(path: str, fname: str) -> dict:
@@ -188,9 +196,10 @@ def _load_shard(path: str, fname: str) -> dict:
     if sub is None:
         with open(fpath) as f:
             sub = json.load(f)
-        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
-        _SHARD_CACHE[fpath] = sub
+        with _SHARD_CACHE_LOCK:
+            while len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)), None)
+            _SHARD_CACHE[fpath] = sub
     return sub
 
 
@@ -2141,6 +2150,7 @@ def _prepare_scoped_merge(
                 F.desc(c) if str(d).lower() == "desc" else F.asc(c)
                 for c, d in fold["order_by"]
             ],
+            allow_missing_columns=True,
         )
     else:
         merged = merge_upsert(target, updates, key=key, now=now)
@@ -2846,6 +2856,7 @@ def _mor_attempt(
                     F.desc(c) if str(d).lower() == "desc" else F.asc(c)
                     for c, d in fold["order_by"]
                 ],
+                allow_missing_columns=True,
             )
         new_gens = _write_generations(
             part, path, key, n_buckets, light, pmap=pmap
@@ -2866,6 +2877,7 @@ def _mor_attempt(
                     F.desc(c) if str(d).lower() == "desc" else F.asc(c)
                     for c, d in fold["order_by"]
                 ],
+                allow_missing_columns=True,
             )
         else:
             merged_l = merge_upsert(

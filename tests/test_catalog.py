@@ -683,3 +683,52 @@ def test_catalog_occ_rebind_race_raises(spark, tmp_path):
     # (unreferenced) table-level history
     m = catalog_read(spark, cat, "head").columns
     assert "status" in m  # the catalog serves the re-bound table
+
+
+def test_catalog_occ_uncontended_upserts_not_replaces(spark, tmp_path):
+    """ADVICE r11 (high): the UNCONTENDED OCC fast path must upsert
+    its members into the current catalog table set, exactly like the
+    rebase branch — an OCC txn over a subset must never unregister the
+    other registered tables (the repro: catalog {head, stat}, occ txn
+    on head alone -> stat had vanished; catalog_read(stat) raised)."""
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "catocc4")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})
+
+    out = catalog_txn_occ(
+        spark, cat, {"head": hp},
+        {"head": lambda s, p: merge_scoped_versioned(
+            s, p, spark.createDataFrame([Row(id=7, price=77.0)]), now=T1,
+        )},
+    )
+    assert out["rebased"] is False
+    # BOTH tables remain registered at the new catalog version
+    assert set(out["tables"]) == {"head", "stat"}
+    st = catalog_read(spark, cat, "stat")  # must not raise
+    assert st.count() == 30
+    hd = {r["id"]: r["price"] for r in
+          catalog_read(spark, cat, "head").collect()}
+    assert hd[7] == 77.0
+
+
+def test_catalog_occ_uncontended_intentional_rebind(spark, tmp_path):
+    """An UNCONTENDED occ txn may intentionally re-point a name at a
+    different table path (the serial txn allows it; no race means no
+    incomparability) — the new binding wins even though its version
+    number is lower than the old path's pin."""
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    hp, sp = _mk_tables(spark, tmp_path)
+    cat = str(tmp_path / "catocc5")
+    catalog_init(cat)
+    # advance head's version so the old pin outnumbers the new path's
+    merge_scoped_versioned(
+        spark, hp, spark.createDataFrame([Row(id=1, price=2.0)]), now=T0
+    )
+    catalog_txn(spark, cat, {"t": hp})
+    out = catalog_txn_occ(spark, cat, {"t": sp})
+    assert out["rebased"] is False
+    assert "status" in catalog_read(spark, cat, "t").columns

@@ -408,3 +408,49 @@ def test_shard_edges_empty_rebucket_and_rich_payload(spark, tmp_path):
     assert all(t[0] != 7 for t in after)
     full = mv._load_manifest_full(p3, mv.latest_version(p3))
     assert full.get("deltas") and full.get("dv")
+
+
+def test_shard_cache_eviction_is_thread_safe(spark, tmp_path):
+    """ADVICE r11 (low): two concurrent writer threads (a supported
+    pattern — catalog OCC runs member actions on real threads) could
+    race the FIFO eviction, both pick the same first key, and the
+    second pop raised KeyError mid-commit. Hammer _load_shard from
+    many threads with the cache capped at 1 so every load evicts; no
+    thread may see an exception, and every payload must be correct."""
+    import threading
+
+    p = str(tmp_path / "cachetbl")
+    mv.write_bucket_table_versioned(
+        _base(spark), p, key="id", n_buckets=16, manifest_shard_size=2
+    )
+    root = mv._load_root(p, 1)
+    fnames = [e["f"] for e in root["shards"].values()]
+    assert len(fnames) >= 4
+
+    old_cache, old_max = dict(mv._SHARD_CACHE), mv._SHARD_CACHE_MAX
+    mv._SHARD_CACHE.clear()
+    mv._SHARD_CACHE_MAX = 1
+    errs: list[Exception] = []
+
+    def hammer(seed: int) -> None:
+        try:
+            for i in range(300):
+                f = fnames[(seed + i) % len(fnames)]
+                sub = mv._load_shard(p, f)
+                assert "buckets" in sub
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    try:
+        threads = [
+            threading.Thread(target=hammer, args=(s,)) for s in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        mv._SHARD_CACHE_MAX = old_max
+        mv._SHARD_CACHE.clear()
+        mv._SHARD_CACHE.update(old_cache)
+    assert errs == []

@@ -738,3 +738,24 @@ def test_compact_buckets_waits_for_the_merge_lock(spark, tmp_path):
         tuple(r) for r in read_bucket_table(spark, path).collect()
     )
     assert after_rows == before_rows
+
+
+def test_keep_latest_merge_strict_union_by_default(spark):
+    """ADVICE r11 (low): the public keep_latest_merge must REJECT a
+    batch whose columns don't line up with the target — silent
+    null-padding would let a winning batch row null out existing
+    values through a misspelled column. Only the versioned fold/MOR
+    call sites opt into allow_missing_columns=True."""
+    import pytest
+
+    target = spark.createDataFrame([Row(k=1, ts=1, v="a")])
+    bad = spark.createDataFrame([Row(k=1, ts=2, vv="b")])  # misspelled
+    with pytest.raises(Exception, match="(?i)union|resolve|column"):
+        keep_latest_merge(
+            target, bad, ["k"], [F.desc("ts")]
+        ).collect()
+    # the opt-in keeps the versioned layer's null-padding semantics
+    out = keep_latest_merge(
+        target, bad, ["k"], [F.desc("ts")], allow_missing_columns=True
+    ).collect()
+    assert out[0]["v"] is None and out[0]["vv"] == "b"
