@@ -161,15 +161,72 @@ def _shard_size_for(path: str, n_buckets: int) -> int | None:
     return DEFAULT_SHARD_SIZE if n_buckets >= AUTO_SHARD_MIN_BUCKETS else None
 
 
-def _load_root(path: str, v: int) -> dict:
-    """The raw v-N.json: for format-2 manifests the small root (shard
-    refs + rollups + schema), for legacy manifests the whole thing."""
+# root delta-chain: a format-2 commit may write its root as a DELTA
+# against the previous version's root ("root_base": v-1 plus only the
+# changed shard entries) instead of repeating every shard reference —
+# at 16384 buckets the full root rollup was ~105 KB/commit regardless
+# of how little the commit touched (MANIFESTBENCH_16384: 194 KB total
+# per manifest), the one storage term that grew with table WIDTH
+# instead of change size. A full checkpoint root lands every
+# ROOT_CKPT_EVERY versions so chain resolution stays O(interval).
+ROOT_CKPT_EVERY = 16
+
+
+def _root_ckpt_every(path: str) -> int:
+    """Checkpoint cadence for NEW commits: the meta's recorded
+    "root_checkpoint_every" when present (<=1 = every commit writes a
+    full root, i.e. delta roots disabled), else the default."""
+    e = _table_meta(path).get("root_checkpoint_every")
+    return ROOT_CKPT_EVERY if e is None else max(1, int(e))
+
+
+def _load_root_raw(path: str, v: int) -> dict:
     with open(_manifest_path(path, v)) as f:
-        m = json.load(f)
+        return json.load(f)
+
+
+def _resolve_root(path: str, v: int) -> dict:
+    m = _load_root_raw(path, v)
     if "n_buckets" not in m:  # manifests written before layout-in-manifest
         with open(os.path.join(path, BUCKET_META)) as f:
             m["n_buckets"] = json.load(f)["n_buckets"]
-    return m
+    if "root_base" not in m:
+        return m
+    # delta root: walk the chain down to the nearest checkpoint, then
+    # replay the per-version shard-entry changes oldest-first. Chains
+    # are contiguous (root_base is always v-1), bounded by the
+    # checkpoint cadence.
+    chain = [m]
+    mb = m
+    while "root_base" in mb:
+        mb = _load_root_raw(path, mb["root_base"])
+        chain.append(mb)
+    shards = dict(mb["shards"])
+    for d in reversed(chain[:-1]):
+        for k in d.get("shards_del") or []:
+            shards.pop(k, None)
+        shards.update(d["shards_set"])
+    out = {
+        k: val
+        for k, val in m.items()
+        if k not in ("root_base", "shards_set", "shards_del")
+    }
+    out["shards"] = shards
+    return out
+
+
+def _load_root(path: str, v: int) -> dict:
+    """The RESOLVED v-N.json: for format-2 manifests the small root
+    (full shard-reference map + rollups + schema — delta-chain roots
+    resolve transparently), for legacy manifests the whole thing.
+    Retries once on a missing chain link: vacuum materializes every
+    surviving delta root whose base it reclaims BEFORE deleting
+    anything, so a reader that raced the unlink finds the re-read
+    root already self-contained."""
+    try:
+        return _resolve_root(path, v)
+    except FileNotFoundError:
+        return _resolve_root(path, v)
 
 
 # parsed-shard cache: shard files are IMMUTABLE (content-addressed by
@@ -461,6 +518,37 @@ def _write_manifest(
             path, buckets, stats, dv, deltas, n_buckets, shard_size,
             base_full, changed,
         )
+        # root delta-chain: when the previous version's (resolved)
+        # root is layout-compatible and this is not a checkpoint slot,
+        # persist only the shard entries that CHANGED plus a back
+        # reference — commit bytes ∝ touched shards at any table
+        # width. The in-memory manifest keeps the full map; only the
+        # serialized form is a delta (readers resolve via _load_root).
+        base_root = (base_full or {}).get("_root")
+        ck = _root_ckpt_every(path)
+        if (
+            ck > 1
+            and v % ck != 0
+            and base_root is not None
+            and base_root.get("format") == 2
+            and base_root.get("shard_size") == shard_size
+            and base_root.get("n_buckets") == n_buckets
+            and base_root.get("v") == v - 1
+            and "shards" in base_root
+        ):
+            base_shards = base_root["shards"]
+            sset = {
+                k: e
+                for k, e in m["shards"].items()
+                if base_shards.get(k) != e
+            }
+            sdel = sorted(k for k in base_shards if k not in m["shards"])
+            if (len(sset) + len(sdel)) * 2 <= len(m["shards"]):
+                del m["shards"]
+                m["root_base"] = v - 1
+                m["shards_set"] = sset
+                if sdel:
+                    m["shards_del"] = sdel
     else:
         m["buckets"] = buckets
         if stats is not None:
@@ -1818,6 +1906,7 @@ def write_bucket_table_versioned(
     key_bloom: dict | bool | None = None,
     mor_fold: dict | None = None,
     manifest_shard_size: int | None = None,
+    root_checkpoint_every: int | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -1869,6 +1958,10 @@ def write_bucket_table_versioned(
                 mor_fold = old_meta.get("mor_fold")
             if manifest_shard_size is None:
                 manifest_shard_size = old_meta.get("manifest_shard_size")
+            if root_checkpoint_every is None:
+                root_checkpoint_every = old_meta.get(
+                    "root_checkpoint_every"
+                )
         if key_bloom is True:
             key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
@@ -1890,6 +1983,10 @@ def write_bucket_table_versioned(
             # above the auto threshold); absent = the auto rule in
             # _shard_size_for
             meta["manifest_shard_size"] = int(manifest_shard_size)
+        if root_checkpoint_every is not None:
+            # root delta-chain checkpoint cadence (<=1 = full roots
+            # every commit); absent = ROOT_CKPT_EVERY
+            meta["root_checkpoint_every"] = int(root_checkpoint_every)
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -1933,6 +2030,7 @@ def init_bucket_table_versioned(
     key_bloom: dict | bool | None = None,
     mor_fold: dict | None = None,
     manifest_shard_size: int | None = None,
+    root_checkpoint_every: int | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
@@ -1975,6 +2073,8 @@ def init_bucket_table_versioned(
         meta["mor_fold"] = mor_fold
     if manifest_shard_size is not None:
         meta["manifest_shard_size"] = int(manifest_shard_size)
+    if root_checkpoint_every is not None:
+        meta["root_checkpoint_every"] = int(root_checkpoint_every)
     with open(os.path.join(path, BUCKET_META), "w") as f:
         json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")
@@ -4143,6 +4243,7 @@ def vacuum_bucket_versions(
                 committed = latest_version(path)
                 versions = _list_versions(path)
                 now = time.time()
+                doomed: list[int] = []
                 for v in versions[:-keep] if keep else versions:
                     if v == committed or (pin and v in pin):
                         continue
@@ -4151,8 +4252,34 @@ def vacuum_bucket_versions(
                         continue  # never displaced -> not provably dead
                     if now - os.path.getmtime(marker) < grace_seconds:
                         continue
+                    doomed.append(v)
+                doomed_set = set(doomed)
+                # MATERIALIZE-BEFORE-RECLAIM: a surviving delta root
+                # whose chain base is about to vanish is rewritten as
+                # a self-contained checkpoint FIRST (atomic replace,
+                # same resolved content — readers mid-walk re-resolve
+                # via _load_root's retry). Chains are contiguous
+                # (root_base == v-1), so checking each survivor's
+                # immediate base covers every doomed middle hop.
+                for v in versions:
+                    if v in doomed_set:
+                        continue
+                    raw = _load_root_raw(path, v)
+                    if (
+                        "root_base" in raw
+                        and raw["root_base"] in doomed_set
+                    ):
+                        full_root = _load_root(path, v)
+                        tmp = os.path.join(
+                            path, f".manifest-tmp-{uuid.uuid4().hex[:8]}"
+                        )
+                        with open(tmp, "w") as f:
+                            json.dump(full_root, f, indent=0,
+                                      sort_keys=True)
+                        os.replace(tmp, _manifest_path(path, v))
+                for v in doomed:
                     os.unlink(_manifest_path(path, v))
-                    os.unlink(marker)
+                    os.unlink(os.path.join(path, f"v-{v}.superseded"))
                     removed_versions.append(v)
                 referenced = set()
                 dv_referenced = set()

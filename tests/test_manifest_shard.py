@@ -454,3 +454,138 @@ def test_shard_cache_eviction_is_thread_safe(spark, tmp_path):
         mv._SHARD_CACHE.clear()
         mv._SHARD_CACHE.update(old_cache)
     assert errs == []
+
+
+# ------------------------------------------- round-12: root delta-chain
+def _commit_burst(spark, p, n, start=300, tagcol="tag"):
+    for j in range(n):
+        up = spark.createDataFrame(
+            [(start + j, float(j), "d")],
+            f"id long, val double, {tagcol} string",
+        )
+        mv.merge_scoped_versioned(spark, p, up, now=T0)
+
+
+def test_root_delta_chain_content_neutral_twin(spark, tmp_path):
+    """Content-neutrality law for the root chain (VERDICT r11 item 1):
+    a table whose roots are delta-encoded resolves, at EVERY version,
+    to the same logical manifest and content as a twin forced to write
+    full checkpoint roots each commit — across merge, MOR, DV-delete,
+    alter and compact surfaces."""
+    pf = str(tmp_path / "fullroots")
+    pd_ = str(tmp_path / "deltaroots")
+    base = merge_upsert(None, _base(spark), key="id", now=T0)
+    mv.write_bucket_table_versioned(
+        base, pf, key="id", n_buckets=16, manifest_shard_size=4,
+        root_checkpoint_every=1,
+    )
+    mv.write_bucket_table_versioned(
+        base, pd_, key="id", n_buckets=16, manifest_shard_size=4,
+        root_checkpoint_every=8,
+    )
+    mo = spark.createDataFrame(
+        [(5, 55.0, "sY"), (300, 2.0, "m")],
+        "id long, val double, tag string",
+    )
+    dk = spark.createDataFrame([(7,), (300,)], "id long")
+    steps = [
+        lambda p: _commit_burst(spark, p, 6),
+        lambda p: mv.merge_scoped_versioned_mor(spark, p, mo, now=T0),
+        lambda p: mv.merge_deletes_dv(spark, p, dk),
+        lambda p: mv.alter_bucket_table_versioned(p, rename={"tag": "label"}),
+        lambda p: mv.compact_versioned(spark, p),
+        lambda p: _commit_burst(spark, p, 4, start=400, tagcol="label"),
+    ]
+    for op in steps:
+        op(pf)
+        op(pd_)
+    # the delta table must actually HAVE delta roots (else the law is
+    # vacuous) and full roots exactly at the checkpoint cadence
+    raws = {
+        v: mv._load_root_raw(pd_, v)
+        for v in range(1, mv.latest_version(pd_) + 1)
+    }
+    assert any("root_base" in r for r in raws.values())
+    for v, r in raws.items():
+        if v % 8 == 0:
+            assert "root_base" not in r, f"v{v} must be a checkpoint"
+        if "root_base" in r:
+            assert r["root_base"] == v - 1
+    assert all("root_base" not in mv._load_root_raw(pf, v)
+               for v in range(1, mv.latest_version(pf) + 1))
+    assert mv.latest_version(pf) == mv.latest_version(pd_)
+    for v in range(1, mv.latest_version(pf) + 1):
+        assert _norm_manifest_at(pf, v) == _norm_manifest_at(pd_, v), v
+        assert _content(spark, pf, v) == _content(spark, pd_, v), v
+    # a delta root is an order of magnitude smaller than a checkpoint
+    dsz = [os.path.getsize(mv._manifest_path(pd_, v))
+           for v, r in raws.items() if "root_base" in r]
+    csz = [os.path.getsize(mv._manifest_path(pd_, v))
+           for v, r in raws.items() if "root_base" not in r and v > 1]
+    assert dsz and csz and max(dsz) < min(csz)
+
+
+def _norm_manifest_at(path, v):
+    full = mv._load_manifest_full(path, v)
+    return {
+        "n_buckets": full["n_buckets"],
+        "bucket_ids": sorted(full["buckets"]),
+        "delta_depths": {
+            k: len(x) for k, x in (full.get("deltas") or {}).items()
+        },
+        "stats_rows": {
+            k: x["rows"] for k, x in (full.get("stats") or {}).items()
+        },
+        "schema_cols": [
+            f["name"] for f in (full.get("schema") or {"fields": []})["fields"]
+        ],
+    }
+
+
+def test_vacuum_materializes_surviving_delta_roots(spark, tmp_path):
+    """Vacuum reclaiming a delta root's chain base must first rewrite
+    the survivor as a self-contained checkpoint — a PINNED delta
+    version (the catalog contract) stays readable with identical
+    content after every version under it is gone."""
+    p = str(tmp_path / "vacchain")
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, _base(spark), key="id", now=T0),
+        p, key="id", n_buckets=16, manifest_shard_size=4,
+        root_checkpoint_every=100,  # no natural checkpoint in range
+    )
+    _commit_burst(spark, p, 10)
+    pin_v = 7
+    assert "root_base" in mv._load_root_raw(p, pin_v)
+    want_root = mv._load_root(p, pin_v)
+    want_rows = _content(spark, p, pin_v)
+    out = mv.vacuum_bucket_versions(p, keep=2, pin={pin_v})
+    removed = set(out["removed_versions"])
+    assert pin_v not in removed and (pin_v - 1) in removed
+    raw_after = mv._load_root_raw(p, pin_v)
+    assert "root_base" not in raw_after and "shards" in raw_after
+    assert mv._load_root(p, pin_v)["shards"] == want_root["shards"]
+    assert _content(spark, p, pin_v) == want_rows
+    # the newest surviving versions read fine too
+    assert _content(spark, p) == _content(spark, p, mv.latest_version(p))
+
+
+def test_change_feed_and_occ_across_delta_roots(spark, tmp_path):
+    """changed_buckets_between and the shard slice-loaders operate on
+    RESOLVED roots: a span whose endpoints are both delta roots (no
+    checkpoint between) must yield exactly the buckets the commits in
+    the span touched."""
+    p = str(tmp_path / "feedchain")
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, _base(spark), key="id", now=T0),
+        p, key="id", n_buckets=16, manifest_shard_size=4,
+        root_checkpoint_every=100,
+    )
+    v0 = mv.latest_version(p)
+    _commit_burst(spark, p, 4, start=500)
+    v1 = mv.latest_version(p)
+    from cvemate_spark.operators.merge import bucket_of_value
+
+    want = sorted({
+        bucket_of_value(spark, 500 + j, 16) for j in range(4)
+    })
+    assert mv.changed_buckets_between(p, v0, v1) == want
