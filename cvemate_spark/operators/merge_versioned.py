@@ -180,6 +180,119 @@ def _root_ckpt_every(path: str) -> int:
     return ROOT_CKPT_EVERY if e is None else max(1, int(e))
 
 
+# PACKED base generations: a FULL-WIDTH write (initial load, compact,
+# rebucket) lands ONE flat `_packed/pg-<hex>/` directory holding one
+# file per bucket (`b<i>.parquet`) instead of one directory per bucket,
+# and the manifest entry is "@pg-<hex>/b<i>.parquet". Why: Spark's
+# reader costs ~200 µs per ROOT PATH it is handed (path qualification +
+# listing + file-index construction — measured flat across strategies),
+# so a 16384-bucket full scan spent ~3 s in plan time REGARDLESS of
+# data size, O(table width). A packed snapshot hands Spark ONE root
+# directory (files enumerate via a single bulk listStatus, ~25 µs/
+# entry) plus only the individually-rewritten buckets' classic dirs —
+# plan cost ∝ changes since the last full write, not width. Buckets
+# later rewritten by scoped merges get classic per-bucket generations;
+# their stale rows inside the packed files are excluded by a
+# pushed-down NOT-IN filter on the recomputed bucket hash (metadata-
+# only exclusion, the Iceberg delete-by-predicate shape). Point
+# lookups and pruned scans read the per-bucket FILE directly — file
+# grain, O(1) in width. Auto-enabled at >= PACK_MIN_BUCKETS (tables
+# under it keep the classic layout: a 16-dir scan plans in ms anyway);
+# explicit opt-in/out via meta "packed_base". Tables with key blooms
+# stay classic (bloom sidecars live in generation dirs; a packed
+# lookup is already a single-file read).
+PACKED_DIR = "_packed"
+PACK_MIN_BUCKETS = 256
+PACK_META_FILE = "_PACK.json"
+
+
+def _packed_from_meta(meta: dict, n_buckets: int) -> bool:
+    if meta.get("key_bloom"):
+        return False
+    p = meta.get("packed_base")
+    if p is not None:
+        return bool(p)
+    return n_buckets >= PACK_MIN_BUCKETS
+
+
+def _packed_base_for(path: str, n_buckets: int) -> bool:
+    return _packed_from_meta(_table_meta(path), n_buckets)
+
+
+def _is_packed_entry(g: str) -> bool:
+    return g.startswith("@")
+
+
+def _gen_data_path(path: str, i, g: str) -> str:
+    """Filesystem location of bucket i's generation `g`: the classic
+    `bucket=<i>/<gen>` directory, or the single packed FILE for an
+    "@pg-<hex>/b<i>.parquet" entry."""
+    if g.startswith("@"):
+        return f"{path}/{PACKED_DIR}/{g[1:]}"
+    return f"{path}/bucket={i}/{g}"
+
+
+def _pack_name_of(g: str) -> str:
+    return g[1:].split("/", 1)[0]
+
+
+def _pack_meta(path: str, pg: str) -> dict:
+    """The pack's birth record ({"buckets": [...]}) — which buckets the
+    packed generation originally covered, for deriving the superseded
+    set without listing the directory."""
+    with open(
+        os.path.join(path, PACKED_DIR, pg, PACK_META_FILE)
+    ) as f:
+        return json.load(f)
+
+
+def _plan_base_paths(
+    path: str, full: dict, ids: list, key: str
+) -> tuple[list[str], list[str], list[int]]:
+    """Scan plan for the requested buckets' BASE generations. Returns
+    (classic_paths, packed_paths, exclude_buckets): classic per-bucket
+    dirs, packed dirs-or-files, and the bucket ids whose rows must be
+    FILTERED OUT of the packed portion (buckets superseded by later
+    classic generations — their live rows come from classic_paths).
+
+    A pack is read as its whole DIRECTORY (one root path) only when
+    the slice covers every bucket still live in it AND the superseded
+    set stays a minority; pruned slices and heavily-superseded packs
+    fall back to per-bucket FILE paths (which need no filter and prune
+    at file grain)."""
+    manifest = full["buckets"]
+    classic: list[str] = []
+    by_pg: dict[str, list] = {}
+    for i in ids:
+        g = manifest[i]
+        if g.startswith("@"):
+            by_pg.setdefault(_pack_name_of(g), []).append(i)
+        else:
+            classic.append(f"{path}/bucket={i}/{g}")
+    packed: list[str] = []
+    excl: list[int] = []
+    if by_pg:
+        live_by_pg: dict[str, set] = {}
+        for j, g2 in manifest.items():
+            if g2.startswith("@"):
+                live_by_pg.setdefault(_pack_name_of(g2), set()).add(j)
+        for pg, pids in by_pg.items():
+            if set(pids) == live_by_pg[pg]:
+                orig = _pack_meta(path, pg)["buckets"]
+                superseded = sorted(
+                    set(int(x) for x in orig)
+                    - {int(x) for x in pids}
+                )
+                if len(superseded) * 2 <= len(orig):
+                    packed.append(f"{path}/{PACKED_DIR}/{pg}")
+                    excl.extend(superseded)
+                    continue
+            packed.extend(
+                f"{path}/{PACKED_DIR}/{manifest[i][1:]}" for i in pids
+            )
+    return classic, packed, excl
+
+
 def _load_root_raw(path: str, v: int) -> dict:
     with open(_manifest_path(path, v)) as f:
         return json.load(f)
@@ -1021,9 +1134,14 @@ def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
     nbytes = 0
     per_file: dict[str, dict] = {}
     gen_cols: dict[str, dict | None] = {}
-    for fpath in sorted(
-        _glob.glob(f"{path}/bucket={bucket_id}/{gen}/*.parquet")
-    ):
+    if gen.startswith("@"):
+        # packed entry: the generation IS one file
+        flist = [_gen_data_path(path, bucket_id, gen)]
+    else:
+        flist = sorted(
+            _glob.glob(f"{path}/bucket={bucket_id}/{gen}/*.parquet")
+        )
+    for fpath in flist:
         fsize = os.path.getsize(fpath)
         nbytes += fsize
         md = pq.read_metadata(fpath)
@@ -1232,7 +1350,7 @@ def prune_files(
             # the bucket reads whole through _read_snapshot_slice
             delta_buckets.append(i)
             continue
-        gdir = f"{path}/bucket={i}/{manifest[i]}"
+        gdir = _gen_data_path(path, i, manifest[i])
         fs = (stats.get(i) or {}).get("fs")
         if not fs or not bounded:
             read.append(gdir)
@@ -1608,10 +1726,32 @@ def _read_snapshot_slice(
         return None
     stored = full.get("schema")
     schema = StructType.fromJson(stored) if stored is not None else None
-    dirs = [f"{path}/bucket={i}/{manifest[i]}" for i in ids]
+    classic, packed, excl = _plan_base_paths(path, full, ids, key)
     deltas = full.get("deltas") or {}
     depth = max((len(deltas.get(i, [])) for i in ids), default=0)
-    df = _read_dirs(spark, dirs, schema, schema_json=stored)
+    parts = []
+    if classic:
+        parts.append(_read_dirs(spark, classic, schema, schema_json=stored))
+    if packed:
+        pdf = _read_dirs(spark, packed, schema, schema_json=stored)
+        if excl:
+            # superseded buckets' live rows come from classic dirs;
+            # their stale rows inside the packed files are excluded by
+            # recomputing the bucket hash — a cheap JVM expression the
+            # scan applies before anything downstream (applied ONLY to
+            # the packed portion: the same bucket ids are legitimately
+            # present in the classic part)
+            from .merge import bucket_expr
+
+            pdf = pdf.filter(
+                ~bucket_expr(key, int(full["n_buckets"])).isin(
+                    [int(x) for x in excl]
+                )
+            )
+        parts.append(pdf)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     if not depth:
         return _apply_dv(spark, path, full, ids, df, key)
     df = df.withColumn("__ord", F.lit(0))
@@ -1907,6 +2047,7 @@ def write_bucket_table_versioned(
     mor_fold: dict | None = None,
     manifest_shard_size: int | None = None,
     root_checkpoint_every: int | None = None,
+    packed_base: bool | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -1962,6 +2103,8 @@ def write_bucket_table_versioned(
                 root_checkpoint_every = old_meta.get(
                     "root_checkpoint_every"
                 )
+            if packed_base is None:
+                packed_base = old_meta.get("packed_base")
         if key_bloom is True:
             key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
@@ -1987,6 +2130,10 @@ def write_bucket_table_versioned(
             # root delta-chain checkpoint cadence (<=1 = full roots
             # every commit); absent = ROOT_CKPT_EVERY
             meta["root_checkpoint_every"] = int(root_checkpoint_every)
+        if packed_base is not None:
+            # explicit packed-layout policy for full-width writes;
+            # absent = the auto rule in _packed_from_meta
+            meta["packed_base"] = bool(packed_base)
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -1997,7 +2144,10 @@ def write_bucket_table_versioned(
             # fresh table: the meta must exist before the first commit
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
-        gens = _write_generations(df, path, key, n_buckets)
+        gens = _write_generations(
+            df, path, key, n_buckets,
+            packed=_packed_from_meta(meta, n_buckets),
+        )
         stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         if key_bloom:
             _write_key_blooms(
@@ -2031,6 +2181,7 @@ def init_bucket_table_versioned(
     mor_fold: dict | None = None,
     manifest_shard_size: int | None = None,
     root_checkpoint_every: int | None = None,
+    packed_base: bool | None = None,
 ) -> int:
     """Metadata-only creation of an EMPTY versioned table: meta, an
     empty manifest v-1, pointer — no Spark job (the CDC-replay shape
@@ -2075,6 +2226,8 @@ def init_bucket_table_versioned(
         meta["manifest_shard_size"] = int(manifest_shard_size)
     if root_checkpoint_every is not None:
         meta["root_checkpoint_every"] = int(root_checkpoint_every)
+    if packed_base is not None:
+        meta["packed_base"] = bool(packed_base)
     with open(os.path.join(path, BUCKET_META), "w") as f:
         json.dump(meta, f)
     _commit(path, 1, {}, n_buckets, op="init")
@@ -2087,6 +2240,7 @@ def _write_generations(
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     pmap: dict[str, str] | None = None,
+    packed: bool = False,
 ) -> dict[str, str]:
     """One Spark job: bucket the rows, land each written bucket as an
     immutable `bucket=<i>/g-<hex>` generation dir (a rename off the
@@ -2137,6 +2291,40 @@ def _write_generations(
         candidates = (
             buckets if buckets is not None else range(n_buckets)
         )
+        if packed:
+            # PACKED layout: move each bucket's single part file into
+            # one flat table-level dir — a full scan then hands Spark
+            # ONE root path instead of O(width). Only sound at one
+            # file per bucket (the plain full-width write: one task
+            # per bucket, no file rolling); a multi-file bucket falls
+            # back to the classic per-bucket dirs below.
+            import glob as _glob
+
+            per_bucket: dict[int, list[str]] = {}
+            single = True
+            for i in candidates:
+                fs = _glob.glob(f"{staging}/bucket={i}/*.parquet")
+                if len(fs) > 1:
+                    single = False
+                    break
+                if fs:
+                    per_bucket[int(i)] = fs
+            if single and per_bucket:
+                pg = f"pg-{uuid.uuid4().hex[:12]}"
+                pdir = os.path.join(path, PACKED_DIR, pg)
+                os.makedirs(pdir, exist_ok=True)
+                for i, fs in sorted(per_bucket.items()):
+                    os.rename(fs[0], os.path.join(pdir, f"b{i}.parquet"))
+                    out[str(i)] = f"@{pg}/b{i}.parquet"
+                # birth record LAST — a crash before it leaves only
+                # unreferenced files (vacuumable orphans, as with a
+                # classic generation that never got committed)
+                with open(os.path.join(pdir, PACK_META_FILE), "w") as f:
+                    json.dump(
+                        {"buckets": sorted(per_bucket)}, f,
+                        separators=(",", ":"),
+                    )
+                return out
         for i in candidates:
             src = f"{staging}/bucket={i}"
             if os.path.isdir(src):
@@ -3292,9 +3480,17 @@ def compact_versioned(
             {int(i) for i in (full.get("deltas") or {})}
             | {int(i) for i in (full.get("dv") or {}) if i in manifest}
         )
+        # default scope: dirty buckets only. An EXPLICIT bucket list
+        # folds those buckets regardless of dirtiness — the re-pack /
+        # re-layout hook (a clean bucket rewrites content-neutrally),
+        # e.g. compacting every bucket of a packed table that drifted
+        # into many classic generations back into one pack.
         target = (
             dirty if buckets is None
-            else sorted(set(dirty) & {int(i) for i in buckets})
+            else sorted(
+                {int(i) for i in buckets}
+                & {int(i) for i in manifest}
+            )
         )
         if not target:
             return {"version": cur, "buckets_compacted": 0}
@@ -3303,6 +3499,13 @@ def compact_versioned(
             _write_generations(
                 folded, path, key, n_buckets, target,
                 pmap=_phys_map(full.get("schema")),
+                # a compaction covering EVERY bucket is the re-pack
+                # opportunity for a packed table that drifted into
+                # many classic generations
+                packed=(
+                    set(str(i) for i in target) == set(full["buckets"])
+                    and _packed_base_for(path, n_buckets)
+                ),
             )
             if folded is not None
             else {}
@@ -3388,10 +3591,7 @@ def rebucket_versioned(
                 "version": cur, "n_buckets_before": old_n,
                 "n_buckets_after": old_n, "buckets_written": 0,
             }
-        dirs = [
-            f"{path}/bucket={i}/{g}" for i, g in sorted(full["buckets"].items())
-        ]
-        if not dirs:
+        if not full["buckets"]:
             # empty table (metadata-only init): the migration is a pure
             # manifest commit under the new layout — no Spark job
             gens, stats = {}, {}
@@ -3404,6 +3604,7 @@ def rebucket_versioned(
             gens = _write_generations(
                 snapshot, path, key, new_n_buckets,
                 pmap=_phys_map(full.get("schema")),
+                packed=_packed_base_for(path, new_n_buckets),
             )
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
             if meta.get("key_bloom"):
@@ -3418,7 +3619,7 @@ def rebucket_versioned(
             # (phys metadata included — the rewrite wrote physical
             # names) rather than deriving a mapping-less one from it
             full.get("schema") if full.get("schema") is not None
-            else (_schema_of(snapshot) if dirs else None),
+            else (_schema_of(snapshot) if full["buckets"] else None),
             stats,
             op="rebucket",
             dead_phys=full.get("dead_phys"),
@@ -3783,7 +3984,10 @@ def read_bucket_for_key_versioned(
     # data page. A generation proven key-free contributes nothing and
     # drops from the read; all generations proven key-free = a
     # definite miss.
-    gens = [(f"{path}/bucket={bid}/{g}", 0, (full.get("stats") or {}).get(str(bid)))]
+    gens = [(
+        _gen_data_path(path, bid, g), 0,
+        (full.get("stats") or {}).get(str(bid)),
+    )]
     for j, d in enumerate((full.get("deltas") or {}).get(str(bid), [])):
         gens.append((f"{path}/bucket={bid}/{d['g']}", j + 1, d.get("stats")))
     live = []
@@ -4293,7 +4497,7 @@ def vacuum_bucket_versions(
                         shard_referenced.add(e["f"])
                     m_full = _slice_from_root(path, root, None)
                     for i, g in m_full["buckets"].items():
-                        referenced.add(f"{path}/bucket={i}/{g}")
+                        referenced.add(_gen_data_path(path, i, g))
                     # merge-on-read delta generations are LIVE data —
                     # reclaiming one would drop committed rows
                     for i, lst in (m_full.get("deltas") or {}).items():
@@ -4316,6 +4520,24 @@ def vacuum_bucket_versions(
                         continue
                     shutil.rmtree(dvdir, ignore_errors=True)
                     removed_gens.append(dvdir)
+                # packed generations reclaim at FILE grain: a bucket's
+                # packed file unreferenced by every surviving manifest
+                # (superseded by a later classic generation, or its
+                # whole pack displaced) is dead; a pack directory with
+                # no data files left goes too (incl. its birth record)
+                for pfile in _glob.glob(
+                    f"{path}/{PACKED_DIR}/pg-*/b*.parquet"
+                ):
+                    if pfile in referenced:
+                        continue
+                    if now - os.path.getmtime(pfile) < grace_seconds:
+                        continue
+                    os.unlink(pfile)
+                    removed_gens.append(pfile)
+                for pdir in _glob.glob(f"{path}/{PACKED_DIR}/pg-*"):
+                    if not _glob.glob(f"{pdir}/b*.parquet"):
+                        shutil.rmtree(pdir, ignore_errors=True)
+                        removed_gens.append(pdir)
                 # staging dirs a kill -9'd writer left behind (its
                 # try/finally never ran); we hold _MERGELOCK so no
                 # writer is mid-stage

@@ -1,0 +1,222 @@
+"""Laws for PACKED base generations (merge_versioned._write_generations
+packed=True): a full-width write lands one flat `_packed/pg-*/` dir
+(one file per bucket) so a full scan hands Spark O(1) root paths
+instead of O(table width), with scoped rewrites excluded from the
+packed portion by a pushed-down bucket filter. The master law is the
+packed ≡ classic twin: identical logical content at every version
+across every write surface."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row
+
+from cvemate_spark.operators import merge_versioned as mv
+from cvemate_spark.operators.merge import bucket_of_value, merge_upsert
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _base(spark, n=300):
+    return spark.range(0, n).selectExpr(
+        "id",
+        "cast(id * 2.0 as double) as val",
+        "concat('s', id % 7) as tag",
+    )
+
+
+def _content(spark, path, version=None):
+    df = mv.read_bucket_table_versioned(spark, path, version=version)
+    cols = [c for c in df.columns if c not in ("created_at", "updated_at")]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _mk_twins(spark, tmp_path, **kw):
+    pc = str(tmp_path / "classic")
+    pp = str(tmp_path / "packed")
+    base = merge_upsert(None, _base(spark), key="id", now=T0)
+    mv.write_bucket_table_versioned(
+        base, pc, key="id", n_buckets=16, packed_base=False, **kw
+    )
+    mv.write_bucket_table_versioned(
+        base, pp, key="id", n_buckets=16, packed_base=True, **kw
+    )
+    return pc, pp
+
+
+def test_packed_classic_twin_all_surfaces(spark, tmp_path):
+    """Packed and classic twins commit the same logical content at
+    every version across merge / MOR / DV-delete / alter / compact /
+    rebucket — and the packed twin actually HAS packed entries."""
+    pc, pp = _mk_twins(spark, tmp_path)
+    m1 = mv._load_manifest_full(pp, 1)["buckets"]
+    assert all(g.startswith("@") for g in m1.values())
+    assert len(glob.glob(f"{pp}/_packed/pg-*/b*.parquet")) == len(m1)
+    assert not glob.glob(f"{pp}/bucket=*")
+
+    upd = spark.createDataFrame(
+        [(3, 99.0, "sX"), (350, 1.0, "new")],
+        "id long, val double, tag string",
+    )
+    mo = spark.createDataFrame(
+        [(5, 55.0, "sY"), (400, 2.0, "m")],
+        "id long, val double, tag string",
+    )
+    dk = spark.createDataFrame([(7,), (400,)], "id long")
+    steps = [
+        ("merge", lambda p: mv.merge_scoped_versioned(spark, p, upd, now=T0)),
+        ("mor", lambda p: mv.merge_scoped_versioned_mor(spark, p, mo, now=T0)),
+        ("delete-dv", lambda p: mv.merge_deletes_dv(spark, p, dk)),
+        ("alter", lambda p: mv.alter_bucket_table_versioned(
+            p, rename={"tag": "label"}
+        )),
+        ("compact", lambda p: mv.compact_versioned(spark, p)),
+        ("rebucket", lambda p: mv.rebucket_versioned(spark, p, 8)),
+    ]
+    for name, op in steps:
+        op(pc)
+        op(pp)
+        assert _content(spark, pc) == _content(spark, pp), name
+    for v in range(1, mv.latest_version(pc) + 1):
+        assert _content(spark, pc, v) == _content(spark, pp, v), v
+
+
+def test_packed_scan_passes_one_root_plus_rewrites(spark, tmp_path):
+    """The design point: after K scoped rewrites of a packed table,
+    the snapshot read plans over (pack dirs + K classic dirs), not
+    O(width) paths — asserted structurally via _plan_base_paths."""
+    _, pp = _mk_twins(spark, tmp_path)
+    for j in range(3):
+        upd = spark.createDataFrame(
+            [(j, float(j), "z")], "id long, val double, tag string"
+        )
+        mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+    full = mv._load_manifest_full(pp, mv.latest_version(pp))
+    ids = sorted(full["buckets"])
+    classic, packed, excl = mv._plan_base_paths(pp, full, ids, "id")
+    rewritten = {bucket_of_value(spark, j, 16) for j in range(3)}
+    assert len(classic) == len(rewritten)
+    assert packed == [f"{pp}/_packed/" + mv._pack_name_of(
+        next(g for g in full["buckets"].values() if g.startswith("@"))
+    )]
+    assert sorted(excl) == sorted(rewritten)
+    # and the content is right: rewritten rows once, from classic
+    rows = {r[0]: r[1] for r in _content(spark, pp)}
+    assert rows[0] == 0.0 and rows[1] == 1.0 and rows[2] == 2.0
+    assert len(rows) == 300
+
+
+def test_packed_point_lookup_reads_single_file(spark, tmp_path):
+    _, pp = _mk_twins(spark, tmp_path)
+    df = mv.read_bucket_for_key_versioned(spark, pp, 42)
+    got = [r for r in df.collect() if r["id"] == 42]
+    assert len(got) == 1 and got[0]["val"] == 84.0
+    # a pruned slice resolves to per-bucket FILE paths, no filter
+    full = mv._load_manifest_full(pp, mv.latest_version(pp))
+    bid = bucket_of_value(spark, 42, 16)
+    classic, packed, excl = mv._plan_base_paths(
+        pp, full, [str(bid)], "id"
+    )
+    assert classic == [] and excl == []
+    assert packed == [
+        f"{pp}/_packed/{full['buckets'][str(bid)][1:]}"
+    ]
+    assert packed[0].endswith(f"b{bid}.parquet")
+
+
+def test_packed_vacuum_reclaims_superseded_files(spark, tmp_path):
+    """A packed file superseded by a scoped rewrite is reclaimable at
+    FILE grain once no surviving manifest references it; the pack dir
+    itself survives while any live file remains."""
+    _, pp = _mk_twins(spark, tmp_path)
+    n_files0 = len(glob.glob(f"{pp}/_packed/pg-*/b*.parquet"))
+    upd = spark.createDataFrame(
+        [(42, 0.5, "v")], "id long, val double, tag string"
+    )
+    mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+    before = _content(spark, pp)
+    out = mv.vacuum_bucket_versions(pp, keep=1)
+    bid = bucket_of_value(spark, 42, 16)
+    gone = [g for g in out["removed_gens"] if g.endswith(f"b{bid}.parquet")]
+    assert len(gone) == 1
+    assert len(glob.glob(f"{pp}/_packed/pg-*/b*.parquet")) == n_files0 - 1
+    assert _content(spark, pp) == before
+    # full displacement: a reload supersedes the whole pack
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, _base(spark, 50), key="id", now=T0),
+        pp, key="id", n_buckets=16,
+    )
+    mv.vacuum_bucket_versions(pp, keep=1)
+    packs = glob.glob(f"{pp}/_packed/pg-*")
+    assert len(packs) == 1  # only the reload's pack survives
+    assert len(_content(spark, pp)) == 50
+
+
+def test_packed_heavy_supersession_falls_back_to_files(spark, tmp_path):
+    """When most of a pack is superseded, the dir+filter read would
+    scan mostly-dead bytes — the planner decays to per-file paths for
+    the minority of live buckets (and compact re-packs)."""
+    _, pp = _mk_twins(spark, tmp_path)
+    # rewrite keys covering > half the buckets
+    upd = spark.createDataFrame(
+        [(j, -1.0, "w") for j in range(120)],
+        "id long, val double, tag string",
+    )
+    mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+    full = mv._load_manifest_full(pp, mv.latest_version(pp))
+    live_packed = [g for g in full["buckets"].values()
+                   if g.startswith("@")]
+    if live_packed and len(live_packed) * 2 < 16:
+        classic, packed, excl = mv._plan_base_paths(
+            pp, full, sorted(full["buckets"]), "id"
+        )
+        assert excl == []
+        assert all(p.endswith(".parquet") for p in packed)
+    rows = {r[0]: r[1] for r in _content(spark, pp)}
+    assert all(rows[j] == -1.0 for j in range(120))
+    assert len(rows) == 300
+    # compact over every bucket re-packs into a fresh single pack
+    res = mv.compact_versioned(
+        spark, pp, buckets=sorted(int(i) for i in full["buckets"])
+    )
+    full2 = mv._load_manifest_full(pp, res["version"])
+    assert all(g.startswith("@") for g in full2["buckets"].values())
+    pgs = {mv._pack_name_of(g) for g in full2["buckets"].values()}
+    assert len(pgs) == 1
+    rows2 = {r[0]: r[1] for r in _content(spark, pp)}
+    assert rows2 == rows
+
+
+def test_packed_occ_concurrent_writers_compose(spark, tmp_path):
+    """OCC conflict detection is entry-string equality — packed
+    entries participate identically: two writers on disjoint buckets
+    of a packed table both land."""
+    import threading
+
+    _, pp = _mk_twins(spark, tmp_path)
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(vals):
+        try:
+            batch = spark.createDataFrame(
+                [(v, 1000.0 + v, "occ") for v in vals],
+                "id long, val double, tag string",
+            )
+            mv.merge_scoped_versioned_occ(
+                spark, pp, batch, now=T0, pre_commit_hook=barrier.wait,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=([11],)),
+          threading.Thread(target=writer, args=([13],))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    rows = {r[0]: r[1] for r in _content(spark, pp)}
+    assert rows[11] == 1011.0 and rows[13] == 1013.0

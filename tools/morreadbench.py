@@ -52,7 +52,8 @@ def _table_bytes(path: str) -> int:
 
     full = mv._load_manifest_full(path, mv.latest_version(path))
     dirs = [
-        f"{path}/bucket={i}/{g}" for i, g in full["buckets"].items()
+        mv._gen_data_path(path, i, g)
+        for i, g in full["buckets"].items()
     ] + [
         f"{path}/bucket={i}/{d['g']}"
         for i, lst in (full.get("deltas") or {}).items()
@@ -61,7 +62,9 @@ def _table_bytes(path: str) -> int:
     return sum(
         os.path.getsize(f)
         for g in dirs
-        for f in glob.glob(f"{g}/*.parquet")
+        for f in (
+            [g] if g.endswith(".parquet") else glob.glob(f"{g}/*.parquet")
+        )
     )
 
 

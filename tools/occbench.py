@@ -69,7 +69,7 @@ def _orphan_bytes(path: str) -> int:
     for v in mv._list_versions(path):
         full = mv._load_manifest_full(path, v)
         for i, g in full["buckets"].items():
-            referenced.add(f"{path}/bucket={i}/{g}")
+            referenced.add(mv._gen_data_path(path, i, g))
         for i, lst in (full.get("deltas") or {}).items():
             for d in lst:
                 referenced.add(f"{path}/bucket={i}/{d['g']}")
@@ -77,6 +77,10 @@ def _orphan_bytes(path: str) -> int:
         _dir_bytes(g)
         for g in glob.glob(f"{path}/bucket=*/g-*")
         if g not in referenced
+    ) + sum(
+        os.path.getsize(f)
+        for f in glob.glob(f"{path}/_packed/pg-*/b*.parquet")
+        if f not in referenced
     )
 
 
