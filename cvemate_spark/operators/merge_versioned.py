@@ -4280,12 +4280,130 @@ def apply_change_feed(
     )
 
 
+_NO_EXACT = object()  # sentinel: no exact cross-rebucket plan exists
+
+
+def _root_n_buckets(path: str, v: int) -> int:
+    m = _load_root_raw(path, v)
+    if "n_buckets" in m:
+        return m["n_buckets"]
+    with open(os.path.join(path, BUCKET_META)) as f:
+        return json.load(f)["n_buckets"]
+
+
+def _feed_across_rebucket(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    bucket_key: str,
+    aligned_diff,
+    metrics: dict | None = None,
+):
+    """EXACT O(change) change feed across a `rebucket_versioned`
+    boundary (VERDICT r11 item 2). The old full-diff fallback made the
+    one event an ops team will certainly run (re-bucketing a grown
+    table) break every O(change) consumer. Exactness argument: a key
+    that changed in [v_from, v_to] changed either BEFORE the layout
+    flip (so it appears in the old-layout sub-feed) or AFTER it (the
+    new-layout sub-feed) — the rebucket commit itself is content-
+    neutral by law. The union of the two sub-feeds' key sets is
+    therefore exactly the changed keys; the final diff reads only
+    those keys' buckets under EACH side's own layout (a changed key's
+    rows live in its old-layout bucket at v_from and its new-layout
+    bucket at v_to), semi-joined to the key set so asymmetric slice
+    coverage can never misclassify an unchanged neighbor as a delete.
+
+    Returns a DataFrame, None (no changes), or _NO_EXACT when no
+    sound plan exists — an intermediate version was vacuumed away, or
+    the layout flip was a full RELOAD (op != "rebucket": not content-
+    neutral, everything may have changed). Sub-feeds recurse through
+    change_feed, so multiple rebuckets in one span compose."""
+    vs = [v for v in _list_versions(path) if v_from <= v <= v_to]
+    if not vs or vs[0] != v_from or vs[-1] != v_to:
+        return _NO_EXACT
+    boundary = None
+    prev = vs[0]
+    for v in vs[1:]:
+        if _root_n_buckets(path, prev) != _root_n_buckets(path, v):
+            boundary = (prev, v)
+            break
+        prev = v
+    if boundary is None:
+        return _NO_EXACT
+    a, b = boundary
+    if b != a + 1:
+        # versions between the two layouts were vacuumed: their
+        # content changes are unrecoverable at old-layout grain
+        return _NO_EXACT
+    if _load_root_raw(path, b).get("op") != "rebucket":
+        return _NO_EXACT  # a reload also flips layout but changes data
+    f1 = (
+        change_feed(spark, path, v_from, a, key=keys)
+        if a > v_from else None
+    )
+    f2 = (
+        change_feed(spark, path, b, v_to, key=keys)
+        if v_to > b else None
+    )
+    if f1 is None and f2 is None:
+        return None  # the rebucket alone: content-neutral, empty feed
+    kparts = [f.select(*keys) for f in (f1, f2) if f is not None]
+    kdf = kparts[0]
+    for part in kparts[1:]:
+        kdf = kdf.unionByName(part)
+    # the changed-key set is O(change) by construction — pin it
+    # driver-side once instead of recomputing both sub-feed diffs for
+    # every downstream use (bucket projection x2 + semi-join x2)
+    krows = kdf.distinct().collect()
+    if not krows:
+        return None
+    kdf = spark.createDataFrame(krows, kdf.schema)
+    from .merge import bucket_expr
+
+    n_from = _root_n_buckets(path, v_from)
+    n_to = _root_n_buckets(path, v_to)
+    b_from = sorted(
+        r[0]
+        for r in kdf.select(
+            bucket_expr(bucket_key, n_from).alias("b")
+        ).distinct().collect()
+    )
+    b_to = sorted(
+        r[0]
+        for r in kdf.select(
+            bucket_expr(bucket_key, n_to).alias("b")
+        ).distinct().collect()
+    )
+    if metrics is not None:
+        metrics.update({
+            "mode": "rebucket-exact",
+            "changed_keys": len(krows),
+            "buckets_from": len(b_from),
+            "buckets_to": len(b_to),
+        })
+    m_from = _slice_from_root(path, _load_root(path, v_from), b_from)
+    m_to = _slice_from_root(path, _load_root(path, v_to), b_to)
+    old_df = _read_snapshot_slice(spark, path, m_from, b_from, bucket_key)
+    new_df = _read_snapshot_slice(spark, path, m_to, b_to, bucket_key)
+    like = new_df if new_df is not None else old_df
+    if old_df is None:
+        old_df = spark.createDataFrame([], like.schema)
+    if new_df is None:
+        new_df = spark.createDataFrame([], like.schema)
+    old_df = old_df.join(kdf, on=keys, how="semi")
+    new_df = new_df.join(kdf, on=keys, how="semi")
+    return aligned_diff(old_df, new_df)
+
+
 def change_feed(
     spark: SparkSession,
     path: str,
     since_version: int,
     to_version: int | None = None,
     key: str | list[str] | None = None,
+    _metrics: dict | None = None,
 ) -> DataFrame | None:
     """Key-level change feed between two committed versions — the
     Delta CHANGE DATA FEED shape (`table_changes`), computed from the
@@ -4361,11 +4479,21 @@ def change_feed(
         return table_diff(old_df, new_df, key=key)
 
     if r_from["n_buckets"] != r_to["n_buckets"]:
-        # layout changed between the versions: bucket ids are not
-        # comparable — diff the full snapshots. Either side may be the
-        # metadata-only EMPTY init (a consumer checkpointed at v1 must
-        # still catch up across a later rebucket): empty -> a typed
-        # empty frame, never a read error
+        # layout changed between the versions. A consumer checkpointed
+        # at the metadata-only EMPTY init catches up as a bootstrap
+        # regardless of layout; otherwise try the EXACT O(change) plan
+        # (pure rebucket boundary, intact span) before falling back to
+        # the full-snapshot diff (reload boundary / vacuumed span).
+        if not _root_empty(r_from):
+            exact = _feed_across_rebucket(
+                spark, path, since_version, to_v, keys, bucket_key,
+                _aligned_diff, metrics=_metrics,
+            )
+            if exact is not _NO_EXACT:
+                return exact
+        if _metrics is not None:
+            _metrics.update({"mode": "full-diff"})
+
         def _snap(root: dict, v: int, like: DataFrame | None):
             if not _root_empty(root):
                 return read_bucket_table_versioned(spark, path, v)

@@ -419,7 +419,10 @@ def test_change_feed_vanished_bucket_and_rebucket(spark, tmp_path):
     assert got == {(k, "delete") for k in victims}
 
     rebucket_versioned(spark, path, 16)
-    assert change_feed(spark, path, 2).count() == 0  # content-neutral
+    # content-neutral: the exact cross-rebucket plan recognizes a
+    # rebucket-only span as empty (None — same contract as an
+    # up-to-date same-layout consumer)
+    assert change_feed(spark, path, 2) is None
 
 
 def test_history_describes_surviving_versions(spark, tmp_path):
@@ -3147,3 +3150,143 @@ def test_vacuum_vs_reader_race_fails_loudly(spark, tmp_path):
     assert _as_map(read_bucket_table_versioned(spark, path))[
         "CVE-7"
     ] == "x7"
+
+
+def test_change_feed_exact_across_rebucket(spark, tmp_path):
+    """VERDICT r11 item 2: a feed span CROSSING rebucket_versioned is
+    computed exactly and O(change) — the union of the old-layout and
+    new-layout sub-feeds' key sets, with the final diff reading only
+    those keys' buckets under each side's own layout. Law: the feed
+    equals the full-outer-diff oracle over the span's endpoint
+    snapshots; cost metrics record buckets ∝ changed keys, not table
+    width."""
+    import pyspark.sql.functions as F
+
+    from cvemate_spark.operators.merge import table_diff
+    from cvemate_spark.operators.merge_versioned import (
+        change_feed, rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(80)})
+    path = str(tmp_path / "vbtrb")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    v0 = 1
+    # changes BEFORE the rebucket: update + delete + insert
+    pre = spark.createDataFrame([
+        Row(id="CVE-3", nvd="pre", _deleted=False),
+        Row(id="CVE-7", nvd=None, _deleted=True),
+        Row(id="CVE-900", nvd="b", _deleted=False),
+    ])
+    merge_scoped_versioned(spark, path, pre, now=T1, deleted_col="_deleted")
+    rebucket_versioned(spark, path, 32)
+    # changes AFTER: touch one pre-changed key again (A-B-C), revert
+    # one key to its original value (A-B-A -> must classify nochange),
+    # plus fresh insert/update/delete
+    post = spark.createDataFrame([
+        Row(id="CVE-3", nvd="post", _deleted=False),   # update twice
+        Row(id="CVE-900", nvd=None, _deleted=True),    # insert then delete
+        Row(id="CVE-5", nvd="p5", _deleted=False),     # post-only update
+        Row(id="CVE-901", nvd="new", _deleted=False),  # post-only insert
+        Row(id="CVE-11", nvd=None, _deleted=True),     # post-only delete
+    ])
+    merge_scoped_versioned(spark, path, post, now=T1, deleted_col="_deleted")
+    v1 = latest_version(path)
+
+    metrics = {}
+    feed = change_feed(spark, path, v0, v1, _metrics=metrics)
+    assert metrics["mode"] == "rebucket-exact"
+    # cost ∝ change: each side reads at most one bucket per changed key
+    assert metrics["buckets_from"] <= metrics["changed_keys"]
+    assert metrics["buckets_to"] <= metrics["changed_keys"]
+    assert metrics["buckets_from"] < 8  # old layout has 8 buckets total
+
+    old = read_bucket_table_versioned(spark, path, v0)
+    new = read_bucket_table_versioned(spark, path, v1)
+    oracle = table_diff(old, new, key="id")
+    cols = sorted(oracle.columns)
+    got = sorted(tuple(r) for r in feed.select(*cols).collect())
+    want = sorted(tuple(r) for r in oracle.select(*cols).collect())
+    assert got == want
+    ids = {(r["id"], r["change"]) for r in feed.select("id", "change").collect()}
+    assert ("CVE-900", "insert") not in ids and not any(
+        i == "CVE-900" for i, _ in ids
+    )  # insert-then-delete composes to nothing
+    assert ("CVE-3", "update") in ids and ("CVE-11", "delete") in ids
+
+    # apply law across the rebucket
+    from cvemate_spark.operators.merge import merge_upsert_deletes
+
+    applied = merge_upsert_deletes(
+        old,
+        feed.withColumn("_deleted", F.col("change") == "delete")
+        .drop("change"),
+        key="id", deleted_col="_deleted", now=T1,
+    )
+    ncols = sorted(new.columns)
+    assert (
+        applied.select(*ncols).exceptAll(new.select(*ncols)).count() == 0
+        and new.select(*ncols).exceptAll(applied.select(*ncols)).count() == 0
+    )
+
+
+def test_change_feed_two_rebuckets_compose(spark, tmp_path):
+    """Multiple layout changes inside one span: sub-feeds recurse, so
+    the exact plan composes across BOTH boundaries."""
+    from cvemate_spark.operators.merge import table_diff
+    from cvemate_spark.operators.merge_versioned import (
+        change_feed, rebucket_versioned,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(40)})
+    path = str(tmp_path / "vbtrb2")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    up1 = spark.createDataFrame([Row(id="CVE-1", nvd="a")])
+    merge_scoped_versioned(spark, path, up1, now=T1)
+    rebucket_versioned(spark, path, 16)
+    up2 = spark.createDataFrame([Row(id="CVE-2", nvd="b")])
+    merge_scoped_versioned(spark, path, up2, now=T1)
+    rebucket_versioned(spark, path, 8)
+    up3 = spark.createDataFrame([Row(id="CVE-3", nvd="c")])
+    merge_scoped_versioned(spark, path, up3, now=T1)
+    v1 = latest_version(path)
+
+    metrics = {}
+    feed = change_feed(spark, path, 1, v1, _metrics=metrics)
+    assert metrics["mode"] == "rebucket-exact"
+    assert metrics["changed_keys"] == 3
+    old = read_bucket_table_versioned(spark, path, 1)
+    new = read_bucket_table_versioned(spark, path, v1)
+    oracle = table_diff(old, new, key="id")
+    cols = sorted(oracle.columns)
+    assert sorted(map(tuple, feed.select(*cols).collect())) == sorted(
+        map(tuple, oracle.select(*cols).collect())
+    )
+
+
+def test_change_feed_reload_boundary_falls_back(spark, tmp_path):
+    """A RELOAD that changes n_buckets is NOT content-neutral — the
+    exact plan refuses (op != rebucket) and the feed falls back to the
+    full diff, which is still correct."""
+    from cvemate_spark.operators.merge import table_diff
+    from cvemate_spark.operators.merge_versioned import change_feed
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(20)})
+    path = str(tmp_path / "vbtrl")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    base2 = _batch(spark, "nvd", {f"CVE-{i}": f"R{i}" for i in range(10)})
+    write_bucket_table_versioned(
+        merge_upsert(None, base2, now=T1), path, key="id", n_buckets=8
+    )
+    metrics = {}
+    feed = change_feed(spark, path, 1, 2, _metrics=metrics)
+    assert metrics["mode"] == "full-diff"
+    old = read_bucket_table_versioned(spark, path, 1)
+    new = read_bucket_table_versioned(spark, path, 2)
+    oracle = table_diff(old, new, key="id")
+    assert feed.count() == oracle.count() == 20
