@@ -2695,74 +2695,157 @@ def merge_scoped_versioned_occ(
     phase, before the commit lock — the race-window injection the
     two-writer laws use.
 
-    Returns the serial path's dict plus {rebased, attempts}.
+    Returns the serial path's dict plus {rebased, attempts,
+    buckets_reused}.
+
+    RETRY REUSE (VERDICT r11 item 3): a loser does NOT redo its whole
+    work phase. Its already-written generations are immutable and, for
+    every touched bucket the winner did NOT move, content-identical to
+    what a re-run from the new snapshot would produce (a scoped merge
+    computes each bucket's generation from that bucket's target slice
+    + that bucket's batch rows alone — both unchanged). So the retry
+    CARRIES those generations (tracking the version through which each
+    carried bucket is validated-unchanged) and recomputes only the
+    conflicted buckets' slice of the batch. OCCBENCH's cow_overlap
+    rung measured 0.7x serial with whole-work retries; reuse makes the
+    redo ∝ conflicted buckets.
     """
     import fcntl
 
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
     attempts = 0
+    # carried state from failed attempts: per-bucket generation (None
+    # = the merge deleted every row of the bucket), stats, and the
+    # batch-schema union; carry_v = the version through which every
+    # carried bucket is proven unchanged
+    carry_gens: dict[str, str | None] = {}
+    carry_stats: dict[str, dict] = {}
+    carry_schema: dict | None = None
+    carry_v: int | None = None
+    pending = updates
     while True:
         attempts += 1
         base_v = latest_version(path)
         base_full = _load_manifest_full(path, base_v)
         prep = _prepare_scoped_merge(
-            spark, path, meta, base_full, updates, now=now,
+            spark, path, meta, base_full, pending, now=now,
             deleted_col=deleted_col, merger=merger, constraints=constraints,
         )
-        if prep is None:
+        if prep is None and not carry_gens:
             return {
                 "version": base_v, "n_buckets": base_full["n_buckets"],
                 "buckets_touched": 0, "files_rewritten": 0,
-                "bytes_rewritten": 0, "rebased": False, "attempts": attempts,
+                "bytes_rewritten": 0, "rebased": False,
+                "attempts": attempts, "buckets_reused": 0,
             }
+        fresh_touched = set(prep["touched"]) if prep else set()
+        batch_schema = (
+            _union_schema(carry_schema, prep["batch_schema"], set())
+            if prep is not None and carry_schema is not None
+            else (prep["batch_schema"] if prep else carry_schema)
+        )
         if pre_commit_hook is not None:
             pre_commit_hook()
         conflict = None
+        full_reset = False
+        retry_buckets: set[int] = set()
         lock = open(os.path.join(path, "_MERGELOCK"), "w")
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             cur = latest_version(path)
-            if cur == base_v:
-                v = _assemble_scoped_commit(path, base_full, prep)
-                rebased = False
+            cur_full = (
+                base_full if cur == base_v
+                else _load_manifest_full(path, cur)
+            )
+            if cur_full["n_buckets"] != base_full["n_buckets"]:
+                conflict = (
+                    f"layout changed under the merge "
+                    f"({base_full['n_buckets']} -> "
+                    f"{cur_full['n_buckets']} buckets)"
+                )
+                full_reset = True
             else:
-                cur_full = _load_manifest_full(path, cur)
-                if cur_full["n_buckets"] != base_full["n_buckets"]:
-                    conflict = (
-                        f"layout changed under the merge "
-                        f"({base_full['n_buckets']} -> "
-                        f"{cur_full['n_buckets']} buckets)"
-                    )
-                else:
-                    overlap = _changed_sig_buckets(
-                        base_full, cur_full
-                    ) & set(prep["touched"])
-                    if overlap:
+                changed_f = (
+                    _changed_sig_buckets(base_full, cur_full)
+                    & fresh_touched
+                    if cur != base_v else set()
+                )
+                changed_c: set[int] = set()
+                if carry_gens:
+                    try:
+                        carry_full = (
+                            cur_full if carry_v == cur
+                            else _load_manifest_full(path, carry_v)
+                        )
+                        changed_c = _changed_sig_buckets(
+                            carry_full, cur_full
+                        ) & {int(b) for b in carry_gens}
+                    except FileNotFoundError:
+                        # the carried snapshot was vacuumed between
+                        # attempts: unprovable — drop the carry
                         conflict = (
-                            f"buckets {sorted(overlap)} changed by a "
-                            f"concurrent commit (v{base_v} -> v{cur})"
+                            f"carried snapshot v{carry_v} vacuumed "
+                            "under the retry"
                         )
-                    else:
-                        conflict = _mapping_drift(
-                            cur_full, prep["batch_schema"],
-                            prep.get("pmap"),
-                        )
-                        if conflict is None:
-                            v = _assemble_scoped_commit(
-                                path, cur_full, prep
-                            )
-                            rebased = True
+                        full_reset = True
+                if conflict is None and (changed_f or changed_c):
+                    conflict = (
+                        f"buckets {sorted(changed_f | changed_c)} "
+                        f"changed by a concurrent commit "
+                        f"(v{base_v} -> v{cur})"
+                    )
+                    retry_buckets = set(changed_f) | set(changed_c)
+                if conflict is None:
+                    conflict = _mapping_drift(
+                        cur_full, batch_schema,
+                        prep.get("pmap") if prep else None,
+                    )
+                    if conflict is not None:
+                        # a rename raced: carried generations may be
+                        # physically mislabeled too — recompute all
+                        full_reset = True
+                if conflict is None:
+                    combined = {
+                        "touched": sorted(
+                            fresh_touched
+                            | {int(b) for b in carry_gens}
+                        ),
+                        "new_gens": {
+                            **{
+                                b: g for b, g in carry_gens.items()
+                                if g is not None
+                            },
+                            **(prep["new_gens"] if prep else {}),
+                        },
+                        "stats": {
+                            **carry_stats,
+                            **(prep["stats"] if prep else {}),
+                        },
+                        "batch_schema": batch_schema,
+                    }
+                    v = _assemble_scoped_commit(path, cur_full, combined)
+                    rebased = cur != base_v or bool(carry_gens)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
             lock.close()
         if conflict is None:
+            committed_stats = [
+                combined["stats"][str(i)]
+                for i in combined["touched"]
+                if str(i) in combined["new_gens"]
+            ]
             return {
                 "version": v, "n_buckets": base_full["n_buckets"],
-                "buckets_touched": len(prep["touched"]),
-                "files_rewritten": prep["files"],
-                "bytes_rewritten": prep["bytes"],
+                "buckets_touched": len(combined["touched"]),
+                "files_rewritten": sum(
+                    s.get("files", 1) for s in committed_stats
+                ),
+                "bytes_rewritten": sum(
+                    s["bytes"] for s in committed_stats
+                ),
                 "rebased": rebased, "attempts": attempts,
+                "buckets_reused": len(carry_gens),
             }
         if attempts > max_retries:
             raise ConcurrentWriteConflict(
@@ -2770,6 +2853,36 @@ def merge_scoped_versioned_occ(
                 f"(last: {conflict}); generations from the failed "
                 "attempts are unreferenced orphans for vacuum"
             )
+        if full_reset:
+            carry_gens, carry_stats = {}, {}
+            carry_schema, carry_v = None, None
+            pending = updates
+            continue
+        # carry forward every touched bucket the winner did NOT move;
+        # recompute only the conflicted slice of the ORIGINAL batch
+        new_carry: dict[str, str | None] = {}
+        new_stats: dict[str, dict] = {}
+        for b, g in carry_gens.items():
+            if int(b) not in retry_buckets:
+                new_carry[b] = g
+                if b in carry_stats:
+                    new_stats[b] = carry_stats[b]
+        if prep is not None:
+            for i in prep["touched"]:
+                if int(i) in retry_buckets:
+                    continue
+                g = prep["new_gens"].get(str(i))
+                new_carry[str(i)] = g
+                if g is not None:
+                    new_stats[str(i)] = prep["stats"][str(i)]
+        carry_gens, carry_stats = new_carry, new_stats
+        carry_schema = batch_schema
+        carry_v = cur
+        pending = updates.filter(
+            bucket_expr(meta["key"], base_full["n_buckets"]).isin(
+                sorted(retry_buckets)
+            )
+        )
 
 
 def merge_scoped_versioned_mor(

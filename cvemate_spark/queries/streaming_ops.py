@@ -161,6 +161,36 @@ def s20_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s21_mor_compact",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S21: the S20 continuous MOR ingestion RACING a concurrent "
+    "compact_versioned (streaming/jobs.py::mor_compact_race, VERDICT "
+    "r11 item 5 — the production pattern of a foreachBatch feed plus "
+    "an off-peak maintenance job on one table). A compact commit is "
+    "injected inside a micro-batch's OCC window via the pre-commit "
+    "seam: it moves the touched buckets' base generations, a HARD "
+    "conflict under the ordinal-compose rules, so the appender "
+    "re-lands on the compacted base (asserted: the retry fired; the "
+    "version ledger is exact) — appends compose or retry per the "
+    "conflict rules, never lose rows, never chain onto a stale base. "
+    "Same batch Q20 keep-latest oracle as S3/S17/S18/S20: the hash "
+    "proves the interleaved run ≡ CoW replay ≡ batch.",
+)
+def s21_mor_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.mor_compact_race(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s19_feed_replica",
     """
     SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts

@@ -430,6 +430,99 @@ def mor_replay(
     )
 
 
+def mor_compact_race(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """S21: the S20 continuous MOR ingestion COMPOSING with a periodic
+    `compact_versioned` racing it from outside (VERDICT r11 item 5) —
+    the production pattern: a foreachBatch feed appending delta
+    generations while an off-peak maintenance job folds chains on the
+    same table.
+
+    The race is injected deterministically through the OCC pre-commit
+    seam: inside the second micro-batch's window (after its delta
+    generations are staged, before commit validation) a compactor
+    folds the first batch's chains and commits. That MOVES the touched
+    buckets' base generations, which is a HARD conflict under the
+    ordinal-compose rules (compose only covers an extended chain over
+    an unmoved base), so the appender must abandon the staged chain
+    refs and RE-LAND on the compacted base — never composing onto a
+    stale chain, never losing rows. The builder asserts the retry
+    actually happened and the version ledger carries exactly
+    init + one commit per batch + the mid-window compact + the
+    closing compact.
+
+    Convergence oracle: batch Q20 keep-latest, same as S3/S17/S18/S20
+    — the hash proves the interleaved run ≡ CoW replay ≡ batch."""
+    from ..operators.merge_versioned import (
+        compact_versioned,
+        init_bucket_table_versioned,
+        latest_version,
+        merge_scoped_versioned_mor,
+        read_bucket_table_versioned,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s21_{os.getpid()}"
+    target, ckpt = f"{run_dir}/target", f"{run_dir}/ckpt"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    init_bucket_table_versioned(
+        target, key="user_id", n_buckets=16,
+        mor_fold={
+            "keys": ["user_id", "event_type"],
+            "order_by": [["ts", "desc"], ["event_id", "desc"]],
+        },
+    )
+
+    race = {"fired": False, "retries": 0}
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        def hook():
+            # the compactor fires ONCE, inside the third batch's OCC
+            # window: batch 1 lands BASE generations on the empty
+            # table and batch 2 the first real delta chains — only
+            # then does compact have something to fold and commit
+            # (a no-op compact would not race anything)
+            if not race["fired"] and latest_version(target) >= 3:
+                race["fired"] = True
+                compact_versioned(batch.sparkSession, target)
+
+        res = merge_scoped_versioned_mor(
+            batch.sparkSession, target, batch,
+            occ=True, max_retries=4, pre_commit_hook=hook,
+        )
+        race["retries"] += res["attempts"] - 1
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert race["fired"], "the compactor never entered the race window"
+    assert race["retries"] >= 1, (
+        "the compact commit landed inside an append's OCC window but "
+        "forced no re-land — the hard-conflict rule did not fire"
+    )
+    # init + n_chunks batch commits + mid-window compact + closing one
+    assert latest_version(target) == 2 + n_chunks
+    compact_versioned(spark, target)
+    assert latest_version(target) == 3 + n_chunks
+    return read_bucket_table_versioned(spark, target).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def feed_replica(
     spark: SparkSession, sf_dir: str, n_chunks: int = 3
 ) -> DataFrame:

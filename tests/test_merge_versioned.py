@@ -3290,3 +3290,155 @@ def test_change_feed_reload_boundary_falls_back(spark, tmp_path):
     new = read_bucket_table_versioned(spark, path, 2)
     oracle = table_diff(old, new, key="id")
     assert feed.count() == oracle.count() == 20
+
+
+def test_occ_retry_reuses_unconflicted_generations(spark, tmp_path):
+    """VERDICT r11 item 3: an OCC loser whose batch spans buckets the
+    winner did NOT touch must not redo that work — the retry carries
+    the already-written generations (immutable, content-valid against
+    any snapshot in which the bucket is unchanged) and recomputes only
+    the conflicted buckets. Laws: content ≡ sequential; the loser
+    reports reused buckets; exactly ONE orphan generation remains (the
+    conflicted bucket's first attempt), not the whole batch."""
+    import glob as _glob
+    import threading
+
+    from cvemate_spark.operators.merge import bucket_expr
+    from cvemate_spark.operators.merge_versioned import (
+        merge_scoped_versioned_occ,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(60)})
+    path = str(tmp_path / "vbtreuse")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=8
+    )
+    # pick keys by bucket: winner touches {b_w}, loser {b_w, b_l}
+    rows = base.select(
+        "id", bucket_expr("id", 8).alias("b")
+    ).collect()
+    by_bucket: dict[int, list[str]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["id"])
+    b_w, b_l = sorted(by_bucket)[:2]
+    k_shared = by_bucket[b_w][0]
+    k_loser_only = by_bucket[b_l][0]
+    k_winner_only = by_bucket[b_w][1]
+
+    barrier = threading.Barrier(2)
+    results: dict[str, dict] = {}
+    errs: list[Exception] = []
+
+    def run(tag, batch_rows):
+        # the hook fires on EVERY attempt; only the first may block on
+        # the barrier (the loser's retry would otherwise wait forever
+        # on a spent barrier)
+        state = {"first": True}
+
+        def hook():
+            if state["first"]:
+                state["first"] = False
+                barrier.wait()
+
+        try:
+            batch = spark.createDataFrame(batch_rows, "id string, nvd string")
+            results[tag] = merge_scoped_versioned_occ(
+                spark, path, batch, now=T1,
+                pre_commit_hook=hook, max_retries=4,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(
+        target=run, args=("winner", [(k_winner_only, "W")])
+    )
+    t2 = threading.Thread(
+        target=run,
+        args=("loser", [(k_shared, "L1"), (k_loser_only, "L2")]),
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    loser = max(results.values(), key=lambda r: r["attempts"])
+    winner = min(results.values(), key=lambda r: r["attempts"])
+    assert winner["attempts"] == 1
+    assert loser["attempts"] == 2
+    assert loser["buckets_reused"] == 1  # b_l carried, only b_w redone
+
+    # content ≡ sequential (upserts on distinct keys commute)
+    snap = {
+        r["id"]: r["nvd"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert snap[k_shared] == "L1" and snap[k_loser_only] == "L2"
+    assert snap[k_winner_only] == "W" and len(snap) == 60
+
+    # orphan accounting: only the conflicted bucket's first attempt
+    referenced = set()
+    from cvemate_spark.operators import merge_versioned as mv
+
+    for v in mv._list_versions(path):
+        m = mv._load_manifest_full(path, v)
+        for i, g in m["buckets"].items():
+            referenced.add(mv._gen_data_path(path, i, g))
+    orphans = [
+        g for g in _glob.glob(f"{path}/bucket=*/g-*")
+        if g not in referenced
+    ]
+    assert len(orphans) == 1
+    assert f"bucket={b_w}/" in orphans[0]
+
+
+def test_mor_append_racing_compactor_relands(spark, tmp_path):
+    """VERDICT r11 item 5 (law half): a continuous MOR feed composing
+    with a periodic compactor from another thread. A compact commit
+    landing inside a MOR append's OCC window MOVES the touched
+    bucket's base generation — a hard conflict per the compose rules
+    (ordinal-compose only covers extended delta chains over an
+    unmoved base), so the append must RETRY and re-land on the
+    compacted base, never losing rows and never composing onto a
+    stale chain."""
+    import threading
+
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned, merge_scoped_versioned_mor,
+    )
+
+    base = _batch(spark, "nvd", {f"CVE-{i}": f"n{i}" for i in range(30)})
+    path = str(tmp_path / "vbtmc")
+    write_bucket_table_versioned(
+        merge_upsert(None, base, now=T0), path, key="id", n_buckets=4
+    )
+    # seed a delta chain so the compactor has something to fold
+    seed = spark.createDataFrame([Row(id="CVE-1", nvd="d1")])
+    merge_scoped_versioned_mor(spark, path, seed, now=T0)
+
+    compacted = threading.Event()
+
+    def hook():
+        # fires in the appender's OCC window (after its delta is
+        # staged, before validation) — once: the retry must not
+        # re-trigger the compactor
+        if not compacted.is_set():
+            compacted.set()
+            compact_versioned(spark, path)
+
+    batch = spark.createDataFrame(
+        [Row(id="CVE-1", nvd="d2"), Row(id="CVE-2", nvd="e1")]
+    )
+    res = merge_scoped_versioned_mor(
+        spark, path, batch, now=T1, occ=True, max_retries=3,
+        pre_commit_hook=hook,
+    )
+    assert compacted.is_set()
+    assert res["attempts"] >= 2  # the compact forced a re-land
+    snap = {
+        r["id"]: r["nvd"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert snap["CVE-1"] == "d2" and snap["CVE-2"] == "e1"
+    assert len(snap) == 30
+    # and the compactor's fold is intact under time travel
+    from cvemate_spark.operators import merge_versioned as mv
+
+    vs = mv._list_versions(path)
+    assert len(vs) >= 4  # load, seed delta, compact, re-landed append

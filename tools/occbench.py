@@ -7,6 +7,10 @@ ordinal-composes, and orphan bytes, for:
     (the nightly-feeds shape — work phases overlap, rebases free)
   * cow_overlap:  CoW OCC writers all hitting the SAME buckets
     (worst case — every loser pays retry x work-phase)
+  * cow_partial:  CoW OCC writers with mostly-PRIVATE buckets plus
+    one shared hot bucket (the realistic nightly-feeds-with-a-hot-key
+    shape — round-12 retry reuse: a loser carries its unconflicted
+    buckets' generations and recomputes only the hot one)
   * mor_overlap:  MOR OCC writers on the same buckets, key-disjoint
     (round-11 ordinal compose: same contention, ZERO retries)
 
@@ -150,6 +154,15 @@ def main() -> None:
                 out.append(
                     batch_df(disjoint_pool[(n, i)], f"W{i}")
                 )
+        elif mode == "partial":
+            pool = by_bucket[int(hot)]
+            ph = max(1, min(ROWS_PER_WRITER // 10, len(pool) // n))
+            for i in range(n):
+                keys = (
+                    disjoint_pool[(n, i)][: ROWS_PER_WRITER - ph]
+                    + pool[i * ph:(i + 1) * ph]
+                )
+                out.append(batch_df(keys, f"W{i}"))
         else:
             pool = by_bucket[int(hot)]
             per = max(1, min(ROWS_PER_WRITER, len(pool) // n))
@@ -162,6 +175,7 @@ def main() -> None:
         for scen, mode, merge_kind in (
             (f"cow_disjoint_{n}w", "disjoint", "cow"),
             (f"cow_overlap_{n}w", "overlap", "cow"),
+            (f"cow_partial_{n}w", "partial", "cow"),
             (f"mor_overlap_{n}w", "overlap", "mor"),
         ):
             path = f"{SCRATCH}/{scen}"
@@ -218,6 +232,9 @@ def main() -> None:
                 "rebased": sum(1 for a in accs if a["rebased"]),
                 "composed_buckets": sum(
                     len(a.get("composed") or []) for a in accs
+                ),
+                "buckets_reused": sum(
+                    a.get("buckets_reused") or 0 for a in accs
                 ),
                 "orphan_bytes": orphans,
             }
