@@ -101,25 +101,24 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-11 rotation (VERDICT r10 item 7 + ADVICE low 4). The
-    # r10 gate went green 50/50 in CORRECTNESS_r10.json. Round 11's
-    # semantic edits land in merge_versioned.py (SHARDED format-2
-    # manifests, ordinal-compose rebase for same-bucket MOR appends,
-    # the mapping-drift OCC guard, fold-policy-per-manifest,
-    # fold-honoring CoW legs), merge.py (keep_latest_merge null-pads),
-    # catalog.py (catalog_txn_occ) and session.py (bounded listing
-    # parallelism) — the whole versioned/merge/catalog family
-    # re-enters. The four headline queries ceded in r10 (q01/q06/
-    # q11/q17) rotate back per the advisory, so every headline query
-    # gates driver regressions again. The streaming window ladder
-    # (s1/s2/s4/s6-s9, s13-s16; jobs.py UNCHANGED this round,
-    # driver-green r10) cedes its slots; every other changed-hash
-    # query is re-proven locally by tools/update_gate_hashes.py
-    # before its pin refreshes.
-    # --- entrant: round-11 new capability, first driver proof (1)
-    "e_manifest_shard",
+    # ---- Round-12 rotation (VERDICT r11 item 7). The r11 gate went
+    # green 50/50 in CORRECTNESS_r11.json. Round 12's semantic edits
+    # land in merge_versioned.py (PACKED base generations, root
+    # delta-chain + vacuum materialization, OCC retry reuse, the
+    # exact cross-rebucket change feed, shard-cache eviction lock),
+    # merge.py (keep_latest_merge strict union by default),
+    # catalog.py (catalog_txn_occ fast-path upsert fix) and
+    # streaming/jobs.py (s21 compactor race) — the whole versioned/
+    # merge/catalog/replay family re-enters, e_change_feed with its
+    # builder now SPANNING a rebucket. q01 (relational.py unchanged,
+    # driver-green r11) cedes one slot to the round-12 entrant; every
+    # other changed-hash query is re-proven locally by
+    # tools/update_gate_hashes.py before its pin refreshes.
+    # --- entrants: round-12 new capabilities, first driver proof (2)
+    "s21_mor_compact", "e_packed_scan",
     # --- re-entries: versioned/merge/catalog family, builders
-    # changed this round (25)
+    # changed this round (26)
+    "e_manifest_shard",
     "e_merge_concurrent", "e_merge_mor", "s20_mor_replay",
     "e_versioned_rename", "e_versioned_cluster_skip", "e_catalog_feed",
     "e_catalog_txn", "e_merge_scoped_versioned", "e_rebucket_versioned",
@@ -128,8 +127,10 @@ DRIVER_GATE: tuple[str, ...] = (
     "s3_merge_replay", "s17_scoped_replay", "s18_versioned_replay",
     "s19_feed_replica", "e_change_feed", "e_versioned_evolve",
     "e_versioned_skip", "e_merge_constraint", "e_zorder_part",
-    # --- re-entries: the r10-ceded headline queries rotate back (4)
-    "q01", "q06", "q11", "q17",
+    # --- re-entries: headline queries whose closures moved with the
+    # versioned layer; q01/q17 (unchanged, r11-green) cede to the
+    # two round-12 entrants (2)
+    "q06", "q11",
     # --- re-entries: the headline suite (bench-correlated standing
     # re-entry vehicle) (6)
     "q19", "dedup_minhash", "dedup_exact",
