@@ -2664,6 +2664,7 @@ def merge_scoped_versioned_occ(
     constraints: dict[str, str] | None = None,
     max_retries: int = 3,
     pre_commit_hook=None,
+    reuse: bool = True,
 ) -> dict:
     """OPTIMISTIC concurrency for scoped merges — Delta/Iceberg's
     multi-writer commit protocol: the expensive phase (target read,
@@ -2853,7 +2854,9 @@ def merge_scoped_versioned_occ(
                 f"(last: {conflict}); generations from the failed "
                 "attempts are unreferenced orphans for vacuum"
             )
-        if full_reset:
+        if full_reset or not reuse:
+            # `reuse=False` is the benchmark A/B switch: every retry
+            # redoes the whole work phase (the pre-round-12 behavior)
             carry_gens, carry_stats = {}, {}
             carry_schema, carry_v = None, None
             pending = updates

@@ -3297,11 +3297,12 @@ def test_occ_retry_reuses_unconflicted_generations(spark, tmp_path):
     winner did NOT touch must not redo that work — the retry carries
     the already-written generations (immutable, content-valid against
     any snapshot in which the bucket is unchanged) and recomputes only
-    the conflicted buckets. Laws: content ≡ sequential; the loser
-    reports reused buckets; exactly ONE orphan generation remains (the
-    conflicted bucket's first attempt), not the whole batch."""
+    the conflicted buckets. The winner commits deterministically
+    INSIDE the loser's OCC window (the pre-commit seam). Laws:
+    content ≡ sequential; the loser reports the carried bucket;
+    exactly ONE orphan generation remains (the conflicted bucket's
+    first attempt), not the whole batch."""
     import glob as _glob
-    import threading
 
     from cvemate_spark.operators.merge import bucket_expr
     from cvemate_spark.operators.merge_versioned import (
@@ -3325,44 +3326,32 @@ def test_occ_retry_reuses_unconflicted_generations(spark, tmp_path):
     k_loser_only = by_bucket[b_l][0]
     k_winner_only = by_bucket[b_w][1]
 
-    barrier = threading.Barrier(2)
-    results: dict[str, dict] = {}
-    errs: list[Exception] = []
+    state = {"first": True}
 
-    def run(tag, batch_rows):
-        # the hook fires on EVERY attempt; only the first may block on
-        # the barrier (the loser's retry would otherwise wait forever
-        # on a spent barrier)
-        state = {"first": True}
-
-        def hook():
-            if state["first"]:
-                state["first"] = False
-                barrier.wait()
-
-        try:
-            batch = spark.createDataFrame(batch_rows, "id string, nvd string")
-            results[tag] = merge_scoped_versioned_occ(
-                spark, path, batch, now=T1,
-                pre_commit_hook=hook, max_retries=4,
+    def hook():
+        # the WINNER lands inside the loser's window — once (the
+        # loser's retry must not spawn another winner)
+        if state["first"]:
+            state["first"] = False
+            merge_scoped_versioned(
+                spark, path,
+                spark.createDataFrame(
+                    [(k_winner_only, "W")], "id string, nvd string"
+                ),
+                now=T1,
             )
-        except Exception as e:  # pragma: no cover
-            errs.append(e)
 
-    t1 = threading.Thread(
-        target=run, args=("winner", [(k_winner_only, "W")])
+    res = merge_scoped_versioned_occ(
+        spark, path,
+        spark.createDataFrame(
+            [(k_shared, "L1"), (k_loser_only, "L2")],
+            "id string, nvd string",
+        ),
+        now=T1, pre_commit_hook=hook, max_retries=4,
     )
-    t2 = threading.Thread(
-        target=run,
-        args=("loser", [(k_shared, "L1"), (k_loser_only, "L2")]),
-    )
-    t1.start(); t2.start(); t1.join(); t2.join()
-    assert errs == []
-    loser = max(results.values(), key=lambda r: r["attempts"])
-    winner = min(results.values(), key=lambda r: r["attempts"])
-    assert winner["attempts"] == 1
-    assert loser["attempts"] == 2
-    assert loser["buckets_reused"] == 1  # b_l carried, only b_w redone
+    assert res["attempts"] == 2
+    assert res["buckets_reused"] == 1  # b_l carried, only b_w redone
+    assert res["buckets_touched"] == 2
 
     # content ≡ sequential (upserts on distinct keys commute)
     snap = {
@@ -3386,6 +3375,37 @@ def test_occ_retry_reuses_unconflicted_generations(spark, tmp_path):
     ]
     assert len(orphans) == 1
     assert f"bucket={b_w}/" in orphans[0]
+
+    # the A/B control: reuse=False redoes the whole batch — BOTH
+    # first-attempt generations orphan this time
+    state["first"] = True
+
+    def hook2():
+        if state["first"]:
+            state["first"] = False
+            merge_scoped_versioned(
+                spark, path,
+                spark.createDataFrame(
+                    [(k_winner_only, "W2")], "id string, nvd string"
+                ),
+                now=T1,
+            )
+
+    res2 = merge_scoped_versioned_occ(
+        spark, path,
+        spark.createDataFrame(
+            [(k_shared, "L3"), (k_loser_only, "L4")],
+            "id string, nvd string",
+        ),
+        now=T1, pre_commit_hook=hook2, max_retries=4, reuse=False,
+    )
+    assert res2["attempts"] == 2 and res2["buckets_reused"] == 0
+    snap2 = {
+        r["id"]: r["nvd"]
+        for r in read_bucket_table_versioned(spark, path).collect()
+    }
+    assert snap2[k_shared] == "L3" and snap2[k_loser_only] == "L4"
+    assert snap2[k_winner_only] == "W2"
 
 
 def test_mor_append_racing_compactor_relands(spark, tmp_path):

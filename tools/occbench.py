@@ -176,6 +176,7 @@ def main() -> None:
             (f"cow_disjoint_{n}w", "disjoint", "cow"),
             (f"cow_overlap_{n}w", "overlap", "cow"),
             (f"cow_partial_{n}w", "partial", "cow"),
+            (f"cow_partial_noreuse_{n}w", "partial", "cow-noreuse"),
             (f"mor_overlap_{n}w", "overlap", "mor"),
         ):
             path = f"{SCRATCH}/{scen}"
@@ -189,6 +190,12 @@ def main() -> None:
                 if merge_kind == "cow":
                     acc.append(mv.merge_scoped_versioned_occ(
                         spark, path, df, now=T0, max_retries=2 * n,
+                    ))
+                elif merge_kind == "cow-noreuse":
+                    # A/B control: the pre-round-12 whole-work retry
+                    acc.append(mv.merge_scoped_versioned_occ(
+                        spark, path, df, now=T0, max_retries=2 * n,
+                        reuse=False,
                     ))
                 else:
                     acc.append(mv.merge_scoped_versioned_mor(
@@ -217,7 +224,7 @@ def main() -> None:
             )
             t = time.time()
             for df in batches:
-                if merge_kind == "cow":
+                if merge_kind in ("cow", "cow-noreuse"):
                     mv.merge_scoped_versioned(spark, path_s, df, now=T0)
                 else:
                     mv.merge_scoped_versioned_mor(spark, path_s, df, now=T0)
