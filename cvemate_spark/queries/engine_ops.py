@@ -1867,11 +1867,6 @@ def e_merge_scoped_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
-        # v3: the ONLINE LAYOUT MIGRATION inside the feed span — the
-        # event that used to degrade every crossing consumer to a
-        # full-snapshot diff
-        rb = rebucket_versioned(spark, path, MS_BUCKETS * 2)
-        assert rb["version"] == 3
         batch_b = (
             orders.filter(
                 (F.col("o_orderkey") % 89 == 0)
@@ -2917,11 +2912,6 @@ def e_versioned_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("o_orderpriority", "prio")  # the NEW column
         )
         s1 = merge_scoped_versioned(spark, path, batch_a, now=T_MERGE)
-        # v3: the ONLINE LAYOUT MIGRATION inside the feed span — the
-        # event that used to degrade every crossing consumer to a
-        # full-snapshot diff
-        rb = rebucket_versioned(spark, path, MS_BUCKETS * 2)
-        assert rb["version"] == 3
         batch_b = (
             orders.drop("o_orderpriority")
             .filter(F.col("o_orderkey") % 89 == 0)
@@ -3637,7 +3627,7 @@ def e_manifest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, key="k", n_buckets=MS_BUCKETS,
         )
         assert _load_root(path, 1).get("format") != 2  # monolithic era
-        b1 = orders.filter(F.col("k").isin(upd_keys)).select(
+        b1 = orders.filter(F.col("k") % 97 == 0).select(
             "k", (F.col("price") + F.lit(5.0)).alias("price")
         )
         s2 = merge_scoped_versioned(spark, path, b1, now=T_MERGE)
