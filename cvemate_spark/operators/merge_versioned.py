@@ -247,13 +247,15 @@ def _pack_meta(path: str, pg: str) -> dict:
 
 
 def _plan_base_paths(
-    path: str, full: dict, ids: list, key: str
+    path: str, full: dict, ids: list
 ) -> tuple[list[str], list[str], list[int]]:
     """Scan plan for the requested buckets' BASE generations. Returns
     (classic_paths, packed_paths, exclude_buckets): classic per-bucket
     dirs, packed dirs-or-files, and the bucket ids whose rows must be
     FILTERED OUT of the packed portion (buckets superseded by later
-    classic generations — their live rows come from classic_paths).
+    classic generations — their live rows come from classic_paths;
+    the exclusion expression itself is built by the caller,
+    _read_snapshot_slice, which owns the table's bucket key).
 
     A pack is read as its whole DIRECTORY (one root path) only when
     the slice covers every bucket still live in it AND the superseded
@@ -1319,10 +1321,15 @@ def prune_files(
     roll files at a row budget so per-file min/max are selective).
     Still pure manifest arithmetic: the file names live in the ledger,
     so no directory listing happens at plan time. Returns
-    {version, read: [dir-or-file paths], skipped (buckets),
-    skipped_files, files_read, files_total, manifest}; `files_read` /
-    `files_total` count only the ledgered buckets (unledgered buckets
-    read as whole dirs, exactly as before — absent stats never skip)."""
+    {version, read: [dir-or-file paths], read_buckets: [bucket ids
+    behind those paths], skipped (buckets), skipped_files, files_read,
+    files_total, manifest}; `files_read` / `files_total` count only
+    the ledgered buckets (unledgered buckets read as whole dirs,
+    exactly as before — absent stats never skip). `read_buckets` is
+    authoritative for consumers that need the bucket ids (deletion
+    vectors): packed entries resolve to `_packed/pg-*/b<i>.parquet`
+    FILES whose path carries no `bucket=` segment, so parsing ids
+    back out of `read` is not possible in general."""
     plan = prune_generations_multi(path, predicates, version)
     full = plan["manifest"]
     manifest = full["buckets"]
@@ -1337,6 +1344,7 @@ def prune_files(
         if lo is not None or hi is not None
     ]
     read: list[str] = []
+    read_buckets: list = []
     skipped_files: list[str] = []
     delta_buckets: list[str] = []
     deltas = full.get("deltas") or {}
@@ -1354,8 +1362,10 @@ def prune_files(
         fs = (stats.get(i) or {}).get("fs")
         if not fs or not bounded:
             read.append(gdir)
+            read_buckets.append(i)
             continue
         files_total += len(fs)
+        bucket_read = False
         for fname in sorted(fs):
             fcols = fs[fname].get("cols", {})
             if any(
@@ -1366,9 +1376,13 @@ def prune_files(
             else:
                 read.append(f"{gdir}/{fname}")
                 files_read += 1
+                bucket_read = True
+        if bucket_read:
+            read_buckets.append(i)
     return {
         "version": plan["version"],
         "read": read,
+        "read_buckets": sorted(read_buckets),
         "skipped": plan["skipped"],
         "skipped_files": skipped_files,
         "delta_buckets": delta_buckets,
@@ -1402,12 +1416,10 @@ def scan_versioned_multi(
     df = None
     if dirs:
         df = _read_dirs(spark, dirs, schema, schema_json=stored)
-        read_buckets = {
-            (d.split("/")[-3] if d.endswith(".parquet") else d.split("/")[-2])
-            .split("=")[1]
-            for d in dirs
-        }
-        df = _apply_dv(spark, path, full_m, sorted(read_buckets), df, _k)
+        # bucket ids come from the plan, never parsed back out of the
+        # paths: packed entries read as `_packed/pg-*/b<i>.parquet`
+        # files with no `bucket=` path segment
+        df = _apply_dv(spark, path, full_m, plan["read_buckets"], df, _k)
     if plan.get("delta_buckets"):
         # merge-on-read buckets read whole and FOLD (residual filters
         # below apply to the folded — i.e. current — rows, never to a
@@ -1726,7 +1738,7 @@ def _read_snapshot_slice(
         return None
     stored = full.get("schema")
     schema = StructType.fromJson(stored) if stored is not None else None
-    classic, packed, excl = _plan_base_paths(path, full, ids, key)
+    classic, packed, excl = _plan_base_paths(path, full, ids)
     deltas = full.get("deltas") or {}
     depth = max((len(deltas.get(i, [])) for i in ids), default=0)
     parts = []
@@ -4504,6 +4516,12 @@ def _feed_across_rebucket(
     old_df = _read_snapshot_slice(spark, path, m_from, b_from, bucket_key)
     new_df = _read_snapshot_slice(spark, path, m_to, b_to, bucket_key)
     like = new_df if new_df is not None else old_df
+    if like is None:
+        # both endpoint slices empty: the changed keys were inserted
+        # after v_from and deleted before v_to, and their buckets hold
+        # no other rows at either endpoint — the net change over the
+        # span is empty
+        return None
     if old_df is None:
         old_df = spark.createDataFrame([], like.schema)
     if new_df is None:

@@ -3807,7 +3807,7 @@ def e_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rewritten buckets' classic dirs, exclusion == rewritten
         full2 = _load_manifest_full(path, 2)
         classic, packed, excl = _plan_base_paths(
-            path, full2, sorted(full2["buckets"]), "k"
+            path, full2, sorted(full2["buckets"])
         )
         rewritten = {
             i for i, g in full2["buckets"].items()
@@ -3833,7 +3833,7 @@ def e_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file (the versioned fast path at any table width)
     full3 = _load_manifest_full(path, 3)
     bid = bucket_of_value(spark, int(lk), full3["n_buckets"])
-    _, plook, _ = _plan_base_paths(path, full3, [str(bid)], "k")
+    _, plook, _ = _plan_base_paths(path, full3, [str(bid)])
     assert len(plook) == 1 and plook[0].endswith(f"b{bid}.parquet")
     out = None
     for ver in (1, 2, 3):

@@ -95,7 +95,7 @@ def test_packed_scan_passes_one_root_plus_rewrites(spark, tmp_path):
         mv.merge_scoped_versioned(spark, pp, upd, now=T0)
     full = mv._load_manifest_full(pp, mv.latest_version(pp))
     ids = sorted(full["buckets"])
-    classic, packed, excl = mv._plan_base_paths(pp, full, ids, "id")
+    classic, packed, excl = mv._plan_base_paths(pp, full, ids)
     rewritten = {bucket_of_value(spark, j, 16) for j in range(3)}
     assert len(classic) == len(rewritten)
     assert packed == [f"{pp}/_packed/" + mv._pack_name_of(
@@ -116,9 +116,7 @@ def test_packed_point_lookup_reads_single_file(spark, tmp_path):
     # a pruned slice resolves to per-bucket FILE paths, no filter
     full = mv._load_manifest_full(pp, mv.latest_version(pp))
     bid = bucket_of_value(spark, 42, 16)
-    classic, packed, excl = mv._plan_base_paths(
-        pp, full, [str(bid)], "id"
-    )
+    classic, packed, excl = mv._plan_base_paths(pp, full, [str(bid)])
     assert classic == [] and excl == []
     assert packed == [
         f"{pp}/_packed/{full['buckets'][str(bid)][1:]}"
@@ -170,7 +168,7 @@ def test_packed_heavy_supersession_falls_back_to_files(spark, tmp_path):
                    if g.startswith("@")]
     if live_packed and len(live_packed) * 2 < 16:
         classic, packed, excl = mv._plan_base_paths(
-            pp, full, sorted(full["buckets"]), "id"
+            pp, full, sorted(full["buckets"])
         )
         assert excl == []
         assert all(p.endswith(".parquet") for p in packed)
@@ -220,3 +218,57 @@ def test_packed_occ_concurrent_writers_compose(spark, tmp_path):
     assert errs == []
     rows = {r[0]: r[1] for r in _content(spark, pp)}
     assert rows[11] == 1011.0 and rows[13] == 1013.0
+
+
+def test_packed_stats_pruned_scan_exact_and_dv_aware(spark, tmp_path):
+    """scan_versioned_multi on a PACKED table: packed manifest entries
+    resolve to `_packed/pg-*/b<i>.parquet` files whose paths carry no
+    `bucket=` segment, so the plan (not path parsing) must supply the
+    bucket ids — and those ids must be the right ones, or deletion
+    vectors are applied to the wrong buckets. Laws: pruned scan ==
+    classic twin == unpruned read, before and after a DV delete, and
+    prune_files.read_buckets is exactly the bucket set behind the
+    read paths."""
+    pc, pp = _mk_twins(spark, tmp_path)
+    # a scoped rewrite so the packed table is mixed pack + classic
+    upd = spark.createDataFrame(
+        [(3, 999.0, "sX")], "id long, val double, tag string"
+    )
+    mv.merge_scoped_versioned(spark, pc, upd, now=T0)
+    mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+
+    preds = [("val", 100.0, 400.0)]
+    plan = mv.prune_files(pp, preds)
+    assert any("/_packed/" in d for d in plan["read"])
+    assert len(plan["read_buckets"]) == len(plan["read"])
+    # read_buckets must mirror the read paths exactly (packed file
+    # basenames are b<i>.parquet; classic dirs carry bucket=<i>)
+    derived = set()
+    for d in plan["read"]:
+        if "/_packed/" in d:
+            derived.add(d.rsplit("/", 1)[1][1:].split(".")[0])
+        else:
+            derived.add(d.split("/")[-2].split("=")[1])
+    assert sorted(derived) == plan["read_buckets"]
+
+    def got(path):
+        return sorted(
+            (r["id"], r["val"])
+            for r in mv.scan_versioned_multi(spark, path, preds).collect()
+        )
+
+    want = sorted(
+        (i, i * 2.0) for i in range(300)
+        if i != 3 and 100.0 <= i * 2.0 <= 400.0
+    )
+    assert got(pp) == want
+    assert got(pc) == want
+
+    # DV delete: ids must route to the right packed buckets, or the
+    # anti-join silently resurrects/over-deletes
+    dk = spark.createDataFrame([(60,), (75,), (90,)], "id long")
+    mv.merge_deletes_dv(spark, pc, dk)
+    mv.merge_deletes_dv(spark, pp, dk)
+    want2 = [t for t in want if t[0] not in (60, 75, 90)]
+    assert got(pp) == want2
+    assert got(pc) == want2
