@@ -68,7 +68,13 @@ HEADLINE = [
     "dedup_exact",     # hash dedup
     "q26",             # cosine top-k
     "ann_lsh",         # hyperplane-LSH ANN
-    "emb_neardup",     # pair similarity search
+    # pair similarity search: the angular-bound-pruned EXACT route
+    # (SemDeDup cells + spherical-triangle-inequality cell-pair
+    # pruning). The brute-force `emb_neardup` stays registered as its
+    # oracle but is out of the headline suite — a deliberate O(n²)
+    # control should not be the scaling number a reader checks first
+    # (VERDICT r12 item 4).
+    "emb_neardup_semdedup",
     "mm_meta",         # Arrow mapInPandas plumbing
     "s1_tumbling",     # structured streaming tumbling agg
     "s3_merge_replay", # foreachBatch keyed MERGE

@@ -2388,6 +2388,7 @@ def _prepare_scoped_merge(
     deleted_col: str | None = None,
     merger=None,
     constraints: dict[str, str] | None = None,
+    touched_hint: tuple[int, list] | None = None,
 ) -> dict | None:
     """The WORK phase of a scoped merge, against the `full` manifest
     snapshot: read the touched target slice DV-applied, merge, enforce
@@ -2397,16 +2398,25 @@ def _prepare_scoped_merge(
     unreferenced until a commit names them, so a parallel writer doing
     the same can never collide on disk. Returns None for an empty
     batch; otherwise {touched, new_gens, stats, batch_schema, files,
-    bytes} for a commit-assembly step to publish (serial or OCC)."""
+    bytes} for a commit-assembly step to publish (serial or OCC).
+
+    `touched_hint` = (n_buckets, bucket ids) a caller already computed
+    for THIS batch (the OCC admission path collects it for the commit
+    intent): honored only when the layout matches the snapshot's, so a
+    raced rebucket can never smuggle in stale bucket ids."""
     key = meta["key"]
     # the layout (bucket count) comes from the SNAPSHOT manifest, not
     # the static meta: a rebucket_versioned commit may have changed it
     n_buckets = full["n_buckets"]
     b = bucket_expr(key, n_buckets)
-    # bounded driver-side state: ≤ n_buckets ints, never row data
-    touched = sorted(
-        r[0] for r in updates.select(b.alias("__b")).distinct().collect()
-    )
+    if touched_hint is not None and touched_hint[0] == n_buckets:
+        touched = sorted(int(x) for x in touched_hint[1])
+    else:
+        # bounded driver-side state: ≤ n_buckets ints, never row data
+        touched = sorted(
+            r[0]
+            for r in updates.select(b.alias("__b")).distinct().collect()
+        )
     if not touched:
         return None
     # the target slice is read under the COMMITTED schema (a column an
@@ -2666,6 +2676,84 @@ def merge_scoped_versioned(
     }
 
 
+OCC_INTENT_DIR = "_occ_intents"
+OCC_INTENT_TTL_S = 60.0
+OCC_INTENT_POLL_S = 0.01
+
+
+def _post_intent(path: str, buckets) -> str:
+    """Advisory COMMIT INTENT: a tiny json file naming the buckets
+    this writer is about to rewrite, posted BEFORE the expensive work
+    phase. Later writers whose bucket sets intersect a live earlier
+    intent wait at admission instead of burning a work phase they are
+    guaranteed to lose. Purely advisory — OCC commit validation stays
+    the correctness authority; a crashed writer's intent expires at
+    OCC_INTENT_TTL_S and is unlinked by the next waiter. File names
+    `intent-<ns-zero-padded>-<uuid>` give a total admission order
+    (wait only for strictly-earlier conflicting intents -> acyclic,
+    deadlock-free)."""
+    d = os.path.join(path, OCC_INTENT_DIR)
+    os.makedirs(d, exist_ok=True)
+    name = f"intent-{time.time_ns():020d}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"buckets": sorted(int(b) for b in buckets)}, f)
+    final = os.path.join(d, name)
+    os.replace(tmp, final)
+    return final
+
+
+def _await_intent_turn(
+    path: str,
+    my_intent: str,
+    my_buckets,
+    ttl: float = OCC_INTENT_TTL_S,
+    timeout: float | None = None,
+) -> bool:
+    """Block until no LIVE intent strictly earlier than `my_intent`
+    names a bucket in `my_buckets` (or `timeout` elapses — then the
+    writer proceeds optimistically and OCC sorts it out). Stale
+    intents (older than ttl) never block and are reclaimed. Returns
+    whether any waiting happened (metrics/tests)."""
+    d = os.path.join(path, OCC_INTENT_DIR)
+    my_name = os.path.basename(my_intent)
+    mine = {int(b) for b in my_buckets}
+    deadline = time.monotonic() + (timeout if timeout is not None else ttl)
+    waited = False
+    while True:
+        blocked = False
+        try:
+            names = sorted(os.listdir(d))
+        except FileNotFoundError:
+            return waited
+        for n in names:
+            if not n.startswith("intent-") or n >= my_name:
+                continue
+            fp = os.path.join(d, n)
+            try:
+                ts_ns = int(n.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if time.time_ns() - ts_ns > ttl * 1e9:
+                try:
+                    os.unlink(fp)  # crashed writer: reclaim
+                except OSError:
+                    pass
+                continue
+            try:
+                with open(fp) as f:
+                    theirs = set(json.load(f)["buckets"])
+            except (OSError, ValueError, KeyError):
+                continue  # removed under us: its writer committed
+            if theirs & mine:
+                blocked = True
+                break
+        if not blocked or time.monotonic() >= deadline:
+            return waited
+        waited = True
+        time.sleep(OCC_INTENT_POLL_S)
+
+
 def merge_scoped_versioned_occ(
     spark: SparkSession,
     path: str,
@@ -2677,6 +2765,8 @@ def merge_scoped_versioned_occ(
     max_retries: int = 3,
     pre_commit_hook=None,
     reuse: bool = True,
+    admission: bool | None = None,
+    intent_ttl: float = OCC_INTENT_TTL_S,
 ) -> dict:
     """OPTIMISTIC concurrency for scoped merges — Delta/Iceberg's
     multi-writer commit protocol: the expensive phase (target read,
@@ -2722,11 +2812,60 @@ def merge_scoped_versioned_occ(
     conflicted buckets' slice of the batch. OCCBENCH's cow_overlap
     rung measured 0.7x serial with whole-work retries; reuse makes the
     redo ∝ conflicted buckets.
-    """
-    import fcntl
 
+    ADMISSION (VERDICT r12 item 2): reuse cannot help when EVERY
+    bucket conflicts (full overlap — the reuse set is empty by
+    construction), so each loser still burns a whole work phase:
+    cow_overlap measured 0.64x serial. The fix is contention-aware
+    admission: before the work phase the writer posts an advisory
+    COMMIT INTENT naming its buckets and waits for earlier live
+    intents that intersect (total order by timestamp -> deadlock-
+    free; TTL-bounded -> a crashed writer stalls others at most
+    `intent_ttl`, never wedges). Fully-overlapping writers thus
+    serialize at admission — wall ≈ serial, attempts ≈ 1, zero
+    orphans — while disjoint writers still overlap completely.
+    Advisory only: OCC validation remains the correctness authority,
+    so a timed-out or raced admission degrades to the reuse-retry
+    path, never to a wrong result. `admission=None` resolves to ON
+    unless `pre_commit_hook` is set: the hook is the law tests' race-
+    injection seam, and admission would serialize away the very race
+    those tests construct (a barrier hook would deadlock against the
+    wait).
+    """
     with open(os.path.join(path, BUCKET_META)) as f:
         meta = json.load(f)
+    intent = None
+    if admission if admission is not None else pre_commit_hook is None:
+        n_b = _root_n_buckets(path, latest_version(path))
+        my_buckets = sorted(
+            r[0]
+            for r in updates.select(
+                bucket_expr(meta["key"], n_b).alias("b")
+            ).distinct().collect()
+        )
+        intent = _post_intent(path, my_buckets)
+    try:
+        return _merge_scoped_versioned_occ_loop(
+            spark, path, updates, meta, now, deleted_col, merger,
+            constraints, max_retries, pre_commit_hook, reuse,
+            intent, my_buckets if intent else (), intent_ttl,
+            touched_hint=(n_b, my_buckets) if intent else None,
+        )
+    finally:
+        if intent is not None:
+            try:
+                os.unlink(intent)
+            except OSError:
+                pass
+
+
+def _merge_scoped_versioned_occ_loop(
+    spark, path, updates, meta, now, deleted_col, merger, constraints,
+    max_retries, pre_commit_hook, reuse, intent, my_buckets, intent_ttl,
+    touched_hint=None,
+) -> dict:
+    import fcntl
+
     attempts = 0
     # carried state from failed attempts: per-bucket generation (None
     # = the merge deleted every row of the bucket), stats, and the
@@ -2739,11 +2878,20 @@ def merge_scoped_versioned_occ(
     pending = updates
     while True:
         attempts += 1
+        if intent is not None:
+            # admission: take the snapshot only after earlier
+            # conflicting intents clear, so the work phase runs
+            # against a base those writers already committed into
+            _await_intent_turn(path, intent, my_buckets, ttl=intent_ttl)
         base_v = latest_version(path)
         base_full = _load_manifest_full(path, base_v)
         prep = _prepare_scoped_merge(
             spark, path, meta, base_full, pending, now=now,
             deleted_col=deleted_col, merger=merger, constraints=constraints,
+            # the admission collect doubles as the touched set, but
+            # only while `pending` is still the whole original batch
+            # (retries slice it down to the conflicted buckets)
+            touched_hint=touched_hint if pending is updates else None,
         )
         if prep is None and not carry_gens:
             return {

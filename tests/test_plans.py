@@ -680,3 +680,35 @@ def test_unbounded_bnlj_allowance_pins(spark):
     res = audit_one(spark, FakeSpec, SF, name="not_pinned")
     assert res["unbounded_bnlj"] == 1
     assert any(v.startswith("P3") for v in res["violations"])
+
+
+def test_retrieval_leg_windows_ride_bounded_topk(spark):
+    """The remaining unpartitioned windows in the registry live in the
+    stats_ops retrieval legs (rank = row_number over a global ORDER
+    BY): safe by construction because each window's input is the
+    orderBy().limit(RRF_LEG_K) relation, which compiles to
+    TakeOrderedAndProject — a <= RRF_LEG_K-row single-partition
+    relation, so the one-task window is the correct plan, not a scale
+    liability. Pin: every window in these plans is the rank window,
+    and the plan carries one bounded TakeOrderedAndProject per window
+    (VERDICT r12 item 8)."""
+    import re
+
+    from cvemate_spark.queries.stats_ops import RRF_LEG_K
+
+    for name in ("retr_rrf", "retr_rrf_ivf"):
+        p = plan_of(spark, name)
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+        assert specs, name  # the unpartitioned-window site exists
+        # all of them are the global rank windows: first arg is a sort
+        # column (direction keyword), never a partition key
+        assert all(
+            " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
+            for s in specs
+        ), (name, specs)
+        takes = re.findall(r"TakeOrderedAndProject", p)
+        limits = re.findall(r"limit=(\d+)", p)
+        assert limits and all(int(x) == RRF_LEG_K for x in limits), (
+            name, limits,
+        )
+        assert len(takes) >= len(set(specs)), (name, takes, specs)

@@ -13,6 +13,9 @@ ordinal-composes, and orphan bytes, for:
     buckets' generations and recomputes only the hot one)
   * mor_overlap:  MOR OCC writers on the same buckets, key-disjoint
     (round-11 ordinal compose: same contention, ZERO retries)
+  * cow_overlap_noadm: overlap with commit-intent ADMISSION disabled
+    (round-12 behavior control — isolates what round-13's admission
+    serialization buys under full contention)
 
 plus a serial baseline per scenario (the same batches, one after
 another, through the locked path). Orphan bytes = generation dirs no
@@ -177,6 +180,7 @@ def main() -> None:
             (f"cow_overlap_{n}w", "overlap", "cow"),
             (f"cow_partial_{n}w", "partial", "cow"),
             (f"cow_partial_noreuse_{n}w", "partial", "cow-noreuse"),
+            (f"cow_overlap_noadm_{n}w", "overlap", "cow-noadm"),
             (f"mor_overlap_{n}w", "overlap", "mor"),
         ):
             path = f"{SCRATCH}/{scen}"
@@ -193,9 +197,18 @@ def main() -> None:
                     ))
                 elif merge_kind == "cow-noreuse":
                     # A/B control: the pre-round-12 whole-work retry
+                    # (admission off too — it would mask the retries)
                     acc.append(mv.merge_scoped_versioned_occ(
                         spark, path, df, now=T0, max_retries=2 * n,
-                        reuse=False,
+                        reuse=False, admission=False,
+                    ))
+                elif merge_kind == "cow-noadm":
+                    # A/B control: round-12 behavior (reuse retries,
+                    # no commit-intent admission) — isolates what the
+                    # round-13 admission path buys under full overlap
+                    acc.append(mv.merge_scoped_versioned_occ(
+                        spark, path, df, now=T0, max_retries=2 * n,
+                        admission=False,
                     ))
                 else:
                     acc.append(mv.merge_scoped_versioned_mor(
