@@ -503,6 +503,22 @@ def bucket_expr(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
 
 
+def bucket_membership_expr(
+    key: str, n_buckets: int, ids, keep: bool
+) -> F.Column:
+    """`bucket_expr(key, n) IN (ids)` (or NOT IN, keep=False) built as
+    ONE parsed SQL expression. Column.isin costs one py4j gateway
+    round trip PER LITERAL (~0.6 ms each — an 8.7k-id exclusion
+    measured ~5 s of driver time per merge on a coalesced pack);
+    parsing one IN-list string is a single call and Catalyst compiles
+    large IN lists to an InSet hash probe either way. The key is
+    backtick-quoted; ids are ints by construction (bucket ids)."""
+    lst = ",".join(str(int(i)) for i in sorted(set(ids)))
+    q = key.replace("`", "``")
+    e = f"pmod(xxhash64(cast(`{q}` as string)), {int(n_buckets)})"
+    return F.expr(f"{e} {'IN' if keep else 'NOT IN'} ({lst})")
+
+
 def bucket_of_value(spark: SparkSession, value, n_buckets: int) -> int:
     """The bucket id of ONE literal key — the same xxhash64/pmod as
     bucket_expr, evaluated JVM-side on a 1-row frame so point lookups

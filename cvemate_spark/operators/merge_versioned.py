@@ -60,6 +60,7 @@ buckets are carried by manifest REFERENCE, zero bytes copied.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -204,6 +205,114 @@ def _root_ckpt_every(path: str) -> int:
 PACKED_DIR = "_packed"
 PACK_MIN_BUCKETS = 256
 PACK_META_FILE = "_PACK.json"
+# Range-file coalescing inside a pack: per-bucket files smaller than
+# PACK_TARGET_BYTES are concatenated (contiguous bucket-id runs, one
+# row group per bucket) into `r<lo>-<hi>.parquet` files of ~target
+# size. Spark's parquet reader costs ~5-6 ms of fixed work per FILE
+# (footer parse + reader init — measured conf-invariant across 307/77/
+# 32 scan partitions at 16384 one-row files), so a wide pack of tiny
+# buckets pays an O(width) read floor that no partitioning conf
+# removes; coalescing bounds the file count by bytes/target instead.
+# At production scale every bucket file exceeds the target and the
+# layout is byte-identical to the classic one-file-per-bucket pack —
+# the coalescer is a small-table/wide-layout guard, not a new format.
+# Per-table override: meta/`pack_target_bytes` (0 disables). The
+# driver-side concat is bounded by PACK_COALESCE_MAX_BYTES; packs
+# bigger than that keep per-bucket files (at that size the per-file
+# floor is already amortized by data bytes).
+PACK_TARGET_BYTES = 8 << 20
+PACK_COALESCE_MAX_BYTES = 512 << 20
+
+
+def _pack_target_from_meta(meta: dict) -> int:
+    t = meta.get("pack_target_bytes")
+    return PACK_TARGET_BYTES if t is None else int(t)
+
+
+def _pack_file_coverage(name: str) -> list[int]:
+    """Bucket ids a pack FILE may hold rows of, from its basename:
+    `b<i>.parquet` covers {i}; `r<lo>-<hi>.parquet` covers [lo, hi]
+    (vacant ids in the range are harmless — no rows to exclude)."""
+    stem = name.rsplit("/", 1)[-1]
+    if stem.startswith("b"):
+        return [int(stem[1:].split(".")[0])]
+    lo, hi = stem[1:].split(".")[0].split("-")
+    return list(range(int(lo), int(hi) + 1))
+
+
+def _concat_parquet(srcs: list[str], dst: str) -> None:
+    """Concatenate same-schema parquet files into one, each source as
+    its own row group(s) in bucket order — pure pyarrow, preserving
+    INT96 timestamps when the sources carry them (Spark's default
+    physical type; silently converting to INT64 would flip the column
+    to TIMESTAMP NANOS semantics under a plain session). Readers
+    never rely on the dropped Spark footer schema: every versioned
+    read passes the manifest-recorded schema explicitly."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(srcs[0])
+    int96 = any(
+        pf.metadata.schema.column(i).physical_type == "INT96"
+        for i in range(pf.metadata.num_columns)
+    )
+    import pyarrow as pa
+
+    # one concatenated write, NOT one write_table per source: a row
+    # group per tiny bucket would put O(coalesced buckets) row groups
+    # in the footer, and every footer parse would pay O(width) — rows
+    # stay in bucket order, stats are file-wide either way. Sources
+    # read on a thread pool: arrow parquet reads release the GIL, and
+    # the per-file fixed cost (~2 ms) is the whole bill at the tiny
+    # sizes that coalesce.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        tables = list(ex.map(pq.read_table, srcs))
+    merged = pa.concat_tables(tables)
+    writer = pq.ParquetWriter(
+        dst, merged.schema, compression="snappy",
+        use_deprecated_int96_timestamps=int96,
+    )
+    try:
+        writer.write_table(merged)
+    finally:
+        writer.close()
+
+
+def _pack_groups(
+    per_bucket: dict[int, str], sizes: dict[int, int], target: int
+) -> list[tuple[list[int], str]]:
+    """Greedy contiguous grouping of per-bucket files into pack files:
+    walk buckets ascending, accumulate a run while the run stays under
+    `target` bytes; a file already >= target (the production shape)
+    stands alone as `b<i>`. Runs never interleave, so range coverages
+    are disjoint. Returns [(bucket ids, file basename)]."""
+    out: list[tuple[list[int], str]] = []
+    run: list[int] = []
+    run_bytes = 0
+
+    def _flush():
+        nonlocal run, run_bytes
+        if not run:
+            return
+        if len(run) == 1:
+            out.append((run, f"b{run[0]}.parquet"))
+        else:
+            out.append((run, f"r{run[0]}-{run[-1]}.parquet"))
+        run, run_bytes = [], 0
+
+    for i in sorted(per_bucket):
+        b = sizes[i]
+        if b >= target:
+            _flush()
+            out.append(([i], f"b{i}.parquet"))
+            continue
+        if run_bytes + b > target:
+            _flush()
+        run.append(i)
+        run_bytes += b
+    _flush()
+    return out
 
 
 def _packed_from_meta(meta: dict, n_buckets: int) -> bool:
@@ -260,8 +369,19 @@ def _plan_base_paths(
     A pack is read as its whole DIRECTORY (one root path) only when
     the slice covers every bucket still live in it AND the superseded
     set stays a minority; pruned slices and heavily-superseded packs
-    fall back to per-bucket FILE paths (which need no filter and prune
-    at file grain)."""
+    fall back to per-bucket/range FILE paths.
+
+    The exclusion set is one unified rule — for every packed unit
+    read (a whole dir or a file), excl gains (unit coverage − the
+    requested ids served by that unit). Per-bucket `b<i>` files make
+    that the empty set (the zero-overhead fast path); whole-dir reads
+    reduce it to exactly the superseded set; coalesced `r<lo>-<hi>`
+    range files additionally drop stale AND unrequested-sibling rows.
+    Sound because live entries reference at most ONE pack per
+    manifest version (every packed write is full-width, replacing
+    every entry), so a bucket excluded via one unit's coverage is
+    never legitimately served by another packed unit in the same
+    plan."""
     manifest = full["buckets"]
     classic: list[str] = []
     by_pg: dict[str, list] = {}
@@ -272,7 +392,7 @@ def _plan_base_paths(
         else:
             classic.append(f"{path}/bucket={i}/{g}")
     packed: list[str] = []
-    excl: list[int] = []
+    excl: set[int] = set()
     if by_pg:
         live_by_pg: dict[str, set] = {}
         for j, g2 in manifest.items():
@@ -287,12 +407,17 @@ def _plan_base_paths(
                 )
                 if len(superseded) * 2 <= len(orig):
                     packed.append(f"{path}/{PACKED_DIR}/{pg}")
-                    excl.extend(superseded)
+                    excl.update(superseded)
                     continue
-            packed.extend(
-                f"{path}/{PACKED_DIR}/{manifest[i][1:]}" for i in pids
-            )
-    return classic, packed, excl
+            served: dict[str, set[int]] = {}
+            for i in pids:
+                served.setdefault(manifest[i][1:], set()).add(int(i))
+            for fname in sorted(served):
+                packed.append(f"{path}/{PACKED_DIR}/{fname}")
+                excl.update(
+                    set(_pack_file_coverage(fname)) - served[fname]
+                )
+    return classic, packed, sorted(excl)
 
 
 def _load_root_raw(path: str, v: int) -> dict:
@@ -1107,6 +1232,19 @@ def _finalize_cols(cols: dict) -> dict:
     return out_cols
 
 
+@functools.lru_cache(maxsize=512)
+def _packed_file_stats(fpath: str, fsize: int, mtime_ns: int) -> dict:
+    """Footer stats of one immutable pack file, cached on identity
+    (path, size, mtime) — callers copy `cols` before mutating."""
+    import pyarrow.parquet as pq
+
+    cols: dict[str, dict | None] = {}
+    md = pq.read_metadata(fpath)
+    for gi in range(md.num_row_groups):
+        _accumulate_chunk(cols, md.row_group(gi))
+    return {"rows": md.num_rows, "cols": _finalize_cols(cols)}
+
+
 def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
     """Per-generation column stats from parquet FOOTERS — metadata-only
     I/O (KB per file), the Delta/Iceberg data-skipping ledger computed
@@ -1137,8 +1275,23 @@ def _harvest_stats(path: str, bucket_id, gen: str) -> dict:
     per_file: dict[str, dict] = {}
     gen_cols: dict[str, dict | None] = {}
     if gen.startswith("@"):
-        # packed entry: the generation IS one file
-        flist = [_gen_data_path(path, bucket_id, gen)]
+        # packed entry: the generation IS one file. Coalesced range
+        # files are SHARED by many buckets: memoize the footer parse
+        # per (path, size, mtime) or a full-width commit would parse
+        # the same footer once per bucket — O(width^2) driver work
+        # (the 16384-bucket stall this cache fixed). Shared-file stats
+        # are file-wide, i.e. WIDER than any one bucket's true bounds:
+        # pruning stays conservative-correct, just less selective —
+        # exactly the small-table regime coalescing targets.
+        fpath = _gen_data_path(path, bucket_id, gen)
+        st = os.stat(fpath)
+        cached = _packed_file_stats(fpath, st.st_size, st.st_mtime_ns)
+        return {
+            "rows": cached["rows"],
+            "bytes": st.st_size,
+            "files": 1,
+            "cols": dict(cached["cols"]),
+        }
     else:
         flist = sorted(
             _glob.glob(f"{path}/bucket={bucket_id}/{gen}/*.parquet")
@@ -1349,6 +1502,14 @@ def prune_files(
     delta_buckets: list[str] = []
     deltas = full.get("deltas") or {}
     files_read = files_total = 0
+    # packed entries: several surviving buckets may share one coalesced
+    # range file — read it once, and exclude the rows of every bucket
+    # in its coverage that is NOT a surviving packed entry (stale rows
+    # of classic-superseded buckets would otherwise duplicate their
+    # current rows; pruned-out siblings are already disproven by stats
+    # but excluding them too costs nothing). Per-bucket b<i> files
+    # yield an empty exclusion — the zero-overhead fast path.
+    packed_served: dict[str, set[int]] = {}
     for i in plan["read"]:
         if deltas.get(i):
             # merge-on-read bucket: the per-column ordinal fold means a
@@ -1360,6 +1521,14 @@ def prune_files(
             continue
         gdir = _gen_data_path(path, i, manifest[i])
         fs = (stats.get(i) or {}).get("fs")
+        if manifest[i].startswith("@"):
+            fname = manifest[i][1:]
+            if fname not in packed_served:
+                packed_served[fname] = set()
+                read.append(gdir)
+            packed_served[fname].add(int(i))
+            read_buckets.append(i)
+            continue
         if not fs or not bounded:
             read.append(gdir)
             read_buckets.append(i)
@@ -1379,10 +1548,17 @@ def prune_files(
                 bucket_read = True
         if bucket_read:
             read_buckets.append(i)
+    packed_excl: set[int] = set()
+    packed_paths: list[str] = []
+    for fname, served in packed_served.items():
+        packed_paths.append(f"{path}/{PACKED_DIR}/{fname}")
+        packed_excl.update(set(_pack_file_coverage(fname)) - served)
     return {
         "version": plan["version"],
         "read": read,
         "read_buckets": sorted(read_buckets),
+        "packed_paths": packed_paths,
+        "packed_excl": sorted(packed_excl),
         "skipped": plan["skipped"],
         "skipped_files": skipped_files,
         "delta_buckets": delta_buckets,
@@ -1415,10 +1591,33 @@ def scan_versioned_multi(
         _k = json.load(f)["key"]
     df = None
     if dirs:
-        df = _read_dirs(spark, dirs, schema, schema_json=stored)
+        pexcl = plan.get("packed_excl") or []
+        if pexcl:
+            # coalesced range files carry sibling buckets' rows — the
+            # exclusion applies to the PACKED portion only (the same
+            # bucket ids are legitimately current in the classic part)
+            from .merge import bucket_membership_expr
+
+            ppaths = set(plan["packed_paths"])
+            cl = [d for d in dirs if d not in ppaths]
+            pdf = _read_dirs(
+                spark, [d for d in dirs if d in ppaths],
+                schema, schema_json=stored,
+            ).filter(
+                bucket_membership_expr(
+                    _k, int(full_m["n_buckets"]), pexcl, keep=False
+                )
+            )
+            df = (
+                _read_dirs(spark, cl, schema, schema_json=stored)
+                .unionByName(pdf)
+                if cl else pdf
+            )
+        else:
+            df = _read_dirs(spark, dirs, schema, schema_json=stored)
         # bucket ids come from the plan, never parsed back out of the
-        # paths: packed entries read as `_packed/pg-*/b<i>.parquet`
-        # files with no `bucket=` path segment
+        # paths: packed entries read as `_packed/pg-*/{b<i>,r<lo>-<hi>}
+        # .parquet` files with no `bucket=` path segment
         df = _apply_dv(spark, path, full_m, plan["read_buckets"], df, _k)
     if plan.get("delta_buckets"):
         # merge-on-read buckets read whole and FOLD (residual filters
@@ -1752,12 +1951,14 @@ def _read_snapshot_slice(
             # recomputing the bucket hash — a cheap JVM expression the
             # scan applies before anything downstream (applied ONLY to
             # the packed portion: the same bucket ids are legitimately
-            # present in the classic part)
-            from .merge import bucket_expr
+            # present in the classic part). One parsed expression, not
+            # Column.isin — coalesced range files can make this set
+            # thousands of ids, and isin pays a py4j trip per literal.
+            from .merge import bucket_membership_expr
 
             pdf = pdf.filter(
-                ~bucket_expr(key, int(full["n_buckets"])).isin(
-                    [int(x) for x in excl]
+                bucket_membership_expr(
+                    key, int(full["n_buckets"]), excl, keep=False
                 )
             )
         parts.append(pdf)
@@ -2060,6 +2261,7 @@ def write_bucket_table_versioned(
     manifest_shard_size: int | None = None,
     root_checkpoint_every: int | None = None,
     packed_base: bool | None = None,
+    pack_target_bytes: int | None = None,
 ) -> int:
     """Full load: generation dirs for every non-empty bucket, one
     manifest, pointer published. On a FRESH path this commits v-1; on
@@ -2117,6 +2319,8 @@ def write_bucket_table_versioned(
                 )
             if packed_base is None:
                 packed_base = old_meta.get("packed_base")
+            if pack_target_bytes is None:
+                pack_target_bytes = old_meta.get("pack_target_bytes")
         if key_bloom is True:
             key_bloom = {"bits_per_key": 8, "k": 4}
         meta = {
@@ -2146,6 +2350,10 @@ def write_bucket_table_versioned(
             # explicit packed-layout policy for full-width writes;
             # absent = the auto rule in _packed_from_meta
             meta["packed_base"] = bool(packed_base)
+        if pack_target_bytes is not None:
+            # pack range-file coalescing budget (0 = strict one file
+            # per bucket); absent = PACK_TARGET_BYTES
+            meta["pack_target_bytes"] = int(pack_target_bytes)
         if constraints:
             # persist so the constraint check and the write compute
             # the input lineage once, not twice (the merge path's rule)
@@ -2159,6 +2367,7 @@ def write_bucket_table_versioned(
         gens = _write_generations(
             df, path, key, n_buckets,
             packed=_packed_from_meta(meta, n_buckets),
+            pack_target_bytes=_pack_target_from_meta(meta),
         )
         stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
         if key_bloom:
@@ -2253,6 +2462,7 @@ def _write_generations(
     max_records_per_file: int | None = None,
     pmap: dict[str, str] | None = None,
     packed: bool = False,
+    pack_target_bytes: int | None = None,
 ) -> dict[str, str]:
     """One Spark job: bucket the rows, land each written bucket as an
     immutable `bucket=<i>/g-<hex>` generation dir (a rename off the
@@ -2325,9 +2535,35 @@ def _write_generations(
                 pg = f"pg-{uuid.uuid4().hex[:12]}"
                 pdir = os.path.join(path, PACKED_DIR, pg)
                 os.makedirs(pdir, exist_ok=True)
-                for i, fs in sorted(per_bucket.items()):
-                    os.rename(fs[0], os.path.join(pdir, f"b{i}.parquet"))
-                    out[str(i)] = f"@{pg}/b{i}.parquet"
+                target = (
+                    PACK_TARGET_BYTES
+                    if pack_target_bytes is None
+                    else int(pack_target_bytes)
+                )
+                sizes = {
+                    i: os.path.getsize(fs[0])
+                    for i, fs in per_bucket.items()
+                }
+                small_total = sum(b for b in sizes.values() if b < target)
+                if target <= 0 or small_total > PACK_COALESCE_MAX_BYTES:
+                    groups = [
+                        ([i], f"b{i}.parquet") for i in sorted(per_bucket)
+                    ]
+                else:
+                    groups = _pack_groups(
+                        {i: fs[0] for i, fs in per_bucket.items()},
+                        sizes, target,
+                    )
+                for ids_g, name in groups:
+                    dstf = os.path.join(pdir, name)
+                    if len(ids_g) == 1:
+                        os.rename(per_bucket[ids_g[0]][0], dstf)
+                    else:
+                        _concat_parquet(
+                            [per_bucket[i][0] for i in ids_g], dstf
+                        )
+                    for i in ids_g:
+                        out[str(i)] = f"@{pg}/{name}"
                 # birth record LAST — a crash before it leaves only
                 # unreferenced files (vacuumable orphans, as with a
                 # classic generation that never got committed)
@@ -3782,6 +4018,7 @@ def compact_versioned(
                     set(str(i) for i in target) == set(full["buckets"])
                     and _packed_base_for(path, n_buckets)
                 ),
+                pack_target_bytes=_pack_target_from_meta(meta),
             )
             if folded is not None
             else {}
@@ -3824,6 +4061,83 @@ def compact_versioned(
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
     return {"version": v, "buckets_compacted": len(target)}
+
+
+REPACK_THRESHOLD = 0.4
+
+
+def pack_decay(path: str, version: int | None = None) -> dict:
+    """Decay report for a table's full-scan path economics, computed
+    from one manifest load — no listing, no Spark. A scoped merge
+    moves each touched bucket OUT of its pack (into a classic dir), so
+    after H distinct-bucket rewrites a full scan plans over
+    packs + H roots; past 50% supersession of a pack the planner
+    additionally decays that pack from one dir root to per-live-file
+    paths (test_packed_heavy_supersession) and the scan is O(width)
+    again. `decayed_frac` (classic buckets / width) is the number
+    repack_if_decayed thresholds on; `plan_paths` is what Spark's
+    reader will actually be handed (~200 us of InMemoryFileIndex cost
+    per root path — the round-12 measured constant)."""
+    v = latest_version(path) if version is None else version
+    full = _load_manifest_full(path, v)
+    manifest = full["buckets"]
+    n = int(full["n_buckets"])
+    classic = sum(1 for g in manifest.values() if not g.startswith("@"))
+    cl, pk, _excl = _plan_base_paths(path, full, sorted(manifest))
+    return {
+        "version": v,
+        "n_buckets": n,
+        "classic_buckets": classic,
+        "decayed_frac": round(classic / n, 4) if n else 0.0,
+        "plan_paths": len(cl) + len(pk),
+        "packs": len({
+            _pack_name_of(g)
+            for g in manifest.values()
+            if g.startswith("@")
+        }),
+    }
+
+
+def repack_if_decayed(
+    spark: SparkSession,
+    path: str,
+    threshold: float = REPACK_THRESHOLD,
+) -> dict:
+    """Maintenance hook that keeps full-scan path counts
+    O(packs + recent rewrites) over ANY history length: when the
+    fraction of buckets no longer served from a pack crosses
+    `threshold`, fold EVERY bucket back into one fresh pack
+    (compact_versioned with the explicit full bucket list — one
+    content-neutral commit); below it, a metadata-only no-op.
+
+    Economics of the default: re-packing every threshold*width
+    distinct-bucket rewrites costs one full-table rewrite, i.e. an
+    amortized 1/threshold write amplification on the natural merge
+    rate — 2.5x at 0.4 — in exchange for a plan that never exceeds
+    packs + threshold*width roots. The ceiling matters because the
+    planner's per-pack dir-vs-files decision cliffs at 50%
+    supersession (the O(width) per-file fallback); 0.4 keeps an
+    epoch's drift safely under that cliff. Non-packed tables (and
+    sub-threshold packed ones) return {repacked: False} untouched —
+    safe to call on every maintenance cadence, the GCBENCH shape.
+
+    Returns pack_decay() of the resulting state plus {repacked,
+    buckets_compacted}."""
+    d = pack_decay(path)
+    if (
+        not _packed_base_for(path, d["n_buckets"])
+        or d["decayed_frac"] < threshold
+    ):
+        return {**d, "repacked": False, "buckets_compacted": 0}
+    full = _load_manifest_full(path, d["version"])
+    res = compact_versioned(
+        spark, path, buckets=sorted(int(i) for i in full["buckets"])
+    )
+    return {
+        **pack_decay(path),
+        "repacked": True,
+        "buckets_compacted": res["buckets_compacted"],
+    }
 
 
 def rebucket_versioned(
@@ -3881,6 +4195,7 @@ def rebucket_versioned(
                 snapshot, path, key, new_n_buckets,
                 pmap=_phys_map(full.get("schema")),
                 packed=_packed_base_for(path, new_n_buckets),
+                pack_target_bytes=_pack_target_from_meta(meta),
             )
             stats = {i: _harvest_stats(path, i, g) for i, g in gens.items()}
             if meta.get("key_bloom"):
@@ -4935,8 +5250,14 @@ def vacuum_bucket_versions(
                 # (superseded by a later classic generation, or its
                 # whole pack displaced) is dead; a pack directory with
                 # no data files left goes too (incl. its birth record)
+                # [br]*: per-bucket b<i> files AND coalesced
+                # r<lo>-<hi> range files — a range file is
+                # unreferenced only when EVERY bucket it covers moved
+                # on. A b*-only glob here once classified an all-range
+                # pack as empty and deleted it live (the round-13
+                # manifestbench crash).
                 for pfile in _glob.glob(
-                    f"{path}/{PACKED_DIR}/pg-*/b*.parquet"
+                    f"{path}/{PACKED_DIR}/pg-*/[br]*.parquet"
                 ):
                     if pfile in referenced:
                         continue
@@ -4945,7 +5266,7 @@ def vacuum_bucket_versions(
                     os.unlink(pfile)
                     removed_gens.append(pfile)
                 for pdir in _glob.glob(f"{path}/{PACKED_DIR}/pg-*"):
-                    if not _glob.glob(f"{pdir}/b*.parquet"):
+                    if not _glob.glob(f"{pdir}/[br]*.parquet"):
                         shutil.rmtree(pdir, ignore_errors=True)
                         removed_gens.append(pdir)
                 # staging dirs a kill -9'd writer left behind (its

@@ -101,23 +101,29 @@ REGISTRY = build_registry()
 # t_fingerprint (r4-green, text_ops unchanged this round) cedes.
 # ------------------------------------------------------------------
 DRIVER_GATE: tuple[str, ...] = (
-    # ---- Round-12 rotation (VERDICT r11 item 7). The r11 gate went
-    # green 50/50 in CORRECTNESS_r11.json. Round 12's semantic edits
-    # land in merge_versioned.py (PACKED base generations, root
-    # delta-chain + vacuum materialization, OCC retry reuse, the
-    # exact cross-rebucket change feed, shard-cache eviction lock),
-    # merge.py (keep_latest_merge strict union by default),
-    # catalog.py (catalog_txn_occ fast-path upsert fix) and
-    # streaming/jobs.py (s21 compactor race) — the whole versioned/
-    # merge/catalog/replay family re-enters, e_change_feed with its
-    # builder now SPANNING a rebucket. q01 (relational.py unchanged,
-    # driver-green r11) cedes one slot to the round-12 entrant; every
-    # other changed-hash query is re-proven locally by
+    # ---- Round-13 rotation (VERDICT r12 item 6). The r12 gate went
+    # green 50/50 in CORRECTNESS_r12.json. Round 13's semantic edits
+    # land in merge_versioned.py (OCC commit-intent admission, packed
+    # stats-pruned-scan plan bucket ids, pack range-file coalescing +
+    # the unified packed exclusion rule, pack decay / repack, the
+    # cross-rebucket feed both-endpoints-empty fix) and engine_ops.py
+    # (e_packed_scan coverage-based lookup assert) — the versioned/
+    # merge/catalog/replay family HOLDS its gate slots. bench.py's
+    # headline slot swaps to the angular-bound-pruned near-dup route,
+    # which enters the gate per VERDICT r12 item 4. Ceding (unchanged
+    # builders, r12-driver-green): q06, q11, g_pagerank, emb_neardup
+    # (stays registered as the pruned route's oracle). Entering
+    # besides the swap: the longest-unproven changed-closure standing
+    # queries retr_rrf, s13_drift, e_quantile_2pass. Every other
+    # changed-hash query is re-proven locally by
     # tools/update_gate_hashes.py before its pin refreshes.
-    # --- entrants: round-12 new capabilities, first driver proof (2)
+    # --- entrant: the headline near-dup swap (VERDICT r12 item 4)
+    "emb_neardup_semdedup",
+    # --- entrants: longest-unproven changed-closure standing (3)
+    "retr_rrf", "s13_drift", "e_quantile_2pass",
+    # --- round-12 entrants hold (builders changed again this round)
     "s21_mor_compact", "e_packed_scan",
-    # --- re-entries: versioned/merge/catalog family, builders
-    # changed this round (26)
+    # --- re-entries: versioned/merge/catalog family (26)
     "e_manifest_shard",
     "e_merge_concurrent", "e_merge_mor", "s20_mor_replay",
     "e_versioned_rename", "e_versioned_cluster_skip", "e_catalog_feed",
@@ -127,18 +133,13 @@ DRIVER_GATE: tuple[str, ...] = (
     "s3_merge_replay", "s17_scoped_replay", "s18_versioned_replay",
     "s19_feed_replica", "e_change_feed", "e_versioned_evolve",
     "e_versioned_skip", "e_merge_constraint", "e_zorder_part",
-    # --- re-entries: headline queries whose closures moved with the
-    # versioned layer; q01/q17 (unchanged, r11-green) cede to the
-    # two round-12 entrants (2)
-    "q06", "q11",
     # --- re-entries: the headline suite (bench-correlated standing
-    # re-entry vehicle) (6)
+    # re-entry vehicle) (5)
     "q19", "dedup_minhash", "dedup_exact",
-    "curate_pipeline", "ann_lsh", "emb_neardup",
-    # --- re-entries: changed-closure engine surface (engine_ops.py
-    # gained e_manifest_shard, so every e_* hash moved) (9)
+    "curate_pipeline", "ann_lsh",
+    # --- re-entries: changed-closure engine surface (8)
     "e_asof", "e_scd2", "e_ivm_join", "curate_pipeline2",
-    "e_gapfill", "e_hll_merge", "e_pivot", "e_unpivot", "g_pagerank",
+    "e_gapfill", "e_hll_merge", "e_pivot", "e_unpivot",
     # --- re-entries: the stateful/recovery streaming spine (the
     # riskiest streaming surfaces keep standing driver coverage) (5)
     "s5_stateful", "s10_tws", "s11_recovery", "s12_media", "s14_kmv",

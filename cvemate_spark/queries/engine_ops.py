@@ -3784,7 +3784,7 @@ def e_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = upd_keys[0]  # the lookup key, inside the rewritten stripe
     st = os.stat(f"{sf_dir}/orders.parquet")
     key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:packed-v1".encode()
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:packed-v3".encode()
     ).hexdigest()[:12]
     path = f"/root/repo/.scratch/pck_{key}"
     done = f"{path}/_MERGED"  # crash-safe gate: rebuilt unless complete
@@ -3834,7 +3834,10 @@ def e_packed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     full3 = _load_manifest_full(path, 3)
     bid = bucket_of_value(spark, int(lk), full3["n_buckets"])
     _, plook, _ = _plan_base_paths(path, full3, [str(bid)])
-    assert len(plook) == 1 and plook[0].endswith(f"b{bid}.parquet")
+    from ..operators.merge_versioned import _pack_file_coverage
+
+    assert len(plook) == 1 and plook[0].endswith(".parquet")
+    assert bid in _pack_file_coverage(plook[0])
     out = None
     for ver in (1, 2, 3):
         agg = (

@@ -53,7 +53,15 @@ def test_packed_classic_twin_all_surfaces(spark, tmp_path):
     pc, pp = _mk_twins(spark, tmp_path)
     m1 = mv._load_manifest_full(pp, 1)["buckets"]
     assert all(g.startswith("@") for g in m1.values())
-    assert len(glob.glob(f"{pp}/_packed/pg-*/b*.parquet")) == len(m1)
+    # tiny buckets coalesce into range files (the small-table guard
+    # against the O(width) per-file read floor); coverage of the
+    # pack's files is exactly the committed buckets
+    files = glob.glob(f"{pp}/_packed/pg-*/*.parquet")
+    assert 1 <= len(files) < len(m1)
+    cov = sorted(
+        i for f in files for i in mv._pack_file_coverage(f)
+    )
+    assert cov == sorted(range(16))
     assert not glob.glob(f"{pp}/bucket=*")
 
     upd = spark.createDataFrame(
@@ -109,7 +117,9 @@ def test_packed_scan_passes_one_root_plus_rewrites(spark, tmp_path):
 
 
 def test_packed_point_lookup_reads_single_file(spark, tmp_path):
-    _, pp = _mk_twins(spark, tmp_path)
+    # strict one-file-per-bucket layout (the production shape: every
+    # bucket file >= PACK_TARGET_BYTES) via the explicit knob
+    _, pp = _mk_twins(spark, tmp_path, pack_target_bytes=0)
     df = mv.read_bucket_for_key_versioned(spark, pp, 42)
     got = [r for r in df.collect() if r["id"] == 42]
     assert len(got) == 1 and got[0]["val"] == 84.0
@@ -128,7 +138,7 @@ def test_packed_vacuum_reclaims_superseded_files(spark, tmp_path):
     """A packed file superseded by a scoped rewrite is reclaimable at
     FILE grain once no surviving manifest references it; the pack dir
     itself survives while any live file remains."""
-    _, pp = _mk_twins(spark, tmp_path)
+    _, pp = _mk_twins(spark, tmp_path, pack_target_bytes=0)
     n_files0 = len(glob.glob(f"{pp}/_packed/pg-*/b*.parquet"))
     upd = spark.createDataFrame(
         [(42, 0.5, "v")], "id long, val double, tag string"
@@ -229,7 +239,7 @@ def test_packed_stats_pruned_scan_exact_and_dv_aware(spark, tmp_path):
     classic twin == unpruned read, before and after a DV delete, and
     prune_files.read_buckets is exactly the bucket set behind the
     read paths."""
-    pc, pp = _mk_twins(spark, tmp_path)
+    pc, pp = _mk_twins(spark, tmp_path, pack_target_bytes=0)
     # a scoped rewrite so the packed table is mixed pack + classic
     upd = spark.createDataFrame(
         [(3, 999.0, "sX")], "id long, val double, tag string"
@@ -272,3 +282,150 @@ def test_packed_stats_pruned_scan_exact_and_dv_aware(spark, tmp_path):
     want2 = [t for t in want if t[0] not in (60, 75, 90)]
     assert got(pp) == want2
     assert got(pc) == want2
+
+
+def test_pack_decay_law_and_auto_repack(spark, tmp_path):
+    """Pack-decay economics (VERDICT r12 item 5): scoped merges drift
+    buckets out of the pack and plan_paths grows 1:1 with drifted
+    buckets; repack_if_decayed is a no-op below REPACK_THRESHOLD,
+    and crossing it folds everything back into ONE pack — plan_paths
+    back to 1, content-neutral — so full-scan path counts stay
+    O(packs + threshold*width) over any history."""
+    pc, pp = _mk_twins(spark, tmp_path)
+    d0 = mv.pack_decay(pp)
+    assert d0["classic_buckets"] == 0
+    assert d0["plan_paths"] == 1 and d0["packs"] == 1
+    r0 = mv.repack_if_decayed(spark, pp)
+    assert r0["repacked"] is False
+    assert mv.latest_version(pp) == 1  # no-op committed nothing
+    # a classic-layout table is never touched
+    rc = mv.repack_if_decayed(spark, pc)
+    assert rc["repacked"] is False
+
+    # drift one key at a time until the threshold trips
+    before = _content(spark, pp)
+    k = 0
+    while mv.pack_decay(pp)["decayed_frac"] < mv.REPACK_THRESHOLD:
+        upd = spark.createDataFrame(
+            [(k, -2.0, "d")], "id long, val double, tag string"
+        )
+        mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+        d = mv.pack_decay(pp)
+        # path growth is exactly 1 pack root + drifted classic dirs
+        assert d["plan_paths"] == 1 + d["classic_buckets"]
+        k += 1
+    drifted = mv.pack_decay(pp)["classic_buckets"]
+    assert drifted >= mv.REPACK_THRESHOLD * 16
+
+    r1 = mv.repack_if_decayed(spark, pp)
+    assert r1["repacked"] is True
+    assert r1["buckets_compacted"] == 16
+    assert r1["classic_buckets"] == 0 and r1["decayed_frac"] == 0.0
+    assert r1["plan_paths"] == 1 and r1["packs"] == 1
+    # content-neutral: the repack commit changed no logical rows
+    after = {t[0]: t for t in _content(spark, pp)}
+    want = {t[0]: t for t in before}
+    for kk in range(k):
+        want[kk] = (kk, -2.0, "d")
+    assert after == want
+
+
+def test_coalesced_pack_pruned_scan_exact_and_dv_aware(spark, tmp_path):
+    """The range-file twin of the stats-pruned scan law: on a
+    DEFAULT-coalesced pack (tiny buckets -> r<lo>-<hi> files) the
+    pruned scan must dedupe shared files, exclude stale sibling rows
+    (classic-superseded buckets), route deletion vectors by the
+    plan's bucket ids, and still equal the classic twin exactly."""
+    pc, pp = _mk_twins(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(3, 999.0, "sX")], "id long, val double, tag string"
+    )
+    mv.merge_scoped_versioned(spark, pc, upd, now=T0)
+    mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+
+    preds = [("val", 100.0, 400.0)]
+    plan = mv.prune_files(pp, preds)
+    assert plan["packed_paths"], "range files must be in the plan"
+    # shared range files are read once; every surviving packed bucket
+    # still appears in read_buckets
+    assert len(plan["read"]) < len(plan["read_buckets"])
+    # the classic-superseded bucket's stale rows are excluded
+    b3 = bucket_of_value(spark, 3, 16)
+    assert b3 in plan["packed_excl"]
+
+    def got(path):
+        return sorted(
+            (r["id"], r["val"])
+            for r in mv.scan_versioned_multi(spark, path, preds).collect()
+        )
+
+    want = sorted(
+        (i, i * 2.0) for i in range(300)
+        if i != 3 and 100.0 <= i * 2.0 <= 400.0
+    )
+    assert got(pp) == want == got(pc)
+
+    dk = spark.createDataFrame([(60,), (75,), (90,)], "id long")
+    mv.merge_deletes_dv(spark, pc, dk)
+    mv.merge_deletes_dv(spark, pp, dk)
+    want2 = [t for t in want if t[0] not in (60, 75, 90)]
+    assert got(pp) == want2 == got(pc)
+
+
+def test_pack_groups_economics():
+    """_pack_groups pure-function laws: files >= target stand alone as
+    b<i>; small files coalesce into contiguous disjoint ranges under
+    the byte budget; every bucket lands in exactly one file."""
+    sizes = {0: 10, 1: 10, 2: 500, 3: 10, 4: 10, 5: 10, 7: 10}
+    groups = mv._pack_groups(
+        {i: f"f{i}" for i in sizes}, sizes, target=25
+    )
+    names = [n for _ids, n in groups]
+    assert "b2.parquet" in names  # >= target stands alone
+    covered = [i for ids, _n in groups for i in ids]
+    assert sorted(covered) == sorted(sizes)  # exactly once each
+    for ids, n in groups:
+        if len(ids) > 1:
+            assert n == f"r{ids[0]}-{ids[-1]}.parquet"
+            assert ids == list(range(ids[0], ids[-1] + 1)) or all(
+                a < b for a, b in zip(ids, ids[1:])
+            )
+            assert sum(sizes[i] for i in ids) <= 25
+    # coverages of range files are disjoint
+    covs = [
+        set(mv._pack_file_coverage(n))
+        for _ids, n in groups
+    ]
+    for a in range(len(covs)):
+        for b in range(a + 1, len(covs)):
+            assert not (covs[a] & covs[b])
+
+
+def test_vacuum_keeps_referenced_range_files(spark, tmp_path):
+    """Regression (round-13 manifestbench crash): a pack holding only
+    COALESCED range files is not 'empty' — vacuum must keep referenced
+    r-files and the birth record, and still reclaim a range file once
+    every bucket it covers has moved on."""
+    _, pp = _mk_twins(spark, tmp_path)
+    before = _content(spark, pp)
+    upd = spark.createDataFrame(
+        [(9, -9.0, "v")], "id long, val double, tag string"
+    )
+    mv.merge_scoped_versioned(spark, pp, upd, now=T0)
+    mv.vacuum_bucket_versions(pp, keep=1)
+    # the coalesced pack survives: referenced range files + _PACK.json
+    rfiles = glob.glob(f"{pp}/_packed/pg-*/r*.parquet")
+    assert rfiles, "referenced range files must survive vacuum"
+    assert glob.glob(f"{pp}/_packed/pg-*/_PACK.json")
+    got = {r[0]: r[1] for r in _content(spark, pp)}
+    assert got[9] == -9.0 and len(got) == 300
+    # full displacement: a reload supersedes every covered bucket ->
+    # the old pack (range files included) is reclaimable
+    mv.write_bucket_table_versioned(
+        merge_upsert(None, _base(spark, 50), key="id", now=T0),
+        pp, key="id", n_buckets=16,
+    )
+    mv.vacuum_bucket_versions(pp, keep=1)
+    packs = glob.glob(f"{pp}/_packed/pg-*")
+    assert len(packs) == 1  # only the reload's pack survives
+    assert len(_content(spark, pp)) == 50

@@ -98,7 +98,7 @@ def _storage_terms(path: str, mv) -> dict:
             live_refs = refs
     data_paths = (
         glob.glob(f"{path}/bucket=*/g-*")
-        + glob.glob(f"{path}/_packed/pg-*/b*.parquet")
+        + glob.glob(f"{path}/_packed/pg-*/[br]*.parquet")
         + glob.glob(f"{path}/dv-*")
     )
     live = hist = orphan = 0
@@ -125,6 +125,15 @@ def _storage_terms(path: str, mv) -> dict:
         "shard_bytes": shard_bytes,
         "total_bytes": _du(path),
         "latest_root_is_delta": "root_base" in raw,
+        # pack-decay terms (VERDICT r12 item 5): plan_paths is what a
+        # full scan hands Spark's file index; flat across epochs ==
+        # the auto-re-pack cadence is holding
+        **{
+            k: v
+            for k, v in mv.pack_decay(path).items()
+            if k in ("classic_buckets", "decayed_frac",
+                     "plan_paths", "packs")
+        },
     }
 
 
@@ -161,6 +170,7 @@ def main() -> None:
 
     samples = []
     vacuums = []
+    repacks = []
     commit_walls = []
     t_start = time.time()
     for i in range(1, N_COMMITS + 1):
@@ -196,6 +206,13 @@ def main() -> None:
             mv.merge_deletes_dv(spark, path, dk)
         if i % COMPACT_EVERY == 0:
             mv.compact_versioned(spark, path)
+            rp = mv.repack_if_decayed(spark, path)
+            if rp["repacked"]:
+                repacks.append({
+                    "at_commit": i,
+                    "buckets_compacted": rp["buckets_compacted"],
+                    "plan_paths_after": rp["plan_paths"],
+                })
         commit_walls.append(time.time() - t)
         if i % VACUUM_EVERY == 0:
             before = _du(path)
@@ -241,6 +258,7 @@ def main() -> None:
         ),
         "samples": samples,
         "vacuums": vacuums,
+        "repacks": repacks,
         "final_vacuum_s": round(final_vac_s, 2),
         "final": final,
         "post_vacuum": {

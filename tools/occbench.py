@@ -86,7 +86,7 @@ def _orphan_bytes(path: str) -> int:
         if g not in referenced
     ) + sum(
         os.path.getsize(f)
-        for f in glob.glob(f"{path}/_packed/pg-*/b*.parquet")
+        for f in glob.glob(f"{path}/_packed/pg-*/[br]*.parquet")
         if f not in referenced
     )
 
