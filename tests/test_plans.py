@@ -706,9 +706,29 @@ def test_retrieval_leg_windows_ride_bounded_topk(spark):
             " ASC" in s.split(",")[0] or " DESC" in s.split(",")[0]
             for s in specs
         ), (name, specs)
-        takes = re.findall(r"TakeOrderedAndProject", p)
-        limits = re.findall(r"limit=(\d+)", p)
-        assert limits and all(int(x) == RRF_LEG_K for x in limits), (
-            name, limits,
+        # every Window node's immediate child in the plan tree is a
+        # TakeOrderedAndProject — the bounded (<= RRF_LEG_K rows)
+        # relation the unpartitioned window is safe over
+        tree = [
+            ln for ln in p.splitlines()
+            if re.search(r"(Window|TakeOrderedAndProject) \(\d+\)", ln)
+        ]
+        win_lines = [
+            i for i, ln in enumerate(tree) if re.search(r"Window \(", ln)
+        ]
+        assert win_lines, name
+        for i in win_lines:
+            assert i + 1 < len(tree) and "TakeOrderedAndProject" in tree[
+                i + 1
+            ], (name, tree)
+        # and those TakeOrdereds carry the leg's K as their limit
+        # (formatted-explain details print it as "Arguments: <k>, ...")
+        # (the plan also carries the query's own output top-k as a
+        # final TakeOrderedAndProject — only the window-feeding legs
+        # must carry the leg's K)
+        args = re.findall(
+            r"TakeOrderedAndProject\nInput[^\n]*\nArguments: (\d+),", p
         )
-        assert len(takes) >= len(set(specs)), (name, takes, specs)
+        assert sum(1 for x in args if int(x) == RRF_LEG_K) >= len(
+            win_lines
+        ), (name, args)
