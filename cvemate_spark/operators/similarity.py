@@ -958,28 +958,37 @@ def neardup_pairs_topk_semdedup(
     )
     L = float(top1[-1]["cos"]) if len(top1) >= k else float("-inf")
 
-    # driver-side cell geometry: C centroids + C radii (bounded rows)
-    crows = cents.collect()
-    if not crows:  # empty corpus -> no cells, no pairs (totality)
-        return phase1.limit(0).select("d1", "d2")
-    cent_ids = [int(r["cent_id"]) for r in crows]
-    cm = np.vstack([np.asarray(r["cent_emb"], dtype=np.float64) for r in crows])
-    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-    radii_rows = (
-        assigned.join(
-            F.broadcast(cents), "cent_id"
+    # driver-side cell geometry in ONE job: per populated cell its
+    # centroid embedding, angular radius, and member count (C rows to
+    # the driver — bounded). Centroids with zero members contribute no
+    # pairs and are correctly absent.
+    geo_rows = (
+        assigned.join(F.broadcast(cents), "cent_id")
+        .select(
+            "cent_id",
+            "cent_emb",
+            cosine_col("embedding", "cent_emb").alias("cc"),
         )
-        .select("cent_id", cosine_col("embedding", "cent_emb").alias("cc"))
         .groupBy("cent_id")
-        .agg(F.min("cc").alias("min_cos"))
+        .agg(
+            F.min("cc").alias("min_cos"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.first("cent_emb").alias("cent_emb"),
+        )
         .collect()
     )
+    if not geo_rows:  # empty corpus -> no cells, no pairs (totality)
+        return phase1.limit(0).select("d1", "d2")
+    cent_ids = [int(r["cent_id"]) for r in geo_rows]
+    cm = np.vstack([np.asarray(r["cent_emb"], dtype=np.float64) for r in geo_rows])
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
     radius = {
         int(r["cent_id"]): math.acos(max(-1.0, min(1.0, float(r["min_cos"]))))
         + ANG_EPS
-        for r in radii_rows
+        for r in geo_rows
     }
-    survivors: list[tuple[int, int, int]] = []  # (group, cell_a, cell_b)
+    size = {int(r["cent_id"]): int(r["n_members"]) for r in geo_rows}
+    survivors: list[tuple[int, int]] = []  # (cell_a, cell_b)
     thetas = np.arccos(np.clip(cm @ cm.T, -1.0, 1.0))
     for i in range(len(cent_ids)):
         for j in range(i + 1, len(cent_ids)):
@@ -987,55 +996,100 @@ def neardup_pairs_topk_semdedup(
             gap = thetas[i, j] - radius.get(a, 0.0) - radius.get(b, 0.0) - ANG_EPS
             ub = math.cos(max(0.0, gap))
             if ub >= L - 1e-9:
-                survivors.append((len(survivors), a, b))
+                survivors.append((a, b))
     n_cells = len(cent_ids)
+
+    # pack surviving cell pairs into work-budgeted BATCHES so the
+    # cross stage costs O(batches) Arrow groups, not O(survivors).
+    # The unpruned regime (weak-similarity corpora: every cell pair
+    # survives) used to pay one applyInPandas group PER CELL PAIR —
+    # ~C²/2 tiny GEMMs whose per-group Arrow+Python overhead dwarfed
+    # the math. Batching changes only the execution grain: inside a
+    # batch each surviving pair still runs its own GEMM with the SAME
+    # ulp-margin top-k_emit cut, so the emitted candidate multiset is
+    # identical pair-for-pair and exactness is inherited unchanged.
+    # Survivors arrive lexicographically sorted, so consecutive pairs
+    # share cells and each cell ships once per batch it appears in
+    # (membership is a partition — within a batch a cell's matrix is
+    # normalized once and reused across its pairs).
+    WORK_BUDGET = 4_000_000  # pairwise dots per batch (~2 GFLOP @64d)
+    ROW_BUDGET = 8_192  # member rows per batch (Arrow memory bound)
+    batches: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cur_cells: set[int] = set()
+    cur_work = 0
+    for a, b in survivors:
+        w = size.get(a, 0) * size.get(b, 0)
+        new_cells = cur_cells | {a, b}
+        rows = sum(size.get(c, 0) for c in new_cells)
+        if cur and (cur_work + w > WORK_BUDGET or rows > ROW_BUDGET):
+            batches.append(cur)
+            cur, cur_cells, cur_work = [], set(), 0
+        cur.append((a, b))
+        cur_cells |= {a, b}
+        cur_work += w
+    if cur:
+        batches.append(cur)
     LAST_PRUNE_STATS = {
         "cells": n_cells,
         "cell_pairs": n_cells * (n_cells - 1) // 2,
         "survivors": len(survivors),
+        "batches": len(batches),
         "L": L,
     }
 
     if survivors:
         spark = embeddings.sparkSession
-        surv = spark.createDataFrame(
-            [(g, a, 0) for g, a, _ in survivors]
-            + [(g, b, 1) for g, _, b in survivors],
-            "grp int, cent_id int, side int",
+        batch_pairs = {bi: pairs for bi, pairs in enumerate(batches)}
+        cellmap = spark.createDataFrame(
+            sorted(
+                {(bi, c) for bi, pairs in batch_pairs.items() for ab in pairs for c in ab}
+            ),
+            "batch int, cent_id int",
         )
-        members = assigned.join(F.broadcast(surv), "cent_id").select(
-            "grp", "side", "vec_id", "embedding"
+        members = assigned.join(F.broadcast(cellmap), "cent_id").select(
+            "batch", "cent_id", "vec_id", "embedding"
         )
 
-        def cross_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-            left = pdf[pdf["side"] == 0]
-            right = pdf[pdf["side"] == 1]
-            if len(left) == 0 or len(right) == 0:
+        def cross_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pairs = batch_pairs.get(int(key[0]), [])
+            cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for cid, grp in pdf.groupby("cent_id"):
+                m = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                cells[int(cid)] = (grp["vec_id"].to_numpy(), m)
+            d1s: list[np.ndarray] = []
+            d2s: list[np.ndarray] = []
+            for a, b in pairs:
+                la, rb = cells.get(a), cells.get(b)
+                if la is None or rb is None:
+                    continue
+                (lid, lm), (rid, rm) = la, rb
+                c = (lm @ rm.T).ravel()
+                if len(c) > k_emit:
+                    kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
+                    keep = np.nonzero(c >= kth - 1e-12)[0]
+                else:
+                    keep = np.arange(len(c))
+                li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
+                d1s.append(np.minimum(li, rj))
+                d2s.append(np.maximum(li, rj))
+            if not d1s:
                 return pd.DataFrame({"d1": [], "d2": []}).astype(
                     {"d1": "int64", "d2": "int64"}
                 )
-            lm = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
-            rm = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
-            lm /= np.linalg.norm(lm, axis=1, keepdims=True)
-            rm /= np.linalg.norm(rm, axis=1, keepdims=True)
-            cos = lm @ rm.T
-            lid = left["vec_id"].to_numpy()
-            rid = right["vec_id"].to_numpy()
-            c = cos.ravel()
-            if len(c) > k_emit:
-                kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
-                keep = np.nonzero(c >= kth - 1e-12)[0]
-            else:
-                keep = np.arange(len(c))
-            li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
-            d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
-            return pd.DataFrame({"d1": d1, "d2": d2})
+            return pd.DataFrame(
+                {"d1": np.concatenate(d1s), "d2": np.concatenate(d2s)}
+            )
 
-        cand_cross = members.groupBy("grp").applyInPandas(
-            cross_pairs, schema="d1 long, d2 long"
+        # no .distinct(): cell membership is a partition and each
+        # surviving pair lives in exactly one batch, so a (d1, d2)
+        # candidate can be emitted at most once by construction.
+        cand_cross = members.groupBy("batch").applyInPandas(
+            cross_batch, schema="d1 long, d2 long"
         )
         rescored = phase1.unionByName(
-            _portable_rescore(embeddings, cand_cross.distinct())
+            _portable_rescore(embeddings, cand_cross)
         )
     else:
         rescored = phase1
