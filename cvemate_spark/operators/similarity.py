@@ -153,16 +153,21 @@ def stride_cents(embeddings: DataFrame, centroid_stride: int = 50) -> DataFrame:
     )
 
 
-def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+def assign_cells(
+    embeddings: DataFrame, cents: DataFrame, keep_cos: bool = False
+) -> DataFrame:
     """Assign every vector to its nearest centroid (broadcast argmax).
 
     Centroids are the bounded small side — broadcast is correct at any
     corpus size (|cells| grows with sqrt(N) at most, not N). Returns
     (vec_id, embedding, cent_id); at 100 TB cent_id becomes a
-    write-time partition key so probes prune partitions.
+    write-time partition key so probes prune partitions. With
+    `keep_cos` the member-to-centroid cosine rides along as
+    `cent_cos`, so downstream cell-radius aggregates need no re-join
+    and no cosine recompute.
     """
     w = W.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cent_id"))
-    return (
+    out = (
         embeddings.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -172,11 +177,17 @@ def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "cent_cos")
+        .drop("rn")
     )
+    return out if keep_cos else out.drop("cent_cos")
 
 
-def assign_cells_gemm(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+def assign_cells_gemm(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    keep_cos: bool = False,
+    keep_embedding: bool = False,
+) -> DataFrame:
     """`assign_cells` with the argmax computed as one BLAS matmul per
     Arrow batch instead of materializing the |n|·|C| crossJoin relation
     through JVM lambda folds + a window rank.
@@ -197,15 +208,26 @@ def assign_cells_gemm(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     exact centroid-cosine ties within one ulp — validated
     hash-identical against the fold-based oracle at sf0.001/0.01/0.1
     (emb_semdedup_gemm).
+
+    `keep_cos` / `keep_embedding` let callers that need the member
+    payload or the member-to-centroid cosine downstream (the
+    neardup-semdedup radius aggregate) carry them straight out of the
+    closure — the GEMM already has both, so this replaces a
+    corpus-sized re-join with a column passthrough. The carried
+    cent_cos is the GEMM value (within ~d·ulp of the fold); consumers
+    must tolerate that slack (the radius math's ANG_EPS dwarfs it).
     """
     import numpy as np
     import pandas as pd
 
     crows = cents.collect()  # bounded: one row per cell
     if not crows:  # empty corpus -> empty assignment (totality)
-        return embeddings.limit(0).select(
-            "vec_id", F.lit(0).cast("int").alias("cent_id")
-        )
+        cols = ["vec_id", F.lit(0).cast("int").alias("cent_id")]
+        if keep_cos:
+            cols.append(F.lit(0.0).alias("cent_cos"))
+        if keep_embedding:
+            cols.append("embedding")
+        return embeddings.limit(0).select(*cols)
     cent_ids = np.array([int(r["cent_id"]) for r in crows])
     order = np.argsort(cent_ids)  # ASC cent_id for deterministic ties
     cent_ids = cent_ids[order]
@@ -222,11 +244,20 @@ def assign_cells_gemm(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cos = m @ cm.T
             best = np.argmax(cos, axis=1)  # first (lowest cent_id) max wins
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cent_id": cent_ids[best]}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cent_id": cent_ids[best]}
+            if keep_cos:
+                out["cent_cos"] = cos[np.arange(len(best)), best]
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return embeddings.mapInPandas(assign, schema="vec_id long, cent_id int")
+    schema = "vec_id long, cent_id int"
+    if keep_cos:
+        schema += ", cent_cos double"
+    if keep_embedding:
+        emb_t = embeddings.schema["embedding"].dataType.simpleString()
+        schema += f", embedding {emb_t}"
+    return embeddings.mapInPandas(assign, schema=schema)
 
 
 def semdedup_gemm(
@@ -877,11 +908,17 @@ def neardup_pairs_topk_semdedup(
     stays EXACT by a two-phase ball-tree-join argument instead of a
     recall hope:
 
-    1. every vector is assigned to its nearest cell (broadcast
-       argmax — a partitioning, not a replication); the within-cell
-       GEMM + portable rescore yields k pairs whose k-th portable
-       cosine L is a LOWER bound on the global k-th best (adding
-       cross-cell pairs can only raise it). k rows to the driver —
+    1. every vector is assigned to its nearest cell (Arrow-GEMM
+       argmax, `assign_cells_gemm` — a partitioning, not a
+       replication; any tie-shift between the GEMM and the fold
+       argmax moves a vector between cells without touching
+       soundness, since radii are computed from actual members and
+       the result is gated against the brute oracle); the within-cell
+       GEMM yields candidate pairs whose k-th GEMM cosine, minus a
+       margin dominating the GEMM-vs-portable-fold divergence
+       (~d·ulp), is a LOWER bound L on the global k-th best portable
+       cosine (within-cell pairs are a subset — adding cross-cell
+       pairs can only raise the k-th best). k rows to the driver —
        bounded, the kmeans_fit precedent.
     2. for each cell: its angular radius r = max member angle to its
        centroid (one C-row aggregate). For a cell pair (a, b) with
@@ -918,12 +955,17 @@ def neardup_pairs_topk_semdedup(
     k_emit = 2 * k
     ANG_EPS = 1e-6  # safe-side slack on driver-side angle arithmetic
     cents = stride_cents(embeddings, centroid_stride)
-    assigned = assign_cells(embeddings, cents).persist()
+    # GEMM assignment with embedding + cent_cos carried through: the
+    # cell-radius aggregate below then needs no centroid re-join and
+    # no cosine recompute, and no n·C crossJoin relation ever exists
+    assigned = assign_cells_gemm(
+        embeddings, cents, keep_cos=True, keep_embedding=True
+    ).persist()
 
     def diag_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"d1": [], "d2": []}).astype(
-                {"d1": "int64", "d2": "int64"}
+            return pd.DataFrame({"d1": [], "d2": [], "gcos": []}).astype(
+                {"d1": "int64", "d2": "int64", "gcos": "float64"}
             )
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -944,43 +986,50 @@ def neardup_pairs_topk_semdedup(
         idx = np.nonzero(keep)[0]
         li, rj = ids[idx // len(ids)], ids[idx % len(ids)]
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
-        return pd.DataFrame({"d1": d1, "d2": d2})
+        return pd.DataFrame({"d1": d1, "d2": d2, "gcos": c[idx]})
 
-    cand_diag = assigned.groupBy("cent_id").applyInPandas(
-        diag_pairs, schema="d1 long, d2 long"
+    # the GEMM cosine rides along so the pruning bound needs no
+    # portable-rescore round trip; the candidate relation (pairs of
+    # ids + a double) is persisted instead of the rescored one — the
+    # single portable rescore now runs once, over the diag ∪ cross
+    # union, inside the final action
+    cand_diag = (
+        assigned.groupBy("cent_id")
+        .applyInPandas(diag_pairs, schema="d1 long, d2 long, gcos double")
+        .persist()
     )
-    # phase-1 lower bound L: k-th best PORTABLE cosine among
-    # within-cell pairs (k rows to the driver; -inf when the corpus
-    # has fewer than k within-cell pairs — then nothing prunes)
-    phase1 = _portable_rescore(embeddings, cand_diag).persist()
-    top1 = (
-        phase1.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2")).limit(k).collect()
-    )
-    L = float(top1[-1]["cos"]) if len(top1) >= k else float("-inf")
+    # phase-1 lower bound L: k-th best within-cell GEMM cosine minus a
+    # margin that dominates the GEMM-vs-portable-fold divergence
+    # (delta ~ d·ulp ~ 1.4e-14 at 64 dims): kth_gemm − 1e-9 ≤
+    # kth_portable_within ≤ kth_portable_global, so pruning against it
+    # stays provably safe while costing one tiny top-k job on the
+    # cached candidate relation instead of a join-tree execution.
+    # -inf when the corpus has fewer than k within-cell pairs — then
+    # nothing prunes.
+    top1 = cand_diag.orderBy(F.desc("gcos")).limit(k).collect()
+    L = float(top1[-1]["gcos"]) - 1e-9 if len(top1) >= k else float("-inf")
 
-    # driver-side cell geometry in ONE job: per populated cell its
-    # centroid embedding, angular radius, and member count (C rows to
-    # the driver — bounded). Centroids with zero members contribute no
-    # pairs and are correctly absent.
+    # driver-side cell geometry in one cheap job on the cached
+    # assignment: per populated cell its angular radius (from the
+    # carried cent_cos) and member count (C rows to the driver —
+    # bounded). Centroids with zero members contribute no pairs and
+    # are correctly absent.
     geo_rows = (
-        assigned.join(F.broadcast(cents), "cent_id")
-        .select(
-            "cent_id",
-            "cent_emb",
-            cosine_col("embedding", "cent_emb").alias("cc"),
-        )
-        .groupBy("cent_id")
+        assigned.groupBy("cent_id")
         .agg(
-            F.min("cc").alias("min_cos"),
+            F.min("cent_cos").alias("min_cos"),
             F.count(F.lit(1)).alias("n_members"),
-            F.first("cent_emb").alias("cent_emb"),
         )
         .collect()
     )
     if not geo_rows:  # empty corpus -> no cells, no pairs (totality)
-        return phase1.limit(0).select("d1", "d2")
+        return cand_diag.select("d1", "d2").limit(0)
+    cent_emb = {
+        int(r["cent_id"]): np.asarray(r["cent_emb"], dtype=np.float64)
+        for r in cents.collect()
+    }
     cent_ids = [int(r["cent_id"]) for r in geo_rows]
-    cm = np.vstack([np.asarray(r["cent_emb"], dtype=np.float64) for r in geo_rows])
+    cm = np.vstack([cent_emb[c] for c in cent_ids])
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
     radius = {
         int(r["cent_id"]): math.acos(max(-1.0, min(1.0, float(r["min_cos"]))))
@@ -1088,13 +1137,14 @@ def neardup_pairs_topk_semdedup(
         cand_cross = members.groupBy("batch").applyInPandas(
             cross_batch, schema="d1 long, d2 long"
         )
-        rescored = phase1.unionByName(
-            _portable_rescore(embeddings, cand_cross)
-        )
+        candidates = cand_diag.select("d1", "d2").unionByName(cand_cross)
     else:
-        rescored = phase1
+        candidates = cand_diag.select("d1", "d2")
+    # ONE portable rescore over the diag ∪ cross union (one join tree
+    # instead of two), then the bit-exact total order
     return (
-        rescored.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        _portable_rescore(embeddings, candidates)
+        .orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
     )
