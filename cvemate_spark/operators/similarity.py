@@ -1028,7 +1028,9 @@ def neardup_pairs_topk_semdedup(
         int(r["cent_id"]): np.asarray(r["cent_emb"], dtype=np.float64)
         for r in cents.collect()
     }
-    cent_ids = [int(r["cent_id"]) for r in geo_rows]
+    # sorted: collect order is shuffle-nondeterministic, and the tile
+    # packing below keys off dense positions in this list
+    cent_ids = sorted(int(r["cent_id"]) for r in geo_rows)
     cm = np.vstack([cent_emb[c] for c in cent_ids])
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
     radius = {
@@ -1057,12 +1059,22 @@ def neardup_pairs_topk_semdedup(
     # batch each surviving pair still runs its own GEMM with the SAME
     # ulp-margin top-k_emit cut, so the emitted candidate multiset is
     # identical pair-for-pair and exactness is inherited unchanged.
-    # Survivors arrive lexicographically sorted, so consecutive pairs
-    # share cells and each cell ships once per batch it appears in
-    # (membership is a partition — within a batch a cell's matrix is
-    # normalized once and reused across its pairs).
+    # Survivors are TILE-ordered before packing: cells map to dense
+    # indices, pairs sort by (ia//g, ib//g) tile, and g is sized so a
+    # full tile pair ≈ one work budget. Lexicographic order would
+    # replicate each right-side cell into nearly every batch (~C/g'
+    # copies); tile order bounds replication at ~C/(g·s̄) — the
+    # blocked-GEMM square decomposition, √-fold less member shuffle
+    # in the unpruned regime. Within a batch a cell's matrix is
+    # normalized once and reused across its pairs (membership is a
+    # partition).
     WORK_BUDGET = 4_000_000  # pairwise dots per batch (~2 GFLOP @64d)
     ROW_BUDGET = 8_192  # member rows per batch (Arrow memory bound)
+    dense = {c: i for i, c in enumerate(cent_ids)}
+    avg_s = max(1.0, sum(size.values()) / max(1, len(size)))
+    g = max(1, int(math.sqrt(WORK_BUDGET) / avg_s))
+    survivors.sort(key=lambda ab: (dense[ab[0]] // g, dense[ab[1]] // g,
+                                   dense[ab[0]], dense[ab[1]]))
     batches: list[list[tuple[int, int]]] = []
     cur: list[tuple[int, int]] = []
     cur_cells: set[int] = set()
