@@ -27,6 +27,12 @@ from pyspark.sql.window import Window as W
 # the SCALE.md candidate-growth measurements; never consumed by query logic.
 LAST_PRUNE_STATS: dict | None = None
 
+# cross-stage batch packing budgets for neardup_pairs_topk_semdedup —
+# module-level so tests can shrink them to force the multi-batch path
+# on small corpora (exactness must not depend on batch composition)
+SEMDEDUP_WORK_BUDGET = 4_000_000  # pairwise dots per batch (~2 GFLOP @64d)
+SEMDEDUP_ROW_BUDGET = 8_192  # member rows per batch (Arrow memory bound)
+
 COS_SPARK = (
     "aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)"
     " / (sqrt(aggregate(transform({a}, x -> double(x) * double(x)), 0D, (s, v) -> s + v))"
@@ -1068,8 +1074,8 @@ def neardup_pairs_topk_semdedup(
     # in the unpruned regime. Within a batch a cell's matrix is
     # normalized once and reused across its pairs (membership is a
     # partition).
-    WORK_BUDGET = 4_000_000  # pairwise dots per batch (~2 GFLOP @64d)
-    ROW_BUDGET = 8_192  # member rows per batch (Arrow memory bound)
+    WORK_BUDGET = SEMDEDUP_WORK_BUDGET
+    ROW_BUDGET = SEMDEDUP_ROW_BUDGET
     dense = {c: i for i, c in enumerate(cent_ids)}
     avg_s = max(1.0, sum(size.values()) / max(1, len(size)))
     g = max(1, int(math.sqrt(WORK_BUDGET) / avg_s))

@@ -165,6 +165,35 @@ def test_neardup_semdedup_exact_and_prunes_clustered_data(spark):
     assert stats["survivors"] <= stats["cell_pairs"] // 2, stats
 
 
+def test_neardup_semdedup_multibatch_composition_neutral(spark, monkeypatch):
+    """Batch packing must be composition-neutral: shrinking the
+    work/row budgets until the cross stage splits into MANY batches
+    (the sf1+ shape — tile ordering, per-batch cell shipping, per-pair
+    cuts across batch boundaries) cannot change the exact result."""
+    from cvemate_spark.operators import similarity
+    from cvemate_spark.operators.similarity import neardup_pairs_topk_semdedup
+
+    # weak-similarity corpus (nothing prunes -> every cell pair runs)
+    rows = []
+    for i in range(80):
+        base = [((i * 31 + j * 17) % 19) / 19.0 - 0.5 for j in range(6)]
+        rows.append(Row(vec_id=i, embedding=base))
+    emb = spark.createDataFrame(rows)
+
+    big = [tuple(r) for r in
+           neardup_pairs_topk_semdedup(emb, k=8, centroid_stride=10).collect()]
+    one_batch = similarity.LAST_PRUNE_STATS["batches"]
+
+    monkeypatch.setattr(similarity, "SEMDEDUP_WORK_BUDGET", 200)
+    monkeypatch.setattr(similarity, "SEMDEDUP_ROW_BUDGET", 24)
+    small = [tuple(r) for r in
+             neardup_pairs_topk_semdedup(emb, k=8, centroid_stride=10).collect()]
+    many_batches = similarity.LAST_PRUNE_STATS["batches"]
+
+    assert small == big
+    assert many_batches > max(4, one_batch), (one_batch, many_batches)
+
+
 def test_multimodal_stub_boundary(spark):
     docs = spark.createDataFrame([Row(doc_id=0, text="hello")])
     media = multimodal.attach_payload(docs)

@@ -173,6 +173,23 @@ def main() -> None:
                 out.append(batch_df(pool[i * per:(i + 1) * per], f"W{i}"))
         return out
 
+    # untimed warmup: the first timed scenario otherwise runs its
+    # CONCURRENT phase on a cold JVM while its serial baseline runs
+    # warm — a one-sided bias that read cow_disjoint_2w ~0.7x on an
+    # otherwise >=1.4x shape. One full OCC merge + one locked merge +
+    # one MOR merge through a throwaway table covers codegen, shuffle
+    # and the manifest I/O paths before anything is measured.
+    warm_path = f"{SCRATCH}/_warmup"
+    shutil.rmtree(warm_path, ignore_errors=True)
+    mv.write_bucket_table_versioned(
+        base, warm_path, key="o_orderkey", n_buckets=N_BUCKETS
+    )
+    warm_df = batch_df(disjoint_pool[(WRITERS[0], 0)], "WARM")
+    mv.merge_scoped_versioned_occ(spark, warm_path, warm_df, now=T0)
+    mv.merge_scoped_versioned(spark, warm_path, warm_df, now=T0)
+    mv.merge_scoped_versioned_mor(spark, warm_path, warm_df, now=T0)
+    shutil.rmtree(warm_path, ignore_errors=True)
+
     results: dict[str, dict] = {}
     for n in WRITERS:
         for scen, mode, merge_kind in (
