@@ -1045,102 +1045,152 @@ def neardup_pairs_topk_semdedup(
         for r in geo_rows
     }
     size = {int(r["cent_id"]): int(r["n_members"]) for r in geo_rows}
-    survivors: list[tuple[int, int]] = []  # (cell_a, cell_b)
-    thetas = np.arccos(np.clip(cm @ cm.T, -1.0, 1.0))
-    for i in range(len(cent_ids)):
-        for j in range(i + 1, len(cent_ids)):
-            a, b = cent_ids[i], cent_ids[j]
-            gap = thetas[i, j] - radius.get(a, 0.0) - radius.get(b, 0.0) - ANG_EPS
-            ub = math.cos(max(0.0, gap))
-            if ub >= L - 1e-9:
-                survivors.append((a, b))
     n_cells = len(cent_ids)
 
-    # pack surviving cell pairs into work-budgeted BATCHES so the
-    # cross stage costs O(batches) Arrow groups, not O(survivors).
-    # The unpruned regime (weak-similarity corpora: every cell pair
-    # survives) used to pay one applyInPandas group PER CELL PAIR —
-    # ~C²/2 tiny GEMMs whose per-group Arrow+Python overhead dwarfed
-    # the math. Batching changes only the execution grain: inside a
-    # batch each surviving pair still runs its own GEMM with the SAME
-    # ulp-margin top-k_emit cut, so the emitted candidate multiset is
-    # identical pair-for-pair and exactness is inherited unchanged.
-    # Survivors are TILE-ordered before packing: cells map to dense
-    # indices, pairs sort by (ia//g, ib//g) tile, and g is sized so a
-    # full tile pair ≈ one work budget. Lexicographic order would
-    # replicate each right-side cell into nearly every batch (~C/g'
-    # copies); tile order bounds replication at ~C/(g·s̄) — the
-    # blocked-GEMM square decomposition, √-fold less member shuffle
-    # in the unpruned regime. Within a batch a cell's matrix is
-    # normalized once and reused across its pairs (membership is a
-    # partition).
+    # Vectorized cell-pair survival + TILE-granular packing. The
+    # per-pair Python loop and per-survivor pair list were the scale
+    # liability: at C cells the driver paid O(C²) loop iterations and
+    # shipped O(survivors) pair tuples inside the UDF closure (~8M
+    # pairs / hundreds of MB at sf10's C≈4000). Instead:
+    #   * the survival mask is ONE numpy expression over the C×C
+    #     angle matrix (cells already cap C at ~sqrt-corpus scale);
+    #   * cells group into tiles of g dense indices, g sized so a
+    #     full tile pair ≈ one work budget (the blocked-GEMM square
+    #     decomposition — also bounds member replication at ~C/(g·s̄)
+    #     instead of lexicographic packing's ~C/g copies);
+    #   * batches are built from tile PAIRS that contain at least one
+    #     surviving cell pair, so driver + closure state is
+    #     O(C·d + tile_pairs), never O(survivors);
+    #   * each worker re-derives its blocks' survival mask from the
+    #     shipped geometry (cm rows, radii, L). The driver and worker
+    #     evaluate the same double-precision expression; a last-ulp
+    #     disagreement at the threshold is absorbed by the 1e-9 slack
+    #     (a pair at ub < L is provably outside the top-k either
+    #     way), and tiles are selected by the driver mask, which can
+    #     only ADD a no-op empty block, never drop a surviving one —
+    #     wait: selection uses the driver mask, the worker mask could
+    #     in principle keep a pair the driver's tile screen dropped
+    #     only if the whole tile pair had zero driver-surviving
+    #     pairs, in which case every such pair sits below L and emits
+    #     nothing that can reach the top-k. Exactness is inherited;
+    #     the gate is the brute oracle regardless.
+    # Inside a surviving block each cell pair still runs its own GEMM
+    # with the SAME ulp-margin top-k_emit cut, so the candidate
+    # multiset matches the per-pair formulation pair-for-pair.
     WORK_BUDGET = SEMDEDUP_WORK_BUDGET
     ROW_BUDGET = SEMDEDUP_ROW_BUDGET
-    dense = {c: i for i, c in enumerate(cent_ids)}
-    avg_s = max(1.0, sum(size.values()) / max(1, len(size)))
+    r_arr = np.array([radius[c] for c in cent_ids])
+    sz_arr = np.array([size[c] for c in cent_ids], dtype=np.int64)
+    thetas = np.arccos(np.clip(cm @ cm.T, -1.0, 1.0))
+    gap = thetas - r_arr[:, None] - r_arr[None, :] - ANG_EPS
+    ub = np.cos(np.maximum(0.0, gap))
+    mask = ub >= L - 1e-9
+    mask[np.tril_indices(n_cells)] = False  # upper triangle: i < j
+    n_survivors = int(mask.sum())
+
+    avg_s = max(1.0, float(sz_arr.mean()))
     g = max(1, int(math.sqrt(WORK_BUDGET) / avg_s))
-    survivors.sort(key=lambda ab: (dense[ab[0]] // g, dense[ab[1]] // g,
-                                   dense[ab[0]], dense[ab[1]]))
+    n_tiles = -(-n_cells // g)
+    pad = n_tiles * g - n_cells
+    work = np.where(mask, sz_arr[:, None] * sz_arr[None, :], 0)
+    wp = np.pad(work, ((0, pad), (0, pad)))
+    blk_work = wp.reshape(n_tiles, g, n_tiles, g).sum(axis=(1, 3))
+    mp = np.pad(mask, ((0, pad), (0, pad)))
+    blk_live = mp.reshape(n_tiles, g, n_tiles, g).any(axis=(1, 3))
+    tile_rows = np.pad(sz_arr, (0, pad)).reshape(n_tiles, g).sum(axis=1)
+
+    # greedy pack of live tile pairs (upper triangle incl. diagonal:
+    # a diagonal tile holds its own cross-cell pairs) — O(tiles²)
+    # iterations, tiles ≈ C·s̄/√WORK_BUDGET
     batches: list[list[tuple[int, int]]] = []
     cur: list[tuple[int, int]] = []
-    cur_cells: set[int] = set()
+    cur_tiles: set[int] = set()
     cur_work = 0
-    for a, b in survivors:
-        w = size.get(a, 0) * size.get(b, 0)
-        new_cells = cur_cells | {a, b}
-        rows = sum(size.get(c, 0) for c in new_cells)
-        if cur and (cur_work + w > WORK_BUDGET or rows > ROW_BUDGET):
-            batches.append(cur)
-            cur, cur_cells, cur_work = [], set(), 0
-        cur.append((a, b))
-        cur_cells |= {a, b}
-        cur_work += w
+    for ta in range(n_tiles):
+        for tb in range(ta, n_tiles):
+            if not blk_live[ta, tb]:
+                continue
+            w = int(blk_work[ta, tb])
+            new_tiles = cur_tiles | {ta, tb}
+            rows = int(sum(tile_rows[t] for t in new_tiles))
+            if cur and (cur_work + w > WORK_BUDGET or rows > ROW_BUDGET):
+                batches.append(cur)
+                cur, cur_tiles, cur_work = [], set(), 0
+            cur.append((ta, tb))
+            cur_tiles |= {ta, tb}
+            cur_work += w
     if cur:
         batches.append(cur)
     LAST_PRUNE_STATS = {
         "cells": n_cells,
         "cell_pairs": n_cells * (n_cells - 1) // 2,
-        "survivors": len(survivors),
+        "survivors": n_survivors,
+        "tile_pairs": sum(len(b) for b in batches),
         "batches": len(batches),
         "L": L,
     }
 
-    if survivors:
+    if n_survivors:
         spark = embeddings.sparkSession
-        batch_pairs = {bi: pairs for bi, pairs in enumerate(batches)}
+        batch_tiles = {bi: tiles for bi, tiles in enumerate(batches)}
+        dense = {c: i for i, c in enumerate(cent_ids)}
+        cellmap_rows = sorted(
+            {
+                (bi, cent_ids[idx])
+                for bi, tiles in batch_tiles.items()
+                for ab in tiles
+                for t in ab
+                for idx in range(t * g, min((t + 1) * g, n_cells))
+            }
+        )
         cellmap = spark.createDataFrame(
-            sorted(
-                {(bi, c) for bi, pairs in batch_pairs.items() for ab in pairs for c in ab}
-            ),
-            "batch int, cent_id int",
+            cellmap_rows, "batch int, cent_id int"
         )
         members = assigned.join(F.broadcast(cellmap), "cent_id").select(
             "batch", "cent_id", "vec_id", "embedding"
         )
+        # closure state for the workers: O(C·d) geometry, O(C) radii
+        # and dense ids, O(tile_pairs) block list — never pair lists
+        w_cm, w_r, w_dense, w_L = cm, r_arr, dense, L
 
         def cross_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            pairs = batch_pairs.get(int(key[0]), [])
+            tiles = batch_tiles.get(int(key[0]), [])
             cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             for cid, grp in pdf.groupby("cent_id"):
                 m = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
                 m /= np.linalg.norm(m, axis=1, keepdims=True)
-                cells[int(cid)] = (grp["vec_id"].to_numpy(), m)
+                cells[w_dense[int(cid)]] = (grp["vec_id"].to_numpy(), m)
             d1s: list[np.ndarray] = []
             d2s: list[np.ndarray] = []
-            for a, b in pairs:
-                la, rb = cells.get(a), cells.get(b)
-                if la is None or rb is None:
-                    continue
-                (lid, lm), (rid, rm) = la, rb
-                c = (lm @ rm.T).ravel()
-                if len(c) > k_emit:
-                    kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
-                    keep = np.nonzero(c >= kth - 1e-12)[0]
-                else:
-                    keep = np.arange(len(c))
-                li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
-                d1s.append(np.minimum(li, rj))
-                d2s.append(np.maximum(li, rj))
+            for ta, tb in tiles:
+                for ia in range(ta * g, (ta + 1) * g):
+                    la = cells.get(ia)
+                    if la is None:
+                        continue
+                    lo_b = max(tb * g, ia + 1)
+                    for ib in range(lo_b, (tb + 1) * g):
+                        rb = cells.get(ib)
+                        if rb is None:
+                            continue
+                        # re-derive this pair's survival from the
+                        # shipped geometry (same expression as the
+                        # driver mask)
+                        th = math.acos(
+                            max(-1.0, min(1.0, float(w_cm[ia] @ w_cm[ib])))
+                        )
+                        pg = th - w_r[ia] - w_r[ib] - ANG_EPS
+                        if math.cos(max(0.0, pg)) < w_L - 1e-9:
+                            continue
+                        (lid, lm), (rid, rm) = la, rb
+                        c = (lm @ rm.T).ravel()
+                        if len(c) > k_emit:
+                            kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
+                            keep = np.nonzero(c >= kth - 1e-12)[0]
+                        else:
+                            keep = np.arange(len(c))
+                        li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
+                        d1s.append(np.minimum(li, rj))
+                        d2s.append(np.maximum(li, rj))
             if not d1s:
                 return pd.DataFrame({"d1": [], "d2": []}).astype(
                     {"d1": "int64", "d2": "int64"}
@@ -1150,7 +1200,7 @@ def neardup_pairs_topk_semdedup(
             )
 
         # no .distinct(): cell membership is a partition and each
-        # surviving pair lives in exactly one batch, so a (d1, d2)
+        # tile pair lives in exactly one batch, so a (d1, d2)
         # candidate can be emitted at most once by construction.
         cand_cross = members.groupBy("batch").applyInPandas(
             cross_batch, schema="d1 long, d2 long"
