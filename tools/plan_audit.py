@@ -196,6 +196,14 @@ P3_DOMAIN_BOUNDED: dict[str, tuple[int, str]] = {
     # documented k-centroid stand-in; the trained path's centroids are
     # k-means driver rows) + the query-vector side
     "ann_ivf": (3, "build = %50 stand-in centroids (k-bounded) + query vec"),
+    # fold-based SemDeDup (the oracle-expressible twin): the %50
+    # stand-in centroid relation broadcasts into the assignment
+    # crossJoin once per pair leg (a/b). k-bounded at deployment
+    # (kmeans_fit driver rows); the GEMM twin emb_semdedup_gemm ships
+    # centroids as a LocalTableScan and carries no BNLJ at all.
+    # Surfaced in round 13 when per-query cache isolation removed the
+    # accidental lineage-substitution masking (see main loop note).
+    "emb_semdedup": (2, "build = %50 stand-in centroids x2 (a/b pair legs)"),
     "ann_ivf_batch": (2, "build = stand-in centroids + bounded query batch"),
     "ann_ivf_trained": (2, "build = bounded query batch (x2 serve legs); "
                            "trained centroids are LocalTableScan"),
@@ -261,6 +269,14 @@ def main() -> int:
     out: dict[str, dict] = {}
     n_viol = n_err = 0
     for name in names:
+        # audit each query's STANDALONE plan. Without this, a persist()
+        # inside an earlier builder leaks into later audits through
+        # CacheManager lineage substitution — the round-13 incident:
+        # emb_neardup_semdedup's persisted fold-assignment subtree got
+        # substituted into emb_semdedup's plan, hiding its real
+        # crossJoin until an unrelated change (the GEMM assignment
+        # switch) broke the lineage match and the violation surfaced.
+        spark.catalog.clearCache()
         res = audit_one(spark, REGISTRY.specs[name], sf_dir, name=name)
         out[name] = res
         if "violations" in res:
