@@ -323,12 +323,20 @@ def catalog_txn_occ(
 
 
 def catalog_read(
-    spark: SparkSession, path: str, name: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read one table AT the catalog snapshot: the catalog manifest
-    (latest, or a pinned catalog `version` — joint time travel) names
-    the exact table version. Two reads under the same catalog version
-    are mutually consistent by construction."""
+    (latest, a pinned catalog `version`, or a named `tag` — joint time
+    travel) names the exact table version. Two reads under the same
+    catalog version are mutually consistent by construction."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass `version` or `tag`, not both")
+        version = catalog_tag_version(path, tag)
     committed = catalog_latest(path)
     v = committed if version is None else version
     if v > committed:
@@ -355,7 +363,9 @@ def vacuum_catalog(
     the clock runs on time-since-displaced via the `.superseded`
     marker, the same retention contract as the table vacuum: a
     snapshot that served reads for an hour is not reclaimable the
-    instant a newer one commits). Under `_CATLOCK` so no transaction
+    instant a newer one commits). TAGGED versions are never reclaimed
+    — a tag is precisely the promise that its snapshot stays readable
+    (drop the tag to release it). Under `_CATLOCK` so no transaction
     interleaves."""
     import fcntl
     import time
@@ -365,10 +375,11 @@ def vacuum_catalog(
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             committed = catalog_latest(path)
+            tagged = set(list_tags(path).values())
             versions = _cat_versions(path)
             now = time.time()
             for v in versions[:-keep] if keep else versions:
-                if v == committed:
+                if v == committed or v in tagged:
                     continue
                 marker = os.path.join(path, f"c-{v}.superseded")
                 if not os.path.exists(marker):
@@ -650,9 +661,381 @@ def read_catalog_replica(
 def catalog_referenced_versions(path: str) -> dict[str, set[int]]:
     """Every (table path -> table versions) any surviving catalog
     manifest still references — the set a member-table vacuum must
-    keep alive (the documented vacuum contract)."""
+    keep alive (the documented vacuum contract). BRANCH manifests
+    count: a staged-but-unpublished snapshot pins its member versions
+    exactly the way main history does — a member vacuum that reclaimed
+    a staged version would corrupt the branch before its audit ever
+    ran (the WAP staging contract, pinned in
+    tests/test_catalog_branch.py)."""
     out: dict[str, set[int]] = {}
-    for v in _cat_versions(path):
-        for entry in _cat_load(path, v)["tables"].values():
-            out.setdefault(entry["path"], set()).add(entry["version"])
+    roots = [path] + [
+        branch_root(path, b) for b in list_branches(path)
+    ]
+    for root in roots:
+        for v in _cat_versions(root):
+            for entry in _cat_load(root, v)["tables"].values():
+                out.setdefault(entry["path"], set()).add(entry["version"])
     return out
+
+
+# --------------------------------------------------------------------
+# Branches + tags: write-audit-publish staging and named snapshots.
+#
+# The public pattern is Iceberg's WAP / Nessie's branch model: stage a
+# pipeline's commits on a named branch (metadata-only fork — table
+# versions are pinned BY REFERENCE, zero data copies), run audit
+# queries against the branch head, then PUBLISH: one atomic main-
+# pointer advance makes every staged table version visible jointly.
+# Main readers never observe a partially-audited batch — before the
+# publish they cannot see ANY of it (the staged table versions exist
+# only as unreferenced table-level history), after it they see ALL of
+# it. The reference has no staging layer at all: its handlers
+# bulk_write straight into the serving collections
+# (mongodb_handler.py), so a bad feed batch is live the moment it
+# lands — this is the engine-level fix.
+#
+# A branch IS a catalog: its own c-<n>.json sequence + _LATEST +
+# _CATLOCK under `path/branches/<name>/`, forked from a main snapshot.
+# Everything that works on a catalog root (catalog_read, catalog_txn,
+# vacuum_catalog, catalog_change_feed) works on a branch root
+# unchanged. Publishing is a THREE-WAY merge (fork snapshot vs branch
+# head vs current main) so branches rebase cleanly over concurrent
+# main commits to untouched tables, and genuinely incomparable
+# divergence (a name re-bound to different paths, a drop racing an
+# update) raises CatalogConflict instead of guessing.
+#
+# Branch-ownership discipline: table histories are SINGLE-lineage
+# (each table's own lock serializes commits), so a staged commit is in
+# the table's chain — invisible to main only because no MAIN manifest
+# pins it. While a branch stages commits on table T, main-side
+# transactions must either not touch T or use the upsert-style
+# `catalog_txn_occ` pinning only what they act on: the serial
+# `catalog_txn`'s no-action refresh semantics (re-pin read-only
+# members at latest — a pinned law of its own) would re-pin T's staged
+# version into main. A main transaction that WRITES T mid-stage
+# forfeits staging invisibility for T (its commit builds on the staged
+# state); publish still converges deterministically via the
+# linear-successor rule. Both sides of the contract are pinned in
+# tests/test_catalog_branch.py.
+#
+# At 100 TB: fork cost is one manifest write (O(tables), not O(bytes));
+# staging N commits costs exactly the table-level commits main would
+# have paid; publish is manifest arithmetic + one pointer replace
+# regardless of staged volume; abandoning a branch is an rmtree of
+# metadata — the staged table versions become unreferenced history
+# that each member's own vacuum reclaims.
+# --------------------------------------------------------------------
+
+BRANCH_META = "_BRANCH_META.json"
+
+
+def _valid_ref_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(
+            f"invalid ref name {name!r}: use [A-Za-z0-9._-], "
+            "starting with an alphanumeric"
+        )
+
+
+def branch_root(path: str, name: str) -> str:
+    _valid_ref_name(name)
+    return os.path.join(path, "branches", name)
+
+
+def list_branches(path: str) -> list[str]:
+    bdir = os.path.join(path, "branches")
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(bdir)
+        if os.path.exists(os.path.join(bdir, d, "_LATEST"))
+    )
+
+
+def catalog_branch(
+    path: str, name: str, from_version: int | None = None
+) -> dict:
+    """Fork a named branch from a committed main snapshot. Metadata
+    only: the branch's c-1 manifest repeats the fork snapshot's pins —
+    no table data moves. The fork snapshot is ALSO recorded in
+    `_BRANCH_META.json` (not just its version number): publish needs
+    the three-way base even after main's manifest horizon vacuums past
+    the fork point."""
+    import fcntl
+
+    broot = branch_root(path, name)
+    with open(os.path.join(path, "_CATLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(os.path.join(broot, "_LATEST")):
+                raise ValueError(
+                    f"branch {name!r} already exists on {path}"
+                )
+            committed = catalog_latest(path)
+            v0 = committed if from_version is None else from_version
+            if v0 > committed:
+                raise ValueError(
+                    f"cannot branch from uncommitted catalog version "
+                    f"{v0} (latest={committed})"
+                )
+            tables = _cat_load(path, v0)["tables"]
+            os.makedirs(broot, exist_ok=True)
+            tmp = os.path.join(broot, f".meta-tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"forked_from": v0, "fork_tables": tables},
+                    f, indent=0, sort_keys=True,
+                )
+            os.replace(tmp, os.path.join(broot, BRANCH_META))
+            _cat_commit(broot, 1, tables)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return {"branch": name, "root": broot, "forked_from": v0}
+
+
+def branch_txn(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    actions: dict,
+    members: dict[str, str] | None = None,
+) -> dict:
+    """Stage ONE transaction on a branch. Acted tables commit at the
+    table level exactly as a main transaction would (durable,
+    batch-bounded, serialized by each table's own lock) — but only the
+    BRANCH manifest pins the new versions; main never references them
+    until publish. Non-acted tables carry the branch head's pins
+    verbatim — NOT `latest_version` as `catalog_txn` does for main:
+    a concurrent main commit landing mid-stage must not leak into the
+    staged snapshot (the staging-isolation law in
+    tests/test_catalog_branch.py). `members` registers tables new to
+    the branch (name -> path), pinned read-only at their current
+    version; paths for acted names default to the branch head's
+    binding."""
+    import fcntl
+
+    broot = branch_root(path, name)
+    lock = open(os.path.join(broot, "_CATLOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        head = _cat_load(broot, catalog_latest(broot))["tables"]
+        extra = dict(members or {})
+        acted: dict[str, tuple[str, int]] = {}
+        for tname, fn in actions.items():
+            tpath = extra.get(tname) or head.get(tname, {}).get("path")
+            if tpath is None:
+                raise KeyError(
+                    f"action for table {tname!r} not on branch {name!r} "
+                    "and not in `members`"
+                )
+            res = fn(spark, tpath)
+            if isinstance(res, bool) or res is None:
+                v = latest_version(tpath)
+            elif isinstance(res, int):
+                v = res
+            elif isinstance(res, dict) and isinstance(
+                res.get("version"), int
+            ):
+                v = res["version"]
+            else:
+                v = latest_version(tpath)
+            acted[tname] = (tpath, v)
+        tables = {k: dict(e) for k, e in head.items()}
+        for tname, tpath in extra.items():
+            if tname not in acted and tname not in tables:
+                tables[tname] = {
+                    "path": tpath, "version": latest_version(tpath)
+                }
+        for tname, (tpath, v) in acted.items():
+            tables[tname] = {"path": tpath, "version": v}
+        v = catalog_latest(broot) + 1
+        _cat_commit(broot, v, tables)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    return {
+        "branch_version": v,
+        "tables": {n: e["version"] for n, e in tables.items()},
+    }
+
+
+def read_branch(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one table at the branch head (or a pinned branch version)
+    — the audit-side read of write-audit-publish."""
+    return catalog_read(spark, branch_root(path, name), table, version)
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Abandon a branch: metadata rmtree, main untouched. The staged
+    table versions become unreferenced table-level history — each
+    member's own vacuum reclaims them (the same fate as a crashed
+    transaction's member commits)."""
+    import shutil
+
+    broot = branch_root(path, name)
+    if not os.path.exists(os.path.join(broot, BRANCH_META)):
+        raise KeyError(f"no branch {name!r} on {path}")
+    shutil.rmtree(broot)
+
+
+def publish_branch(
+    spark: SparkSession, path: str, name: str, keep: bool = False
+) -> dict:
+    """PUBLISH a branch: one atomic main-pointer advance makes every
+    staged table version visible jointly. Under main's `_CATLOCK`:
+
+    * main still at the fork point -> FAST-FORWARD: the branch head's
+      table set becomes the next main manifest verbatim (the branch is
+      main's linear successor — its drops and rebinds carry too).
+    * main moved -> THREE-WAY merge against the fork snapshot:
+      branch-untouched names take main's current entry (including
+      main-side drops), main-untouched names take the branch's
+      (including branch-side drops), and a name BOTH sides changed on
+      the SAME path takes the higher version pin — member histories
+      are linear (each table's own lock ordered the commits), so the
+      higher version already contains both effects. A name re-bound to
+      DIFFERENT paths, or a drop racing an update, raises
+      CatalogConflict: main stays untouched, the branch stays intact
+      for inspection.
+
+    `keep=False` (default) deletes the branch after publishing;
+    `keep=True` re-forks it at the published version so staging can
+    continue. Returns {catalog_version, tables, fast_forward}."""
+    import fcntl
+    import shutil
+
+    broot = branch_root(path, name)
+    with open(os.path.join(broot, BRANCH_META)) as f:
+        meta = json.load(f)
+    bhead = _cat_load(broot, catalog_latest(broot))["tables"]
+    base = meta["fork_tables"]
+    lock = open(os.path.join(path, "_CATLOCK"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        cur = catalog_latest(path)
+        fast_forward = cur == meta["forked_from"]
+        if fast_forward:
+            merged = {k: dict(e) for k, e in bhead.items()}
+        else:
+            cur_m = _cat_load(path, cur)["tables"]
+            merged = {}
+            conflicts = []
+            for n in sorted(set(base) | set(bhead) | set(cur_m)):
+                b0, bb, cc = base.get(n), bhead.get(n), cur_m.get(n)
+                if bb == b0:  # branch untouched -> main's side carries
+                    if cc is not None:
+                        merged[n] = dict(cc)
+                elif cc == b0:  # main untouched -> branch's side carries
+                    if bb is not None:
+                        merged[n] = dict(bb)
+                elif (
+                    bb is not None
+                    and cc is not None
+                    and bb["path"] == cc["path"]
+                ):
+                    # both advanced the same binding: linear member
+                    # history — the higher pin contains both effects
+                    merged[n] = dict(
+                        bb if bb["version"] >= cc["version"] else cc
+                    )
+                else:
+                    conflicts.append(n)
+            if conflicts:
+                raise CatalogConflict(
+                    f"publish of branch {name!r} on {path} cannot "
+                    f"merge: member(s) {conflicts} diverged "
+                    "incomparably from the fork snapshot (re-bound "
+                    "paths, or a drop racing an update) — rebase the "
+                    "branch or resolve manually"
+                )
+        v = cur + 1
+        _cat_commit(path, v, merged)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+    shutil.rmtree(broot)
+    if keep:
+        catalog_branch(path, name, from_version=v)
+    return {
+        "catalog_version": v,
+        "tables": {n: e["version"] for n, e in merged.items()},
+        "fast_forward": fast_forward,
+    }
+
+
+def catalog_tag(path: str, name: str, version: int | None = None) -> dict:
+    """Pin a committed catalog version under an immutable name
+    (`refs/tag-<name>.json`): a release marker readable forever —
+    `vacuum_catalog` never reclaims a tagged manifest, and
+    `vacuum_catalog_members` (via `catalog_referenced_versions`) keeps
+    the member versions it pins. Re-tagging an existing name raises —
+    tags are immutable; drop first to move one."""
+    import fcntl
+
+    _valid_ref_name(name)
+    refs = os.path.join(path, "refs")
+    with open(os.path.join(path, "_CATLOCK"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            committed = catalog_latest(path)
+            v = committed if version is None else version
+            if v > committed:
+                raise ValueError(
+                    f"cannot tag uncommitted catalog version {v} "
+                    f"(latest={committed})"
+                )
+            if not os.path.exists(_cat_manifest(path, v)):
+                raise ValueError(
+                    f"catalog version {v} of {path} is no longer "
+                    "retained (vacuumed) — cannot tag it"
+                )
+            os.makedirs(refs, exist_ok=True)
+            ref = os.path.join(refs, f"tag-{name}.json")
+            if os.path.exists(ref):
+                raise ValueError(
+                    f"tag {name!r} already exists on {path} "
+                    "(tags are immutable; drop_tag first)"
+                )
+            tmp = os.path.join(refs, f".tag-tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, ref)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return {"tag": name, "version": v}
+
+
+def list_tags(path: str) -> dict[str, int]:
+    refs = os.path.join(path, "refs")
+    if not os.path.isdir(refs):
+        return {}
+    out: dict[str, int] = {}
+    for fn in os.listdir(refs):
+        if fn.startswith("tag-") and fn.endswith(".json"):
+            with open(os.path.join(refs, fn)) as f:
+                out[fn[4:-5]] = json.load(f)["version"]
+    return out
+
+
+def catalog_tag_version(path: str, name: str) -> int:
+    ref = os.path.join(path, "refs", f"tag-{name}.json")
+    if not os.path.exists(ref):
+        raise KeyError(f"no tag {name!r} on {path}")
+    with open(ref) as f:
+        return json.load(f)["version"]
+
+
+def drop_tag(path: str, name: str) -> None:
+    ref = os.path.join(path, "refs", f"tag-{name}.json")
+    if not os.path.exists(ref):
+        raise KeyError(f"no tag {name!r} on {path}")
+    os.unlink(ref)

@@ -2414,6 +2414,144 @@ def e_catalog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ e_branch_wap
+@REG.add(
+    "e_branch_wap",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 59 = 0 THEN price + 2.0 ELSE price END AS price,
+               CASE WHEN k % 59 = 0 THEN 'W' ELSE status END AS status
+        FROM v1
+    ),
+    hist AS (
+        SELECT 'pre' AS phase, status, price FROM v1
+        UNION ALL SELECT 'post', status, price FROM v2
+    )
+    SELECT phase, status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM hist GROUP BY phase, status ORDER BY phase, status
+    """,
+    doc="WRITE-AUDIT-PUBLISH branches + tags (operators/catalog.py "
+    "branch block): a pipeline stages its batch on a named branch — a "
+    "metadata-only fork, table versions pinned by reference, zero data "
+    "copies — audits the staged snapshot, then PUBLISHES: one atomic "
+    "main-pointer advance makes the whole batch visible jointly. The "
+    "Iceberg-WAP/Nessie pattern; the reference has no staging layer at "
+    "all (handlers bulk_write straight into the serving collections, "
+    "mongodb_handler.py — a bad feed batch is live the instant it "
+    "lands). Here the %59 re-price/re-status batch commits on branch "
+    "'audit' while a tag pins the release snapshot; the builder's "
+    "audit gate counts the staged delta on the BRANCH read before "
+    "publishing. The query reads both phases through catalog "
+    "manifests AFTER everything committed: the 'pre' phase (the "
+    "tagged snapshot) hash-pins that staged versions never "
+    "contaminated the pre-publish manifest — a leaked re-pin or a "
+    "non-atomic publish would shift its (status, sum) distribution — "
+    "and the 'post' phase pins the published linear successor. "
+    "Isolation/rebase/conflict/vacuum laws: "
+    "tests/test_catalog_branch.py. At 100 TB: fork and publish are "
+    "manifest arithmetic + one pointer replace regardless of staged "
+    "bytes; staging costs exactly the table-level commits main would "
+    "have paid; an abandoned branch is an rmtree whose staged "
+    "versions each member's own vacuum reclaims.",
+)
+def e_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..operators.catalog import (
+        branch_txn,
+        catalog_branch,
+        catalog_init,
+        catalog_latest,
+        catalog_read,
+        catalog_tag,
+        catalog_txn,
+        publish_branch,
+        read_branch,
+    )
+    from ..operators.merge import merge_upsert
+    from ..operators.merge_versioned import (
+        merge_scoped_versioned,
+        write_bucket_table_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:wap-v1".encode()
+    ).hexdigest()[:12]
+    root = f"/root/repo/.scratch/wap_{key}"
+    tab, cat = f"{root}/orders_t", f"{root}/cat"
+    done = f"{root}/_MERGED"  # crash-safe gate: rebuilt unless complete
+    if not os.path.exists(done):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        write_bucket_table_versioned(
+            merge_upsert(None, orders, key="o_orderkey", now=T_MERGE),
+            tab, key="o_orderkey", n_buckets=MS_BUCKETS,
+        )
+        catalog_init(cat)
+        catalog_txn(spark, cat, {"orders_t": tab})  # register: cat v2
+        catalog_tag(cat, "release-1")  # pin the pre-batch snapshot
+        catalog_branch(cat, "audit")
+        batch = orders.filter(F.col("o_orderkey") % 59 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+            F.lit("W").alias("o_orderstatus"),
+        )
+        n_batch = batch.count()
+        branch_txn(
+            spark, cat, "audit",
+            {"orders_t": lambda sk, p: merge_scoped_versioned(
+                sk, p, batch, now=T_MERGE
+            )},
+        )
+        # AUDIT on the branch read: every staged row landed, nothing
+        # else moved — the gate a production WAP pipeline runs before
+        # its publish (fail -> drop_branch, main never exposed)
+        audited = read_branch(spark, cat, "audit", "orders_t")
+        n_w = audited.filter(F.col("o_orderstatus") == "W").count()
+        assert n_w == n_batch, (n_w, n_batch)
+        assert audited.count() == orders.count()
+        pub = publish_branch(spark, cat, "audit")
+        assert pub["fast_forward"] is True
+        assert catalog_latest(cat) == 3
+        with open(done, "w") as f:
+            f.write(f"{pub}\n")
+    hist = None
+    for phase, kw in (
+        ("pre", {"tag": "release-1"}),  # the immutable release pin
+        ("post", {}),  # main latest: the published linear successor
+    ):
+        r = catalog_read(spark, cat, "orders_t", **kw).select(
+            F.lit(phase).alias("phase"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        hist = r if hist is None else hist.unionByName(r)
+    return (
+        hist.groupBy("phase", "status")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("phase", "status")
+    )
+
+
 # ------------------------------------------------- e_merge_constraint
 @REG.add(
     "e_merge_constraint",

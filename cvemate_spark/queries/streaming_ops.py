@@ -129,6 +129,39 @@ def s18_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "s22_wap_replay",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type, event_id, ts
+    """,
+    doc="S22: the S18 versioned CDC replay STAGED on a catalog branch "
+    "— streaming write-audit-publish (operators/catalog.py branch "
+    "block). Each micro-batch lands through branch_txn: table-level "
+    "commits identical to S18's (cost ∝ batch footprint), but only "
+    "BRANCH manifests pin them — the MAIN catalog serves the "
+    "pre-stream snapshot through the whole drain (the builder asserts "
+    "main's read is EMPTY post-drain, pre-publish), the audit runs on "
+    "the branch read, and publish is ONE pointer replace regardless "
+    "of how many micro-batches were staged. The reference's streaming "
+    "handlers have exactly this gap: every bulk_write is live the "
+    "instant it lands (mongodb_handler.py). Same batch Q20 "
+    "keep-latest convergence oracle as S3/S17/S18 — the hash gate "
+    "proves staging + publish changes nothing about the data while "
+    "adding the atomic-visibility boundary. "
+    "streaming/jobs.py::wap_replay.",
+)
+def s22_wap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.wap_replay(spark, sf_dir).orderBy(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+@REG.add(
     "s20_mor_replay",
     """
     SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts

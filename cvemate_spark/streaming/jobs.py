@@ -357,6 +357,106 @@ def scoped_replay_versioned(
     )
 
 
+def wap_replay(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 2
+) -> DataFrame:
+    """S22: the S18 versioned CDC replay STAGED on a catalog branch —
+    streaming write-audit-publish (operators/catalog.py branch block).
+
+    Same chunked out-of-order landing, keep-latest semantics, and
+    batch Q20 convergence oracle as S3/S17/S18, but every micro-batch
+    lands through `branch_txn` on branch 'ingest': the table-level
+    commits are identical to S18's (bucket-scoped generations + one
+    manifest/pointer per batch — cost ∝ batch footprint), yet only the
+    BRANCH manifests pin the new versions. The MAIN catalog keeps
+    serving the pre-stream snapshot through the entire drain — a
+    consumer resolving through the catalog never sees a half-replayed
+    feed, which is exactly the gap the reference's streaming handlers
+    have (each bulk_write is instantly live, mongodb_handler.py). The
+    post-drain AUDIT runs on the branch read; only then does
+    `publish_branch` advance main — one pointer replace regardless of
+    how many micro-batches were staged, fast-forward because main
+    never moved. An audit failure would `drop_branch` instead: main
+    never exposed, staged generations reclaimed by vacuum. The
+    builder asserts main's catalog read is EMPTY after the full drain
+    (pre-publish) — staging isolation at stream scale, not just in
+    unit tests.
+    """
+    from ..operators.catalog import (
+        branch_txn,
+        catalog_branch,
+        catalog_init,
+        catalog_latest,
+        catalog_read,
+        catalog_txn,
+        publish_branch,
+        read_branch,
+    )
+    from ..operators.merge import keep_latest_merge
+    from ..operators.merge_versioned import (
+        init_bucket_table_versioned,
+        merge_scoped_versioned,
+    )
+
+    _ensure_session_confs(spark)
+    in_dir = _chunked_landing(spark, sf_dir, n_chunks=n_chunks)
+
+    run_dir = f"{SCRATCH}/s22_{os.getpid()}"
+    target, ckpt = f"{run_dir}/target", f"{run_dir}/ckpt"
+    cat = f"{run_dir}/cat"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir)
+    init_bucket_table_versioned(target, key="user_id", n_buckets=16)
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"events": target})  # cat v2 pins v1 empty
+    main_v = catalog_latest(cat)
+    catalog_branch(cat, "ingest")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        branch_txn(
+            batch.sparkSession, cat, "ingest",
+            {"events": lambda sk, p: merge_scoped_versioned(
+                sk, p, batch,
+                merger=lambda cur, b: keep_latest_merge(
+                    cur,
+                    b,
+                    keys=["user_id", "event_type"],
+                    order_by=[F.desc("ts"), F.desc("event_id")],
+                ),
+            )},
+        )
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # staging isolation at stream scale: the whole feed drained and
+    # MAIN still serves the pre-stream (empty) snapshot
+    assert catalog_latest(cat) == main_v
+    try:
+        n_main = catalog_read(spark, cat, "events").count()
+    except FileNotFoundError:
+        n_main = 0  # the metadata-only empty init has no generations
+    assert n_main == 0, f"staged rows leaked into main: {n_main}"
+    # AUDIT on the branch read, then the one-pointer publish
+    staged = read_branch(spark, cat, "ingest", "events")
+    assert staged.count() > 0
+    pub = publish_branch(spark, cat, "ingest")
+    assert pub["fast_forward"] is True
+    return catalog_read(spark, cat, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def mor_replay(
     spark: SparkSession, sf_dir: str, n_chunks: int = 2
 ) -> DataFrame:

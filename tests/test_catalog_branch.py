@@ -1,0 +1,372 @@
+"""Laws for write-audit-publish branches and tags
+(operators/catalog.py): a branch stages table commits behind its own
+manifest sequence — metadata-only fork, zero data copies — main
+readers never see ANY staged version until publish, and publish is one
+atomic pointer advance making ALL of them visible jointly. Tags pin a
+committed joint snapshot under an immutable name that vacuums must
+honor. The reference has no staging layer (handlers bulk_write
+straight into serving collections, mongodb_handler.py); this is the
+engine-level fix.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from cvemate_spark.operators.catalog import (
+    CatalogConflict,
+    branch_txn,
+    catalog_branch,
+    catalog_init,
+    catalog_latest,
+    catalog_read,
+    catalog_referenced_versions,
+    catalog_tag,
+    catalog_tag_version,
+    catalog_txn,
+    drop_branch,
+    drop_tag,
+    list_branches,
+    list_tags,
+    publish_branch,
+    read_branch,
+    vacuum_catalog,
+    vacuum_catalog_members,
+)
+from cvemate_spark.operators.merge_versioned import (
+    latest_version,
+    merge_scoped_versioned,
+    write_bucket_table_versioned,
+)
+
+
+def _mk_cat(spark, tmp_path, n=30):
+    head = spark.createDataFrame(
+        [Row(id=i, price=float(i)) for i in range(n)]
+    )
+    stat = spark.createDataFrame(
+        [Row(id=i, status="O") for i in range(n)]
+    )
+    hp, sp = str(tmp_path / "head"), str(tmp_path / "stat")
+    write_bucket_table_versioned(head, hp, key="id", n_buckets=4)
+    write_bucket_table_versioned(stat, sp, key="id", n_buckets=4)
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    catalog_txn(spark, cat, {"head": hp, "stat": sp})  # cat v2
+    return cat, hp, sp
+
+
+def _prices(spark, cat, **kw):
+    return {
+        r["id"]: r["price"]
+        for r in catalog_read(spark, cat, "head", **kw).collect()
+    }
+
+
+def test_staging_is_isolated_and_publish_is_atomic(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    main_before = catalog_latest(cat)
+    catalog_branch(cat, "audit")
+    assert list_branches(cat) == ["audit"]
+
+    # stage TWO commits on the branch
+    b1 = spark.createDataFrame([Row(id=3, price=999.0)])
+    b2 = spark.createDataFrame([Row(id=7, price=777.0)])
+    r1 = branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(sk, p, b1)},
+    )
+    r2 = branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(sk, p, b2)},
+    )
+    assert r2["tables"]["head"] == r1["tables"]["head"] + 1
+    # table-level history carries the staged versions...
+    assert latest_version(hp) == r2["tables"]["head"]
+    # ...but MAIN still reads the pre-branch snapshot (pointer and pins
+    # both untouched), while the BRANCH read sees the staged state
+    assert catalog_latest(cat) == main_before
+    assert _prices(spark, cat)[3] == 3.0
+    staged = {
+        r["id"]: r["price"]
+        for r in read_branch(spark, cat, "audit", "head").collect()
+    }
+    assert (staged[3], staged[7]) == (999.0, 777.0)
+
+    # audit passed -> publish: ONE pointer advance, both staged
+    # commits visible jointly, fast-forward (main never moved)
+    pub = publish_branch(spark, cat, "audit")
+    assert pub["fast_forward"] is True
+    assert catalog_latest(cat) == main_before + 1
+    after = _prices(spark, cat)
+    assert (after[3], after[7]) == (999.0, 777.0)
+    # the carried read-only member kept its fork pin
+    assert pub["tables"]["stat"] == 1
+    assert list_branches(cat) == []  # consumed by default
+
+
+def test_branch_carry_ignores_concurrent_main_commit(spark, tmp_path):
+    """Non-acted branch members carry the FORK pins: a main commit
+    landing mid-stage must not leak into the staged snapshot."""
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    # main advances `stat` AFTER the fork
+    catalog_txn(
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "stat": lambda sk, p: merge_scoped_versioned(
+                sk, p, spark.createDataFrame([Row(id=5, status="M")])
+            )
+        },
+    )
+    # branch stages on `head` only; its `stat` pin must stay at fork
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=1, price=-1.0)])
+        )},
+    )
+    st = {
+        r["id"]: r["status"]
+        for r in read_branch(spark, cat, "audit", "stat").collect()
+    }
+    assert st[5] == "O"  # main's concurrent commit did NOT leak in
+
+
+def test_publish_rebases_over_disjoint_main_commits(spark, tmp_path):
+    """While a branch is live, main-side transactions use the
+    upsert-style `catalog_txn_occ` pinning only what they act on (the
+    branch-ownership discipline: the serial `catalog_txn`'s no-action
+    refresh deliberately re-pins read-only members at latest, which
+    would re-pin staged versions). Staged data stays invisible to main
+    through the concurrent commit; publish rebases and both effects
+    land jointly."""
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    # main commits to the OTHER table while the branch is staged
+    catalog_txn_occ(
+        spark, cat, {"stat": sp},
+        actions={
+            "stat": lambda sk, p: merge_scoped_versioned(
+                sk, p, spark.createDataFrame([Row(id=5, status="M")])
+            )
+        },
+    )
+    # mid-stage isolation holds through main's concurrent commit
+    assert _prices(spark, cat)[3] == 3.0
+    pub = publish_branch(spark, cat, "audit")
+    assert pub["fast_forward"] is False
+    # BOTH effects present in the published joint snapshot
+    assert _prices(spark, cat)[3] == 999.0
+    st = {
+        r["id"]: r["status"]
+        for r in catalog_read(spark, cat, "stat").collect()
+    }
+    assert st[5] == "M"
+
+
+def test_publish_same_table_takes_linear_successor(spark, tmp_path):
+    """Both sides advanced the SAME binding: member history is linear
+    (the table's own lock ordered the commits), so the higher pin
+    contains both effects."""
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    # main then commits to head TOO — on top of the staged version
+    # (linear table history: version 3 contains the staged change).
+    # Writing to a branch-owned table from main forfeits staging
+    # invisibility for THAT table, by documented contract; the publish
+    # still converges deterministically to the linear successor.
+    from cvemate_spark.operators.catalog import catalog_txn_occ
+
+    catalog_txn_occ(
+        spark, cat, {"head": hp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(
+                sk, p, spark.createDataFrame([Row(id=4, price=444.0)])
+            )
+        },
+    )
+    pub = publish_branch(spark, cat, "audit")
+    assert pub["tables"]["head"] == latest_version(hp)
+    after = _prices(spark, cat)
+    assert (after[3], after[4]) == (999.0, 444.0)
+
+
+def test_publish_conflict_on_rebind_leaves_main_and_branch_intact(
+    spark, tmp_path
+):
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    # main re-binds `head` to a DIFFERENT path: pins incomparable
+    hp2 = str(tmp_path / "head2")
+    write_bucket_table_versioned(
+        spark.createDataFrame([Row(id=0, price=0.0)]),
+        hp2, key="id", n_buckets=4,
+    )
+    catalog_txn(spark, cat, {"head": hp2, "stat": sp})
+    main_v = catalog_latest(cat)
+    with pytest.raises(CatalogConflict):
+        publish_branch(spark, cat, "audit")
+    assert catalog_latest(cat) == main_v  # main untouched
+    assert list_branches(cat) == ["audit"]  # branch kept for inspection
+    drop_branch(cat, "audit")
+    assert list_branches(cat) == []
+
+
+def test_abandoned_branch_versions_are_unreferenced(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    staged_v = latest_version(hp)
+    # while the branch lives, the staged version IS referenced — the
+    # vacuum contract protects the audit read
+    assert staged_v in catalog_referenced_versions(cat)[hp]
+    drop_branch(cat, "audit")
+    assert staged_v not in catalog_referenced_versions(cat).get(hp, set())
+    # main never saw it
+    assert _prices(spark, cat)[3] == 3.0
+
+
+def test_staged_versions_survive_member_vacuum(spark, tmp_path):
+    """vacuum_catalog_members honors branch pins: reclaiming a staged
+    version would corrupt the branch before its audit ran. The branch
+    stages a chain of commits; a member vacuum at keep=1 runs with the
+    branch's pins in force — the audit read stays exact and main stays
+    on its pre-branch snapshot."""
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+    for i, (k, p_) in enumerate([(3, 999.0), (7, 777.0), (9, 111.0)]):
+        branch_txn(
+            spark, cat, "audit",
+            {"head": lambda sk, p, b=spark.createDataFrame(
+                [Row(id=k, price=p_)]
+            ): merge_scoped_versioned(sk, p, b)},
+        )
+    staged_head = latest_version(hp)
+    refs = catalog_referenced_versions(cat)[hp]
+    assert staged_head in refs and 1 in refs  # branch + main pins both
+    vacuum_catalog(cat, keep=1)
+    vacuum_catalog_members(cat, keep=1)
+    staged = {
+        r["id"]: r["price"]
+        for r in read_branch(spark, cat, "audit", "head").collect()
+    }
+    assert (staged[3], staged[7], staged[9]) == (999.0, 777.0, 111.0)
+    assert _prices(spark, cat)[3] == 3.0  # main untouched post-vacuum
+
+
+def test_keep_republish_continues_staging(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "nightly")
+    branch_txn(
+        spark, cat, "nightly",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    pub1 = publish_branch(spark, cat, "nightly", keep=True)
+    assert list_branches(cat) == ["nightly"]  # re-forked at the publish
+    branch_txn(
+        spark, cat, "nightly",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=4, price=444.0)])
+        )},
+    )
+    pub2 = publish_branch(spark, cat, "nightly")
+    assert pub2["fast_forward"] is True
+    assert pub2["catalog_version"] == pub1["catalog_version"] + 1
+    after = _prices(spark, cat)
+    assert (after[3], after[4]) == (999.0, 444.0)
+
+
+def test_tag_pins_snapshot_through_vacuum(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    tagged_v = catalog_latest(cat)
+    catalog_tag(cat, "release-1")
+    assert catalog_tag_version(cat, "release-1") == tagged_v
+    assert list_tags(cat) == {"release-1": tagged_v}
+    with pytest.raises(ValueError):
+        catalog_tag(cat, "release-1")  # immutable: no silent re-tag
+    # bury the tagged version under newer commits, then vacuum hard
+    for i in range(4):
+        catalog_txn(
+            spark, cat, {"head": hp, "stat": sp},
+            actions={
+                "head": lambda sk, p: merge_scoped_versioned(
+                    sk, p,
+                    spark.createDataFrame([Row(id=i, price=-1.0)]),
+                )
+            },
+        )
+    r = vacuum_catalog(cat, keep=1)
+    assert tagged_v not in r["removed_versions"]
+    vacuum_catalog_members(cat, keep=1)
+    # the tagged joint snapshot reads exactly as on release day
+    pinned = _prices(spark, cat, tag="release-1")
+    assert pinned[0] == 0.0
+    assert _prices(spark, cat)[0] == -1.0  # latest moved on
+    drop_tag(cat, "release-1")
+    with pytest.raises(KeyError):
+        catalog_tag_version(cat, "release-1")
+    assert vacuum_catalog(cat, keep=1)["removed_versions"]  # now free
+
+
+def test_ref_name_validation(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path, n=4)
+    for bad in ("../evil", "a/b", "", ".hidden", "a b"):
+        with pytest.raises(ValueError):
+            catalog_branch(cat, bad)
+        with pytest.raises(ValueError):
+            catalog_tag(cat, bad)
+
+
+def test_branch_registers_new_member_read_only(spark, tmp_path):
+    cat, hp, sp = _mk_cat(spark, tmp_path, n=4)
+    xp = str(tmp_path / "extra")
+    write_bucket_table_versioned(
+        spark.createDataFrame([Row(id=0, price=5.0)]),
+        xp, key="id", n_buckets=2,
+    )
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        actions={"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=1, price=-9.0)])
+        )},
+        members={"extra": xp},
+    )
+    pub = publish_branch(spark, cat, "audit")
+    assert pub["tables"]["extra"] == 1
+    got = {
+        r["id"]: r["price"]
+        for r in catalog_read(spark, cat, "extra").collect()
+    }
+    assert got == {0: 5.0}
