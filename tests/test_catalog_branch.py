@@ -370,3 +370,77 @@ def test_branch_registers_new_member_read_only(spark, tmp_path):
         for r in catalog_read(spark, cat, "extra").collect()
     }
     assert got == {0: 5.0}
+
+
+def test_two_branches_disjoint_publish_in_sequence(spark, tmp_path):
+    """Two branches staging DISJOINT tables: the first publish
+    fast-forwards, the second rebases over it — both staged effects
+    land, nothing is lost, and the loser never needed a retry of its
+    member work (publish is manifest arithmetic)."""
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "feeds-a")
+    catalog_branch(cat, "feeds-b")
+    branch_txn(
+        spark, cat, "feeds-a",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    branch_txn(
+        spark, cat, "feeds-b",
+        {"stat": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=5, status="M")])
+        )},
+    )
+    pub_a = publish_branch(spark, cat, "feeds-a")
+    pub_b = publish_branch(spark, cat, "feeds-b")
+    assert pub_a["fast_forward"] is True
+    assert pub_b["fast_forward"] is False  # rebased over a's publish
+    assert pub_b["catalog_version"] == pub_a["catalog_version"] + 1
+    assert _prices(spark, cat)[3] == 999.0
+    st = {
+        r["id"]: r["status"]
+        for r in catalog_read(spark, cat, "stat").collect()
+    }
+    assert st[5] == "M"
+
+
+def test_change_feed_on_branch_root_equals_staged_diff(spark, tmp_path):
+    """A branch IS a catalog: catalog_change_feed over the branch's
+    own manifest sequence yields exactly the staged delta — the audit
+    query a WAP pipeline runs ('what does this batch change?') without
+    ever touching main."""
+    from cvemate_spark.operators.catalog import (
+        branch_root,
+        catalog_change_feed,
+    )
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "audit")
+
+    def _pure_upsert(cur, b):
+        # keep the (id, price) schema byte-stable: the default merger
+        # stamps created_at/updated_at, which would turn every row of
+        # a rewritten bucket into a value diff
+        if cur is None:
+            return b
+        return cur.join(b, "id", "left_anti").unionByName(b)
+
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p,
+            spark.createDataFrame(
+                [Row(id=3, price=999.0), Row(id=77, price=77.0)]
+            ),
+            merger=_pure_upsert,
+        )},
+    )
+    broot = branch_root(cat, "audit")
+    feeds = catalog_change_feed(spark, broot, 1)
+    assert feeds["stat"] is None  # untouched member: no data read
+    rows = {
+        r["id"]: (r["change"], r["price"])
+        for r in feeds["head"].collect()
+    }
+    assert rows == {3: ("update", 999.0), 77: ("insert", 77.0)}
