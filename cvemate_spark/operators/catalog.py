@@ -355,6 +355,44 @@ def catalog_read(
     )
 
 
+def register_catalog_views(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
+    prefix: str = "",
+) -> dict:
+    """Register every table of ONE catalog snapshot as temp views, so
+    plain `spark.sql` joins run against a mutually consistent joint
+    snapshot — the analyst-facing surface of the catalog's consistency
+    guarantee. All views resolve through the SAME manifest (latest, a
+    pinned `version`, or a named `tag`), so a cross-table SQL join can
+    never mix table A post-batch with table B pre-batch, and
+    re-registering under a different `prefix` puts two joint snapshots
+    side-by-side for release-diff SQL. Works on a branch root too
+    (audit queries in SQL). Returns {catalog_version, views}."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass `version` or `tag`, not both")
+        version = catalog_tag_version(path, tag)
+    committed = catalog_latest(path)
+    v = committed if version is None else version
+    if v > committed:
+        raise ValueError(
+            f"catalog version {v} of {path} is not committed "
+            f"(latest={committed})"
+        )
+    m = _cat_load(path, v)["tables"]
+    views = []
+    for name, entry in sorted(m.items()):
+        df = read_bucket_table_versioned(
+            spark, entry["path"], version=entry["version"]
+        )
+        df.createOrReplaceTempView(prefix + name)
+        views.append(prefix + name)
+    return {"catalog_version": v, "views": views}
+
+
 def vacuum_catalog(
     path: str, keep: int = 2, grace_seconds: float = 0.0
 ) -> dict:

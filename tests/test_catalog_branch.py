@@ -444,3 +444,64 @@ def test_change_feed_on_branch_root_equals_staged_diff(spark, tmp_path):
         for r in feeds["head"].collect()
     }
     assert rows == {3: ("update", 999.0), 77: ("insert", 77.0)}
+
+
+def test_register_catalog_views_snapshot_consistent_sql(spark, tmp_path):
+    """SQL surface: views registered from ONE catalog snapshot join
+    consistently; two prefixed registrations put a release and the
+    current state side-by-side for plain-SQL diffing; branch roots
+    register the same way (SQL audits)."""
+    from cvemate_spark.operators.catalog import (
+        branch_root,
+        register_catalog_views,
+    )
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_tag(cat, "rel")
+    catalog_txn(
+        spark, cat, {"head": hp, "stat": sp},
+        actions={
+            "head": lambda sk, p: merge_scoped_versioned(
+                sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+            )
+        },
+    )
+    r_new = register_catalog_views(spark, cat, prefix="cur_")
+    r_old = register_catalog_views(spark, cat, tag="rel", prefix="rel_")
+    assert r_old["catalog_version"] < r_new["catalog_version"]
+    assert r_new["views"] == ["cur_head", "cur_stat"]
+    # release-diff in plain SQL across the two joint snapshots
+    diff = spark.sql(
+        "SELECT c.id, r.price AS old_price, c.price AS new_price "
+        "FROM cur_head c JOIN rel_head r ON c.id = r.id "
+        "WHERE c.price <> r.price"
+    ).collect()
+    assert [(d["id"], d["old_price"], d["new_price"]) for d in diff] == [
+        (3, 3.0, 999.0)
+    ]
+    # joins inside one registration resolve through one manifest
+    n = spark.sql(
+        "SELECT count(*) AS n FROM cur_head h JOIN cur_stat s ON h.id = s.id"
+    ).collect()[0]["n"]
+    assert n == 30
+    # branch roots register too: the SQL audit surface
+    catalog_branch(cat, "audit")
+    branch_txn(
+        spark, cat, "audit",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=7, price=-7.0)])
+        )},
+    )
+    register_catalog_views(
+        spark, branch_root(cat, "audit"), prefix="stage_"
+    )
+    staged = spark.sql(
+        "SELECT price FROM stage_head WHERE id = 7"
+    ).collect()[0]["price"]
+    assert staged == -7.0
+    # main's registration is a snapshot: re-reading cur_head is
+    # unaffected by the staging that happened after it was registered
+    cur7 = spark.sql(
+        "SELECT price FROM cur_head WHERE id = 7"
+    ).collect()[0]["price"]
+    assert cur7 == 7.0
