@@ -505,3 +505,73 @@ def test_register_catalog_views_snapshot_consistent_sql(spark, tmp_path):
         "SELECT price FROM cur_head WHERE id = 7"
     ).collect()[0]["price"]
     assert cur7 == 7.0
+
+
+def test_mor_deltas_stage_on_branch_and_publish_folds(spark, tmp_path):
+    """Composition: MERGE-ON-READ deltas staged on a branch. Each
+    staged MOR commit is delta-append-only (no bucket rewrite) and
+    pinned only by the branch; main folds nothing until publish, then
+    one pointer advance exposes the whole delta chain, folded under
+    the recorded policy. Compaction staged on the SAME branch keeps
+    the fold result identical."""
+    from pyspark.sql import functions as F
+
+    from cvemate_spark.operators.catalog import (
+        branch_txn, catalog_branch, catalog_init, catalog_read,
+        catalog_txn, publish_branch, read_branch,
+    )
+    from cvemate_spark.operators.merge import merge_upsert
+    from cvemate_spark.operators.merge_versioned import (
+        compact_versioned,
+        merge_scoped_versioned_mor,
+        write_bucket_table_versioned,
+    )
+
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    tpath = str(tmp_path / "t1")
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", v=i) for i in range(10)]
+    )
+    write_bucket_table_versioned(
+        merge_upsert(None, base, key="id", now="2024-01-01 00:00:00"),
+        tpath, key="id", n_buckets=2,
+    )
+    catalog_txn(spark, cat, {"t1": tpath})
+    catalog_branch(cat, "mor-stage")
+    for batch in (
+        [Row(id="k1", v=100)],
+        [Row(id="k1", v=999), Row(id="k99", v=1)],
+    ):
+        branch_txn(
+            spark, cat, "mor-stage",
+            {"t1": lambda sk, p, b=batch: merge_scoped_versioned_mor(
+                sk, p, sk.createDataFrame(b), now="2024-01-02 00:00:00"
+            )},
+        )
+    # branch read folds the staged chain; main still serves the base
+    staged = {
+        r["id"]: r["v"]
+        for r in read_branch(spark, cat, "mor-stage", "t1").collect()
+    }
+    assert staged["k1"] == 999 and staged["k99"] == 1
+    main = {
+        r["id"]: r["v"] for r in catalog_read(spark, cat, "t1").collect()
+    }
+    assert main["k1"] == 1 and "k99" not in main
+    # compaction staged on the same branch: fold result unchanged
+    branch_txn(
+        spark, cat, "mor-stage",
+        {"t1": lambda sk, p: compact_versioned(sk, p)},
+    )
+    staged2 = {
+        r["id"]: r["v"]
+        for r in read_branch(spark, cat, "mor-stage", "t1").collect()
+    }
+    assert staged2 == staged
+    pub = publish_branch(spark, cat, "mor-stage")
+    assert pub["fast_forward"] is True
+    after = {
+        r["id"]: r["v"] for r in catalog_read(spark, cat, "t1").collect()
+    }
+    assert after == staged
