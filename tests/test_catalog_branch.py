@@ -575,3 +575,111 @@ def test_mor_deltas_stage_on_branch_and_publish_folds(spark, tmp_path):
         r["id"]: r["v"] for r in catalog_read(spark, cat, "t1").collect()
     }
     assert after == staged
+
+
+def test_rebucket_and_evolve_stage_on_branch(spark, tmp_path):
+    """Ops-behind-WAP: a LAYOUT migration (rebucket) and a SCHEMA
+    evolution (new column) stage on a branch like any other commit —
+    main keeps serving the old layout/schema until the one-pointer
+    publish. The production shape for migrating a live table: rebucket
+    on the branch, validate plans against the branch read, publish."""
+    from cvemate_spark.operators.catalog import (
+        branch_txn, catalog_branch, catalog_init, catalog_read,
+        catalog_txn, publish_branch, read_branch,
+    )
+    from cvemate_spark.operators.merge import merge_upsert
+    from cvemate_spark.operators.merge_versioned import (
+        rebucket_versioned,
+        table_schema,
+        write_bucket_table_versioned,
+    )
+
+    cat = str(tmp_path / "cat")
+    catalog_init(cat)
+    tpath = str(tmp_path / "t1")
+    base = spark.createDataFrame(
+        [Row(id=f"k{i}", v=i) for i in range(40)]
+    )
+    write_bucket_table_versioned(
+        merge_upsert(None, base, key="id", now="2024-01-01 00:00:00"),
+        tpath, key="id", n_buckets=4,
+    )
+    catalog_txn(spark, cat, {"t1": tpath})
+    catalog_branch(cat, "migrate")
+    branch_txn(
+        spark, cat, "migrate",
+        {"t1": lambda sk, p: rebucket_versioned(sk, p, 16)},
+    )
+    branch_txn(  # schema evolution: a new column arrives post-rebucket
+        spark, cat, "migrate",
+        {"t1": lambda sk, p: merge_scoped_versioned(
+            sk, p,
+            spark.createDataFrame([Row(id="k1", extra=1.5)]),
+            now="2024-01-02 00:00:00",
+        )},
+    )
+    staged = read_branch(spark, cat, "migrate", "t1")
+    assert "extra" in staged.columns
+    assert staged.count() == 40
+    # main: old layout, old schema, old data — migration invisible
+    main_df = catalog_read(spark, cat, "t1")
+    assert "extra" not in main_df.columns
+    assert main_df.count() == 40
+    pub = publish_branch(spark, cat, "migrate")
+    assert pub["fast_forward"] is True
+    after = catalog_read(spark, cat, "t1")
+    assert "extra" in after.columns
+    got = {
+        r["id"]: r["extra"]
+        for r in after.filter("extra is not null").collect()
+    }
+    assert got == {"k1": 1.5}
+
+
+def test_concurrent_publishes_serialize_under_catlock(spark, tmp_path):
+    """Two threads publishing two disjoint branches at once: _CATLOCK
+    serializes the pointer arithmetic, exactly one fast-forwards, the
+    other rebases, and both staged effects land — no lost update, no
+    torn manifest."""
+    import threading
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    catalog_branch(cat, "a")
+    catalog_branch(cat, "b")
+    branch_txn(
+        spark, cat, "a",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    branch_txn(
+        spark, cat, "b",
+        {"stat": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=5, status="M")])
+        )},
+    )
+    results: dict[str, dict] = {}
+    errs: list[Exception] = []
+
+    def pub(name):
+        try:
+            results[name] = publish_branch(spark, cat, name)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    ts = [threading.Thread(target=pub, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert sorted(
+        r["catalog_version"] for r in results.values()
+    ) == [3, 4]
+    assert [r["fast_forward"] for r in results.values()].count(True) == 1
+    assert _prices(spark, cat)[3] == 999.0
+    st = {
+        r["id"]: r["status"]
+        for r in catalog_read(spark, cat, "stat").collect()
+    }
+    assert st[5] == "M"
