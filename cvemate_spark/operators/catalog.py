@@ -960,11 +960,11 @@ def publish_branch(
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
         cur = catalog_latest(path)
+        cur_m = _cat_load(path, cur)["tables"]
         fast_forward = cur == meta["forked_from"]
         if fast_forward:
             merged = {k: dict(e) for k, e in bhead.items()}
         else:
-            cur_m = _cat_load(path, cur)["tables"]
             merged = {}
             conflicts = []
             for n in sorted(set(base) | set(bhead) | set(cur_m)):
@@ -995,8 +995,15 @@ def publish_branch(
                     "paths, or a drop racing an update) — rebase the "
                     "branch or resolve manually"
                 )
-        v = cur + 1
-        _cat_commit(path, v, merged)
+        noop = merged == cur_m
+        if noop:
+            # nothing to publish: an empty branch, or every staged pin
+            # already present in main — do not mint a redundant
+            # catalog version (the branch is still consumed below)
+            v = cur
+        else:
+            v = cur + 1
+            _cat_commit(path, v, merged)
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
@@ -1007,6 +1014,7 @@ def publish_branch(
         "catalog_version": v,
         "tables": {n: e["version"] for n, e in merged.items()},
         "fast_forward": fast_forward,
+        "noop": noop,
     }
 
 

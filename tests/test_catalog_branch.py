@@ -683,3 +683,28 @@ def test_concurrent_publishes_serialize_under_catlock(spark, tmp_path):
         for r in catalog_read(spark, cat, "stat").collect()
     }
     assert st[5] == "M"
+
+
+def test_publish_of_unchanged_branch_is_noop(spark, tmp_path):
+    """Publishing a branch that staged nothing (or whose pins already
+    landed in main) mints NO redundant catalog version: the pointer
+    stays put, the result says noop, and the branch is consumed."""
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    v0 = catalog_latest(cat)
+    catalog_branch(cat, "empty")
+    pub = publish_branch(spark, cat, "empty")
+    assert pub["noop"] is True
+    assert pub["catalog_version"] == v0
+    assert catalog_latest(cat) == v0
+    assert list_branches(cat) == []
+    # a branch that DID stage something still publishes normally
+    catalog_branch(cat, "real")
+    branch_txn(
+        spark, cat, "real",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    pub2 = publish_branch(spark, cat, "real")
+    assert pub2["noop"] is False
+    assert catalog_latest(cat) == v0 + 1
