@@ -1018,6 +1018,81 @@ def publish_branch(
     }
 
 
+class AuditFailed(RuntimeError):
+    """A branch audit check returned violating rows: the publish was
+    refused, main is untouched, and the branch's fate followed
+    `drop_on_fail`. Carries {check: violation_count} in `.violations`
+    and up to 5 sample violating rows per check in `.samples`."""
+
+    def __init__(self, msg: str, violations: dict, samples: dict):
+        super().__init__(msg)
+        self.violations = violations
+        self.samples = samples
+
+
+def audit_and_publish(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    checks: dict[str, str],
+    keep: bool = False,
+    drop_on_fail: bool = False,
+) -> dict:
+    """The write-audit-publish gate as ONE call: run declarative SQL
+    audit `checks` against the branch head, publish only if every
+    check passes. Each check is a SQL statement over the branch's
+    tables (registered as temp views named after the tables) that
+    returns the rows VIOLATING the expectation — empty result = pass
+    (the Delta-expectations / dbt-test formulation: express the
+    invariant as a query for its counterexamples). On any violation,
+    raises AuditFailed carrying per-check violation counts (capped at
+    6 — never an unbounded driver collect) and up to 5 sample rows;
+    main is untouched and the branch is kept for inspection
+    (dropped when `drop_on_fail=True` — the unattended-pipeline
+    setting). On pass, delegates to `publish_branch` and returns its
+    result plus {"checks_passed": [...]}.
+
+    At 100 TB the audit is the only data-touching phase, and it reads
+    the staged snapshot exactly as production would — same manifests,
+    same fold, same pruning — so a green audit is evidence about the
+    very bytes the publish exposes, not a copy."""
+    import re
+
+    broot = branch_root(path, name)
+    # branch table names ARE the view names: an audit reads the same
+    # relation names production queries use
+    reg = register_catalog_views(spark, broot)
+    bad_names = [
+        v for v in reg["views"]
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v)
+    ]
+    if bad_names:
+        raise ValueError(
+            f"table names {bad_names} are not valid SQL identifiers — "
+            "register views manually and run checks directly"
+        )
+    violations: dict[str, int] = {}
+    samples: dict[str, list] = {}
+    for cname, sql in checks.items():
+        rows = spark.sql(sql).limit(6).collect()
+        if rows:
+            violations[cname] = len(rows)
+            samples[cname] = [r.asDict() for r in rows[:5]]
+    if violations:
+        if drop_on_fail:
+            drop_branch(path, name)
+        raise AuditFailed(
+            f"audit of branch {name!r} on {path} failed: "
+            f"{sorted(violations)} returned violating rows "
+            f"(branch {'dropped' if drop_on_fail else 'kept'}, main "
+            "untouched)",
+            violations, samples,
+        )
+    out = publish_branch(spark, path, name, keep=keep)
+    out["checks_passed"] = sorted(checks)
+    return out
+
+
 def catalog_tag(path: str, name: str, version: int | None = None) -> dict:
     """Pin a committed catalog version under an immutable name
     (`refs/tag-<name>.json`): a release marker readable forever —

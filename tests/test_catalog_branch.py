@@ -708,3 +708,69 @@ def test_publish_of_unchanged_branch_is_noop(spark, tmp_path):
     pub2 = publish_branch(spark, cat, "real")
     assert pub2["noop"] is False
     assert catalog_latest(cat) == v0 + 1
+
+
+def test_audit_and_publish_gates_on_sql_checks(spark, tmp_path):
+    """The WAP gate as one call: declarative SQL checks (queries for
+    counterexamples) run against the branch head; a failing check
+    refuses the publish with samples, main untouched; passing checks
+    publish."""
+    from cvemate_spark.operators.catalog import (
+        AuditFailed,
+        audit_and_publish,
+    )
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    v0 = catalog_latest(cat)
+    catalog_branch(cat, "nightly")
+    branch_txn(
+        spark, cat, "nightly",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p,
+            spark.createDataFrame(
+                [Row(id=3, price=-999.0), Row(id=7, price=777.0)]
+            ),
+        )},
+    )
+    checks = {
+        "no_negative_prices": "SELECT id, price FROM head WHERE price < 0",
+        "row_count_stable": (
+            "SELECT count(*) AS n FROM head HAVING count(*) <> 30"
+        ),
+    }
+    with pytest.raises(AuditFailed) as ei:
+        audit_and_publish(spark, cat, "nightly", checks)
+    assert ei.value.violations == {"no_negative_prices": 1}
+    assert ei.value.samples["no_negative_prices"][0]["id"] == 3
+    assert catalog_latest(cat) == v0  # main untouched
+    assert list_branches(cat) == ["nightly"]  # kept for inspection
+
+    # fix the bad row on the branch, re-audit: publish goes through
+    branch_txn(
+        spark, cat, "nightly",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    pub = audit_and_publish(spark, cat, "nightly", checks)
+    assert pub["checks_passed"] == [
+        "no_negative_prices", "row_count_stable",
+    ]
+    assert catalog_latest(cat) == v0 + 1
+    after = _prices(spark, cat)
+    assert (after[3], after[7]) == (999.0, 777.0)
+
+    # unattended setting: drop_on_fail consumes the bad branch
+    catalog_branch(cat, "bad")
+    branch_txn(
+        spark, cat, "bad",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=9, price=-1.0)])
+        )},
+    )
+    with pytest.raises(AuditFailed):
+        audit_and_publish(
+            spark, cat, "bad", checks, drop_on_fail=True
+        )
+    assert list_branches(cat) == []
+    assert _prices(spark, cat)[9] == 9.0  # staged batch never exposed
