@@ -952,13 +952,24 @@ def publish_branch(
     import shutil
 
     broot = branch_root(path, name)
-    with open(os.path.join(broot, BRANCH_META)) as f:
+    meta_p = os.path.join(broot, BRANCH_META)
+    if not os.path.exists(meta_p):
+        raise KeyError(f"no branch {name!r} on {path}")
+    with open(meta_p) as f:
         meta = json.load(f)
     bhead = _cat_load(broot, catalog_latest(broot))["tables"]
     base = meta["fork_tables"]
     lock = open(os.path.join(path, "_CATLOCK"), "w")
     fcntl.flock(lock, fcntl.LOCK_EX)
     try:
+        # two publishers of the SAME branch race on the pre-lock reads:
+        # whoever loses must not publish the (already-consumed) head
+        # again nor crash on the missing dir — re-check under the lock
+        if not os.path.exists(meta_p):
+            raise KeyError(
+                f"branch {name!r} on {path} was concurrently "
+                "published or dropped"
+            )
         cur = catalog_latest(path)
         cur_m = _cat_load(path, cur)["tables"]
         fast_forward = cur == meta["forked_from"]
@@ -1004,10 +1015,13 @@ def publish_branch(
         else:
             v = cur + 1
             _cat_commit(path, v, merged)
+        # consume the branch INSIDE the lock: a raced second publisher
+        # must fail its own under-lock existence re-check, never
+        # republish the already-consumed head
+        shutil.rmtree(broot, ignore_errors=True)
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)
         lock.close()
-    shutil.rmtree(broot)
     if keep:
         catalog_branch(path, name, from_version=v)
     return {

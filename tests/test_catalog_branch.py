@@ -774,3 +774,41 @@ def test_audit_and_publish_gates_on_sql_checks(spark, tmp_path):
         )
     assert list_branches(cat) == []
     assert _prices(spark, cat)[9] == 9.0  # staged batch never exposed
+
+
+def test_double_publish_of_one_branch_raises_not_republishes(
+    spark, tmp_path
+):
+    """Two publishers of the SAME branch (sequential or threaded): the
+    first consumes it, the second fails loudly — never a duplicate
+    catalog version, never a crash on the missing branch dir."""
+    import threading
+
+    cat, hp, sp = _mk_cat(spark, tmp_path)
+    v0 = catalog_latest(cat)
+    catalog_branch(cat, "once")
+    branch_txn(
+        spark, cat, "once",
+        {"head": lambda sk, p: merge_scoped_versioned(
+            sk, p, spark.createDataFrame([Row(id=3, price=999.0)])
+        )},
+    )
+    oks: list[dict] = []
+    errs: list[Exception] = []
+
+    def pub():
+        try:
+            oks.append(publish_branch(spark, cat, "once"))
+        except KeyError as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=pub) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(oks) == 1 and len(errs) == 1, (oks, errs)
+    assert catalog_latest(cat) == v0 + 1  # exactly one new version
+    # and the sequential double-publish is the same loud failure
+    with pytest.raises(KeyError):
+        publish_branch(spark, cat, "once")
