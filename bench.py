@@ -68,12 +68,14 @@ HEADLINE = [
     "dedup_exact",     # hash dedup
     "q26",             # cosine top-k
     "ann_lsh",         # hyperplane-LSH ANN
-    # pair similarity search: the angular-bound-pruned EXACT route
-    # (SemDeDup cells + spherical-triangle-inequality cell-pair
-    # pruning). The brute-force `emb_neardup` stays registered as its
-    # oracle but is out of the headline suite — a deliberate O(n²)
-    # control should not be the scaling number a reader checks first
-    # (VERDICT r12 item 4).
+    # pair similarity search, both routes. `emb_neardup` is the
+    # deliberate O(n²) brute-force control (annotated as such in
+    # BASELINE.md); it stays in the suite because the bench contract
+    # forbids removing a recorded entry. `emb_neardup_semdedup` is the
+    # ADDED angular-bound-pruned EXACT route (SemDeDup cells +
+    # spherical-triangle-inequality cell-pair pruning) — the
+    # scale-safe plan for the same question (VERDICT r12 item 4).
+    "emb_neardup",
     "emb_neardup_semdedup",
     "mm_meta",         # Arrow mapInPandas plumbing
     "s1_tumbling",     # structured streaming tumbling agg
