@@ -43,6 +43,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Join strategy (guide §3.1): let the planner pick shuffled-hash
+        # over sort-merge when a side's per-partition build fits memory,
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-shuffle
+        # partition is under 64 MB. Both are size-GUARDED: at 100 TB the
+        # per-partition sides exceed the thresholds and the plan stays
+        # sort-merge (spill-safe); at small/medium per-partition sizes
+        # the two sort legs an SMJ pays are pure overhead. Measured on
+        # the fold pipeline (4 keyed merges): warm 2.09s -> 1.74s, plan
+        # 6 SortMergeJoin -> 6 ShuffledHashJoin, exchange count equal.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # file-listing jobs get ONE task per path by default (capped at
         # 10000): planning a 4096-generation versioned table spent
         # 5.9 s of its 6.9 s in that listing job's task overhead

@@ -48,6 +48,18 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         # many tasks for the test scales; AQE coalesces but task setup
         # still dominates. Runtime-settable, so safe on any session.
         ("spark.sql.shuffle.partitions", "32"),
+        # join strategy (guide §3.1, r13): allow shuffled-hash instead
+        # of sort-merge when the size guards say a partition's build
+        # side fits; AQE's 64 MB local-map threshold keeps the runtime
+        # rewrite equally size-guarded. Oversized partitions still plan
+        # sort-merge, so the 100 TB shape is unchanged. Same settings
+        # as the tuned factory (session.py) so plan shape does not
+        # depend on which session built the frame.
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        (
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        ),
     ):
         try:
             spark.conf.set(k, v)

@@ -196,7 +196,12 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             == spark.table("lineitem_b")["l_orderkey"],
         )
         plan = physical_plan(joined)
-        assert "SortMergeJoin" in plan
+        # bucketed layout claim: the join runs WITHOUT re-shuffling
+        # either side. The algorithm may be sort-merge (bucket+sortBy
+        # satisfies the sort requirement) or shuffled-hash (since the
+        # r13 preferSortMergeJoin=false session default) — the pinned
+        # invariant is the absent Exchange, not the join algorithm.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange" not in plan  # co-located: no shuffle at all
         assert joined.count() > 0
     finally:
@@ -597,7 +602,11 @@ def test_round8_ops_plan_shapes(spark):
     # float comparison enters the filter (jaccard is output-only)
     p = plan_of(spark, "dedup_prefix")
     assert "round(" in p.lower()  # the output column
-    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    assert (
+        "SortMergeJoin" in p
+        or "BroadcastHashJoin" in p
+        or "ShuffledHashJoin" in p
+    )
 
 
 def test_unbounded_bnlj_policy_trips_and_passes(spark):
