@@ -193,6 +193,7 @@ def assign_cells_gemm(
     cents: DataFrame,
     keep_cos: bool = False,
     keep_embedding: bool = False,
+    crows: list | None = None,
 ) -> DataFrame:
     """`assign_cells` with the argmax computed as one BLAS matmul per
     Arrow batch instead of materializing the |n|·|C| crossJoin relation
@@ -215,6 +216,12 @@ def assign_cells_gemm(
     hash-identical against the fold-based oracle at sf0.001/0.01/0.1
     (emb_semdedup_gemm).
 
+    `crows` lets a caller that has ALREADY collected the bounded
+    centroid relation (e.g. the neardup-semdedup driver geometry) hand
+    the rows in, so the assignment costs zero extra Spark jobs instead
+    of re-collecting the same relation (optimization r13: one of the
+    operator's five driver actions removed this way).
+
     `keep_cos` / `keep_embedding` let callers that need the member
     payload or the member-to-centroid cosine downstream (the
     neardup-semdedup radius aggregate) carry them straight out of the
@@ -226,7 +233,8 @@ def assign_cells_gemm(
     import numpy as np
     import pandas as pd
 
-    crows = cents.collect()  # bounded: one row per cell
+    if crows is None:
+        crows = cents.collect()  # bounded: one row per cell
     if not crows:  # empty corpus -> empty assignment (totality)
         cols = ["vec_id", F.lit(0).cast("int").alias("cent_id")]
         if keep_cos:
@@ -961,18 +969,34 @@ def neardup_pairs_topk_semdedup(
     k_emit = 2 * k
     ANG_EPS = 1e-6  # safe-side slack on driver-side angle arithmetic
     cents = stride_cents(embeddings, centroid_stride)
+    # ONE collect of the bounded centroid relation, shared with the
+    # GEMM assignment (crows passthrough) and the driver geometry
+    # below — the operator used to run this exact job twice
+    # (optimization r13, guide §1.2: don't compute things twice).
+    crows = cents.collect()
     # GEMM assignment with embedding + cent_cos carried through: the
     # cell-radius aggregate below then needs no centroid re-join and
     # no cosine recompute, and no n·C crossJoin relation ever exists
     assigned = assign_cells_gemm(
-        embeddings, cents, keep_cos=True, keep_embedding=True
+        embeddings, cents, keep_cos=True, keep_embedding=True, crows=crows
     ).persist()
 
     def diag_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-cell GEOMETRY rides along as one sentinel row per group
+        # (d1 = -1 - n_members, d2 = cent_id, gcos = min member
+        # cent_cos): the cell-radius/size aggregate that used to be a
+        # separate groupBy job over the cached assignment now costs
+        # zero extra passes — this applyInPandas already holds the
+        # whole cell (optimization r13, one driver action removed).
+        sentinel = pd.DataFrame(
+            {
+                "d1": np.array([-1 - len(pdf)], dtype="int64"),
+                "d2": np.array([int(pdf["cent_id"].iloc[0])], dtype="int64"),
+                "gcos": np.array([float(pdf["cent_cos"].min())], dtype="float64"),
+            }
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"d1": [], "d2": [], "gcos": []}).astype(
-                {"d1": "int64", "d2": "int64", "gcos": "float64"}
-            )
+            return sentinel
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = m @ m.T
@@ -992,7 +1016,10 @@ def neardup_pairs_topk_semdedup(
         idx = np.nonzero(keep)[0]
         li, rj = ids[idx // len(ids)], ids[idx % len(ids)]
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
-        return pd.DataFrame({"d1": d1, "d2": d2, "gcos": c[idx]})
+        return pd.concat(
+            [sentinel, pd.DataFrame({"d1": d1, "d2": d2, "gcos": c[idx]})],
+            ignore_index=True,
+        )
 
     # the GEMM cosine rides along so the pruning bound needs no
     # portable-rescore round trip; the candidate relation (pairs of
@@ -1004,47 +1031,46 @@ def neardup_pairs_topk_semdedup(
         .applyInPandas(diag_pairs, schema="d1 long, d2 long, gcos double")
         .persist()
     )
-    # phase-1 lower bound L: k-th best within-cell GEMM cosine minus a
-    # margin that dominates the GEMM-vs-portable-fold divergence
-    # (delta ~ d·ulp ~ 1.4e-14 at 64 dims): kth_gemm − 1e-9 ≤
-    # kth_portable_within ≤ kth_portable_global, so pruning against it
-    # stays provably safe while costing one tiny top-k job on the
-    # cached candidate relation instead of a join-tree execution.
-    # -inf when the corpus has fewer than k within-cell pairs — then
-    # nothing prunes.
-    top1 = cand_diag.orderBy(F.desc("gcos")).limit(k).collect()
-    L = float(top1[-1]["gcos"]) - 1e-9 if len(top1) >= k else float("-inf")
-
-    # driver-side cell geometry in one cheap job on the cached
-    # assignment: per populated cell its angular radius (from the
-    # carried cent_cos) and member count (C rows to the driver —
-    # bounded). Centroids with zero members contribute no pairs and
-    # are correctly absent.
-    geo_rows = (
-        assigned.groupBy("cent_id")
-        .agg(
-            F.min("cent_cos").alias("min_cos"),
-            F.count(F.lit(1)).alias("n_members"),
+    # ONE driver action fetches both phase-1 products off the cached
+    # candidate relation (was two jobs): the per-cell geometry
+    # sentinels (d1 < 0, C rows — bounded) and the top-k within-cell
+    # GEMM cosines.
+    #
+    # L, the phase-1 lower bound, is the k-th best within-cell GEMM
+    # cosine minus a margin that dominates the GEMM-vs-portable-fold
+    # divergence (delta ~ d·ulp ~ 1.4e-14 at 64 dims): kth_gemm − 1e-9
+    # ≤ kth_portable_within ≤ kth_portable_global, so pruning against
+    # it stays provably safe. -inf when the corpus has fewer than k
+    # within-cell pairs — then nothing prunes.
+    fetched = (
+        cand_diag.filter(F.col("d1") < 0)
+        .unionByName(
+            cand_diag.filter(F.col("d1") >= 0).orderBy(F.desc("gcos")).limit(k)
         )
         .collect()
     )
+    geo_rows = [r for r in fetched if r["d1"] < 0]
+    top_cos = sorted((float(r["gcos"]) for r in fetched if r["d1"] >= 0),
+                     reverse=True)
+    L = top_cos[k - 1] - 1e-9 if len(top_cos) >= k else float("-inf")
+
     if not geo_rows:  # empty corpus -> no cells, no pairs (totality)
         return cand_diag.select("d1", "d2").limit(0)
     cent_emb = {
         int(r["cent_id"]): np.asarray(r["cent_emb"], dtype=np.float64)
-        for r in cents.collect()
+        for r in crows
     }
     # sorted: collect order is shuffle-nondeterministic, and the tile
     # packing below keys off dense positions in this list
-    cent_ids = sorted(int(r["cent_id"]) for r in geo_rows)
+    cent_ids = sorted(int(r["d2"]) for r in geo_rows)
     cm = np.vstack([cent_emb[c] for c in cent_ids])
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
     radius = {
-        int(r["cent_id"]): math.acos(max(-1.0, min(1.0, float(r["min_cos"]))))
+        int(r["d2"]): math.acos(max(-1.0, min(1.0, float(r["gcos"]))))
         + ANG_EPS
         for r in geo_rows
     }
-    size = {int(r["cent_id"]): int(r["n_members"]) for r in geo_rows}
+    size = {int(r["d2"]): int(-r["d1"] - 1) for r in geo_rows}
     n_cells = len(cent_ids)
 
     # Vectorized cell-pair survival + TILE-granular packing. The
@@ -1205,9 +1231,13 @@ def neardup_pairs_topk_semdedup(
         cand_cross = members.groupBy("batch").applyInPandas(
             cross_batch, schema="d1 long, d2 long"
         )
-        candidates = cand_diag.select("d1", "d2").unionByName(cand_cross)
+        candidates = (
+            cand_diag.filter(F.col("d1") >= 0)
+            .select("d1", "d2")
+            .unionByName(cand_cross)
+        )
     else:
-        candidates = cand_diag.select("d1", "d2")
+        candidates = cand_diag.filter(F.col("d1") >= 0).select("d1", "d2")
     # ONE portable rescore over the diag ∪ cross union (one join tree
     # instead of two), then the bit-exact total order
     return (
