@@ -137,9 +137,17 @@ DRIVER_GATE: tuple[str, ...] = (
     # re-entry vehicle) (5)
     "q19", "dedup_minhash", "dedup_exact",
     "curate_pipeline", "ann_lsh",
-    # --- re-entries: changed-closure engine surface (8)
+    # --- re-entries: changed-closure engine surface (6)
     "e_asof", "e_scd2", "e_ivm_join", "curate_pipeline2",
-    "e_gapfill", "e_hll_merge", "e_pivot", "e_unpivot",
+    "e_gapfill", "e_hll_merge",
+    # --- optimization-round re-entries: q06 (semi-prefilter below the
+    # lineitem aggregation, guide §3.2) and q07 (dimension star
+    # collapsed to one broadcast probe, guide §2.4) were RESTRUCTURED
+    # this round, so they re-enter per the changed-builder policy;
+    # e_pivot / e_unpivot cede (r12-driver-green, builders semantically
+    # untouched this round — their closure-change pins are re-proven
+    # locally by tools/update_gate_hashes.py).
+    "q06", "q07",
     # --- re-entries: the stateful/recovery streaming spine (the
     # riskiest streaming surfaces keep standing driver coverage) (5)
     "s5_stateful", "s10_tws", "s11_recovery", "s12_media", "s14_kmv",

@@ -190,14 +190,25 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    li_agg = li.groupBy("l_orderkey").agg(
-        F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+    # the surviving orders side (orders ⋉ BUILDING customers) is the
+    # build relation of the final join anyway; probing the SAME
+    # broadcast as a semi join BEFORE the lineitem aggregation drops
+    # the ~4/5 of line items whose order cannot survive the inner join,
+    # so the aggregation and its exchange carry only matching rows
+    # (guide §3.2 — pre-filter the big side; the second probe reuses
+    # the one BroadcastExchange, so it costs no extra build).
+    orders_f = orders.join(cust, orders.o_custkey == cust.c_custkey, "leftsemi")
+    li_agg = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey, "leftsemi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
     )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "leftsemi")
-        .join(li_agg, orders.o_orderkey == li_agg.l_orderkey)
+        orders_f.join(li_agg, orders_f.o_orderkey == li_agg.l_orderkey)
         .select(
             "o_orderkey", _fmt("o_orderdate").alias("o_orderdate"), "revenue"
         )
@@ -226,10 +237,19 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
-    return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    # Collapse the dimension star FIRST (guide §2.4/§3.1): supplier ⨝
+    # nation ⨝ region is dim-only work (tiny at any scale — dims don't
+    # grow with the fact table), projected to the one mapping the fact
+    # probe needs (s_suppkey → n_name). The fact scan then pays ONE
+    # broadcast hash probe instead of three chained ones — one build,
+    # one probe pass per lineitem row, and two fewer broadcast builds.
+    dim = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))

@@ -40,12 +40,34 @@ def test_q01_pushdown_and_pruning(spark):
 
 
 def test_q07_broadcasts_all_dims(spark):
+    """r13 shape: the dimension star (supplier ⨝ nation ⨝ region)
+    collapses to one (s_suppkey, n_name) build relation, so the fact
+    scan pays exactly ONE broadcast hash probe (guide §2.4) — the two
+    dim-dim joins stay broadcast joins inside the build subtree."""
+    import re
+
     plan = plan_of(spark, "q07")
-    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    # detail headers count each node once (the tree prints them again)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # fact scan pruned to join key + measures
     assert "l_extendedprice" in plan and "l_comment" not in plan
+
+
+def test_q06_semi_prefilter_below_agg(spark):
+    """r13 shape (guide §3.2): the lineitem aggregation is prefiltered
+    by a broadcast LEFT SEMI probe of the surviving orders relation,
+    so the per-orderkey aggregate and its exchange carry only rows
+    that can survive the final inner join."""
+    plan = plan_of(spark, "q06")
+    # semi probes: orders ⋉ customer, lineitem ⋉ surviving orders (the
+    # optimizer may expand the latter into a chain of per-dim semis)
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q17_distributed_topk(spark):
