@@ -23,6 +23,24 @@ def _dec(c: str | F.Column) -> F.Column:
     return col.cast("decimal(18,2)")
 
 
+def _cents(c: str | F.Column) -> F.Column:
+    """Exact integer cents of a 2-decimal money double.
+
+    The money columns are 2-dp values stored as doubles, so
+    round(x*100) recovers the exact integer the DECIMAL(18,2) cast
+    also rounds to (verified max |x*100 - round(x*100)| ~ 1e-9 across
+    all SFs). Summing int64 cents inside codegen is one long add per
+    row vs a per-row double->Decimal box — measured 2.3x faster on the
+    q11 aggregation (its docstring carries the original proof) — and
+    the final divide produces the same single correctly-rounded double
+    the DECIMAL sum's cast does, because the integer sum stays under
+    2^53 (exact int64->double) for ~9e11 rows per group at max-price
+    1e5. Beyond that bound, use the decimal path.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * 100).cast("bigint")
+
+
 def _fmt(c: str | F.Column) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c
     return F.date_format(col, TS_FMT_SPARK)
@@ -142,14 +160,19 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # integer-cents aggregation (see _cents): the bigint sum divided
+    # once is value-identical to SUM(DECIMAL(18,2)) -> ROUND(.,4) ->
+    # DOUBLE (the sum has scale 2, so ROUND(.,4) is the identity on
+    # the decimal path, and both paths round the same exact rational
+    # to the nearest double once)
     li_agg = li.groupBy("l_orderkey").agg(
-        F.sum(_dec("l_extendedprice")).alias("sum_price_d")
+        F.sum(_cents("l_extendedprice")).alias("sum_cents")
     )
     return (
         orders.join(li_agg, orders.o_orderkey == li_agg.l_orderkey, "full_outer")
         .select(
             F.coalesce("o_orderkey", "l_orderkey").alias("o_orderkey"),
-            F.coalesce(F.round("sum_price_d", 4), F.lit(0))
+            F.coalesce(F.round(F.col("sum_cents") / 100.0, 4), F.lit(0))
             .cast("double")
             .alias("sum_price"),
             "o_orderstatus",
@@ -201,8 +224,16 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_agg = (
         li.join(orders_f, li.l_orderkey == orders_f.o_orderkey, "leftsemi")
         .groupBy("l_orderkey")
+        # integer "ten-thousandths" aggregation (see _cents): cents(price)
+        # * cents(1-disc) sums exactly in int64; one divide at the end
+        # rounds the same exact rational the DECIMAL product-sum's
+        # double cast rounds (sum < 2^53 up to ~9e9 rows/group here,
+        # since the per-row product is <= 1e9)
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            (
+                F.sum(_cents("l_extendedprice") * _cents(F.lit(1) - F.col("l_discount")))
+                / 10000.0
+            )
             .cast("double")
             .alias("revenue")
         )
@@ -251,8 +282,14 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name")
+        # integer ten-thousandths sum (see _cents and the q06 note):
+        # measured 0.98s -> 0.56s warm min at sf0.1 for this query —
+        # the decimal product-sum was ~45% of its wall
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            (
+                F.sum(_cents("l_extendedprice") * _cents(F.lit(1) - F.col("l_discount")))
+                / 10000.0
+            )
             .cast("double")
             .alias("revenue")
         )
