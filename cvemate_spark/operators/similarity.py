@@ -56,6 +56,25 @@ def cosine_col(a: str, b: str) -> F.Column:
     return F.expr(COS_SPARK.format(a=a, b=b))
 
 
+def _pfold_cos(ma, mb):
+    """Vectorized PORTABLE-fold cosine over row pairs, bit-identical to
+    COS_SPARK / duck_cosine: np.cumsum is a strict sequential prefix
+    sum, so its last element is exactly the left fold the oracle
+    computes (law-tested in tests/test_operators.py — random
+    mixed-magnitude trials plus the float32 widen), and dot/norm
+    products commute. Inputs are RAW float64 row matrices (exact
+    widenings of the stored float32 vectors). Computing this inside
+    the candidate-emitting Arrow stage removes the two id-joins and
+    the extra embedding scans the separate rescore paid (guide §1.2 /
+    §2.4 — the candidates already sit next to their vectors)."""
+    import numpy as np
+
+    dots = np.cumsum(ma * mb, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+    return dots / (na * nb)
+
+
 def brute_topk(
     embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
@@ -801,10 +820,18 @@ def neardup_pairs_topk(
             return pd.DataFrame({"d1": [], "d2": [], "cos": []}).astype(
                 {"d1": "int64", "d2": "int64", "cos": "float64"}
             )
-        lm = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
-        rm = np.vstack(right["embedding"].to_numpy()).astype(np.float64)
-        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
-        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        lraw = np.vstack(left["embedding"].to_numpy()).astype(np.float64)
+        rraw = (
+            np.vstack(right["embedding"].to_numpy()).astype(np.float64)
+            if b1 != b2
+            else lraw
+        )
+        lm = lraw / np.linalg.norm(lraw, axis=1, keepdims=True)
+        rm = (
+            rraw / np.linalg.norm(rraw, axis=1, keepdims=True)
+            if b1 != b2
+            else lm
+        )
         cos = lm @ rm.T
         lid = left["vec_id"].to_numpy()
         rid = right["vec_id"].to_numpy()
@@ -854,7 +881,11 @@ def neardup_pairs_topk(
         # canonicalize (cross-block groups exist only for b1 < b2, so
         # both id orderings occur and must map to (min, max))
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
-        return pd.DataFrame({"d1": d1, "d2": d2, "cos": c[idx]})
+        # the emitted score is the PORTABLE fold for survivors (see
+        # _pfold_cos) — the GEMM scores only selected; the downstream
+        # total order therefore needs no rescore joins
+        pcos = _pfold_cos(lraw[idx // ncols], rraw[idx % ncols])
+        return pd.DataFrame({"d1": d1, "d2": d2, "cos": pcos})
 
     # replicate each vector to every block pair it participates in
     with_block = embeddings.select(
@@ -878,29 +909,17 @@ def neardup_pairs_topk(
         lefts.unionByName(rights)
         .groupBy("b1", "b2")
         .applyInPandas(pair_groups, schema="d1 long, d2 long, cos double")
-        .select("d1", "d2")
     )
     # NOTE: candidates appears exactly ONCE in the final plan (the
     # d2-distinct semi-filter subtree that used to consume it a second
     # time is gone), so the blocked GEMM stage runs once per action —
     # no persist needed, no recompute to guard.
-    # portable rescore of the bounded candidate sliver: the candidate
-    # relation drives two id-joins against the embedding table, the
-    # sequential fold scores, a total order ranks. Candidates-first
-    # join order keeps every join input candidate-bounded on one side
-    # (cand, then cand+emb1) so AQE broadcasts the bounded side at
-    # runtime; no forced broadcast — an exact-tie plateau can make the
-    # candidate relation quadratic in duplicate multiplicity, and a
-    # hinted broadcast of that is the OOM the dedup verify forbids.
-    e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
-    e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
-    rescored = (
-        candidates.join(e1, "d1")
-        .join(e2, "d2")
-        .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
-    )
+    # The portable sequential-fold score was computed INSIDE the GEMM
+    # stage for the bounded candidate sliver (_pfold_cos — the vectors
+    # are already in the task), so the bit-exact total order needs no
+    # rescore joins and no extra embedding scans.
     return (
-        rescored.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        candidates.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
     )
@@ -993,12 +1012,13 @@ def neardup_pairs_topk_semdedup(
                 "d1": np.array([-1 - len(pdf)], dtype="int64"),
                 "d2": np.array([int(pdf["cent_id"].iloc[0])], dtype="int64"),
                 "gcos": np.array([float(pdf["cent_cos"].min())], dtype="float64"),
+                "pcos": np.array([0.0], dtype="float64"),
             }
         )
         if len(pdf) < 2:
             return sentinel
-        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        raw = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m = raw / np.linalg.norm(raw, axis=1, keepdims=True)
         cos = m @ m.T
         ids = pdf["vec_id"].to_numpy()
         # flat selection before id materialization (see pair_groups):
@@ -1016,8 +1036,10 @@ def neardup_pairs_topk_semdedup(
         idx = np.nonzero(keep)[0]
         li, rj = ids[idx // len(ids)], ids[idx % len(ids)]
         d1, d2 = np.minimum(li, rj), np.maximum(li, rj)
+        # portable cosine for survivors only, in-stage (see _pfold_cos)
+        pcos = _pfold_cos(raw[idx // len(ids)], raw[idx % len(ids)])
         return pd.concat(
-            [sentinel, pd.DataFrame({"d1": d1, "d2": d2, "gcos": c[idx]})],
+            [sentinel, pd.DataFrame({"d1": d1, "d2": d2, "gcos": c[idx], "pcos": pcos})],
             ignore_index=True,
         )
 
@@ -1028,7 +1050,9 @@ def neardup_pairs_topk_semdedup(
     # union, inside the final action
     cand_diag = (
         assigned.groupBy("cent_id")
-        .applyInPandas(diag_pairs, schema="d1 long, d2 long, gcos double")
+        .applyInPandas(
+            diag_pairs, schema="d1 long, d2 long, gcos double, pcos double"
+        )
         .persist()
     )
     # ONE driver action fetches both phase-1 products off the cached
@@ -1181,13 +1205,14 @@ def neardup_pairs_topk_semdedup(
 
         def cross_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             tiles = batch_tiles.get(int(key[0]), [])
-            cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            cells: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
             for cid, grp in pdf.groupby("cent_id"):
-                m = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
-                cells[w_dense[int(cid)]] = (grp["vec_id"].to_numpy(), m)
+                raw = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
+                m = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+                cells[w_dense[int(cid)]] = (grp["vec_id"].to_numpy(), m, raw)
             d1s: list[np.ndarray] = []
             d2s: list[np.ndarray] = []
+            pcs: list[np.ndarray] = []
             for ta, tb in tiles:
                 for ia in range(ta * g, (ta + 1) * g):
                     la = cells.get(ia)
@@ -1207,7 +1232,7 @@ def neardup_pairs_topk_semdedup(
                         pg = th - w_r[ia] - w_r[ib] - ANG_EPS
                         if math.cos(max(0.0, pg)) < w_L - 1e-9:
                             continue
-                        (lid, lm), (rid, rm) = la, rb
+                        (lid, lm, lraw), (rid, rm, rraw) = la, rb
                         c = (lm @ rm.T).ravel()
                         if len(c) > k_emit:
                             kth = -np.partition(-c, k_emit - 1)[k_emit - 1]
@@ -1217,48 +1242,46 @@ def neardup_pairs_topk_semdedup(
                         li, rj = lid[keep // len(rid)], rid[keep % len(rid)]
                         d1s.append(np.minimum(li, rj))
                         d2s.append(np.maximum(li, rj))
+                        # portable cosine in-stage (see _pfold_cos)
+                        pcs.append(
+                            _pfold_cos(
+                                lraw[keep // len(rid)], rraw[keep % len(rid)]
+                            )
+                        )
             if not d1s:
-                return pd.DataFrame({"d1": [], "d2": []}).astype(
-                    {"d1": "int64", "d2": "int64"}
-                )
+                return pd.DataFrame(
+                    {"d1": [], "d2": [], "cos": []}
+                ).astype({"d1": "int64", "d2": "int64", "cos": "float64"})
             return pd.DataFrame(
-                {"d1": np.concatenate(d1s), "d2": np.concatenate(d2s)}
+                {
+                    "d1": np.concatenate(d1s),
+                    "d2": np.concatenate(d2s),
+                    "cos": np.concatenate(pcs),
+                }
             )
 
         # no .distinct(): cell membership is a partition and each
         # tile pair lives in exactly one batch, so a (d1, d2)
         # candidate can be emitted at most once by construction.
         cand_cross = members.groupBy("batch").applyInPandas(
-            cross_batch, schema="d1 long, d2 long"
+            cross_batch, schema="d1 long, d2 long, cos double"
         )
         candidates = (
             cand_diag.filter(F.col("d1") >= 0)
-            .select("d1", "d2")
+            .select("d1", "d2", F.col("pcos").alias("cos"))
             .unionByName(cand_cross)
         )
     else:
-        candidates = cand_diag.filter(F.col("d1") >= 0).select("d1", "d2")
-    # ONE portable rescore over the diag ∪ cross union (one join tree
-    # instead of two), then the bit-exact total order
+        candidates = cand_diag.filter(F.col("d1") >= 0).select(
+            "d1", "d2", F.col("pcos").alias("cos")
+        )
+    # the portable cosine was computed INSIDE the candidate-emitting
+    # stages (next to the vectors — _pfold_cos), so the bit-exact
+    # total order needs no rescore joins or extra embedding scans
     return (
-        _portable_rescore(embeddings, candidates)
-        .orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
+        candidates.orderBy(F.desc("cos"), F.asc("d1"), F.asc("d2"))
         .limit(k)
         .select("d1", "d2")
-    )
-
-
-def _portable_rescore(embeddings: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Attach the portable sequential-fold cosine to (d1, d2) candidate
-    pairs — the bit-exactness tail shared by the near-dup operators.
-    Candidates-first join order keeps one side candidate-bounded so
-    AQE broadcasts at runtime; no forced broadcast (plateau rule)."""
-    e1 = embeddings.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
-    e2 = embeddings.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
-    return (
-        candidates.join(e1, "d1")
-        .join(e2, "d2")
-        .select("d1", "d2", cosine_col("emb1", "emb2").alias("cos"))
     )
 
 

@@ -283,3 +283,35 @@ def test_minhash_short_doc_edge_cases(spark):
     assert {r["doc_id"] for r in sigs.collect()} == {0, 1}
     pairs = {(r["d1"], r["d2"]) for r in minhash_pairs(docs, 0.3).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_pfold_cos_is_strict_left_fold():
+    """_pfold_cos's cumsum must equal the oracle's SEQUENTIAL left fold
+    bit-for-bit — the premise that let the near-dup operators drop
+    their rescore joins (optimization r13). Covers mixed magnitudes
+    (catches any pairwise-summation shortcut) and the float32->float64
+    widen the stored vectors go through."""
+    import numpy as np
+
+    from cvemate_spark.operators.similarity import _pfold_cos
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(1, 257))
+        scale = 10.0 ** float(rng.integers(-8, 9))
+        a32 = (rng.standard_normal(n) * scale).astype(np.float32)
+        b32 = (rng.standard_normal(n) * scale).astype(np.float32)
+        a = a32.astype(np.float64)[None, :]
+        b = b32.astype(np.float64)[None, :]
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a32.tolist(), b32.tolist()):
+            dot = dot + float(x) * float(y)
+            na = na + float(x) * float(x)
+            nb = nb + float(y) * float(y)
+        import math
+
+        want = dot / (math.sqrt(na) * math.sqrt(nb))
+        got = float(_pfold_cos(a, b)[0])
+        assert got == want, (n, got, want, got - want)
