@@ -128,10 +128,10 @@ DRIVER_GATE: tuple[str, ...] = (
     "e_merge_concurrent", "e_merge_mor", "s20_mor_replay",
     "e_versioned_rename", "e_versioned_cluster_skip", "e_catalog_feed",
     "e_catalog_txn", "e_merge_scoped_versioned", "e_rebucket_versioned",
-    "e_time_travel", "e_table_diff", "e_merge_delete", "e_merge_scoped",
+    "e_merge_delete", "e_merge_scoped",
     "cve_pipeline_versioned", "cve_pipeline_fold", "cve_pipeline",
     "s3_merge_replay", "s17_scoped_replay", "s18_versioned_replay",
-    "s19_feed_replica", "e_change_feed", "e_versioned_evolve",
+    "e_change_feed", "e_versioned_evolve",
     "e_versioned_skip", "e_merge_constraint", "e_zorder_part",
     # --- re-entries: the headline suite (bench-correlated standing
     # re-entry vehicle) (5)
@@ -140,14 +140,19 @@ DRIVER_GATE: tuple[str, ...] = (
     # --- re-entries: changed-closure engine surface (6)
     "e_asof", "e_scd2", "e_ivm_join", "curate_pipeline2",
     "e_gapfill", "e_hll_merge",
-    # --- optimization-round re-entries: q06 (semi-prefilter below the
-    # lineitem aggregation, guide §3.2) and q07 (dimension star
-    # collapsed to one broadcast probe, guide §2.4) were RESTRUCTURED
-    # this round, so they re-enter per the changed-builder policy;
-    # e_pivot / e_unpivot cede (r12-driver-green, builders semantically
-    # untouched this round — their closure-change pins are re-proven
-    # locally by tools/update_gate_hashes.py).
-    "q06", "q07",
+    # --- optimization-round re-entries: every builder the optimization
+    # RESTRUCTURED re-enters per the changed-builder policy — q06
+    # (semi-prefilter below the lineitem aggregation, guide §3.2), q07
+    # (dimension star collapsed to one broadcast probe, guide §2.4),
+    # q05 (integer-cents upsert aggregation), q10 (band self-join as a
+    # range-frame window count, guide §2.4), and emb_neardup (in-stage
+    # portable-fold score, rescore joins removed). Ceding
+    # (r12-driver-green, builders semantically untouched this round,
+    # closure-change pins re-proven locally by
+    # tools/update_gate_hashes.py; their families keep heavy standing
+    # coverage in this gate): e_pivot, e_unpivot, e_time_travel,
+    # e_table_diff, s19_feed_replica.
+    "q05", "q06", "q07", "q10", "emb_neardup",
     # --- re-entries: the stateful/recovery streaming spine (the
     # riskiest streaming surfaces keep standing driver coverage) (5)
     "s5_stateful", "s10_tws", "s11_recovery", "s12_media", "s14_kmv",

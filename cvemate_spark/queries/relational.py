@@ -358,25 +358,33 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Range/theta self-join: equi on user_id + interval band predicate.",
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Band self-join as a RANGE-frame window count (guide §2.4 — the
+    # self-join re-reads and re-shuffles/broadcasts the whole relation;
+    # the window form is ONE exchange on user_id and an O(n) two-pointer
+    # frame per partition instead of a quadratic per-user probe — the
+    # only shape that survives 100 TB, where neither side broadcasts).
+    # Per event: |{e2 : same user, ts2 in [ts1, ts1+5min]}| includes
+    # exactly the self-row the join's event_id<>event_id predicate
+    # excludes, so each event contributes (frame_count - 1); summing per
+    # user and dropping zero totals reproduces the inner join + groupBy
+    # bit-for-bit (a user whose events have no qualifying partner emits
+    # no join rows). Precondition (held by the table's key, witnessed by
+    # the oracle gate at every SF): event_id is unique — `<>` excludes
+    # only the self pairing.
     ev = load_table(spark, sf_dir, "events")
-    e1 = ev.select(
-        F.col("user_id"), F.col("ts").alias("ts1"), F.col("event_id").alias("id1")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(0, 300_000_000)  # [ts, ts + 5 min], inclusive
     )
-    e2 = ev.select(
-        F.col("user_id").alias("user_id2"),
-        F.col("ts").alias("ts2"),
-        F.col("event_id").alias("id2"),
-    )
-    joined = e1.join(
-        e2,
-        (e1.user_id == e2.user_id2)
-        & (e2.ts2 >= e1.ts1)
-        & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 5 MINUTES"))
-        & (e1.id1 != e2.id2),
+    per_event = ev.select(
+        "user_id", (F.count("*").over(w) - F.lit(1)).alias("m")
     )
     return (
-        joined.groupBy("user_id")
-        .agg(F.count("*").alias("cnt"))
+        per_event.groupBy("user_id")
+        .agg(F.sum("m").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .select("user_id", F.col("cnt").cast("long").alias("cnt"))
         .orderBy("user_id", "cnt")
     )
 

@@ -763,3 +763,19 @@ def test_retrieval_leg_windows_ride_bounded_topk(spark):
         assert sum(1 for x in args if int(x) == RRF_LEG_K) >= len(
             win_lines
         ), (name, args)
+
+
+def test_q10_band_join_is_single_exchange_window(spark):
+    """q10's interval band self-join runs as ONE user_id exchange and a
+    RANGE-frame window count (optimization r13, guide §2.4) — never a
+    second scan/shuffle/broadcast of the events relation and never a
+    join. The O(n) two-pointer frame is the only shape that survives
+    100 TB, where neither self-join side broadcasts."""
+    import re
+
+    plan = plan_of(spark, "q10")
+    assert "Window" in plan
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, bad
+    # one parquet scan of events, total
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
