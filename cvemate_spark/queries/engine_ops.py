@@ -46,21 +46,18 @@ EPOCH = "1970-01-01 00:00:00"
 )
 def e_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # one scan for both union legs (optimization r13, guide §2.3): the
+    # click/error sides differ only in projected literals, so a single
+    # IN-filtered scan with conditional projections replaces the
+    # two-scan union — same rows, one fewer parquet pass
+    is_click = F.col("event_type") == "click"
+    merged = ev.filter(F.col("event_type").isin("click", "error")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("click_ts"),
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(~is_click, F.col("event_id")).alias("event_id"),
+        F.when(is_click, F.col("ts")).alias("click_ts"),
     )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-    )
-    merged = clicks.unionByName(errors)
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "side")
