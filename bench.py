@@ -22,11 +22,27 @@ recorded on a loaded machine and read 43% above the same code's
 reproducible number, with nothing in the artifact saying so): the
 output now records the machine's loadavg and process count at start
 and end, and the median/min divergence ratio. When median exceeds min
-by more than the documented ±30% band, the harness AUTO-RETRIES up to
-two extra passes (min-of-N absorbs transient load if it clears) and,
-if the divergence persists, stamps "load_skewed": true into the
-artifact itself — a reading that can testify against its own
-recording conditions.
+by more than the band, the harness AUTO-RETRIES extra passes
+(min-of-N absorbs transient load if it clears) and, if the
+divergence persists, stamps "load_skewed": true into the artifact
+itself — a reading that can testify against its own recording
+conditions.
+
+Hardened for the steal-prone hosts of rounds 13+ (VERDICT r13 item 1:
+the r13 driver run was ~25-50% inflated by host CPU steal yet passed
+the old 1.30 band and stamped load_skewed: false, producing 21 false
+regressions). Additions only — no field removed or renamed:
+  * /proc/stat steal jiffies are sampled around EVERY pass;
+    "pass_steal_pct" records each pass's steal as % of one core and
+    "pass_totals" each pass's suite wall clock, so an auditor can see
+    exactly which passes ran under interference;
+  * the skew band tightens 1.30 -> 1.15, and a run is additionally
+    stamped "load_skewed": true when NO pass ran in a clean window
+    (steal <= 2% of one core) — steal the old divergence ratio could
+    not see (a uniformly stolen run has a LOW median/min);
+  * on skew (divergence over band OR no clean pass yet) the harness
+    keeps running extra passes until a clean-window pass lands,
+    bounded at +6 (was +2).
 """
 
 from __future__ import annotations
@@ -102,7 +118,27 @@ def main() -> int:
         return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
                 "nproc": nproc}
 
+    def read_steal_jiffies() -> int:
+        # aggregate "cpu " line, field 9 = steal (time the hypervisor
+        # ran somebody else while this guest had runnable work)
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    # a pass is "clean" when host steal stayed <= 2% of one core for
+    # its whole duration (VERDICT r13 item 1; idle-calm on these hosts
+    # measures well under 1%)
+    STEAL_CLEAN_PCT = 2.0
+    pass_totals: list[float] = []
+    pass_steal_pct: list[float] = []
+
     def run_pass(samples: dict[str, list[float]]) -> None:
+        steal0 = read_steal_jiffies()
+        wall0 = time.time()
         for name in HEADLINE:
             spec = REGISTRY.specs[name]
             t0 = time.time()
@@ -121,6 +157,10 @@ def main() -> int:
             # queries 7-9 s vs 3 s). The forced GC sits outside the
             # timed window, so it costs the metric nothing.
             spark.sparkContext._jvm.System.gc()
+        elapsed = max(time.time() - wall0, 1e-9)
+        steal_cores = (read_steal_jiffies() - steal0) / CLK_TCK / elapsed
+        pass_totals.append(round(sum(ts[-1] for ts in samples.values()), 3))
+        pass_steal_pct.append(round(100.0 * steal_cores, 2))
 
     ctx_start = load_context()
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
@@ -128,20 +168,29 @@ def main() -> int:
     for _ in range(n_runs):
         run_pass(samples)
 
-    # the documented noise band: median > 1.3x min across the suite
-    # means passes ran under materially different machine conditions
-    BAND = 1.30
-    MAX_EXTRA = 2
+    # the noise band: median > 1.15x min across the suite means passes
+    # ran under materially different machine conditions (tightened from
+    # 1.30 — VERDICT r13 item 1: a 25-50% steal-inflated run slid under
+    # the old band)
+    BAND = 1.15
+    MAX_EXTRA = 6
 
     def divergence() -> float:
         tot_min = sum(min(ts) for ts in samples.values())
         tot_med = sum(statistics.median(ts) for ts in samples.values())
         return tot_med / max(tot_min, 1e-9)
 
+    def have_clean_pass() -> bool:
+        return any(p <= STEAL_CLEAN_PCT for p in pass_steal_pct)
+
     extra_passes = 0
-    while divergence() > BAND and extra_passes < MAX_EXTRA:
+    # keep going until a clean-window pass lands AND divergence is in
+    # band; min-of-N absorbs transient load if it clears
+    while (divergence() > BAND or not have_clean_pass()) and (
+        extra_passes < MAX_EXTRA
+    ):
         extra_passes += 1
-        run_pass(samples)  # min-of-N absorbs transient load if it clears
+        run_pass(samples)
 
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
     median = {
@@ -160,7 +209,14 @@ def main() -> int:
                 "runs": n_runs + extra_passes,
                 "extra_passes_on_divergence": extra_passes,
                 "median_over_min": div,
-                "load_skewed": div > BAND,
+                "load_skewed": div > BAND or not have_clean_pass(),
+                "band": BAND,
+                "pass_totals": pass_totals,
+                "pass_steal_pct": pass_steal_pct,
+                "steal_clean_threshold_pct": STEAL_CLEAN_PCT,
+                "n_clean_passes": sum(
+                    1 for p in pass_steal_pct if p <= STEAL_CLEAN_PCT
+                ),
                 "load_start": ctx_start,
                 "load_end": load_context(),
                 "sf": sf_dir,
