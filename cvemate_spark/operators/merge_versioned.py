@@ -4891,6 +4891,7 @@ def _feed_across_rebucket(
     bucket_key: str,
     aligned_diff,
     metrics: dict | None = None,
+    memo: dict | None = None,
 ):
     """EXACT O(change) change feed across a `rebucket_versioned`
     boundary (VERDICT r11 item 2). The old full-diff fallback made the
@@ -4931,46 +4932,66 @@ def _feed_across_rebucket(
     if _load_root_raw(path, b).get("op") != "rebucket":
         return _NO_EXACT  # a reload also flips layout but changes data
     f1 = (
-        change_feed(spark, path, v_from, a, key=keys)
+        change_feed(spark, path, v_from, a, key=keys, _memo=memo)
         if a > v_from else None
     )
     f2 = (
-        change_feed(spark, path, b, v_to, key=keys)
+        change_feed(spark, path, b, v_to, key=keys, _memo=memo)
         if v_to > b else None
     )
     if f1 is None and f2 is None:
         return None  # the rebucket alone: content-neutral, empty feed
-    kparts = [f.select(*keys) for f in (f1, f2) if f is not None]
-    kdf = kparts[0]
-    for part in kparts[1:]:
-        kdf = kdf.unionByName(part)
-    # the changed-key set is O(change) by construction — pin it
-    # driver-side once instead of recomputing both sub-feed diffs for
-    # every downstream use (bucket projection x2 + semi-join x2)
-    krows = kdf.distinct().collect()
-    if not krows:
-        return None
-    kdf = spark.createDataFrame(krows, kdf.schema)
     from .merge import bucket_expr
 
     n_from = _root_n_buckets(path, v_from)
     n_to = _root_n_buckets(path, v_to)
-    b_from = sorted(
-        r[0]
-        for r in kdf.select(
-            bucket_expr(bucket_key, n_from).alias("b")
-        ).distinct().collect()
-    )
-    b_to = sorted(
-        r[0]
-        for r in kdf.select(
-            bucket_expr(bucket_key, n_to).alias("b")
-        ).distinct().collect()
-    )
+
+    # the changed-key set is O(change) by construction — pin it
+    # driver-side once instead of recomputing both sub-feed diffs for
+    # every downstream use. ONE job per sub-feed: the distinct keys are
+    # projected to BOTH layouts' bucket ids inside the same collect
+    # (the bucket projections used to be two more 32-partition shuffle
+    # jobs each over a stats-less local relation, guide §1.2/§2.4), and
+    # the rows are memoized per (sub-span, layouts) so a containing
+    # span (1→4) re-uses a sub-span's (3→4) collected diff instead of
+    # recomputing its full-outer join — the driver-side analogue of a
+    # ReusedExchange, scoped to one change_feed call tree.
+    def _sub_keys(f, va, vb):
+        mk = ("subfeed_keys", va, vb, n_from, n_to, tuple(keys))
+        if memo is not None and mk in memo:
+            return memo[mk]
+        rows = (
+            f.select(*keys)
+            .distinct()
+            .select(
+                *keys,
+                bucket_expr(bucket_key, n_from).alias("__b_from"),
+                bucket_expr(bucket_key, n_to).alias("__b_to"),
+            )
+            .collect()
+        )
+        if memo is not None:
+            memo[mk] = rows
+        return rows
+
+    seen: dict[tuple, tuple] = {}
+    key_schema = None
+    for f, va, vb in ((f1, v_from, a), (f2, b, v_to)):
+        if f is None:
+            continue
+        if key_schema is None:
+            key_schema = f.select(*keys).schema
+        for r in _sub_keys(f, va, vb):
+            seen[tuple(r[k] for k in keys)] = (r["__b_from"], r["__b_to"])
+    if not seen:
+        return None
+    kdf = spark.createDataFrame(sorted(seen), key_schema)
+    b_from = sorted({v[0] for v in seen.values()})
+    b_to = sorted({v[1] for v in seen.values()})
     if metrics is not None:
         metrics.update({
             "mode": "rebucket-exact",
-            "changed_keys": len(krows),
+            "changed_keys": len(seen),
             "buckets_from": len(b_from),
             "buckets_to": len(b_to),
         })
@@ -4989,8 +5010,13 @@ def _feed_across_rebucket(
         old_df = spark.createDataFrame([], like.schema)
     if new_df is None:
         new_df = spark.createDataFrame([], like.schema)
-    old_df = old_df.join(kdf, on=keys, how="semi")
-    new_df = new_df.join(kdf, on=keys, how="semi")
+    # the key set is O(change) and already driver-local: broadcast it.
+    # Without the hint the local relation plans as a stats-less
+    # ExistingRDD and each semi-join becomes a full shuffle +
+    # sort-merge of the SLICE side (guide §3.1) — measured 4 extra
+    # Exchanges + 4 SortMergeJoin legs in the executed plan.
+    old_df = old_df.join(F.broadcast(kdf), on=keys, how="semi")
+    new_df = new_df.join(F.broadcast(kdf), on=keys, how="semi")
     return aligned_diff(old_df, new_df)
 
 
@@ -5001,6 +5027,7 @@ def change_feed(
     to_version: int | None = None,
     key: str | list[str] | None = None,
     _metrics: dict | None = None,
+    _memo: dict | None = None,
 ) -> DataFrame | None:
     """Key-level change feed between two committed versions — the
     Delta CHANGE DATA FEED shape (`table_changes`), computed from the
@@ -5084,7 +5111,7 @@ def change_feed(
         if not _root_empty(r_from):
             exact = _feed_across_rebucket(
                 spark, path, since_version, to_v, keys, bucket_key,
-                _aligned_diff, metrics=_metrics,
+                _aligned_diff, metrics=_metrics, memo=_memo,
             )
             if exact is not _NO_EXACT:
                 return exact

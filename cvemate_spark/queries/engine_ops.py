@@ -2081,9 +2081,16 @@ def e_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert change_feed(spark, path, 4) is None
     assert change_feed(spark, path, 2, 3) is None
     out = None
+    # one memo dict for all three spans: the 1->4 span re-uses the
+    # 2->4 span's collected (3->4) sub-feed keys instead of
+    # recomputing that full-outer diff (driver-side ReusedExchange,
+    # scoped to this builder invocation — nothing persists across runs)
+    memo: dict = {}
     for span, (a, b) in (("1-2", (1, 2)), ("2-4", (2, 4)), ("1-4", (1, 4))):
         metrics: dict = {}
-        feed = change_feed(spark, path, a, b, _metrics=metrics).select(
+        feed = change_feed(
+            spark, path, a, b, _metrics=metrics, _memo=memo
+        ).select(
             F.lit(span).alias("span"),
             "change",
             F.col("o_totalprice").alias("price"),
