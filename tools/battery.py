@@ -48,7 +48,14 @@ def run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
 
 
 def rung_pytest() -> dict:
-    rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"], 3600)
+    # the FULL battery: a trailing -m overrides pytest.ini's default
+    # fast profile (-m "not slow"), so round-close still runs the
+    # heavyweight twin/fuzz suites the default excludes
+    rc, out = run(
+        [sys.executable, "-m", "pytest", "tests/", "-q",
+         "-m", "slow or not slow"],
+        3600,
+    )
     tail = out.strip().splitlines()[-1] if out.strip() else ""
     return {"ok": rc == 0, "detail": tail}
 
