@@ -1056,9 +1056,15 @@ def neardup_pairs_topk_semdedup(
         .persist()
     )
     # ONE driver action fetches both phase-1 products off the cached
-    # candidate relation (was two jobs): the per-cell geometry
-    # sentinels (d1 < 0, C rows — bounded) and the top-k within-cell
-    # GEMM cosines.
+    # candidate relation, as ONE TakeOrdered pass (was a union of two
+    # legs, each scanning the cache as its own job — 5 jobs total at
+    # r13 close; guide §1.2): sentinels (d1 < 0) sort before every
+    # pair row, then pair rows by gcos descending, and limit
+    # |cells| + k. All sentinels fit (at most one per non-empty cell,
+    # |crows| bounds them), so the tail of the collected rows is
+    # exactly the top-k within-cell GEMM cosines, possibly padded
+    # with extra pair rows when some cells are empty — ignored by the
+    # k-th-element read below.
     #
     # L, the phase-1 lower bound, is the k-th best within-cell GEMM
     # cosine minus a margin that dominates the GEMM-vs-portable-fold
@@ -1067,10 +1073,11 @@ def neardup_pairs_topk_semdedup(
     # it stays provably safe. -inf when the corpus has fewer than k
     # within-cell pairs — then nothing prunes.
     fetched = (
-        cand_diag.filter(F.col("d1") < 0)
-        .unionByName(
-            cand_diag.filter(F.col("d1") >= 0).orderBy(F.desc("gcos")).limit(k)
+        cand_diag.orderBy(
+            (F.col("d1") >= 0).asc(), F.desc("gcos"),
+            F.asc("d1"), F.asc("d2"),
         )
+        .limit(len(crows) + k)
         .collect()
     )
     geo_rows = [r for r in fetched if r["d1"] < 0]

@@ -57,6 +57,15 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
         )
+        # let AQE re-partition cached-plan materialization (guide
+        # §2.2): a persisted relation otherwise materializes at the
+        # raw shuffle partition count even when AQE would coalesce it
+        # (measured: 32 one-row Python tasks for a 40-cell cache).
+        # Mirrored in tables._ensure_session_confs.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # file-listing jobs get ONE task per path by default (capped at
         # 10000): planning a 4096-generation versioned table spent
         # 5.9 s of its 6.9 s in that listing job's task overhead

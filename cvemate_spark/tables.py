@@ -60,6 +60,17 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
         ),
+        # let AQE re-partition when materializing a persisted plan
+        # (guide §2.2 "let AQE coalesce"; off by default). Without it
+        # every cached relation materializes at the raw shuffle
+        # partition count — 32 one-row Python tasks for semdedup's
+        # 40-cell diag cache. At scale the same rule coalesces to the
+        # advisory byte target, the intended shape. Paired A/B (r14):
+        # emb_neardup_semdedup 1.50->1.39 s min, dedup_minhash a wash.
+        (
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        ),
     ):
         try:
             spark.conf.set(k, v)
