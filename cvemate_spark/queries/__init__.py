@@ -140,19 +140,20 @@ DRIVER_GATE: tuple[str, ...] = (
     # --- re-entries: changed-closure engine surface (6)
     "e_asof", "e_scd2", "e_ivm_join", "curate_pipeline2",
     "e_gapfill", "e_hll_merge",
-    # --- optimization-round re-entries: every builder the optimization
-    # RESTRUCTURED re-enters per the changed-builder policy — q06
-    # (semi-prefilter below the lineitem aggregation, guide §3.2), q07
-    # (dimension star collapsed to one broadcast probe, guide §2.4),
-    # q05 (integer-cents upsert aggregation), q10 (band self-join as a
-    # range-frame window count, guide §2.4), and emb_neardup (in-stage
-    # portable-fold score, rescore joins removed). Ceding
-    # (r12-driver-green, builders semantically untouched this round,
-    # closure-change pins re-proven locally by
-    # tools/update_gate_hashes.py; their families keep heavy standing
-    # coverage in this gate): e_pivot, e_unpivot, e_time_travel,
-    # e_table_diff, s19_feed_replica.
-    "q05", "q06", "q07", "q10", "emb_neardup",
+    # --- optimization-round (r14) entrants: every builder the round
+    # RESTRUCTURED re-enters per the changed-builder policy — the
+    # whole dedup_components consumer family rides the new
+    # large-star/small-star connected-components loop (Kiveris et al.
+    # SoCC 2014; guide §2.2/§2.4 — rounds 10→4, jobs 88→51, labels
+    # proven identical + sf1 law sweep green). e_change_feed (keyset
+    # broadcast + sub-feed memo) and emb_neardup_semdedup (fused
+    # phase-1 fetch) also changed semantically-neutral internals and
+    # HOLD their existing slots above. Ceding (r13-driver-green in
+    # CORRECTNESS_r13.json, relational.py untouched this round;
+    # emb_neardup's closure-only hash change is re-proven locally by
+    # tools/update_gate_hashes.py): q05, q06, q07, q10, emb_neardup.
+    "dedup_components", "dedup_canonical", "dedup_canonical_shingle",
+    "dedup_cluster_sizes", "dedup_canonical_best",
     # --- re-entries: the stateful/recovery streaming spine (the
     # riskiest streaming surfaces keep standing driver coverage) (5)
     "s5_stateful", "s10_tws", "s11_recovery", "s12_media", "s14_kmv",
